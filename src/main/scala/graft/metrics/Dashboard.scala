@@ -1,0 +1,243 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.expr.Exprs
+
+/** Monitoring/analytics queries — the reference's dashboard SQL surface
+  * (monitoring/dashboard.py) plus the window/sort/limit patterns of
+  * SURVEY.md §2.4-2.7, expressed over the synthetic `events`/`orders`
+  * tables. Tenancy is derived as user_id % 4 / o_custkey % 4 — the same
+  * arithmetic in the DuckDB oracle.
+  *
+  * Determinism: the reference anchors "last 24h" on NOW()
+  * (dashboard.py:243); wall-clock would break reproducibility, so every
+  * recency window is anchored on max(ts) computed from the data. At scale
+  * the max(ts) scalar is a cheap single-column scan-and-reduce; Catalyst
+  * broadcasts the one-row result into the filter.
+  */
+object Dashboard {
+
+  private def withTenant(df: DataFrame, key: String): DataFrame =
+    df.withColumn("tenant_id", col(key) % 4)
+
+  /** Anchor = max(ts) over events, joined in as a scalar. */
+  private def eventsWithAnchor(spark: SparkSession, dir: String): DataFrame = {
+    val e = withTenant(Tables.events(spark, dir), "user_id")
+    e.crossJoin(broadcast(e.agg(max(col("ts")).as("max_ts"))))
+  }
+
+  /** A1 — job stats by (status, tenant) over the trailing 24h:
+    * COUNT, AVG(duration), MAX(duration) — dashboard.py:250-261. */
+  def jobStats(spark: SparkSession, dir: String): DataFrame =
+    eventsWithAnchor(spark, dir)
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy("event_type", "tenant_id")
+      .agg(
+        count(lit(1)).as("n"),
+        Exprs.moneyAvg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"))
+
+  /** A2/W4 — hourly throughput: date_trunc('hour') tumbling bucket —
+    * dashboard.py:264-273. */
+  def hourlyThroughput(spark: SparkSession, dir: String): DataFrame =
+    withTenant(Tables.events(spark, dir), "user_id")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("tenant_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A3/O3 — top-10 error codes by frequency — dashboard.py:276-286.
+    * The error "message" is the JSON props payload's k field (F18).
+    * Tie-break on the code itself so the limit is deterministic. */
+  def topErrors(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(Exprs.jsonField(col("props"), "k").as("error_code"))
+      .groupBy("error_code").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("error_code").asc)
+      .limit(10)
+
+  /** A4 — processing summary: counts by status — dashboard.py:699-717. */
+  def statusSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+
+  /** A5 — per-tenant stats: totals, exact average, trailing-24h count —
+    * dashboard.py:770-805. */
+  def tenantStats(spark: SparkSession, dir: String): DataFrame =
+    eventsWithAnchor(spark, dir)
+      .groupBy("tenant_id")
+      .agg(
+        count(lit(1)).as("n"),
+        Exprs.moneyAvg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        sum(when(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"), 1L)
+          .otherwise(0L)).as("n_recent"))
+
+  /** A6 — activity-level distribution (change_tracking.py:248-318): CASE
+    * on watermark + recency, then counts + overall update_rate. */
+  def activityLevels(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchored = o.crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("max_d"))))
+    val labeled = anchored.select(
+      Exprs.activityLevel(
+        when(col("o_orderkey") % 11 === 0, 0L).otherwise(lit(1L)),
+        col("o_orderdate") >= col("max_d") - expr("INTERVAL 180 DAYS"),
+        col("o_orderdate") >= col("max_d") - expr("INTERVAL 360 DAYS")).as("activity_level"))
+    val counts = labeled.groupBy("activity_level").agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(counts.agg(
+        sum("n").as("total"),
+        sum(when(col("activity_level") === "high_activity", col("n")).otherwise(0L)).as("recent"))))
+      .select(col("activity_level"), col("n"),
+        (col("recent").cast("double") / col("total")).as("update_rate"))
+  }
+
+  /** A7 — portfolio analysis per tenant: active/complete counts, exact
+    * average order value, average settlement likelihood (U4) —
+    * status_detector.py:421-481. */
+  def portfolio(spark: SparkSession, dir: String): DataFrame =
+    withTenant(Tables.orders(spark, dir), "o_custkey")
+      .withColumn("settlement", settlementLikelihood(
+        col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice")))
+      .groupBy("tenant_id")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_complete"),
+        Exprs.moneyAvg(col("o_totalprice")).as("avg_value"),
+        (sum(col("settlement").cast("decimal(6,3)")).cast("double") / count(lit(1)))
+          .as("avg_settlement"))
+
+  /** U4 — settlement-likelihood heuristic as a pure when-chain
+    * (status_detector.py:153-199): base 0.5, status and priority bumps,
+    * clamped to [0,1]. Exact decimal-representable constants so the oracle
+    * matches bit-for-bit. */
+  def settlementLikelihood(status: Column, priority: Column, totalprice: Column): Column =
+    Exprs.clamp01(
+      lit(0.5)
+        + when(status === "F", 0.3).when(status === "P", 0.1).otherwise(0.0)
+        + when(priority.startsWith("1"), 0.1)
+            .when(priority.startsWith("2"), 0.05).otherwise(0.0)
+        - when(totalprice > 250000.0, 0.25).otherwise(0.0))
+
+  /** A8 — freshness distribution (sync_daily_enhanced.py:201-206): label by
+    * age in hours relative to the newest order, then count. */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchored = o.crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("max_d"))))
+    anchored.select(
+        Exprs.freshnessStatus(
+          Exprs.ageHours(col("o_orderdate").cast("timestamp"), col("max_d").cast("timestamp")),
+          col("o_orderkey") % 11 === 0).as("freshness_status"))
+      .groupBy("freshness_status").agg(count(lit(1)).as("n"))
+  }
+
+  /** W1 — latest order per customer: row_number over (custkey, date desc)
+    * — sync_daily_enhanced.py:158-177's ORDER BY updated_at DESC made
+    * per-key. */
+  def latestPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+  }
+
+  /** W2 — top-10 most recent events per tenant — dashboard.py:811-833. */
+  def recentPerTenant(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    withTenant(Tables.events(spark, dir), "user_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("tenant_id", "event_id", "ts", "rn")
+  }
+
+  /** W3 — first-5 positional slice per group (embedder.py:122-124) in flat
+    * form: first 5 line numbers per order. */
+  def first5PerOrder(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data; the
+    // extra sort keys make the row_number total (full rows are distinct).
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc,
+      col("l_quantity").asc, col("l_extendedprice").asc)
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** O2 — globally most-recent 10 events (deterministic tie-break) —
+    * dashboard.py:815-819. */
+  def recentEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+      .select("event_id", "ts", "event_type", "value")
+
+  /** O5 — priority-ordered batches of 25 (status_detector.py:336-369,
+    * worker.py:63-68): map event types onto priority classes, then number
+    * and chunk within each priority. Windowed per priority class (not a
+    * global sort) so the plan stays parallel. */
+  def priorityBatches(spark: SparkSession, dir: String): DataFrame = {
+    val prio = when(col("event_type") === "error", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .otherwise(4)
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("priority", prio)
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_id"), col("priority"),
+        ((col("rn") - 1) / 25).cast("long").as("batch_id"))
+  }
+
+  /** Q1-style aggregate over lineitem (the canonical group-by; exact
+    * decimal arithmetic cast to double at the end). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Exprs.moneySum(col("l_quantity")).as("sum_qty"),
+        Exprs.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(Exprs.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        Exprs.moneyAvg(col("l_quantity")).as("avg_qty"),
+        Exprs.moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n"))
+
+  /** J5 — revenue by supplier via broadcast hash join (the reference's
+    * dict-lookup join, sync_daily.py:183-185): the dimension side is tiny,
+    * so it is broadcast — no shuffle of the fact table. */
+  def revenueBySupplier(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(
+        sum(Exprs.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Set ops (§2.7): key-level difference/intersection between the two
+    * reconciliation snapshots, in EXCEPT/INTERSECT form. */
+  def keysOnlyInCrm(spark: SparkSession, dir: String): DataFrame =
+    graft.sync.Reconcile.crmSnapshot(spark, dir).select("tenant_id", "case_ref")
+      .except(graft.sync.Reconcile.dbSnapshot(spark, dir).select("tenant_id", "case_ref"))
+
+  def keysInBoth(spark: SparkSession, dir: String): DataFrame =
+    graft.sync.Reconcile.crmSnapshot(spark, dir).select("tenant_id", "case_ref")
+      .intersect(graft.sync.Reconcile.dbSnapshot(spark, dir).select("tenant_id", "case_ref"))
+
+  /** Union with provenance tag (process_case.py:296-297's vector concat ->
+    * unionByName). */
+  def taggedUnion(spark: SparkSession, dir: String): DataFrame = {
+    val crm = graft.sync.Reconcile.crmSnapshot(spark, dir)
+      .select(col("tenant_id"), col("case_ref"), lit("crm").as("source"))
+    val db = graft.sync.Reconcile.dbSnapshot(spark, dir)
+      .select(col("tenant_id"), col("case_ref"), lit("db").as("source"))
+    crm.unionByName(db)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-facing registration of the metrics module (names -> builders +
+  * DuckDB oracles). See Dashboard's scaladoc for determinism rules.
+  */
+object DashboardQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val snapCtes: String =
+    """WITH crm AS (
+      |  SELECT o_orderkey AS case_ref, o_custkey % 4 AS tenant_id
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |), db AS (
+      |  SELECT o_orderkey AS case_ref, o_custkey % 4 AS tenant_id
+      |  FROM orders WHERE o_orderkey % 10 <> 3
+      |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "a1_job_stats" -> ((s, d) => Dashboard.jobStats(s, d)),
+    "a2_hourly_throughput" -> ((s, d) => Dashboard.hourlyThroughput(s, d)),
+    "a3_top_errors" -> ((s, d) => Dashboard.topErrors(s, d)),
+    "a4_status_summary" -> ((s, d) => Dashboard.statusSummary(s, d)),
+    "a5_tenant_stats" -> ((s, d) => Dashboard.tenantStats(s, d)),
+    "a6_activity_levels" -> ((s, d) => Dashboard.activityLevels(s, d)),
+    "a7_portfolio" -> ((s, d) => Dashboard.portfolio(s, d)),
+    "a8_freshness" -> ((s, d) => Dashboard.freshness(s, d)),
+    "w1_latest_per_customer" -> ((s, d) => Dashboard.latestPerCustomer(s, d)),
+    "w2_recent_per_tenant" -> ((s, d) => Dashboard.recentPerTenant(s, d)),
+    "w3_first5_per_order" -> ((s, d) => Dashboard.first5PerOrder(s, d)),
+    "o2_recent_events" -> ((s, d) => Dashboard.recentEvents(s, d)),
+    "o5_priority_batches" -> ((s, d) => Dashboard.priorityBatches(s, d)),
+    "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
+    "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
+    "set_only_in_crm" -> ((s, d) => Dashboard.keysOnlyInCrm(s, d)),
+    "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
+    "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "a1_job_stats" ->
+      """SELECT event_type, user_id % 4 AS tenant_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       max(value) AS max_value
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+        |GROUP BY event_type, user_id % 4""".stripMargin,
+    "a2_hourly_throughput" ->
+      """SELECT date_trunc('hour', ts) AS hour, user_id % 4 AS tenant_id,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "a3_top_errors" ->
+      """SELECT json_extract_string(props, '$.k') AS error_code, count(*) AS n
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY 1 ORDER BY n DESC, error_code ASC LIMIT 10""".stripMargin,
+    "a4_status_summary" ->
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+    "a5_tenant_stats" ->
+      """SELECT user_id % 4 AS tenant_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       max(value) AS max_value,
+        |       CAST(sum(CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_recent
+        |FROM events GROUP BY 1""".stripMargin,
+    "a6_activity_levels" ->
+      """WITH labeled AS (
+        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'never_processed'
+        |              WHEN o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 180 DAYS THEN 'high_activity'
+        |              WHEN o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 360 DAYS THEN 'moderate_activity'
+        |              ELSE 'low_activity' END AS activity_level
+        |  FROM orders
+        |), counts AS (SELECT activity_level, count(*) AS n FROM labeled GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |               CAST(sum(CASE WHEN activity_level = 'high_activity' THEN n ELSE 0 END) AS BIGINT) AS recent
+        |        FROM counts)
+        |SELECT activity_level, n,
+        |       CAST(recent AS DOUBLE) / CAST(total AS DOUBLE) AS update_rate
+        |FROM counts, tot""".stripMargin,
+    "a7_portfolio" ->
+      """WITH scored AS (
+        |  SELECT o_custkey % 4 AS tenant_id, o_orderstatus, o_totalprice,
+        |         least(greatest(
+        |           0.5
+        |           + CASE WHEN o_orderstatus = 'F' THEN 0.3
+        |                  WHEN o_orderstatus = 'P' THEN 0.1 ELSE 0.0 END
+        |           + CASE WHEN o_orderpriority LIKE '1%' THEN 0.1
+        |                  WHEN o_orderpriority LIKE '2%' THEN 0.05 ELSE 0.0 END
+        |           - CASE WHEN o_totalprice > 250000.0 THEN 0.25 ELSE 0.0 END,
+        |           0.0), 1.0) AS settlement
+        |  FROM orders)
+        |SELECT tenant_id,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       CAST(sum(CAST(settlement AS DECIMAL(6,3))) AS DOUBLE) / count(*) AS avg_settlement
+        |FROM scored GROUP BY tenant_id""".stripMargin,
+    "a8_freshness" ->
+      """WITH anchored AS (
+        |  SELECT o_orderkey,
+        |         CAST(epoch((SELECT max(o_orderdate) FROM orders)) - epoch(o_orderdate) AS DOUBLE) / 3600.0 AS hours_since
+        |  FROM orders)
+        |SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'never_processed'
+        |            WHEN hours_since <= 24 THEN 'recent'
+        |            WHEN hours_since <= 168 THEN 'moderate'
+        |            ELSE 'stale' END AS freshness_status,
+        |       count(*) AS n
+        |FROM anchored GROUP BY 1""".stripMargin,
+    "w1_latest_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "w2_recent_per_tenant" ->
+      """SELECT tenant_id, event_id, ts, rn FROM (
+        |  SELECT user_id % 4 AS tenant_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id % 4
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 10""".stripMargin,
+    "w3_first5_per_order" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber ASC, l_partkey ASC,
+        |                                     l_suppkey ASC, l_quantity ASC,
+        |                                     l_extendedprice ASC) AS rn
+        |  FROM lineitem) WHERE rn <= 5""".stripMargin,
+    "o2_recent_events" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 10""".stripMargin,
+    "o5_priority_batches" ->
+      """WITH p AS (
+        |  SELECT event_id, ts,
+        |         CASE WHEN event_type = 'error' THEN 1
+        |              WHEN event_type = 'purchase' THEN 2
+        |              WHEN event_type = 'signup' THEN 3
+        |              ELSE 4 END AS priority
+        |  FROM events),
+        |r AS (SELECT event_id, priority,
+        |             row_number() OVER (PARTITION BY priority
+        |                                ORDER BY ts ASC, event_id ASC) AS rn
+        |      FROM p)
+        |SELECT event_id, priority, CAST((rn - 1) // 25 AS BIGINT) AS batch_id
+        |FROM r""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "j5_revenue_by_supplier" ->
+      """SELECT s_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+    "set_only_in_crm" ->
+      s"""$snapCtes SELECT tenant_id, case_ref FROM crm
+         |EXCEPT SELECT tenant_id, case_ref FROM db""".stripMargin,
+    "set_in_both" ->
+      s"""$snapCtes SELECT tenant_id, case_ref FROM crm
+         |INTERSECT SELECT tenant_id, case_ref FROM db""".stripMargin,
+    "set_tagged_union" ->
+      s"""$snapCtes SELECT tenant_id, case_ref, 'crm' AS source FROM crm
+         |UNION ALL SELECT tenant_id, case_ref, 'db' AS source FROM db""".stripMargin)
+}

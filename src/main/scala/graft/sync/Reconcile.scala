@@ -1,0 +1,163 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.Exprs
+
+/** Snapshot reconciliation — the reference's flagship computation.
+  *
+  * The reference diffs a CRM snapshot against a DB mirror with three Python
+  * set operations plus a per-key serial-number watermark check
+  * (etl/flows/sync_daily.py:147-223, etl/reconciliation.py:68-141,
+  * database/change_tracking.py:126-246). Here the whole decomposition is ONE
+  * full-outer join with a CASE label — Catalyst turns it into a single
+  * shuffle on (tenant_id, case_ref), and at 100 TB both snapshots would be
+  * written bucketed/partitioned by the same key so the join is co-located.
+  *
+  * The driver's testdata has no case tables, so snapshots are synthesized
+  * deterministically from `orders` (SURVEY.md §7): the CRM side drops keys
+  * ≡ 0 (mod 7) and bumps some serials; the DB side drops keys ≡ 3 (mod 10)
+  * and zeroes some watermarks. All derivations are pure integer arithmetic
+  * so the DuckDB oracle computes bit-identical values.
+  */
+object Reconcile {
+
+  /** 'O' -> active, 'F' -> complete, else processing (status vocabulary of
+    * proclaim/status_detector.py:99-124 mapped onto o_orderstatus). */
+  def statusOf(os: Column): Column =
+    when(os === "O", lit("active"))
+      .when(os === "F", lit("complete"))
+      .otherwise(lit("processing"))
+
+  /** CRM-visible snapshot (reference scan S1: crm/discovery.py:193-232). */
+  def crmSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        col("o_orderkey").as("case_ref"),
+        (col("o_custkey") % 4).as("tenant_id"),
+        statusOf(col("o_orderstatus")).as("status"),
+        (col("o_orderstatus") === "O").as("is_active"),
+        (Exprs.serialOf(col("o_orderkey")) +
+          when(col("o_orderkey") % 5 === 1, lit(7L)).otherwise(lit(0L)))
+          .as("serialno"))
+
+  /** DB-mirror snapshot with high-watermark column (reference scan S8:
+    * etl/flows/sync_daily_enhanced.py:156-197; watermark semantics
+    * database/change_tracking.py:51-124 — 0 means never processed). */
+  def dbSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 =!= 3)
+      .select(
+        col("o_orderkey").as("case_ref"),
+        (col("o_custkey") % 4).as("tenant_id"),
+        statusOf(col("o_orderstatus")).as("status"),
+        (col("o_orderstatus") === "O").as("is_active"),
+        when(col("o_orderkey") % 11 === 0, lit(0L))
+          .otherwise(Exprs.serialOf(col("o_orderkey"))).as("last_serialno"))
+
+  private def activeOnly(df: DataFrame): DataFrame =
+    df.filter(Exprs.activeCase(col("is_active"), col("status")))
+
+  /** Per-case change categories: new / deactivated / needs_update /
+    * unchanged. One full-outer join replaces the reference's J1/J2/J3 set
+    * ops + J4 watermark check (etl/reconciliation.py:94-141). */
+  def categories(spark: SparkSession, dir: String): DataFrame = {
+    val crm = activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")
+    val db = activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref", "last_serialno")
+    crm.join(db, Seq("tenant_id", "case_ref"), "full_outer")
+      .select(
+        col("tenant_id"), col("case_ref"),
+        when(col("last_serialno").isNull && col("serialno").isNotNull, lit("new"))
+          .when(col("serialno").isNull, lit("deactivated"))
+          .when(col("serialno") > col("last_serialno"), lit("needs_update"))
+          .otherwise(lit("unchanged")).as("category"),
+        col("serialno"), col("last_serialno"))
+  }
+
+  /** Reconciliation summary (A9): per-category counts + change_rate +
+    * processing_reduction — etl/reconciliation.py:297-300. */
+  def summary(spark: SparkSession, dir: String): DataFrame = {
+    val cat = categories(spark, dir)
+      .groupBy("category").agg(count(lit(1)).as("n"))
+    val tot = cat.agg(
+      sum("n").as("total"),
+      sum(when(col("category") === "unchanged", col("n")).otherwise(lit(0L))).as("n_unchanged"))
+    cat.crossJoin(tot)
+      .select(
+        col("category"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (col("n_unchanged").cast("double") / col("total")).as("processing_reduction"))
+  }
+
+  /** J1 — new cases via left-anti join (sync_daily.py:171-175). */
+  def newCases(spark: SparkSession, dir: String): DataFrame =
+    activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")
+      .join(activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref"),
+        Seq("tenant_id", "case_ref"), "left_anti")
+
+  /** J2 — deactivated cases via left-anti the other way
+    * (sync_daily.py:176). */
+  def deactivated(spark: SparkSession, dir: String): DataFrame =
+    activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref", "last_serialno")
+      .join(activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref"),
+        Seq("tenant_id", "case_ref"), "left_anti")
+
+  /** J3 — intersection via left-semi join (sync_daily.py:177). */
+  def potentialUpdates(spark: SparkSession, dir: String): DataFrame =
+    activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")
+      .join(activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref"),
+        Seq("tenant_id", "case_ref"), "left_semi")
+
+  /** J4 — watermark theta-join: intersecting cases whose CRM serial moved
+    * past the stored watermark (change_tracking.py:195-246). Inner equi-join
+    * with a residual non-equi predicate; the smaller (filtered) side is
+    * broadcast-eligible and AQE will pick that up at runtime. */
+  def needsUpdate(spark: SparkSession, dir: String): DataFrame =
+    activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")
+      .join(activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref", "last_serialno"),
+        Seq("tenant_id", "case_ref"), "inner")
+      .filter(col("serialno") > coalesce(col("last_serialno"), lit(0L)))
+
+  /** S9 — MERGE-style watermark advance as a join rewrite (no Delta in this
+    * environment): the watermark table is rewritten with processed serials
+    * taking precedence (database/change_tracking.py:369-434). At 100 TB this
+    * becomes a partition-overwrite of only the touched tenant partitions.
+    * Output: the post-merge watermark table. */
+  def advanceWatermarks(spark: SparkSession, dir: String): DataFrame = {
+    val db = dbSnapshot(spark, dir).select("tenant_id", "case_ref", "last_serialno")
+    val processed = needsUpdate(spark, dir)
+      .select(col("tenant_id"), col("case_ref"), col("serialno").as("new_serialno"))
+    db.join(processed, Seq("tenant_id", "case_ref"), "left_outer")
+      .select(
+        col("tenant_id"), col("case_ref"),
+        coalesce(col("new_serialno"), col("last_serialno")).as("last_serialno"))
+  }
+
+  /** U8 — reconciliation quality gates: change_rate < 20%, snapshot count
+    * mismatch < 10% (etl/reconciliation.py:324-405). Emits one row of gate
+    * metrics + a 0-1 quality score. */
+  def qualityValidation(spark: SparkSession, dir: String): DataFrame = {
+    val crmN = activeOnly(crmSnapshot(spark, dir)).agg(count(lit(1)).as("crm_count"))
+    val dbN = activeOnly(dbSnapshot(spark, dir)).agg(count(lit(1)).as("db_count"))
+    val cat = categories(spark, dir).agg(
+      count(lit(1)).as("total"),
+      sum(when(col("category").isin("new", "deactivated", "needs_update"), 1L)
+        .otherwise(0L)).as("changed"))
+    cat.crossJoin(crmN).crossJoin(dbN)
+      .select(
+        col("total"), col("changed"), col("crm_count"), col("db_count"),
+        (col("changed").cast("double") / greatest(col("total"), lit(1L))).as("change_rate"),
+        (abs(col("crm_count") - col("db_count")).cast("double") /
+          greatest(col("crm_count"), lit(1L))).as("count_mismatch_rate"))
+      .select(
+        col("*"),
+        (col("change_rate") > 0.2).as("change_rate_breach"),
+        (col("count_mismatch_rate") > 0.1).as("count_mismatch_breach"),
+        Exprs.clamp01(lit(1.0)
+          - when(col("change_rate") > 0.2, col("change_rate") - 0.2).otherwise(lit(0.0)) * 2.0
+          - when(col("count_mismatch_rate") > 0.1, col("count_mismatch_rate") - 0.1).otherwise(lit(0.0)) * 2.0)
+          .as("quality_score"))
+  }
+}
