@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReconcileQueries.queries ++ DashboardQueries.queries
+    ReconcileQueries.queries ++ DashboardQueries.queries ++
+      graft.expr.ExprQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReconcileQueries.oracles ++ DashboardQueries.oracles
+    ReconcileQueries.oracles ++ DashboardQueries.oracles ++
+      graft.expr.ExprQueries.oracles
 }
