@@ -14,34 +14,6 @@ import graft.Tables
 object ExprQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** "£1,234.56"-style rendering of o_totalprice (values are all in
-    * [1000, 1M) so one thousands separator suffices). floor/cast dance
-    * avoids engine-specific double->int rounding (DuckDB rounds, Spark
-    * truncates — floor first makes them agree). */
-  private def moneyStr: Column = {
-    val v = col("o_totalprice").cast("decimal(12,2)")
-    val i = floor(v).cast("long")
-    val f = (v * 100).cast("long") % 100
-    concat(
-      lit("£"),
-      when(i >= 1000,
-        concat((i / 1000).cast("long").cast("string"), lit(","),
-          lpad((i % 1000).cast("string"), 3, "0")))
-        .otherwise(i.cast("string")),
-      lit("."), lpad(f.cast("string"), 2, "0"))
-  }
-
-  // single line: this fragment is interpolated into stripMargin strings,
-  // where embedded newlines would collide with margin stripping
-  private val moneyStrSql: String =
-    "'£' || CASE WHEN i >= 1000 THEN (i // 1000)::VARCHAR || ',' || lpad((i % 1000)::VARCHAR, 3, '0') ELSE i::VARCHAR END || '.' || lpad(f::VARCHAR, 2, '0')"
-
-  private val moneyCte: String =
-    """WITH b AS (
-      |  SELECT o_orderkey,
-      |         CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS i,
-      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 100 AS f
-      |  FROM orders)""".stripMargin
 
   /** English ordinal suffix for a day-of-month (1st/2nd/3rd/4th...). */
   private def ordinalSuffix(day: Column): Column =
@@ -78,7 +50,7 @@ object ExprQueries {
     Tables.orders(spark, dir)
       .select(col("o_orderkey"),
         when(col("o_orderkey") % 100 === 0, lit("[Empty]"))
-          .otherwise(moneyStr).as("money_str"))
+          .otherwise(Synth.moneyStr(col("o_totalprice"))).as("money_str"))
       .withColumn("parsed_value",
         Exprs.parseCurrency(col("money_str")).cast("double"))
 
@@ -86,7 +58,7 @@ object ExprQueries {
   def extractMoney(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_orderkey"),
-        concat(lit("Settlement agreed "), moneyStr, lit(" on file")).as("note"))
+        concat(lit("Settlement agreed "), Synth.moneyStr(col("o_totalprice")), lit(" on file")).as("note"))
       .withColumn("amount", Exprs.extractMoney(col("note")).cast("double"))
 
   /** F6 — regex date-token extraction + parse from free text. */
@@ -204,19 +176,19 @@ object ExprQueries {
          |                         try_strptime(cleaned, '%d %B %Y')), '%Y-%m-%d') AS parsed
          |FROM c""".stripMargin,
     "f8_currency_parse" ->
-      s"""$moneyCte
+      s"""${Synth.moneyCte}
          |SELECT o_orderkey,
          |       CASE WHEN o_orderkey % 100 = 0 THEN '[Empty]'
-         |            ELSE $moneyStrSql END AS money_str,
+         |            ELSE ${Synth.moneyStrSql} END AS money_str,
          |       CASE WHEN o_orderkey % 100 = 0 THEN NULL
-         |            ELSE CAST(CAST(replace(replace($moneyStrSql, '£', ''), ',', '') AS DECIMAL(18,2)) AS DOUBLE)
+         |            ELSE CAST(CAST(replace(replace(${Synth.moneyStrSql}, '£', ''), ',', '') AS DECIMAL(18,2)) AS DOUBLE)
          |       END AS parsed_value
          |FROM b""".stripMargin,
     "f5_extract_money" ->
-      s"""$moneyCte
+      s"""${Synth.moneyCte}
          |SELECT o_orderkey,
-         |       'Settlement agreed ' || $moneyStrSql || ' on file' AS note,
-         |       CAST(CAST(replace(regexp_extract('Settlement agreed ' || $moneyStrSql || ' on file',
+         |       'Settlement agreed ' || ${Synth.moneyStrSql} || ' on file' AS note,
+         |       CAST(CAST(replace(regexp_extract('Settlement agreed ' || ${Synth.moneyStrSql} || ' on file',
          |                 '([0-9][0-9,]*\\.[0-9][0-9])', 1), ',', '') AS DECIMAL(18,2)) AS DOUBLE) AS amount
          |FROM b""".stripMargin,
     "f6_extract_dates" ->
