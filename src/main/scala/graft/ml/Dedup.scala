@@ -1,0 +1,274 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.Exprs
+
+/** Deduplication operators for a training-data pipeline: exact content
+  * hashing, inverted-index n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup pairs. Extends the reference surface (its
+  * only dedup is the vector content_hash at database/models.py:81) per the
+  * north-star mandate.
+  *
+  * Scale design: nothing here does all-pairs against the full corpus. The
+  * exact path is a single hash shuffle; the n-gram/MinHash/SimHash paths
+  * build inverted indexes (explode -> equi-join on shingle/band/chunk) so
+  * candidate generation is a hash join keyed on shared substructure, with
+  * a document-frequency cap to drop degenerate hot keys (the classic
+  * stop-shingle guard — skew protection at 100 TB).
+  */
+object Dedup {
+
+  /** 3-token shingles (distinct), for docs with >= 3 tokens. */
+  def shingles(text: Column): Column = {
+    val t = TextOps.tokens(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id -> exploded distinct shingles, hot shingles dropped (df cap). */
+  private def shingleIndex(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** Exact dedup groups: content-hash -> surviving (minimum) doc_id +
+    * group size. Survivor selection is an aggregate, not a window — one
+    * shuffle on the hash. */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(Exprs.contentHash(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact-dedup survivors: one row per distinct content hash. */
+  def exactSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(Exprs.contentHash(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** N-gram Jaccard near-dup pairs >= `threshold`, via inverted index:
+    * explode shingles, self-join on shingle, count = |A ∩ B|, then
+    * |A ∪ B| = |A| + |B| - |A ∩ B|. Integer counts -> the division is
+    * reproducible bit-for-bit. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.7, dfCap: Int = 1000): DataFrame = {
+    val sh = shingleIndex(spark, dir, dfCap)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH (not SQL-oracle-expressible: relies on Spark's 64-bit
+  // hash; verified against exact Jaccard in ScalaTest instead)
+  // -------------------------------------------------------------------
+
+  val MinhashK = 32          // signature length
+  val LshBands = 8           // bands of 4 rows each
+  private val RowsPerBand = MinhashK / LshBands
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature column (array of K minima over permuted shingle
+    * hashes). Permutations are (a_k * h + b_k) mod p with fixed seeds; the
+    * base hash is first reduced mod p so a_k * h never overflows a long
+    * (Spark 4 runs ANSI mode — overflow throws, it doesn't wrap). */
+  def minhashSignature(shingleArr: Column): Column = {
+    val sigs = (0 until MinhashK).map { k =>
+      val a = 1L + 2L * k // odd multipliers
+      val b = 40503L * (k + 1) % Prime
+      array_min(transform(shingleArr, s =>
+        pmod(pmod(xxhash64(s), lit(Prime)) * a + b, lit(Prime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard >= threshold.
+    * Banding: equal 4-row band => candidate; then the estimate is the
+    * fraction of equal signature components. */
+  def minhashPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+    val bands = docs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(array_join(transform(
+            slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+            v => v.cast("string")), ","), b).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          x === y), b => b)).cast("double") / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash (64-bit; ScalaTest-verified)
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 by token-hash
+    * bit, take sign. Computed as 64 conditional sums in one aggregate —
+    * a single shuffle, no per-bit passes. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val withBits = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    withBits.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
+    * hamming distance 3 shares at least one of 4 chunks), verify with
+    * popcount of XOR <= maxHamming. */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sh = simhash(spark, dir)
+    val chunks = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ch", expr("shiftright(simhash, chunk * 16) & 65535"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
+  // -------------------------------------------------------------------
+
+  /** L2-normalize then quantize to ints (x/||x|| * 10000, rounded). The
+    * norm is a left-fold double sum -> identical in any engine; rounding
+    * to ints makes all downstream comparisons exact integer arithmetic. */
+  def quantized(emb: Column): Column = {
+    val norm = sqrt(aggregate(emb, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    transform(emb, x => round(x.cast("double") / norm * 10000, 0).cast("long"))
+  }
+
+  /** cos(a,b) > 0.4 pairs, decided entirely in integers:
+    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25). */
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val sq = e.select(col("vec_id"), col("q"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("nsq"))
+    sq.as("a").join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).as("dot"),
+        col("a.nsq").as("na"), col("b.nsq").as("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+  }
+
+  // -------------------------------------------------------------------
+  // Registration
+  // -------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_groups" -> ((s, d) => exactGroups(s, d)),
+    "dedup_exact_survivors" -> ((s, d) => exactSurvivors(s, d)),
+    "dedup_ngram_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)))
+
+  private val shingleCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                               for i in range(1, len(toks) - 1)])) AS s
+      |  FROM t WHERE len(toks) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_exact_survivors" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_ngram_pairs" ->
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(
+        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, qv,
+        |             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+        |      FROM q)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE) /
+        |         (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+        |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
+        |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin)
+}

@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the embedding column — operationalizes the
+  * reference's (simulated) vector-index path (etl/flows/process_case.py:
+  * 284-318, S12): brute-force cosine top-k as the exactness baseline, and
+  * a random-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism/oracle strategy: vectors are L2-normalized then quantized
+  * to integers (Dedup.quantized), so ranking keys are exact integer dot
+  * products — reproducible in any engine, no FP-order sensitivity.
+  *
+  * Scale design: brute-force is queries × corpus — fine when the query
+  * side is small (broadcast it); the LSH path shrinks the candidate set
+  * to same-bucket vectors (equi-join on bucket id), which is the standard
+  * first cut for ANN at 100 TB corpus scale. Both rerank identically.
+  */
+object Similarity {
+
+  /** Query-vector predicate: every 200th vector is a "query". */
+  private def isQuery(id: Column): Column = id % 200 === 0
+
+  private def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: every query vector against the corpus,
+    * ranked by integer dot (vectors are unit-normalized, so dot order =
+    * cosine order), deterministic tie-break on neighbor id. */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = quantizedVectors(spark, dir)
+    val queries = v.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("qv"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dot", "rank")
+  }
+
+  // -------------------------------------------------------------------
+  // LSH-bucketed ANN (ScalaTest-verified recall vs brute force)
+  // -------------------------------------------------------------------
+
+  // 2^LshPlanes buckets; keep the bucket count well under the corpus size
+  // so each query finds a meaningful candidate set (tune per corpus — at
+  // 100 TB you'd raise this and add multi-probe)
+  val LshPlanes = 5
+
+  /** Deterministic pseudo-random hyperplane component: plane k, dim j. */
+  private def planeComponent(k: Int, j: Column): Column =
+    pmod((j + 1) * (2654435761L % 100003L) * (k + 7) + k * 131L, lit(2001L)) - 1000L
+
+  /** Sign-bit bucket id from LshPlanes hyperplanes (integer dot signs). */
+  def lshBucket(q: Column): Column =
+    (0 until LshPlanes).map { k =>
+      val planeDot = aggregate(
+        zip_with(q, transform(q, (_, j) => planeComponent(k, j)),
+          (x, p) => x * p),
+        lit(0L), (a, v) => a + v)
+      when(planeDot >= 0, shiftleft(lit(1L), k)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN via LSH buckets: candidates share the query's bucket; rerank by
+    * exact integer dot. Recall < 1 by construction; the ScalaTest suite
+    * measures it against [[bruteForceTopK]]. */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = quantizedVectors(spark, dir)
+      .withColumn("bucket", lshBucket(col("q")))
+    val queries = v.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("bucket").as("qbucket"))
+    val scored = v
+      .join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dot(col("qv"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dot", "rank")
+  }
+
+  // -------------------------------------------------------------------
+  // Registration
+  // -------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
+    "sim_topk_ann" -> ((s, d) => annTopK(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(
+        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT qs.vec_id AS query_id, c.vec_id,
+        |         CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS dot
+        |  FROM q qs JOIN q c ON qs.vec_id % 200 = 0 AND c.vec_id <> qs.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, dot,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY dot DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin)
+}

@@ -1,0 +1,162 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expr.Exprs
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization/quality stats, n-gram language ID,
+  * document fingerprinting. These extend the reference surface per the
+  * north-star mandate (SURVEY.md §7 phase 6); the reference's own text
+  * handling tops out at keyword search + truncation
+  * (caseguard/vectorization/embedder.py:148-151).
+  *
+  * Everything is array-expression based (codegen'd, no UDFs, no shuffle
+  * until an aggregate) — at 100 TB these are embarrassingly parallel
+  * per-document map stages.
+  */
+object TextOps {
+
+  /** whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** integer sum over an int array (explicit left fold — portable). */
+  private def isum(arr: Column): Column =
+    aggregate(arr, lit(0L), (a, b) => a + b)
+
+  /** Token/quality statistics per document: counts, average token length,
+    * stopword ratio, and a 0-1 quality score (length + lexical density). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), t.as("toks"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        isum(transform(col("toks"), x => length(x).cast("long"))).as("sum_len"),
+        size(filter(col("toks"), x =>
+          x.isin(stopwords.map(s => lit(s)): _*))).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq"),
+        (col("sum_len").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("avg_token_len"),
+        (col("n_stop").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("stopword_ratio"),
+        (col("n_uniq").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("lexical_density"))
+      .withColumn("quality_score", Exprs.clamp01(
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+          + col("lexical_density") * lit(0.5)))
+  }
+
+  /** Language-ID by stopword-set scoring with a CJK-codepoint fast path —
+    * the classic n-gram/wordlist heuristic. Tie-breaks follow a fixed
+    * precedence (en > de > fr > es) so the argmax is total. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(lower(col("text")))
+    def hits(words: Seq[String]): Column =
+      size(filter(t, x => x.isin(words.map(lit): _*)))
+    val en = hits(Seq("the", "a", "of", "and", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "et", "est", "les"))
+    val es = hits(Seq("el", "los", "y", "es", "las"))
+    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
+        hasCjk.as("has_cjk"))
+      .withColumn("lang_pred",
+        when(col("has_cjk"), "zh")
+          .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .withColumn("is_correct", col("lang_pred") === col("lang"))
+  }
+
+  /** Rolling polynomial fingerprint over token codes (mod 1e9+7): a
+    * portable stand-in for a content-defined document signature. Token
+    * code = 256*len + first-codepoint, folded left as acc*31 + code. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val codes = transform(tokens(col("text")),
+      t => (length(t).cast("long") * 256 + ascii(t).cast("long")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aggregate(codes, lit(0L),
+          (a, b) => (a * 31 + b) % 1000000007L).as("fingerprint"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> ((s, d) => textStats(s, d)),
+    "text_lang_id" -> ((s, d) => langId(s, d)),
+    "text_fingerprints" -> ((s, d) => fingerprints(s, d)))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(len(toks) AS INT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+         |         list_reduce(list_prepend(0::BIGINT,
+         |           list_transform(toks, x -> len(x)::BIGINT)), (a, b) -> a + b) AS sum_len,
+         |         CAST(len(list_filter(toks, x -> x IN ${inList(stopwords)})) AS INT) AS n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_chars, n_tokens, n_uniq,
+         |         CAST(sum_len AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS avg_token_len,
+         |         CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+         |         CAST(n_uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS lexical_density
+         |  FROM s)
+         |SELECT r.*,
+         |       least(greatest(
+         |         least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+         |         + lexical_density * 0.5::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE) AS quality_score
+         |FROM r""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INT) AS s_en,
+         |         CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INT) AS s_de,
+         |         CAST(len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS INT) AS s_fr,
+         |         CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','las'))) AS INT) AS s_es,
+         |         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |  FROM t),
+         |p AS (
+         |  SELECT s.*,
+         |         CASE WHEN has_cjk THEN 'zh'
+         |              WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |              WHEN s_fr >= s_es THEN 'fr'
+         |              ELSE 'es' END AS lang_pred
+         |  FROM s)
+         |SELECT p.*, lang_pred = lang AS is_correct FROM p""".stripMargin,
+    "text_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(toks, x -> len(x)::BIGINT * 256 + ascii(x)::BIGINT)),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM t""".stripMargin)
+}
