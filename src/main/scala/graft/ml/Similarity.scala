@@ -54,38 +54,55 @@ object Similarity {
   // LSH-bucketed ANN (ScalaTest-verified recall vs brute force)
   // -------------------------------------------------------------------
 
-  // 2^LshPlanes buckets; keep the bucket count well under the corpus size
-  // so each query finds a meaningful candidate set (tune per corpus — at
-  // 100 TB you'd raise this and add multi-probe)
-  val LshPlanes = 5
+  // OR-amplified multi-table LSH: L tables of `LshPlanes` sign bits each.
+  // A pair is a candidate if it collides in ANY table — more tables raise
+  // recall at linear candidate cost (the standard knob at corpus scale;
+  // at 100 TB you'd also add multi-probe within each table).
+  val LshPlanes = 4
+  val LshTables = 4
 
-  /** Deterministic pseudo-random hyperplane component: plane k, dim j. */
-  private def planeComponent(k: Int, j: Column): Column =
-    pmod((j + 1) * (2654435761L % 100003L) * (k + 7) + k * 131L, lit(2001L)) - 1000L
+  /** Deterministic pseudo-random hyperplane component: table t, plane k,
+    * dim j. */
+  private def planeComponent(t: Int, k: Int, j: Column): Column =
+    pmod((j + 1) * (2654435761L % 100003L) * (t * LshPlanes + k + 7)
+      + k * 131L + t * 977L, lit(2001L)) - 1000L
 
-  /** Sign-bit bucket id from LshPlanes hyperplanes (integer dot signs). */
-  def lshBucket(q: Column): Column =
+  /** Sign-bit bucket id within table `t`. */
+  def lshBucket(q: Column, t: Int): Column =
     (0 until LshPlanes).map { k =>
       val planeDot = aggregate(
-        zip_with(q, transform(q, (_, j) => planeComponent(k, j)),
+        zip_with(q, transform(q, (_, j) => planeComponent(t, k, j)),
           (x, p) => x * p),
         lit(0L), (a, v) => a + v)
       when(planeDot >= 0, shiftleft(lit(1L), k)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** ANN via LSH buckets: candidates share the query's bucket; rerank by
-    * exact integer dot. Recall < 1 by construction; the ScalaTest suite
-    * measures it against [[bruteForceTopK]]. */
-  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** (vec_id, q, table, bucket) — one row per table per vector. */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
     val v = quantizedVectors(spark, dir)
-      .withColumn("bucket", lshBucket(col("q")))
-    val queries = v.filter(isQuery(col("vec_id")))
+    v.select(col("vec_id"), col("q"),
+      explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("tbl"), lshBucket(col("q"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("q"), col("tb.tbl"), col("tb.bucket"))
+  }
+
+  /** ANN via multi-table LSH: candidates collide with the query in some
+    * table; dedup, rerank by exact integer dot. Recall < 1 by
+    * construction; the ScalaTest suite measures it against
+    * [[bruteForceTopK]]. */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val b = bucketed(spark, dir)
+    val queries = b.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
-        col("bucket").as("qbucket"))
-    val scored = v
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val cand = b
       .join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), dot(col("qv"), col("q")).as("dot"))
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("q"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      dot(col("qv"), col("q")).as("dot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,73 @@
+package graft.ml
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import graft.SparkSpec
+
+/** Verifies the hash-based dedup paths (MinHash/SimHash — not
+  * SQL-oracle-expressible) against exact n-gram Jaccard, plus golden
+  * behavior on a crafted corpus with known duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Crafted corpus written as a documents.parquet dir: exact dup pair,
+    * near-dup pair (one token changed), and unrelated docs. */
+  lazy val craftedDir: String = {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),          // exact dup of 0
+      (2L, near, "en", "src0", near.length.toLong),          // near dup of 0
+      (3L, "completely different words here entirely", "en", "src1", 42L),
+      (4L, "another unrelated document body text", "en", "src1", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup collapses identical texts to the lowest doc_id") {
+    val groups = Dedup.exactGroups(spark, craftedDir).collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") > 1)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.exactSurvivors(spark, craftedDir).count() == 4)
+  }
+
+  test("ngram Jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(spark, craftedDir, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers the exact-Jaccard pairs (recall) without " +
+    "flooding (precision) on real data") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val mh = Dedup.minhashPairs(spark, sf, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} pairs")
+    assert(mh.size <= exact.size * 5 + 10, s"minhash flooded: ${mh.size} pairs")
+  }
+
+  test("simhash: exact dups at hamming 0, near dups within threshold") {
+    val pairs = Dedup.simhashPairs(spark, craftedDir, maxHamming = 10)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Dedup.embeddingPairs(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cosine") > 0.39) // integer-gate ~= 0.4
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sync
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic invariants of the reconciliation engine: the one-join category
+  * decomposition must agree with the set-operation reading of the
+  * reference (sync_daily.py:171-197). */
+class ReconcileSpec extends SparkSpec {
+
+  test("categories partition the union of both snapshots") {
+    val cat = Reconcile.categories(spark, sf).cache()
+    val total = cat.count()
+    val byCat = cat.groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCat.keySet.subsetOf(
+      Set("new", "deactivated", "needs_update", "unchanged")))
+    assert(byCat.values.sum == total)
+    assert(byCat.forall(_._2 > 0), s"every category populated: $byCat")
+    // key-level disjointness: one row per (tenant, case)
+    assert(cat.select("tenant_id", "case_ref").distinct().count() == total)
+  }
+
+  test("anti/semi join forms agree with the category labels") {
+    val cat = Reconcile.categories(spark, sf).cache()
+    def n(c: String) = cat.filter(col("category") === c).count()
+    assert(Reconcile.newCases(spark, sf).count() == n("new"))
+    assert(Reconcile.deactivated(spark, sf).count() == n("deactivated"))
+    assert(Reconcile.needsUpdate(spark, sf).count() == n("needs_update"))
+    assert(Reconcile.potentialUpdates(spark, sf).count() ==
+      n("needs_update") + n("unchanged"))
+  }
+
+  test("watermark advance is monotone and covers the full mirror") {
+    val before = Reconcile.dbSnapshot(spark, sf)
+      .select(col("tenant_id"), col("case_ref"),
+        col("last_serialno").as("old_serial"))
+    val after = Reconcile.advanceWatermarks(spark, sf)
+    assert(after.count() == before.count())
+    val regressed = after.join(before, Seq("tenant_id", "case_ref"))
+      .filter(col("last_serialno") < col("old_serial")).count()
+    assert(regressed == 0)
+  }
+
+  test("tenant isolation: every category row carries a valid tenant and " +
+    "per-tenant results are independent slices") {
+    val cat = Reconcile.categories(spark, sf).cache()
+    assert(cat.filter(col("tenant_id").isNull).count() == 0)
+    val perTenant = cat.groupBy("tenant_id").count().collect()
+    assert(perTenant.length == 4)
+    // filtering to one tenant equals running over that tenant's slice
+    val t0 = cat.filter(col("tenant_id") === 0).count()
+    assert(t0 > 0 && t0 < cat.count())
+  }
+
+  test("quality validation emits sane gate metrics") {
+    val q = Reconcile.qualityValidation(spark, sf).collect().head
+    val rate = q.getAs[Double]("change_rate")
+    val score = q.getAs[Double]("quality_score")
+    assert(rate >= 0.0 && rate <= 1.0)
+    assert(score >= 0.0 && score <= 1.0)
+  }
+}
