@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot array kernels. Spark's
+  * higher-order functions (transform/aggregate/zip_with) are evaluated
+  * interpreted — fine for projection-sized work, but a 2M-pair × 64-dim
+  * dot product or a 32-permutation MinHash runs orders of magnitude
+  * faster as a generated tight loop. Both expressions ship `doGenCode`
+  * plus an identical interpreted eval, so they work under either
+  * execution mode.
+  */
+
+/** Integer dot product of two array<long> columns.
+  * Caller contract: inputs are bounded (quantized embeddings, |x| <=
+  * ~20000) so the accumulation cannot overflow; arithmetic is raw long
+  * (no ANSI overflow check — that is the point of quantizing first). */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_long expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long acc = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $a.getLong(i) * $b.getLong(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass MinHash signature over an array of shingles (array<string> or
+  * pre-hashed array<long>): for each of `k` permutations (a_j*h + b_j)
+  * mod `prime`, the minimum over all shingles. Replaces k separate
+  * array_min(transform(...)) passes with a single generated loop. */
+case class MinhashSig(child: Expression, k: Int, prime: Long)
+    extends UnaryExpression {
+
+  private def stringInput: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string> or array<bigint>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val str = stringInput
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = if (str) arr.getUTF8String(i).hashCode.toLong else arr.getLong(i)
+      var h = base % prime
+      if (h < 0) h += prime
+      var j = 0
+      while (j < k) {
+        val v = (h * (1L + 2L * j) + (40503L * (j + 1)) % prime) % prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val baseExpr =
+        if (stringInput) s"((long) $a.getUTF8String(i).hashCode())"
+        else s"$a.getLong(i)"
+      s"""
+         |int n = $a.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int i = 0; i < n; i++) {
+         |  long h = $baseExpr % ${prime}L;
+         |  if (h < 0) h += ${prime}L;
+         |  for (int j = 0; j < $k; j++) {
+         |    long v = (h * (1L + 2L * j) + (40503L * (j + 1)) % ${prime}L) % ${prime}L;
+         |    if (v < $mins[j]) $mins[j] = v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** Distinct 3-token shingle hashes straight from a token array: replaces
+  * transform(sequence)+concat_ws+array_distinct (four interpreted passes
+  * materializing shingle strings) with one generated loop that combines
+  * per-token hashes polynomially and dedups in a hash set. */
+case class ShingleHash3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash3 expects array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = arr.getUTF8String(i).hashCode.toLong; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - 3) {
+      seen.add((th(i) * 1000003L ^ th(i + 1)) * 1000003L ^ th(i + 2))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val th = ctx.freshName("th")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      s"""
+         |int n = $a.numElements();
+         |if (n < 3) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] $th = new long[n];
+         |  for (int i = 0; i < n; i++) {
+         |    $th[i] = (long) $a.getUTF8String(i).hashCode();
+         |  }
+         |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
+         |  for (int i = 0; i + 2 < n; i++) {
+         |    $seen.add(($th[i] * 1000003L ^ $th[i + 1]) * 1000003L ^ $th[i + 2]);
+         |  }
+         |  long[] $out = new long[$seen.size()];
+         |  int p = 0;
+         |  for (Long v : $seen) { $out[p++] = v; }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash3 =
+    copy(child = newChild)
+}
+
+/** L2-normalize + integer-quantize a float/double vector in one generated
+  * pass: out[i] = round(x[i] / ||x|| * scale) as long. Replaces a
+  * transform(...) whose lambda re-evaluated the norm fold per element.
+  * Rounding goes through BigDecimal.valueOf(...).setScale(0, HALF_UP) —
+  * bit-identical to Spark's `round(double, 0)`, which the DuckDB oracles
+  * were verified against. Zero-norm vectors quantize to all zeros. */
+case class QuantizeVec(child: Expression, scale: Int)
+    extends UnaryExpression {
+
+  private def floatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantize_vec expects array<float|double>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = if (floatInput) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += xs(i) * xs(i); i += 1 }
+    val norm = math.sqrt(acc)
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (norm == 0.0) 0L
+        else QuantizeVec.roundHalfUp(xs(i) / norm * scale)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs")
+      val acc = ctx.freshName("acc")
+      val norm = ctx.freshName("norm")
+      val out = ctx.freshName("out")
+      val get = if (floatInput) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      s"""
+         |int n = $a.numElements();
+         |double[] $xs = new double[n];
+         |for (int i = 0; i < n; i++) { $xs[i] = $get; }
+         |double $acc = 0.0;
+         |for (int i = 0; i < n; i++) { $acc += $xs[i] * $xs[i]; }
+         |double $norm = java.lang.Math.sqrt($acc);
+         |long[] $out = new long[n];
+         |for (int i = 0; i < n; i++) {
+         |  $out[i] = ($norm == 0.0) ? 0L :
+         |    graft.functions.QuantizeVec.roundHalfUp($xs[i] / $norm * $scale);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+object QuantizeVec {
+  /** Spark `round(double, 0)` semantics. */
+  def roundHalfUp(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+}
+
+object ArrayOps {
+  import org.apache.spark.sql.graftops.ColumnBridge
+
+  /** Column wrapper: integer dot product (codegen'd). */
+  def dot_long(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: one-pass MinHash signature (codegen'd). */
+  def minhash_sig(shingles: Column, k: Int, prime: Long): Column =
+    ColumnBridge.column(MinhashSig(
+      ColumnBridge.expression(shingles), k, prime))
+
+  /** Column wrapper: distinct 3-token shingle hashes (codegen'd). */
+  def shingle_hash3(tokens: Column): Column =
+    ColumnBridge.column(ShingleHash3(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: one-pass L2-normalize + integer quantize (codegen'd). */
+  def quantize_vec(v: Column, scale: Int): Column =
+    ColumnBridge.column(QuantizeVec(ColumnBridge.expression(v), scale))
+}

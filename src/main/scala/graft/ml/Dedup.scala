@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expr.Exprs
+import graft.functions.ArrayOps
 
 /** Deduplication operators for a training-data pipeline: exact content
   * hashing, inverted-index n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -29,13 +30,22 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** doc_id -> exploded distinct shingles, hot shingles dropped (df cap). */
+  /** doc_id -> distinct hashed 3-gram shingles, as one generated pass
+    * (graft.functions.ShingleHash3) — no shingle strings materialized. */
+  def hashedShingles(text: Column): Column =
+    ArrayOps.shingle_hash3(TextOps.tokens(text))
+
+  /** doc_id -> exploded distinct shingle hashes, hot shingles dropped
+    * (df cap). The inverted index joins on the 64-bit shingle hash
+    * instead of the string itself: same counts (collision odds
+    * ~n^2/2^64), far cheaper join keys; persisted because the pair query
+    * reads it three times (sizes + both join sides). */
   private def shingleIndex(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col("doc_id"), explode(hashedShingles(col("text"))).as("hs"))
+    val hot = sh.groupBy("hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("hs")
+    sh.join(broadcast(hot), Seq("hs"), "left_anti").persist()
   }
 
   /** Exact dedup groups: content-hash -> surviving (minimum) doc_id +
@@ -63,7 +73,7 @@ object Dedup {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -85,19 +95,11 @@ object Dedup {
   private val RowsPerBand = MinhashK / LshBands
   private val Prime = 2147483647L // 2^31 - 1
 
-  /** MinHash signature column (array of K minima over permuted shingle
-    * hashes). Permutations are (a_k * h + b_k) mod p with fixed seeds; the
-    * base hash is first reduced mod p so a_k * h never overflows a long
-    * (Spark 4 runs ANSI mode — overflow throws, it doesn't wrap). */
-  def minhashSignature(shingleArr: Column): Column = {
-    val sigs = (0 until MinhashK).map { k =>
-      val a = 1L + 2L * k // odd multipliers
-      val b = 40503L * (k + 1) % Prime
-      array_min(transform(shingleArr, s =>
-        pmod(pmod(xxhash64(s), lit(Prime)) * a + b, lit(Prime))))
-    }
-    array(sigs: _*)
-  }
+  /** MinHash signature column: one generated pass over the shingles
+    * (graft.functions.MinhashSig) instead of K interpreted
+    * array_min(transform(...)) passes — the hot kernel of this module. */
+  def minhashSignature(shingleArr: Column): Column =
+    ArrayOps.minhash_sig(shingleArr, MinhashK, Prime)
 
   /** LSH candidate pairs + signature-estimated Jaccard >= threshold.
     * Banding: equal 4-row band => candidate; then the estimate is the
@@ -105,7 +107,7 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
     val bands = docs.select(
@@ -117,6 +119,9 @@ object Dedup {
             v => v.cast("string")), ","), b).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+      // persisted: the candidate self-join reads both sides, and the
+      // signature pipeline above is the expensive part
+      .persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -180,25 +185,29 @@ object Dedup {
 
   /** L2-normalize then quantize to ints (x/||x|| * 10000, rounded). The
     * norm is a left-fold double sum -> identical in any engine; rounding
-    * to ints makes all downstream comparisons exact integer arithmetic. */
-  def quantized(emb: Column): Column = {
-    val norm = sqrt(aggregate(emb, lit(0.0),
-      (a, x) => a + x.cast("double") * x.cast("double")))
-    transform(emb, x => round(x.cast("double") / norm * 10000, 0).cast("long"))
-  }
+    * to ints makes all downstream comparisons exact integer arithmetic.
+    * One generated pass (graft.functions.QuantizeVec). */
+  def quantized(emb: Column): Column = ArrayOps.quantize_vec(emb, 10000)
 
   /** cos(a,b) > 0.4 pairs, decided entirely in integers:
-    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25). */
+    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25).
+    *
+    * The persist() between pair scoring and thresholding is load-bearing:
+    * without it Catalyst pushes the threshold into the join condition and
+    * evaluates the dot product three times per candidate pair (measured
+    * 3x slower at sf0.1). The materialized pair table is (5 longs/row) —
+    * at corpus scale you block first (LSH) so the pair table stays small. */
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val sq = e.select(col("vec_id"), col("q"),
-      aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("nsq"))
-    sq.as("a").join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
+      ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
+    val scored = sq.as("a").join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
-          lit(0L), (a, x) => a + x).as("dot"),
+        ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
         col("a.nsq").as("na"), col("b.nsq").as("nb"))
+      .persist()
+    scored
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
       .select(col("vec_a"), col("vec_b"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.ArrayOps
 
 /** Similarity search over the embedding column — operationalizes the
   * reference's (simulated) vector-index path (etl/flows/process_case.py:
@@ -28,8 +29,8 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** codegen'd integer dot product (graft.functions.DotProductLong). */
+  private def dot(a: Column, b: Column): Column = ArrayOps.dot_long(a, b)
 
   /** Brute-force cosine top-k: every query vector against the corpus,
     * ranked by integer dot (vectors are unit-normalized, so dot order =
@@ -61,25 +62,28 @@ object Similarity {
   val LshPlanes = 4
   val LshTables = 4
 
-  /** Deterministic pseudo-random hyperplane component: table t, plane k,
-    * dim j. */
-  private def planeComponent(t: Int, k: Int, j: Column): Column =
-    pmod((j + 1) * (2654435761L % 100003L) * (t * LshPlanes + k + 7)
-      + k * 131L + t * 977L, lit(2001L)) - 1000L
+  /** Deterministic pseudo-random hyperplane for (table t, plane k): the
+    * components are pure constants, so they're materialized as a literal
+    * array and the per-row work is one codegen'd integer dot product. */
+  private def plane(t: Int, k: Int, dims: Int = 64): Seq[Long] =
+    (0 until dims).map { j =>
+      val raw = (j + 1).toLong * (2654435761L % 100003L) * (t * LshPlanes + k + 7) +
+        k * 131L + t * 977L
+      ((raw % 2001L) + 2001L) % 2001L - 1000L
+    }
 
   /** Sign-bit bucket id within table `t`. */
   def lshBucket(q: Column, t: Int): Column =
     (0 until LshPlanes).map { k =>
-      val planeDot = aggregate(
-        zip_with(q, transform(q, (_, j) => planeComponent(t, k, j)),
-          (x, p) => x * p),
-        lit(0L), (a, v) => a + v)
+      val planeDot = ArrayOps.dot_long(q, typedLit(plane(t, k).toArray))
       when(planeDot >= 0, shiftleft(lit(1L), k)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** (vec_id, q, table, bucket) — one row per table per vector. */
+  /** (vec_id, q, table, bucket) — one row per table per vector. The
+    * persist() stops Catalyst from inlining the (interpreted, expensive)
+    * quantization HOF into each of the 16 plane-dot expressions. */
   private def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantizedVectors(spark, dir)
+    val v = quantizedVectors(spark, dir).persist()
     v.select(col("vec_id"), col("q"),
       explode(array((0 until LshTables).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col("q"), t).as("bucket"))): _*)).as("tb"))
