@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.Exprs
+
+/** Source/sink adapters (SURVEY.md §2.1): the reference's ingestion edges
+  * re-expressed as Spark readers/writers. These take paths (not testdata
+  * dirs) — the specs exercise them against temp files shaped like the
+  * reference's real inputs.
+  */
+object Adapters {
+
+  /** S1 — CRM CSV snapshot scan with the reference's column mapping
+    * (crm/discovery.py:193-232): rename `Solicitor Reference`->case_ref,
+    * `Status`->status etc., derive is_active, parse multi-format dates,
+    * synthesize a serial number from the ref. */
+  def csvSnapshot(spark: SparkSession, path: String, tenantId: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+      .select(
+        trim(col("Solicitor Reference")).as("case_ref"),
+        lit(tenantId).as("tenant_id"),
+        trim(col("Status")).as("status"),
+        col("Category").as("case_type"),
+        col("Client").as("client_name"),
+        col("Handler").as("handler"),
+        Exprs.multiFormatDate(col("Opened")).as("opened_date"))
+      .withColumn("is_active", lower(col("status")) === "active")
+      // hash(ref) % 100000 in the reference (discovery.py:221); here the
+      // portable arithmetic form over a stable string hash
+      .withColumn("serialno",
+        pmod(abs(xxhash64(col("case_ref"))), lit(100000L)))
+
+  /** S3 — nested case-dossier ingestion: JSON documents with history[]
+    * and parties[] arrays (the shape client.py:180-221 assembles). Schema
+    * is declared, not inferred — required at 100 TB (schema inference
+    * reads the data twice) and for stable types at the ingest boundary. */
+  val dossierSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      """case_ref STRING, tenant_id STRING, status STRING,
+        |core_details STRUCT<case_status: STRING, handler_name: STRING,
+        |                    client_name: STRING, date_opened: STRING>,
+        |history ARRAY<STRUCT<description: STRING, notes: STRING, date: STRING>>,
+        |parties ARRAY<STRUCT<type: STRING, name: STRING>>,
+        |document_manifest ARRAY<STRUCT<code: STRING, format: STRING, filename: STRING>>
+        |""".stripMargin.replace("\n", " "))
+
+  def jsonDossiers(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(dossierSchema).json(path)
+
+  /** S5/S7 — stored-document scan: binary payloads + file metadata,
+    * listing ordered by modification time ascending (the reference's
+    * list_objects ordering, technical-details.md:428-430). */
+  def binaryDocuments(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("modificationTime"), col("length"), col("content"))
+      .orderBy(asc_nulls_last("modificationTime"), asc("path"))
+
+  /** S6 — object-store sink: tenant-prefixed partitioned parquet
+    * ({tenant_id}/... key hierarchy, technical-details.md:475-486).
+    * Partitioning by tenant is the scale mechanism for isolation +
+    * pruning (SURVEY.md §1.3). */
+  def writePartitioned(df: DataFrame, outPath: String): Unit =
+    df.write
+      .partitionBy("tenant_id")
+      .mode("overwrite")
+      .parquet(outPath)
+
+  /** S10 — queue sink payloads: job rows serialized to the JSON shape the
+    * worker consumes (sync_daily.py:265-275), priority-partitioned. */
+  def jobPayloads(df: DataFrame): DataFrame =
+    df.select(
+      col("priority"),
+      to_json(struct(
+        col("tenant_id"), col("case_ref"), col("serialno"),
+        col("priority"), col("job_type"))).as("payload"))
+
+  /** S11-ish — payload parse-back (worker.py:124). */
+  def parsePayloads(spark: SparkSession, payloads: DataFrame): DataFrame =
+    payloads.select(
+      from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "tenant_id BIGINT, case_ref BIGINT, serialno BIGINT, " +
+            "priority INT, job_type STRING")).as("job"))
+      .select("job.*")
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming form of the incremental-sync semantics (SURVEY.md §2.9).
+  *
+  * The reference implements change detection as a batch diff against a
+  * per-(tenant, case) serial-number watermark stored in Postgres
+  * (database/change_tracking.py:51-152) and consumes work through a Redis
+  * priority queue with bounded retries and a dead-letter list
+  * (etl/worker.py:63-250). Here the watermark lives in Structured
+  * Streaming state keyed by (tenant_id, case_ref) —
+  * flatMapGroupsWithState — and the retry/dead-letter policy is a pure
+  * per-batch step function, drivable from foreachBatch.
+  *
+  * Scale: state is partitioned by group key across executors (the same
+  * key the batch reconciliation shuffles on); no global coordination.
+  */
+object IncrementalSync {
+
+  /** One snapshot observation of a case's CRM serial number. */
+  final case class SnapshotUpdate(tenant_id: Long, case_ref: Long, serialno: Long)
+
+  /** Emitted when a case's serial number moves past the stored watermark
+    * (ST1); prev_serialno is the watermark it beat (0 = never processed,
+    * matching change_tracking.py:75-84). */
+  final case class ChangeEvent(
+      tenant_id: Long, case_ref: Long, serialno: Long, prev_serialno: Long)
+
+  /** ST1 + ST2: per-key high-watermark change detection with state
+    * advance. Works identically under streaming (MemoryStream/kafka) and
+    * batch execution. */
+  def detectChanges(updates: Dataset[SnapshotUpdate]): Dataset[ChangeEvent] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(u => (u.tenant_id, u.case_ref))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(processKey)
+  }
+
+  /** Emits one event per watermark advance within the batch (processed in
+    * serialno order for determinism); conservative on equal serials (no
+    * emit — matches needs_processing, change_tracking.py:126-152). */
+  def processKey(
+      key: (Long, Long),
+      rows: Iterator[SnapshotUpdate],
+      state: GroupState[Long]): Iterator[ChangeEvent] = {
+    var last = state.getOption.getOrElse(0L)
+    val out = ArrayBuffer.empty[ChangeEvent]
+    rows.toSeq.sortBy(_.serialno).foreach { u =>
+      if (u.serialno > last) {
+        out += ChangeEvent(key._1, key._2, u.serialno, last)
+        last = u.serialno
+      }
+    }
+    state.update(last)
+    out.iterator
+  }
+
+  // -------------------------------------------------------------------
+  // ST3 — priority queue with bounded retry + dead-letter
+  // -------------------------------------------------------------------
+
+  /** Queue element (database/models.py:86-101): priority 1 = highest;
+    * attempts counts failed tries so far. */
+  final case class Job(
+      job_id: Long, tenant_id: Long, case_ref: Long,
+      priority: Int, attempts: Int)
+
+  /** Result of one micro-batch step. */
+  final case class StepResult(
+      succeeded: Seq[Job], retry: Seq[Job], dead: Seq[Job])
+
+  /** One worker micro-batch (etl/worker.py:112-250): process jobs in
+    * priority order (p1 first — worker.py:63-68); a failure under
+    * maxAttempts re-queues at lowered priority (reference re-queues
+    * failures into p3 — worker.py:208-250); at maxAttempts it
+    * dead-letters. Pure function: drive it from foreachBatch with the
+    * retry set unioned into the next batch. */
+  def step(jobs: Seq[Job], succeeds: Job => Boolean,
+           maxAttempts: Int = 3): StepResult = {
+    val ordered = jobs.sortBy(j => (j.priority, j.job_id))
+    val (ok, failed) = ordered.partition(succeeds)
+    val (dead, retry) = failed.partition(_.attempts + 1 >= maxAttempts)
+    StepResult(
+      ok,
+      retry.map(j => j.copy(attempts = j.attempts + 1, priority = 3)),
+      dead.map(j => j.copy(attempts = j.attempts + 1)))
+  }
+
+  /** Drain a job set to completion (bounded by maxAttempts rounds) —
+    * the batch-mode equivalent of the worker loop. */
+  def drain(jobs: Seq[Job], succeeds: Job => Boolean,
+            maxAttempts: Int = 3): StepResult = {
+    var pending = jobs
+    val ok = ArrayBuffer.empty[Job]
+    val dead = ArrayBuffer.empty[Job]
+    while (pending.nonEmpty) {
+      val r = step(pending, succeeds, maxAttempts)
+      ok ++= r.succeeded
+      dead ++= r.dead
+      pending = r.retry
+    }
+    StepResult(ok.toSeq, Seq.empty, dead.toSeq)
+  }
+
+  /** ST4-flavored file-stream reader: bounds per-trigger intake the way
+    * the reference rate-limits jobs/hour (worker.py:283-305). */
+  def rateLimitedFileStream(spark: SparkSession, path: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            maxFilesPerTrigger: Int = 1): Dataset[org.apache.spark.sql.Row] =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+}

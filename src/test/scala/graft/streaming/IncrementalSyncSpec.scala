@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import IncrementalSync._
+
+/** Streaming watermark semantics driven through MemoryStream, plus the
+  * retry/dead-letter step function. */
+class IncrementalSyncSpec extends SparkSpec {
+
+  test("watermark state: first sight emits, stale serial doesn't, advance does") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SnapshotUpdate]
+    val q = detectChanges(input.toDS())
+      .writeStream.format("memory").queryName("changes")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        SnapshotUpdate(0, 1, 5), SnapshotUpdate(0, 2, 3))
+      q.processAllAvailable()
+      val b1 = spark.table("changes").as[ChangeEvent].collect().toSet
+      assert(b1 == Set(ChangeEvent(0, 1, 5, 0), ChangeEvent(0, 2, 3, 0)))
+
+      input.addData(
+        SnapshotUpdate(0, 1, 5),  // unchanged -> no emit
+        SnapshotUpdate(0, 2, 7),  // advanced -> emit with prev=3
+        SnapshotUpdate(1, 1, 2))  // other tenant, same case_ref -> isolated
+      q.processAllAvailable()
+      val b2 = spark.table("changes").as[ChangeEvent].collect().toSet -- b1
+      assert(b2 == Set(ChangeEvent(0, 2, 7, 3), ChangeEvent(1, 1, 2, 0)))
+    } finally q.stop()
+  }
+
+  test("multiple serials for one key in a batch emit in order, state keeps max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SnapshotUpdate]
+    val q = detectChanges(input.toDS())
+      .writeStream.format("memory").queryName("changes2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        SnapshotUpdate(0, 9, 4), SnapshotUpdate(0, 9, 2), SnapshotUpdate(0, 9, 6))
+      q.processAllAvailable()
+      val got = spark.table("changes2").as[ChangeEvent].collect()
+        .sortBy(_.serialno).toSeq
+      assert(got == Seq(
+        ChangeEvent(0, 9, 2, 0), ChangeEvent(0, 9, 4, 2), ChangeEvent(0, 9, 6, 4)))
+
+      input.addData(SnapshotUpdate(0, 9, 5)) // below watermark 6
+      q.processAllAvailable()
+      assert(spark.table("changes2").count() == 3)
+    } finally q.stop()
+  }
+
+  test("retry step: priority order, requeue at p3, dead-letter at max attempts") {
+    val jobs = Seq(
+      Job(1, 0, 10, priority = 3, attempts = 0),
+      Job(2, 0, 11, priority = 1, attempts = 0), // fails
+      Job(3, 0, 12, priority = 2, attempts = 2)) // fails, at limit
+    val r = step(jobs, j => j.job_id != 2 && j.job_id != 3)
+    assert(r.succeeded.map(_.job_id) == Seq(1))
+    assert(r.retry.map(_.job_id) == Seq(2))
+    assert(r.retry.head.priority == 3 && r.retry.head.attempts == 1)
+    assert(r.dead.map(_.job_id) == Seq(3))
+  }
+
+  test("drain: transient failures eventually succeed, permanent ones dead-letter") {
+    val jobs = (1L to 10L).map(i => Job(i, 0, i, priority = (i % 3).toInt + 1, attempts = 0))
+    // job succeeds once attempts >= 1 (transient), except job 7 (permanent)
+    def succeeds(j: Job): Boolean = j.job_id != 7 && (j.job_id % 2 == 0 || j.attempts >= 1)
+    val r = drain(jobs, succeeds)
+    assert(r.succeeded.map(_.job_id).sorted == Seq(1L, 2, 3, 4, 5, 6, 8, 9, 10))
+    assert(r.dead.map(_.job_id) == Seq(7))
+    assert(r.dead.head.attempts == 3)
+  }
+}
