@@ -22,7 +22,8 @@ object SparkEntry {
     ReconcileQueries.queries ++ DashboardQueries.queries ++
       graft.expr.ExprQueries.queries ++ graft.pipeline.CaseDocs.queries ++
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
-      graft.ml.Similarity.queries ++ graft.ml.Multimodal.queries
+      graft.ml.Similarity.queries ++ graft.ml.Multimodal.queries ++
+      graft.pipeline.Enricher.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ReconcileQueries.oracles ++ DashboardQueries.oracles ++
       graft.expr.ExprQueries.oracles ++ graft.pipeline.CaseDocs.oracles ++
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
-      graft.ml.Similarity.oracles ++ graft.ml.Multimodal.oracles
+      graft.ml.Similarity.oracles ++ graft.ml.Multimodal.oracles ++
+      graft.pipeline.Enricher.oracles
 }

@@ -46,13 +46,18 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // every local is freshName'd: Java forbids shadowing, so fixed names
+      // collide with enclosing generated loops (e.g. writer/HOF `i`)
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getLong(i) * $b.getLong(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -106,19 +111,24 @@ case class MinhashSig(child: Expression, k: Int, prime: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val mins = ctx.freshName("mins")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
       val baseExpr =
-        if (stringInput) s"((long) $a.getUTF8String(i).hashCode())"
-        else s"$a.getLong(i)"
+        if (stringInput) s"((long) $a.getUTF8String($i).hashCode())"
+        else s"$a.getLong($i)"
       s"""
-         |int n = $a.numElements();
+         |int $n = $a.numElements();
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int i = 0; i < n; i++) {
-         |  long h = $baseExpr % ${prime}L;
-         |  if (h < 0) h += ${prime}L;
-         |  for (int j = 0; j < $k; j++) {
-         |    long v = (h * (1L + 2L * j) + (40503L * (j + 1)) % ${prime}L) % ${prime}L;
-         |    if (v < $mins[j]) $mins[j] = v;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $baseExpr % ${prime}L;
+         |  if ($h < 0) $h += ${prime}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($h * (1L + 2L * $j) + (40503L * ($j + 1)) % ${prime}L) % ${prime}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
@@ -168,22 +178,28 @@ case class ShingleHash3(child: Expression) extends UnaryExpression {
       val th = ctx.freshName("th")
       val seen = ctx.freshName("seen")
       val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val it = ctx.freshName("it")
       s"""
-         |int n = $a.numElements();
-         |if (n < 3) {
+         |int $n = $a.numElements();
+         |if ($n < 3) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
          |} else {
-         |  long[] $th = new long[n];
-         |  for (int i = 0; i < n; i++) {
-         |    $th[i] = (long) $a.getUTF8String(i).hashCode();
+         |  long[] $th = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $th[$i] = (long) $a.getUTF8String($i).hashCode();
          |  }
          |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
-         |  for (int i = 0; i + 2 < n; i++) {
-         |    $seen.add(($th[i] * 1000003L ^ $th[i + 1]) * 1000003L ^ $th[i + 2]);
+         |  for (int $i = 0; $i + 2 < $n; $i++) {
+         |    $seen.add(java.lang.Long.valueOf(($th[$i] * 1000003L ^ $th[$i + 1]) * 1000003L ^ $th[$i + 2]));
          |  }
          |  long[] $out = new long[$seen.size()];
-         |  int p = 0;
-         |  for (Long v : $seen) { $out[p++] = v; }
+         |  int $p = 0;
+         |  for (java.util.Iterator $it = $seen.iterator(); $it.hasNext();) {
+         |    $out[$p++] = ((java.lang.Long) $it.next()).longValue();
+         |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
        """.stripMargin
@@ -245,18 +261,20 @@ case class QuantizeVec(child: Expression, scale: Int)
       val acc = ctx.freshName("acc")
       val norm = ctx.freshName("norm")
       val out = ctx.freshName("out")
-      val get = if (floatInput) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val get = if (floatInput) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
-         |int n = $a.numElements();
-         |double[] $xs = new double[n];
-         |for (int i = 0; i < n; i++) { $xs[i] = $get; }
+         |int $n = $a.numElements();
+         |double[] $xs = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) { $xs[$i] = $get; }
          |double $acc = 0.0;
-         |for (int i = 0; i < n; i++) { $acc += $xs[i] * $xs[i]; }
+         |for (int $i = 0; $i < $n; $i++) { $acc += $xs[$i] * $xs[$i]; }
          |double $norm = java.lang.Math.sqrt($acc);
-         |long[] $out = new long[n];
-         |for (int i = 0; i < n; i++) {
-         |  $out[i] = ($norm == 0.0) ? 0L :
-         |    graft.functions.QuantizeVec.roundHalfUp($xs[i] / $norm * $scale);
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = ($norm == 0.0) ? 0L :
+         |    graft.functions.QuantizeVec.roundHalfUp($xs[$i] / $norm * $scale);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -231,6 +231,51 @@ object Dashboard {
     graft.sync.Reconcile.crmSnapshot(spark, dir).select("tenant_id", "case_ref")
       .intersect(graft.sync.Reconcile.dbSnapshot(spark, dir).select("tenant_id", "case_ref"))
 
+  /** A10 — embedding-table stats: counts and dimension per label group
+    * (embedder.py:321-357's total/source_type/dimension rollup). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        min(size(col("embedding"))).as("dim"),
+        max(col("vec_id")).as("max_vec_id"))
+
+  /** F21 — document-format -> MIME lookup as a literal map expression
+    * (the SOAP downloader's FORMAT_TO_MIME, technical-details.md:52-89). */
+  def mimeFor(format: Column): Column = {
+    val entries = Seq(
+      "pdf" -> "application/pdf", "doc" -> "application/msword",
+      "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+      "txt" -> "text/plain", "rtf" -> "application/rtf",
+      "jpg" -> "image/jpeg", "png" -> "image/png", "tif" -> "image/tiff",
+      "msg" -> "application/vnd.ms-outlook", "html" -> "text/html")
+    val m = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(element_at(m, lower(format)), lit("application/octet-stream"))
+  }
+
+  def documentMimes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, "PDF")
+          .when(col("doc_id") % 4 === 1, "docx")
+          .when(col("doc_id") % 4 === 2, "xyz")
+          .otherwise("JPG").as("format"))
+      .withColumn("mime", mimeFor(col("format")))
+
+  /** Distinct cardinalities: exact for the oracle; the approximate
+    * (HLL-based) variant is the 100 TB path and is pinned within 5% by
+    * ScalaTest (approx_count_distinct has no DuckDB-equivalent bits). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

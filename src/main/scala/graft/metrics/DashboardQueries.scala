@@ -33,6 +33,9 @@ object DashboardQueries {
     "o5_priority_batches" -> ((s, d) => Dashboard.priorityBatches(s, d)),
     "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
     "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
+    "a10_embedding_stats" -> ((s, d) => Dashboard.embeddingStats(s, d)),
+    "f21_document_mimes" -> ((s, d) => Dashboard.documentMimes(s, d)),
+    "a15_distinct_users" -> ((s, d) => Dashboard.distinctUsers(s, d)),
     "set_only_in_crm" -> ((s, d) => Dashboard.keysOnlyInCrm(s, d)),
     "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
     "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)))
@@ -161,6 +164,36 @@ object DashboardQueries {
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "a10_embedding_stats" ->
+      """SELECT label, count(*) AS n,
+        |       CAST(min(len(embedding)) AS INT) AS dim,
+        |       max(vec_id) AS max_vec_id
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "f21_document_mimes" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 4 = 0 THEN 'PDF'
+        |            WHEN doc_id % 4 = 1 THEN 'docx'
+        |            WHEN doc_id % 4 = 2 THEN 'xyz'
+        |            ELSE 'JPG' END AS format,
+        |       CASE lower(CASE WHEN doc_id % 4 = 0 THEN 'PDF'
+        |                       WHEN doc_id % 4 = 1 THEN 'docx'
+        |                       WHEN doc_id % 4 = 2 THEN 'xyz'
+        |                       ELSE 'JPG' END)
+        |            WHEN 'pdf' THEN 'application/pdf'
+        |            WHEN 'doc' THEN 'application/msword'
+        |            WHEN 'docx' THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+        |            WHEN 'txt' THEN 'text/plain'
+        |            WHEN 'rtf' THEN 'application/rtf'
+        |            WHEN 'jpg' THEN 'image/jpeg'
+        |            WHEN 'png' THEN 'image/png'
+        |            WHEN 'tif' THEN 'image/tiff'
+        |            WHEN 'msg' THEN 'application/vnd.ms-outlook'
+        |            WHEN 'html' THEN 'text/html'
+        |            ELSE 'application/octet-stream' END AS mime
+        |FROM documents""".stripMargin,
+    "a15_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "set_only_in_crm" ->
       s"""$snapCtes SELECT tenant_id, case_ref FROM crm
          |EXCEPT SELECT tenant_id, case_ref FROM db""".stripMargin,

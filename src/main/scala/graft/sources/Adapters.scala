@@ -34,6 +34,29 @@ object Adapters {
       .withColumn("serialno",
         pmod(abs(xxhash64(col("case_ref"))), lit(100000L)))
 
+  /** S2 — YAML case-number list scan (crm/discovery.py:347-372): the
+    * reference reads `case_numbers: [- REF, ...]` and fabricates active
+    * rows. Parsed distributed via text + regex (the list-item subset of
+    * YAML the reference actually uses), not a driver-side YAML library. */
+  def yamlCaseList(spark: SparkSession, path: String, tenantId: String): DataFrame =
+    spark.read.text(path)
+      .select(regexp_extract(col("value"),
+        "^\\s*-\\s*['\"]?([^'\"#]+?)['\"]?\\s*(?:#.*)?$", 1)
+        .as("case_ref"))
+      .filter(col("case_ref") =!= "")
+      .select(
+        trim(col("case_ref")).as("case_ref"),
+        lit(tenantId).as("tenant_id"),
+        lit("active").as("status"),
+        lit(true).as("is_active"),
+        lit("yaml").as("source"))
+
+  /** S13 — metrics/report export: single-file JSON artifact of a report
+    * query (monitoring/dashboard.py:311-382). coalesce(1) is deliberate —
+    * reports are small aggregates; never use it on data-scale outputs. */
+  def exportReportJson(df: DataFrame, outPath: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(outPath)
+
   /** S3 — nested case-dossier ingestion: JSON documents with history[]
     * and parties[] arrays (the shape client.py:180-221 assembles). Schema
     * is declared, not inferred — required at 100 TB (schema inference

@@ -36,6 +36,25 @@ class AdaptersSpec extends SparkSpec {
     assert(df.filter(col("tenant_id") =!= "fdm_solicitors").count() == 0)
   }
 
+  test("S2/S13: YAML case list scan and JSON report export") {
+    val dir = Files.createTempDirectory("graft-yaml")
+    Files.writeString(dir.resolve("cases.yaml"),
+      """# onboarding list
+        |case_numbers:
+        |  - NBC200993.001
+        |  - 'NBC200994.001'
+        |  - NBC200995.001   # trailing comment-ish
+        |""".stripMargin)
+    val df = Adapters.yamlCaseList(spark, dir.toString, "fdm")
+    val refs = df.collect().map(_.getAs[String]("case_ref")).sorted.toSeq
+    assert(refs == Seq("NBC200993.001", "NBC200994.001", "NBC200995.001"))
+    assert(df.filter(!col("is_active")).count() == 0)
+
+    val out = Files.createTempDirectory("graft-report").toString + "/report"
+    Adapters.exportReportJson(df, out)
+    assert(spark.read.json(out).count() == 3)
+  }
+
   test("S3: nested dossier JSON reads with declared schema") {
     val dir = Files.createTempDirectory("graft-json")
     Files.writeString(dir.resolve("d1.json"),
