@@ -231,6 +231,27 @@ object Dashboard {
     graft.sync.Reconcile.crmSnapshot(spark, dir).select("tenant_id", "case_ref")
       .intersect(graft.sync.Reconcile.dbSnapshot(spark, dir).select("tenant_id", "case_ref"))
 
+  /** P8 — meaningful-document filter: substantial docs (n_chars > 300),
+    * top-10 per language (embedder.py:285-289's meaningful-event slice,
+    * per-group form). */
+  def meaningfulDocs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 300)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("lang", "doc_id", "n_chars", "rn")
+  }
+
+  /** W4 — tumbling event-time window via window() (dashboard.py:264-273's
+    * hourly bucket in genuine window-function form; start == date_trunc). */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
   /** A10 — embedding-table stats: counts and dimension per label group
     * (embedder.py:321-357's total/source_type/dimension rollup). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,8 @@ object DashboardQueries {
     "o5_priority_batches" -> ((s, d) => Dashboard.priorityBatches(s, d)),
     "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
     "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
+    "p8_meaningful_docs" -> ((s, d) => Dashboard.meaningfulDocs(s, d)),
+    "w4_tumbling_hourly" -> ((s, d) => Dashboard.tumblingHourly(s, d)),
     "a10_embedding_stats" -> ((s, d) => Dashboard.embeddingStats(s, d)),
     "f21_document_mimes" -> ((s, d) => Dashboard.documentMimes(s, d)),
     "a15_distinct_users" -> ((s, d) => Dashboard.distinctUsers(s, d)),
@@ -164,6 +166,16 @@ object DashboardQueries {
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "p8_meaningful_docs" ->
+      """SELECT lang, doc_id, n_chars, rn FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents WHERE n_chars > 300)
+        |WHERE rn <= 10""".stripMargin,
+    "w4_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "a10_embedding_stats" ->
       """SELECT label, count(*) AS n,
         |       CAST(min(len(embedding)) AS INT) AS dim,

@@ -91,6 +91,18 @@ class ExprsSpec extends SparkSpec {
     assert(got == Seq(true, false, false, false))
   }
 
+  test("statusIsLive: keyword containment beats the closed-date fallback") {
+    val rows = Seq(
+      ("In Progress", null.asInstanceOf[String]),
+      ("Settled - payment agreed", null.asInstanceOf[String]),
+      ("Case Closed", null.asInstanceOf[String]),
+      ("Active", "2024-01-01"),
+      ("Active", null.asInstanceOf[String])).toDF("st", "closed")
+    val got = rows.select(Exprs.statusIsLive(col("st"), col("closed")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, false, false, true))
+  }
+
   test("containsAny matches any term, case-insensitively") {
     val got = evalStr(Seq("the JOIN operator", "nothing here"),
       c => Exprs.containsAny(c, Seq("join", "filter")))

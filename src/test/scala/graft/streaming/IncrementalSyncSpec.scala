@@ -55,6 +55,33 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed streaming aggregation with watermark (W4 streaming form)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 10:05:00"), "click"),
+        (t("2024-01-01 10:45:00"), "click"),
+        (t("2024-01-01 11:05:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 11:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("retry step: priority order, requeue at p3, dead-letter at max attempts") {
     val jobs = Seq(
       Job(1, 0, 10, priority = 3, attempts = 0),
