@@ -202,7 +202,11 @@ object Dedup {
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val sq = e.select(col("vec_id"), col("q"),
       ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
-    val scored = sq.as("a").join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // the testdata is one parquet file = one input partition; without an
+    // explicit repartition the whole nested-loop pair scan runs on a
+    // single core (at real scale the input is already many splits)
+    val scored = sq.repartition(32).as("a")
+      .join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
         col("a.nsq").as("na"), col("b.nsq").as("nb"))

@@ -41,6 +41,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qv"))
     val scored = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .repartition(32) // single-file input -> parallelize the scan side
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         dot(col("qv"), col("q")).as("dot"))
