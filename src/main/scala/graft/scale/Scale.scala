@@ -1,0 +1,62 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics the 100 TB deployment depends on, packaged as reusable
+  * helpers and proven by plan-level assertions in ScaleSpec:
+  *
+  *  - salting for skewed keys (the reference's tenant/case distribution is
+  *    skewed by construction — one tenant, FDM, dominates);
+  *  - bucketed co-located joins (reconciliation joins the same
+  *    (tenant_id, case_ref) key every night — bucketing both snapshot
+  *    tables makes the join exchange-free);
+  *  - dynamic partition overwrite (the watermark MERGE, S9: rewrite only
+  *    the tenant partitions a sync touched, not the table).
+  */
+object Scale {
+
+  /** Two-phase (salted) aggregation: count/sum per key without a single
+    * hot reducer. Phase 1 aggregates (key, salt); phase 2 merges salts.
+    * The salt discriminator must distribute rows of one key across salts
+    * — any high-cardinality column works. */
+  def saltedCounts(df: DataFrame, key: String, discriminator: String,
+                   salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(col(discriminator)), lit(salts.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("n"))
+
+  /** Salted join: replicate the small side across `salts` copies, salt the
+    * big side by a discriminator, join on (key, salt). Row-preserving on
+    * the big side; turns one hot join key into `salts` tasks. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 discriminator: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(col(discriminator)), lit(salts.toLong)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Bucketed snapshot table write: co-locates every downstream join on
+    * `key` (the nightly reconciliation re-joins the same key — bucketing
+    * both sides removes the shuffle entirely). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** S9 at scale: dynamic partition overwrite — only the partitions
+    * present in `delta` are replaced; untouched tenants' files stay. */
+  def overwriteTouchedPartitions(delta: DataFrame, path: String,
+                                 partitionCol: String = "tenant_id"): Unit =
+    delta.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+}
