@@ -60,13 +60,21 @@ object Reconcile {
   private def activeOnly(df: DataFrame): DataFrame =
     df.filter(Exprs.activeCase(col("is_active"), col("status")))
 
+  // -------------------------------------------------------------------
+  // DataFrame-level API — the library surface. Inputs: a CRM snapshot
+  // with (tenant_id, case_ref, serialno) and a DB mirror with
+  // (tenant_id, case_ref, last_serialno); any extra columns pass through
+  // the caller's projections. The dir-level builders below bind these to
+  // the driver's synthesized testdata.
+  // -------------------------------------------------------------------
+
   /** Per-case change categories: new / deactivated / needs_update /
     * unchanged. One full-outer join replaces the reference's J1/J2/J3 set
     * ops + J4 watermark check (etl/reconciliation.py:94-141). */
-  def categories(spark: SparkSession, dir: String): DataFrame = {
-    val crm = activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")
-    val db = activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref", "last_serialno")
-    crm.join(db, Seq("tenant_id", "case_ref"), "full_outer")
+  def categoriesOf(crm: DataFrame, db: DataFrame): DataFrame =
+    crm.select("tenant_id", "case_ref", "serialno")
+      .join(db.select("tenant_id", "case_ref", "last_serialno"),
+        Seq("tenant_id", "case_ref"), "full_outer")
       .select(
         col("tenant_id"), col("case_ref"),
         when(col("last_serialno").isNull && col("serialno").isNotNull, lit("new"))
@@ -74,7 +82,28 @@ object Reconcile {
           .when(col("serialno") > col("last_serialno"), lit("needs_update"))
           .otherwise(lit("unchanged")).as("category"),
         col("serialno"), col("last_serialno"))
-  }
+
+  /** J4 — cases whose CRM serial moved past the stored watermark. */
+  def needsUpdateOf(crm: DataFrame, db: DataFrame): DataFrame =
+    crm.select("tenant_id", "case_ref", "serialno")
+      .join(db.select("tenant_id", "case_ref", "last_serialno"),
+        Seq("tenant_id", "case_ref"), "inner")
+      .filter(col("serialno") > coalesce(col("last_serialno"), lit(0L)))
+
+  /** S9 — MERGE-style watermark advance: processed serials win. */
+  def advanceOf(db: DataFrame, processed: DataFrame): DataFrame =
+    db.select("tenant_id", "case_ref", "last_serialno")
+      .join(processed.select(col("tenant_id"), col("case_ref"),
+        col("serialno").as("new_serialno")),
+        Seq("tenant_id", "case_ref"), "left_outer")
+      .select(
+        col("tenant_id"), col("case_ref"),
+        coalesce(col("new_serialno"), col("last_serialno")).as("last_serialno"))
+
+  def categories(spark: SparkSession, dir: String): DataFrame =
+    categoriesOf(
+      activeOnly(crmSnapshot(spark, dir)),
+      activeOnly(dbSnapshot(spark, dir)))
 
   /** Reconciliation summary (A9): per-category counts + change_rate +
     * processing_reduction — etl/reconciliation.py:297-300. */
@@ -115,25 +144,17 @@ object Reconcile {
     * with a residual non-equi predicate; the smaller (filtered) side is
     * broadcast-eligible and AQE will pick that up at runtime. */
   def needsUpdate(spark: SparkSession, dir: String): DataFrame =
-    activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")
-      .join(activeOnly(dbSnapshot(spark, dir)).select("tenant_id", "case_ref", "last_serialno"),
-        Seq("tenant_id", "case_ref"), "inner")
-      .filter(col("serialno") > coalesce(col("last_serialno"), lit(0L)))
+    needsUpdateOf(
+      activeOnly(crmSnapshot(spark, dir)),
+      activeOnly(dbSnapshot(spark, dir)))
 
   /** S9 — MERGE-style watermark advance as a join rewrite (no Delta in this
     * environment): the watermark table is rewritten with processed serials
     * taking precedence (database/change_tracking.py:369-434). At 100 TB this
     * becomes a partition-overwrite of only the touched tenant partitions.
     * Output: the post-merge watermark table. */
-  def advanceWatermarks(spark: SparkSession, dir: String): DataFrame = {
-    val db = dbSnapshot(spark, dir).select("tenant_id", "case_ref", "last_serialno")
-    val processed = needsUpdate(spark, dir)
-      .select(col("tenant_id"), col("case_ref"), col("serialno").as("new_serialno"))
-    db.join(processed, Seq("tenant_id", "case_ref"), "left_outer")
-      .select(
-        col("tenant_id"), col("case_ref"),
-        coalesce(col("new_serialno"), col("last_serialno")).as("last_serialno"))
-  }
+  def advanceWatermarks(spark: SparkSession, dir: String): DataFrame =
+    advanceOf(dbSnapshot(spark, dir), needsUpdate(spark, dir))
 
   /** U8 — reconciliation quality gates: change_rate < 20%, snapshot count
     * mismatch < 10% (etl/reconciliation.py:324-405). Emits one row of gate

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Adapters
+import graft.sync.Reconcile
+import graft.streaming.IncrementalSync
+
+/** End-to-end golden-case pipeline, mirroring the reference's
+  * tests/end_to_end/test_complete_pipeline_nbc200993.py: one known case
+  * (NBC200993.001) is followed from CSV discovery through reconciliation,
+  * job creation, worker drain, and watermark advance, with assertions at
+  * every stage — all services replaced by the engine's deterministic
+  * stages.
+  */
+class GoldenCaseE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  val golden = "NBC200993.001"
+
+  test("golden case flows discovery -> reconcile -> jobs -> drain -> watermark") {
+    // 1. Discovery: CRM CSV snapshot (S1)
+    val dir = Files.createTempDirectory("graft-e2e")
+    Files.writeString(dir.resolve("cases.csv"),
+      s"""Solicitor Reference,Status,Category,Client,Handler,Opened
+         |$golden,Active,Housing Disrepair,Smith,JD,18/09/2024
+         |NBC200994.001,Active,Housing Disrepair,Jones,JD,19/09/2024
+         |NBC200995.001,Complete,Clinical Negligence,Brown,KL,1/01/2023
+         |NBC200996.001,Active,Housing Disrepair,Green,JD,20/09/2024
+         |""".stripMargin)
+    val crm = Adapters.csvSnapshot(spark, dir.toString, "fdm_solicitors")
+      .filter(col("is_active"))
+      .withColumn("tenant_id", lit(0L))
+      .withColumn("case_ref_str", col("case_ref"))
+      .withColumn("case_ref", abs(xxhash64(col("case_ref"))))
+    assert(crm.count() == 3) // Complete case filtered out
+
+    // 2. DB mirror: golden case stale (watermark behind), 994 current,
+    //    996 unknown (new); 997 only in DB (deactivated)
+    val goldenSerial = crm.filter(col("case_ref_str") === golden)
+      .select("serialno").as[Long].head()
+    val s994 = crm.filter(col("case_ref_str") === "NBC200994.001")
+      .select("serialno").as[Long].head()
+    val db = Seq(
+      (0L, golden, goldenSerial - 1), // stale -> needs_update
+      (0L, "NBC200994.001", s994),    // current -> unchanged
+      (0L, "NBC200997.001", 42L))     // gone from CRM -> deactivated
+      .toDF("tenant_id", "ref_str", "last_serialno")
+      .withColumn("case_ref", abs(xxhash64(col("ref_str"))))
+
+    // 3. Reconcile (Q2)
+    val cat = Reconcile.categoriesOf(crm, db).cache()
+    def catOf(ref: String) =
+      cat.filter(col("case_ref") === abs(xxhash64(lit(ref))))
+        .select("category").as[String].head()
+    assert(catOf(golden) == "needs_update")
+    assert(catOf("NBC200994.001") == "unchanged")
+    assert(catOf("NBC200996.001") == "new")
+    assert(catOf("NBC200997.001") == "deactivated")
+
+    // 4. Jobs: new cases at priority 1 (full rebuild), updates at 2
+    //    (sync_daily.py:250-317), serialized like the queue payloads
+    val jobs = cat.filter(col("category").isin("new", "needs_update"))
+      .select(
+        col("tenant_id"), col("case_ref"),
+        coalesce(col("serialno"), lit(0L)).as("serialno"),
+        when(col("category") === "new", 1).otherwise(2).as("priority"),
+        when(col("category") === "new", "full_rebuild")
+          .otherwise("incremental").as("job_type"))
+    val payloads = Adapters.jobPayloads(jobs)
+    assert(payloads.count() == 2)
+    val parsed = Adapters.parsePayloads(spark, payloads)
+    assert(parsed.filter(col("priority") === 1).count() == 1)
+
+    // 5. Worker drain (ST3): golden case fails once (transient), then ok
+    val goldenKey = parsed.filter(col("job_type") === "incremental")
+      .select("case_ref").as[Long].head()
+    val workerJobs = parsed.collect().zipWithIndex.map { case (r, i) =>
+      IncrementalSync.Job(i.toLong, r.getAs[Long]("tenant_id"),
+        r.getAs[Long]("case_ref"), r.getAs[Int]("priority"), 0)
+    }.toSeq
+    val drained = IncrementalSync.drain(workerJobs,
+      j => j.case_ref != goldenKey || j.attempts >= 1)
+    assert(drained.succeeded.length == 2 && drained.dead.isEmpty)
+
+    // 6. Watermark advance (S9): golden case's watermark reaches its serial
+    val advanced = Reconcile.advanceOf(db,
+      cat.filter(col("category") === "needs_update"))
+    val goldenAfter = advanced
+      .filter(col("case_ref") === abs(xxhash64(lit(golden))))
+      .select("last_serialno").as[Long].head()
+    assert(goldenAfter == goldenSerial)
+  }
+}
