@@ -40,8 +40,9 @@ object Dedup {
     * instead of the string itself: same counts (collision odds
     * ~n^2/2^64), far cheaper join keys; persisted because the pair query
     * reads it three times (sizes + both join sides). */
-  private def shingleIndex(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  private def shingleIndex(docs: DataFrame, dfCap: Int): DataFrame = {
+    val sh = docs
+      .repartition(32) // single-row-group input: spread the shingle kernel
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("hs"))
     val hot = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("hs")
@@ -51,25 +52,31 @@ object Dedup {
   /** Exact dedup groups: content-hash -> surviving (minimum) doc_id +
     * group size. Survivor selection is an aggregate, not a window — one
     * shuffle on the hash. */
-  def exactGroups(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def exactGroupsOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(Exprs.contentHash(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    exactGroupsOf(Tables.documents(spark, dir))
+
   /** Exact-dedup survivors: one row per distinct content hash. */
-  def exactSurvivors(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def exactSurvivorsOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(Exprs.contentHash(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+
+  def exactSurvivors(spark: SparkSession, dir: String): DataFrame =
+    exactSurvivorsOf(Tables.documents(spark, dir))
 
   /** N-gram Jaccard near-dup pairs >= `threshold`, via inverted index:
     * explode shingles, self-join on shingle, count = |A ∩ B|, then
     * |A ∪ B| = |A| + |B| - |A ∩ B|. Integer counts -> the division is
     * reproducible bit-for-bit. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String,
-                        threshold: Double = 0.7, dfCap: Int = 1000): DataFrame = {
-    val sh = shingleIndex(spark, dir, dfCap)
+  def ngramJaccardPairsOf(docs: DataFrame,
+                          threshold: Double = 0.7, dfCap: Int = 1000): DataFrame = {
+    val sh = shingleIndex(docs, dfCap)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -84,6 +91,10 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.7, dfCap: Int = 1000): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap)
 
   // -------------------------------------------------------------------
   // MinHash + LSH (not SQL-oracle-expressible: relies on Spark's 64-bit
@@ -104,9 +115,10 @@ object Dedup {
   /** LSH candidate pairs + signature-estimated Jaccard >= threshold.
     * Banding: equal 4-row band => candidate; then the estimate is the
     * fraction of equal signature components. */
-  def minhashPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def minhashPairsOf(docTable: DataFrame,
+                     threshold: Double = 0.5): DataFrame = {
+    val docs = docTable
+      .repartition(32) // single-row-group input: spread the sig kernel
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
@@ -135,6 +147,10 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  def minhashPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame =
+    minhashPairsOf(Tables.documents(spark, dir), threshold)
+
   // -------------------------------------------------------------------
   // SimHash (64-bit; ScalaTest-verified)
   // -------------------------------------------------------------------
@@ -142,8 +158,9 @@ object Dedup {
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 by token-hash
     * bit, take sign. Computed as 64 conditional sums in one aggregate —
     * a single shuffle, no per-bit passes. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .repartition(32) // single-row-group input: spread tokenize+explode
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 64).map { i =>
@@ -157,12 +174,14 @@ object Dedup {
     withBits.select(col("doc_id"), sig.as("simhash"))
   }
 
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir))
+
   /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
     * hamming distance 3 shares at least one of 4 chunks), verify with
     * popcount of XOR <= maxHamming. */
-  def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(spark, dir)
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhashOf(docs)
     val chunks = sh
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
@@ -178,6 +197,10 @@ object Dedup {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 6): DataFrame =
+    simhashPairsOf(Tables.documents(spark, dir), maxHamming)
 
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
@@ -197,8 +220,8 @@ object Dedup {
     * evaluates the dot product three times per candidate pair (measured
     * 3x slower at sf0.1). The materialized pair table is (5 longs/row) —
     * at corpus scale you block first (LSH) so the pair table stays small. */
-  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def embeddingPairsOf(vectors: DataFrame): DataFrame = {
+    val e = vectors
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
     val sq = e.select(col("vec_id"), col("q"),
       ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
@@ -219,6 +242,9 @@ object Dedup {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cosine"))
   }
+
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairsOf(Tables.embeddings(spark, dir))
 
   // -------------------------------------------------------------------
   // Registration

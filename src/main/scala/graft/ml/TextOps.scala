@@ -30,11 +30,12 @@ object TextOps {
     aggregate(arr, lit(0L), (a, b) => a + b)
 
   /** Token/quality statistics per document: counts, average token length,
-    * stopword ratio, and a 0-1 quality score (length + lexical density). */
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    * stopword ratio, and a 0-1 quality score (length + lexical density).
+    * Library surface: any DataFrame with (doc_id, text). */
+  def textStatsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"), t.as("toks"))
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"), t.as("toks"))
       .select(
         col("doc_id"), col("n_chars"),
         size(col("toks")).as("n_tokens"),
@@ -54,6 +55,9 @@ object TextOps {
         least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
           + col("lexical_density") * lit(0.5)))
   }
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsOf(Tables.documents(spark, dir))
 
   /** Language-ID by stopword-set scoring with a CJK-codepoint fast path —
     * the classic n-gram/wordlist heuristic. Tie-breaks follow a fixed
@@ -82,15 +86,19 @@ object TextOps {
 
   /** Rolling polynomial fingerprint over token codes (mod 1e9+7): a
     * portable stand-in for a content-defined document signature. Token
-    * code = 256*len + first-codepoint, folded left as acc*31 + code. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    * code = 256*len + first-codepoint, folded left as acc*31 + code.
+    * Library surface: any DataFrame with (doc_id, text). */
+  def fingerprintsOf(docs: DataFrame): DataFrame = {
     val codes = transform(tokens(col("text")),
       t => (length(t).cast("long") * 256 + ascii(t).cast("long")))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         aggregate(codes, lit(0L),
           (a, b) => (a * 31 + b) % 1000000007L).as("fingerprint"))
   }
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    fingerprintsOf(Tables.documents(spark, dir))
 
   type Q = (SparkSession, String) => DataFrame
 
