@@ -32,17 +32,18 @@ object Similarity {
   /** codegen'd integer dot product (graft.functions.DotProductLong). */
   private def dot(a: Column, b: Column): Column = ArrayOps.dot_long(a, b)
 
-  /** Brute-force cosine top-k: every query vector against the corpus,
-    * ranked by integer dot (vectors are unit-normalized, so dot order =
-    * cosine order), deterministic tie-break on neighbor id. */
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val v = quantizedVectors(spark, dir)
-    val queries = v.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("q").as("qv"))
-    val scored = Tables.embeddings(spark, dir)
+  /** Library surface: exact cosine top-k of `queries` against `corpus`
+    * (both (vec_id, embedding)); ranked by integer dot over normalized
+    * quantized vectors, deterministic tie-break on neighbor id. The query
+    * side must be small enough to broadcast. */
+  def bruteForceTopKOf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qs = queries
+      .select(col("vec_id").as("query_id"),
+        Dedup.quantized(col("embedding")).as("qv"))
+    val scored = corpus
       .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
       .repartition(32) // single-file input -> parallelize the scan side
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         dot(col("qv"), col("q")).as("dot"))
     val w = Window.partitionBy(col("query_id"))
@@ -50,6 +51,11 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "dot", "rank")
+  }
+
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    bruteForceTopKOf(emb, emb.filter(isQuery(col("vec_id"))), k)
   }
 
   // -------------------------------------------------------------------
@@ -116,6 +122,56 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // IVF-style ANN: coarse quantizer + probed inverted lists
+  // -------------------------------------------------------------------
+
+  /** Every `stride`-th vector serves as a coarse centroid (a deterministic
+    * stand-in for k-means — at scale you'd train real centroids offline
+    * and broadcast them the same way). */
+  val IvfCentroidStride = 97
+  val IvfProbes = 3
+
+  private def centroids(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+
+  /** Assign each vector to its `probes` nearest centroids (by integer
+    * dot). The inverted-list assignment is a broadcast join + windowed
+    * rank — no shuffle of the corpus until the final grouping. */
+  private def assign(v: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("centroid_id").asc)
+    v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("q"), col("centroid_id"),
+        dot(col("q"), col("cv")).as("cdot"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= probes)
+  }
+
+  /** ANN via IVF: corpus vectors live in their single nearest centroid's
+    * list; queries probe their `IvfProbes` nearest lists; candidates are
+    * reranked by exact integer dot. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = quantizedVectors(spark, dir).repartition(32).persist()
+    val cents = centroids(v)
+    val lists = assign(v, cents, probes = 1)
+      .select(col("centroid_id"), col("vec_id"), col("q"))
+    val queryLists = assign(
+      v.filter(isQuery(col("vec_id"))), cents, probes = IvfProbes)
+      .select(col("centroid_id"), col("vec_id").as("query_id"), col("q").as("qv"))
+    val scored = lists
+      .join(broadcast(queryLists), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), dot(col("qv"), col("q")).as("dot"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dot", "rank")
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -123,7 +179,8 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
-    "sim_topk_ann" -> ((s, d) => annTopK(s, d)))
+    "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
+    "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->

@@ -20,6 +20,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN beats the LSH recall floor and never returns non-corpus rows") {
+    val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall")
+    ivf.foreach { case (q, v) => assert(q != v) }
+  }
+
   test("LSH ANN finds a usable fraction of the true neighbors") {
     val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
