@@ -1,0 +1,50 @@
+package graft
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the properties that keep these
+  * queries scalable are asserted on the executed plan, so a refactor that
+  * silently loses pushdown/broadcast/codegen fails here, not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("watermark join: filters reach the parquet scan, join broadcasts") {
+    val plan = planOf(graft.sync.Reconcile.needsUpdate(spark, sf))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(o_orderstatus,O)"),
+      s"status filter must be pushed to the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"snapshot join should broadcast at this scale:\n$plan")
+  }
+
+  test("dimension join broadcasts the supplier side") {
+    val plan = planOf(graft.metrics.Dashboard.revenueBySupplier(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("pricing summary runs inside whole-stage codegen with pruned columns") {
+    val df = graft.metrics.Dashboard.pricingSummary(spark, sf)
+    df.count() // materialize so AQE finalizes the plan (codegen spans appear)
+    val plan = planOf(df)
+    assert(plan.contains("WholeStageCodegen"), plan)
+    // column pruning: the scan must not read l_comment-style extra fields —
+    // schema should only contain the five columns the query touches
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan must prune unused columns: $readSchema")
+  }
+
+  test("anti joins plan as broadcast/hash anti joins, not cartesian") {
+    val plan = planOf(graft.sync.Reconcile.newCases(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("top-k limit plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(graft.metrics.Dashboard.recentEvents(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
