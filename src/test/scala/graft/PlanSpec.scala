@@ -27,7 +27,9 @@ class PlanSpec extends SparkSpec {
 
   test("pricing summary runs inside whole-stage codegen with pruned columns") {
     val df = graft.metrics.Dashboard.pricingSummary(spark, sf)
-    df.count() // materialize so AQE finalizes the plan (codegen spans appear)
+    // collect() (not count(), which builds its own plan) so THIS dataframe's
+    // AQE plan finalizes and codegen spans appear
+    df.collect()
     val plan = planOf(df)
     assert(plan.contains("WholeStageCodegen"), plan)
     // column pruning: the scan must not read l_comment-style extra fields —
