@@ -31,7 +31,8 @@ class PlanSpec extends SparkSpec {
     // AQE plan finalizes and codegen spans appear
     df.collect()
     val plan = planOf(df)
-    assert(plan.contains("WholeStageCodegen"), plan)
+    // codegen stages render as "*(n) Op" in the executed-plan string
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
     // column pruning: the scan must not read l_comment-style extra fields —
     // schema should only contain the five columns the query touches
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
