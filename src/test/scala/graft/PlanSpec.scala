@@ -12,7 +12,9 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
 
   test("watermark join: filters reach the parquet scan, join broadcasts") {
-    val plan = planOf(graft.sync.Reconcile.needsUpdate(spark, sf))
+    val df = graft.sync.Reconcile.needsUpdate(spark, sf)
+    df.collect() // finalize AQE — the static plan may still show SMJ
+    val plan = planOf(df)
     assert(plan.contains("PushedFilters:") &&
       plan.contains("EqualTo(o_orderstatus,O)"),
       s"status filter must be pushed to the scan:\n$plan")
