@@ -12,7 +12,23 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // bucketed-table tests need a warehouse outside the repo; static conf,
+    // so it must be set by whichever suite creates the session first
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
+
+  /** Run `body` with a session conf temporarily overridden — suites share
+    * one session, so leaking a conf breaks order-dependent tests. */
+  def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Smoke-scale data (500 docs / 1.5k orders / 6k lineitems). */
   val sf: String = "/root/testdata/sf0.001"

@@ -1,27 +1,13 @@
 package graft.scale
 
 import java.nio.file.Files
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
 /** Plan-level proofs of the scale mechanics: salting preserves results
   * while spreading keys, bucketed joins run without a shuffle exchange,
   * dynamic partition overwrite touches only the delta's partitions. */
-class ScaleSpec extends AnyFunSuite {
-  // own session: bucketing needs a writable warehouse outside the repo
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-scale-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir",
-      Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ paths
-    .getOrCreate()
-
-  val sf = "/root/testdata/sf0.001"
+class ScaleSpec extends SparkSpec {
 
   test("salted counts equal plain counts on a skewed key") {
     import spark.implicits._
@@ -49,18 +35,22 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed snapshot join plans without a shuffle exchange") {
-    val crm = graft.sync.Reconcile.crmSnapshot(spark, sf)
-    val db = graft.sync.Reconcile.dbSnapshot(spark, sf)
-    Scale.writeBucketed(crm, "crm_bucketed", "case_ref", buckets = 8)
-    Scale.writeBucketed(db, "db_bucketed", "case_ref", buckets = 8)
-    val joined = spark.table("crm_bucketed")
-      .join(spark.table("db_bucketed"), "case_ref")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"bucketed join must not shuffle:\n$plan")
-    // and it still computes the right thing
-    val expected = crm.join(db, "case_ref").count()
-    assert(joined.count() == expected)
+    // disable broadcast locally to force the SMJ path bucketing removes;
+    // scoped restore — the conf must not leak into other suites
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val crm = graft.sync.Reconcile.crmSnapshot(spark, sf)
+      val db = graft.sync.Reconcile.dbSnapshot(spark, sf)
+      Scale.writeBucketed(crm, "crm_bucketed", "case_ref", buckets = 8)
+      Scale.writeBucketed(db, "db_bucketed", "case_ref", buckets = 8)
+      val joined = spark.table("crm_bucketed")
+        .join(spark.table("db_bucketed"), "case_ref")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val expected = crm.join(db, "case_ref").count()
+      assert(joined.count() == expected)
+    }
   }
 
   test("dynamic partition overwrite replaces only touched tenants") {
