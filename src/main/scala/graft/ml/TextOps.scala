@@ -59,6 +59,20 @@ object TextOps {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     textStatsOf(Tables.documents(spark, dir))
 
+  /** Token-count estimators: whitespace words, BPE-ish subword pieces
+    * (letter runs / digit runs / single punctuation — the standard cheap
+    * proxy for model-tokenizer counts), and the chars/4 rule of thumb. */
+  def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_words"),
+      size(regexp_extract_all(col("text"),
+        lit("\\p{L}+|\\d+|[^\\p{L}\\d\\s]"), lit(0))).as("n_bpe_pieces"),
+      ceil(length(col("text")).cast("double") / 4.0).cast("long").as("n_chars_div4"))
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCountsOf(Tables.documents(spark, dir))
+
   /** Language-ID by stopword-set scoring with a CJK-codepoint fast path —
     * the classic n-gram/wordlist heuristic. Tie-breaks follow a fixed
     * precedence (en > de > fr > es) so the argmax is total. */
@@ -105,12 +119,19 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
-    "text_fingerprints" -> ((s, d) => fingerprints(s, d)))
+    "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
+    "text_token_counts" -> ((s, d) => tokenCounts(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,
+        |       CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]')) AS INT) AS n_bpe_pieces,
+        |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0::DOUBLE) AS BIGINT) AS n_chars_div4
+        |FROM documents""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,
