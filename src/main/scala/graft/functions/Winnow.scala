@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+  * polynomial hashes of char k-grams over the UTF-8 bytes, then the
+  * minimum of each sliding window of `w` hashes, deduplicated. Robust to
+  * tokenization differences, byte-level — complements the token-shingle
+  * dedup paths. CodegenFallback: the eval is already one tight JVM loop
+  * per row (unlike Catalyst HOF chains there is nothing interpreted
+  * per-element), so generated-source complexity isn't warranted. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0 && w > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints expects string, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val B = 257L
+  // B^(k-1) for the rolling subtract, in wrapping long arithmetic
+  private val Bk1: Long = {
+    var p = 1L
+    var i = 1
+    while (i < k) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val nh = n - k + 1
+    val hashes = new Array[Long](nh)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nh) {
+      h = (h - (bytes(i - 1) & 0xff) * Bk1) * B + (bytes(i + k - 1) & 0xff)
+      hashes(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nh <= w) {
+      var m = hashes(0)
+      i = 1
+      while (i < nh) { if (hashes(i) < m) m = hashes(i); i += 1 }
+      seen.add(m)
+    } else {
+      i = 0
+      while (i + w <= nh) {
+        var m = hashes(i)
+        var j = i + 1
+        while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        seen.add(m)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object Winnow {
+  import org.apache.spark.sql.graftops.ColumnBridge
+
+  /** Column wrapper: winnowing fingerprints of a text column. */
+  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+}

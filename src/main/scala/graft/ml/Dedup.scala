@@ -203,6 +203,39 @@ object Dedup {
     simhashPairsOf(Tables.documents(spark, dir), maxHamming)
 
   // -------------------------------------------------------------------
+  // Winnowing fingerprints (char-level rolling hash; spec-verified)
+  // -------------------------------------------------------------------
+
+  /** Near-dup pairs by shared winnowing fingerprints: same inverted-index
+    * shape as the n-gram path but char-level and tokenization-agnostic.
+    * Overlap = |F_a ∩ F_b| / min(|F_a|, |F_b|) >= threshold. */
+  def winnowPairsOf(docs: DataFrame, threshold: Double = 0.5,
+                    dfCap: Int = 1000): DataFrame = {
+    val fp = docs
+      .repartition(32)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow_fingerprints(col("text"))).as("f"))
+    val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("f")
+    val idx = fp.join(broadcast(hot), Seq("f"), "left_anti").persist()
+    val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
   // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
   // -------------------------------------------------------------------
 
@@ -258,6 +291,7 @@ object Dedup {
     "dedup_ngram_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)))
 
   private val shingleCte: String =

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("winnowing fingerprints catch the crafted near-dups and agree with " +
+    "n-gram Jaccard on real data") {
+    val pairs = Dedup.winnowPairsOf(
+        spark.read.parquet(s"$craftedDir/documents.parquet"), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup must share all fingerprints: $pairs")
+    assert(pairs.contains((0L, 2L)), s"near dup must overlap: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // on the real corpus: winnow pairs at 0.5 should recover most exact
+    // ngram pairs at 0.7 (different granularity — expect high overlap)
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val winnow = Dedup.winnowPairs(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val recall = exact.count(winnow.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.7, s"winnow recall vs ngram: $recall")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingPairs(spark, sf).collect()
     pairs.foreach { r =>
