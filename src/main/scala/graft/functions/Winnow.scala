@@ -83,7 +83,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object Winnow {
   import org.apache.spark.sql.graftops.ColumnBridge
 
-  /** Column wrapper: winnowing fingerprints of a text column. */
-  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+  /** Column wrapper: winnowing fingerprints of a text column. Window w
+    * controls density (guarantee: any match of length >= k+w-1 shares a
+    * fingerprint); w=8 keeps the index ~1/8 of the k-gram count. */
+  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 8): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }
