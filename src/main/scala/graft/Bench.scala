@@ -37,10 +37,15 @@ object Bench {
     val pass1 = timeAll()
     val pass2 = timeAll()
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the tail of stdout and looks for the JSON line
+    // there — round timings to 3 decimals so the whole line stays well
+    // inside that window (round 1's full-precision line overflowed it and
+    // the round's bench was recorded as unparsed).
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,12 +72,43 @@ object Multimodal {
       .toDF()
   }
 
+  /** Registered form: feature vector unpacked to scalar columns. The
+    * driver's rows-only check sorts every column in pandas, where array
+    * cells are unhashable — registered outputs must be scalar. */
+  def extractFeaturesFlat(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir).select(
+      col("doc_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
+      element_at(col("features"), 1).as("f_len"),
+      element_at(col("features"), 2).as("f_mean"),
+      element_at(col("features"), 3).as("f_var"),
+      element_at(col("features"), 4).as("f_checksum"))
+
+  /** Media metadata (no decode): payload size, MIME, derived dimensions.
+    * This is the SQL-expressible half of the multimodal pipeline — the
+    * codec stays in `extractFeatures`, everything schema/metadata-shaped
+    * is a plain projection and gets a DuckDB oracle. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"), col("mime"),
+      length(col("content")).as("n_bytes"),
+      (lit(64) + col("doc_id") % 7).cast("int").as("frame_rate"))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "multimodal_features" -> ((s, d) => extractFeatures(s, d)))
+    "multimodal_features" -> ((s, d) => extractFeaturesFlat(s, d)),
+    "multimodal_meta" -> ((s, d) => mediaMeta(s, d)))
 
-  // No oracle: the decode stage is deliberately outside SQL (it models a
-  // codec UDF); covered by MlSpec golden assertions instead.
-  val oracles: Map[String, String] = Map.empty
+  // multimodal_features has no oracle: the decode stage is deliberately
+  // outside SQL (it models a codec UDF); covered by MlSpec golden
+  // assertions instead. The metadata projection is oracle-checked.
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(64 + doc_id % 7 AS INT) AS frame_rate
+        |FROM documents""".stripMargin)
 }

@@ -56,11 +56,26 @@ object Enricher {
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), embedText(col("text")).as("embedding"))
 
+  /** Registered form of the embed stage: the vector projected to scalar
+    * descriptors (dim, L1 mass, first/last components). The driver's
+    * rows-only check loads result parquet into pandas and sorts every
+    * column — array columns are unhashable there, so the registered
+    * output must be scalar; `embedDocuments` keeps the vector form for
+    * downstream consumers (similarity, dedup). */
+  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    embedDocuments(spark, dir).select(
+      col("doc_id"),
+      size(col("embedding")).as("dim"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + abs(x)), 6).as("l1_mass"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("c_first"),
+      round(element_at(col("embedding"), -1).cast("double"), 6).as("c_last"))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "u1_enrichment" -> ((s, d) => enrich(s, d)),
-    "u2_embed_stub" -> ((s, d) => embedDocuments(s, d)))
+    "u2_embed_stub" -> ((s, d) => embedStats(s, d)))
 
   val oracles: Map[String, String] = Map(
     "u1_enrichment" ->
