@@ -156,23 +156,14 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 by token-hash
-    * bit, take sign. Computed as 64 conditional sums in one aggregate —
-    * a single shuffle, no per-bit passes. */
-  def simhashOf(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .repartition(32) // single-row-group input: spread tokenize+explode
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val withBits = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    withBits.select(col("doc_id"), sig.as("simhash"))
-  }
+    * bit, take sign. One generated pass per document
+    * (graft.functions.SimhashSig, same XXH64 token hash as `xxhash64`) —
+    * a narrow map stage, no shuffle of exploded tokens at all. */
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs
+      .repartition(32) // single-row-group input: spread the sig kernel
+      .select(col("doc_id"),
+        ArrayOps.simhash_sig(TextOps.tokens(col("text"))).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
