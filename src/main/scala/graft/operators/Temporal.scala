@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.expr.Exprs
+
+/** Temporal / ordered-relational operators Spark has no single built-in
+  * for — as-of join, range(band) join, sessionization, running windows,
+  * rollup — each composed from core operators so Catalyst keeps full
+  * visibility (SURVEY.md §2.3 notes the reference itself needs none of
+  * these; they extend the engine per the north-star scale mandate).
+  *
+  * Scale notes are per-operator; the common theme is "one shuffle on the
+  * natural key, no driver-side state".
+  */
+object Temporal {
+
+  /** epoch microseconds of a TIMESTAMP_NTZ column (session TZ is pinned
+    * UTC, so the NTZ->LTZ cast is the identity). Integer microseconds
+    * make gap/as-of comparisons exact — no float seconds. */
+  private def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  // -------------------------------------------------------------------
+  // As-of join
+  // -------------------------------------------------------------------
+
+  /** As-of join via the sorted-union trick: tag build rows 0 / probe rows
+    * 1, sort within each key by (ts, tag, id), and carry the last
+    * non-null build id forward — every probe row then holds the build row
+    * with the greatest ts <= its own (same-ts builds win, matching `<=`;
+    * ties on ts resolve to the max build id).
+    *
+    * This is ONE shuffle on the join key — the same cost as an equi join
+    * — versus a naive theta-join's quadratic blowup. At 100 TB both
+    * inputs arrive bucketed by key and the window sort is per-bucket.
+    *
+    * Library surface: probe/build need (key, ts, id); extra probe columns
+    * pass through. */
+  def asofJoinOf(probe: DataFrame, build: DataFrame,
+                 key: String, ts: String, id: String): DataFrame = {
+    val tsType = probe.schema(ts).dataType
+    val probeTagged = probe.select(
+      col(key), col(ts), col(id), lit(1).as("is_probe"),
+      lit(null).cast("long").as("build_id"), lit(null).cast(tsType).as("build_ts"))
+    val buildTagged = build.select(
+      col(key), col(ts), col(id), lit(0).as("is_probe"),
+      col(id).as("build_id"), col(ts).as("build_ts"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("is_probe").asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probeTagged.unionByName(buildTagged)
+      .withColumn("asof_id", last(col("build_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("build_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col(key), col(id), col(ts), col("asof_id"), col("asof_ts"))
+  }
+
+  /** Registered form: each purchase event matched to the same user's most
+    * recent view/click at-or-before it (the trades/quotes as-of shape). */
+  def purchaseAsofBrowse(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    asofJoinOf(
+      probe = e.filter(col("event_type") === "purchase"),
+      build = e.filter(col("event_type").isin("view", "click")),
+      key = "user_id", ts = "ts", id = "event_id")
+  }
+
+  // -------------------------------------------------------------------
+  // Range (band) join
+  // -------------------------------------------------------------------
+
+  /** Price bands [900+10*b, 900+10*(b+1)) over part.p_retailprice. */
+  private val bandEdges: Seq[(Int, Double, Double)] =
+    (0 until 10).map(b => (b, 900.0 + 10 * b, 910.0 + 10 * b))
+
+  /** Range join against a broadcast band table: fact rows land in the
+    * band whose [lo, hi) interval contains them. The dimension side is
+    * bounded and broadcast, so the fact table never shuffles for the
+    * join itself — only for the per-band aggregate. At 100 TB with a big
+    * interval table you'd bucket both sides on a quantized interval key
+    * first (turning it into an equi join + residual predicate). */
+  def priceBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val bands = bandEdges.toDF("band_id", "lo", "hi")
+    Tables.part(spark, dir)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_parts"),
+        Exprs.moneyAvg(col("p_retailprice")).as("avg_price"))
+  }
+
+  // -------------------------------------------------------------------
+  // Sessionization
+  // -------------------------------------------------------------------
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds `gapSeconds`. lag -> flag -> running sum
+    * (the session index) -> per-session aggregate; one shuffle on
+    * user_id, all window work per-key. This is the batch twin of
+    * streaming session windows (Structured Streaming's
+    * session_window() / flatMapGroupsWithState path). */
+  def sessionizeOf(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"), epochUs(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000L).cast("long").as("duration_s"))
+  }
+
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir), gapSeconds = 1800L)
+
+  // -------------------------------------------------------------------
+  // Running totals / lead-lag frames
+  // -------------------------------------------------------------------
+
+  /** Per-customer order timeline: running spend (decimal-exact cumulative
+    * sum), previous/next order dates, days since previous. Covers
+    * rowsBetween frames + lag/lead, which the reference never uses but
+    * any dashboard successor would (SURVEY.md §2.5 "absent" list). */
+  def customerRunningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(running)
+          .cast("double"))
+      .withColumn("order_seq", row_number().over(order))
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(order))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(order))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "order_seq",
+        "running_spend", "prev_date", "next_date", "days_since_prev")
+  }
+
+  // -------------------------------------------------------------------
+  // Rollup
+  // -------------------------------------------------------------------
+
+  /** Status x priority rollup: subtotals at (status, priority), (status),
+    * and grand-total levels in one pass (partial aggregation handles the
+    * level expansion map-side). Null grouping cells are labeled 'ALL' so
+    * the output is total-orderable in any compare layer. */
+  def statusPriorityRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Exprs.moneySum(col("o_totalprice")).as("total_spend"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_spend"))
+
+  // -------------------------------------------------------------------
+  // Registration
+  // -------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t1_asof_purchase_browse" -> ((s, d) => purchaseAsofBrowse(s, d)),
+    "t2_price_band_join" -> ((s, d) => priceBandStats(s, d)),
+    "t3_user_sessions" -> ((s, d) => userSessions(s, d)),
+    "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
+    "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "t1_asof_purchase_browse" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS is_probe,
+        |         event_id AS build_id, ts AS build_ts
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_probe,
+        |         last_value(build_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+        |         last_value(build_ts IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+        |  FROM u)
+        |SELECT user_id, event_id, ts, asof_id, asof_ts
+        |FROM w WHERE is_probe = 1""".stripMargin,
+    "t2_price_band_join" ->
+      """WITH bands AS (
+        |  SELECT b AS band_id, 900.0::DOUBLE + 10 * b AS lo,
+        |         910.0::DOUBLE + 10 * b AS hi
+        |  FROM range(10) t(b))
+        |SELECT CAST(band_id AS INT) AS band_id, lo, hi, count(*) AS n_parts,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / count(*) AS avg_price
+        |FROM part JOIN bands
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band_id, lo, hi""".stripMargin,
+    "t3_user_sessions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |                   OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0
+        |            END AS is_new
+        |  FROM f),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       (max(us) - min(us)) // 1000000 AS duration_s
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "t4_running_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(row_number() OVER w AS INT) AS order_seq,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_spend,
+        |       lag(o_orderdate) OVER w AS prev_date,
+        |       lead(o_orderdate) OVER w AS next_date,
+        |       date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+        |         AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "t5_status_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_spend
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+}

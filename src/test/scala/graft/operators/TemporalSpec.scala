@@ -1,0 +1,103 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Golden-case semantics for the temporal operators on crafted inputs,
+  * plus shape checks on the real testdata. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("as-of join picks the greatest build ts <= probe ts, per key") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // after b1, before b2
+      (1L, ts("2024-01-01 12:00:00"), 101L), // equal to b2's ts -> b2 wins
+      (2L, ts("2024-01-01 09:00:00"), 102L), // no build before it
+      (3L, ts("2024-01-01 23:00:00"), 103L)  // key with no build rows at all
+    ).toDF("user_id", "ts", "event_id")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L),
+      (1L, ts("2024-01-01 12:00:00"), 11L),
+      (2L, ts("2024-01-01 09:30:00"), 12L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoinOf(probe, build, "user_id", "ts", "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_id")).map(_.toLong)).toMap
+    assert(out(100L).contains(10L))
+    assert(out(101L).contains(11L)) // same-ts build visible (<= semantics)
+    assert(out(102L).isEmpty)       // build exists but only later
+    assert(out(103L).isEmpty)       // key never seen on build side
+    assert(out.size == 4)           // every probe row survives (left as-of)
+  }
+
+  test("as-of ties on build ts resolve to the max build id") {
+    val probe = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L),
+      (1L, ts("2024-01-01 09:00:00"), 11L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoinOf(probe, build, "user_id", "ts", "event_id").collect()
+    assert(out.head.getAs[Long]("asof_id") == 11L)
+  }
+
+  test("sessionization splits on gaps > threshold and aggregates per session") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L),  // same session (10 min gap)
+      (1L, ts("2024-01-01 11:00:00"), 3L),  // 50 min gap -> new session
+      (2L, ts("2024-01-01 10:00:00"), 4L)   // separate user
+    ).toDF("user_id", "ts", "event_id")
+    val out = Temporal.sessionizeOf(events, gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.length == 3)
+    val first = out(0)
+    assert(first.getAs[Long]("user_id") == 1L)
+    assert(first.getAs[Long]("n_events") == 2L)
+    assert(first.getAs[Long]("duration_s") == 600L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("sessionization: exact-threshold gap does NOT split") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L) // exactly 1800s -> same session
+    ).toDF("user_id", "ts", "event_id")
+    val out = Temporal.sessionizeOf(events, gapSeconds = 1800L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_events") == 2L)
+  }
+
+  test("price band join covers every part exactly once") {
+    val n = graft.Tables.part(spark, sf).count()
+    val banded = Temporal.priceBandStats(spark, sf)
+    assert(banded.agg(sum("n_parts")).head.getLong(0) == n)
+    assert(banded.count() <= 10)
+  }
+
+  test("running spend is monotone per customer and seq is dense") {
+    val df = Temporal.customerRunningSpend(spark, sf)
+      .filter(col("o_custkey") === 1L).orderBy("order_seq").collect()
+    if (df.length > 1) {
+      val spends = df.map(_.getAs[Double]("running_spend"))
+      assert(spends.zip(spends.tail).forall { case (a, b) => b >= a })
+      assert(df.map(_.getAs[Int]("order_seq")).toSeq == (1 to df.length))
+      assert(df.head.getAs[java.lang.Long]("days_since_prev") == null)
+    }
+  }
+
+  test("rollup emits leaf, status-subtotal, and grand-total levels that add up") {
+    val out = Temporal.statusPriorityRollup(spark, sf).collect()
+    val grand = out.filter(r => r.getAs[String]("status") == "ALL")
+    assert(grand.length == 1)
+    val leafN = out.filter(r => r.getAs[String]("status") != "ALL" &&
+      r.getAs[String]("priority") != "ALL").map(_.getAs[Long]("n")).sum
+    assert(grand.head.getAs[Long]("n") == leafN)
+    val statusN = out.filter(r => r.getAs[String]("status") != "ALL" &&
+      r.getAs[String]("priority") == "ALL").map(_.getAs[Long]("n")).sum
+    assert(statusN == leafN)
+  }
+}
