@@ -125,20 +125,46 @@ object Similarity {
   // IVF-style ANN: coarse quantizer + probed inverted lists
   // -------------------------------------------------------------------
 
-  /** Every `stride`-th vector serves as a coarse centroid (a deterministic
-    * stand-in for k-means — at scale you'd train real centroids offline
-    * and broadcast them the same way). */
+  /** Every `stride`-th vector seeds a coarse centroid; `IvfIters` rounds
+    * of Lloyd refinement (spherical k-means) follow. */
   val IvfCentroidStride = 97
   val IvfProbes = 3
+  val IvfIters = 1
 
-  private def centroids(v: DataFrame): DataFrame =
+  private def seedCentroids(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % IvfCentroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+
+  /** Spherical k-means refinement, DataFrame-native: assign each vector
+    * to its max-dot centroid (broadcast join + windowed argmax), then
+    * recompute each centroid as the re-normalized element-wise mean of
+    * its members (posexplode -> per-(centroid,dim) avg -> re-quantize).
+    * Every step is a bounded shuffle; centroids stay broadcast-sized. At
+    * 100 TB you'd train on a sample with the identical plan and only the
+    * final assignment pass would touch the full corpus. */
+  private def trainedCentroids(v: DataFrame, iters: Int = IvfIters): DataFrame = {
+    var cents = seedCentroids(v)
+    for (_ <- 0 until iters) {
+      val members = assignTo(v, cents, probes = 1)
+        .select(col("centroid_id"), col("q"))
+      val dimMeans = members
+        .select(col("centroid_id"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("x").cast("double")).as("m"))
+      cents = dimMeans
+        .groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          ArrayOps.quantize_vec(
+            transform(col("dm"), e => e.getField("m")), 10000).as("cv"))
+    }
+    cents
+  }
 
   /** Assign each vector to its `probes` nearest centroids (by integer
     * dot). The inverted-list assignment is a broadcast join + windowed
     * rank — no shuffle of the corpus until the final grouping. */
-  private def assign(v: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
+  private def assignTo(v: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("centroid_id").asc)
     v.join(broadcast(cents), lit(true))
@@ -153,10 +179,12 @@ object Similarity {
     * reranked by exact integer dot. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val v = quantizedVectors(spark, dir).repartition(32).persist()
-    val cents = centroids(v)
-    val lists = assign(v, cents, probes = 1)
+    // trained (not just seeded) coarse quantizer; persist()ed because the
+    // list build and the query probing both re-read it
+    val cents = trainedCentroids(v).persist()
+    val lists = assignTo(v, cents, probes = 1)
       .select(col("centroid_id"), col("vec_id"), col("q"))
-    val queryLists = assign(
+    val queryLists = assignTo(
       v.filter(isQuery(col("vec_id"))), cents, probes = IvfProbes)
       .select(col("centroid_id"), col("vec_id").as("query_id"), col("q").as("qv"))
     val scored = lists
