@@ -106,6 +106,26 @@ object IncrementalSync {
     StepResult(ok.toSeq, Seq.empty, dead.toSeq)
   }
 
+  /** Streaming gap-sessionization over (user_id, ts) — Spark's native
+    * session_window with an event-time watermark; the streaming twin of
+    * graft.operators.Temporal.sessionizeOf (same gap semantics; the
+    * session end here is last-event + gap, the streaming convention).
+    * State is keyed by (user, session) and evicted once the watermark
+    * passes a session's end — bounded memory at any scale. */
+  def sessionWindows(events: org.apache.spark.sql.DataFrame,
+                     gap: String = "30 minutes",
+                     lateness: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** ST4-flavored file-stream reader: bounds per-trigger intake the way
     * the reference rate-limits jobs/hour (worker.py:283-305). */
   def rateLimitedFileStream(spark: SparkSession, path: String,

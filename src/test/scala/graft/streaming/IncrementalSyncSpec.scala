@@ -82,6 +82,36 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap merge, finalize after watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = sessionWindows(input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one session for user 1 (10-min gap merges), one event for user 2
+      input.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L),
+        (t("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      // push the watermark past those sessions' ends, then one more batch
+      // so append-mode finalization fires
+      input.addData((t("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 12:01:00"), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // session end = last event + 30 min gap (streaming convention)
+      assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L)))
+      assert(rows.contains((2L, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1L)))
+    } finally q.stop()
+  }
+
   test("retry step: priority order, requeue at p3, dead-letter at max attempts") {
     val jobs = Seq(
       Job(1, 0, 10, priority = 3, attempts = 0),
