@@ -297,6 +297,21 @@ object Dashboard {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
 
+  /** A16 — per-tenant event-type matrix via pivot (the wide form of the
+    * status-distribution counters, status_detector.py:453-476). The pivot
+    * values are declared, so Spark skips the extra distinct pass and the
+    * output schema is static; map-side partial aggregation makes this one
+    * shuffle of (tenant x type) partials, not of events. */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = withTenant(Tables.events(spark, dir), "user_id")
+      .groupBy("tenant_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.select(col("tenant_id") +: types.map(t =>
+      coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

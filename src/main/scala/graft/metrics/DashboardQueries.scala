@@ -40,7 +40,8 @@ object DashboardQueries {
     "a15_distinct_users" -> ((s, d) => Dashboard.distinctUsers(s, d)),
     "set_only_in_crm" -> ((s, d) => Dashboard.keysOnlyInCrm(s, d)),
     "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
-    "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)))
+    "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)),
+    "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -214,5 +215,13 @@ object DashboardQueries {
          |INTERSECT SELECT tenant_id, case_ref FROM db""".stripMargin,
     "set_tagged_union" ->
       s"""$snapCtes SELECT tenant_id, case_ref, 'crm' AS source FROM crm
-         |UNION ALL SELECT tenant_id, case_ref, 'db' AS source FROM db""".stripMargin)
+         |UNION ALL SELECT tenant_id, case_ref, 'db' AS source FROM db""".stripMargin,
+    "a16_event_type_pivot" ->
+      """SELECT user_id % 4 AS tenant_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin)
 }

@@ -52,4 +52,37 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(graft.metrics.Dashboard.recentEvents(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("as-of join plans as ONE shuffle on the key plus a window, no join node") {
+    val df = graft.operators.Temporal.purchaseAsofBrowse(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"as-of must not degrade to a join:\n$plan")
+    // exactly one exchange: the partitionBy(user_id) shuffle (the union
+    // branches feed it directly; REPARTITION/broadcast would add more).
+    // Count only the AQE final plan — the "Initial Plan" section repeats
+    // every node.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("reuse"))
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$finalPlan")
+  }
+
+  test("band join broadcasts the interval table, never shuffles the fact side") {
+    val df = graft.operators.Temporal.priceBandStats(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"band table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rollup aggregates with partial (map-side) aggregation via Expand") {
+    val df = graft.operators.Temporal.statusPriorityRollup(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("partial"), s"rollup must partial-aggregate map-side:\n$plan")
+  }
 }
