@@ -312,6 +312,23 @@ object Dashboard {
       coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  /** A17 — exact per-type value percentiles. Portability trick: values
+    * are quantized to integer cents and the fractions are quarters, so
+    * the PERCENTILE_CONT interpolation ((1-d)*a + d*b with d in
+    * {0,.25,.5,.75}, a/b integral) is exact in IEEE double in any engine
+    * — no low-bit drift between Spark's percentile and DuckDB's
+    * quantile_cont. Exact percentile sorts per group; at 100 TB swap in
+    * approx_percentile (t-digest) and drop the oracle, same shape. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("cents"), lit(0.25)).as("p25"),
+        percentile(col("cents"), lit(0.5)).as("p50"),
+        percentile(col("cents"), lit(0.75)).as("p75"))
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

@@ -41,7 +41,8 @@ object DashboardQueries {
     "set_only_in_crm" -> ((s, d) => Dashboard.keysOnlyInCrm(s, d)),
     "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
     "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)),
-    "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)))
+    "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
+    "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -223,5 +224,11 @@ object DashboardQueries {
         |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
         |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS n_view
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "a17_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75
+        |FROM events GROUP BY event_type""".stripMargin)
 }

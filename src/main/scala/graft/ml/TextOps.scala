@@ -114,13 +114,30 @@ object TextOps {
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     fingerprintsOf(Tables.documents(spark, dir))
 
+  /** Normalization pass for training corpora: strip punctuation to
+    * spaces, collapse whitespace runs, trim, lowercase — the standard
+    * pre-tokenization cleanup. Pure regex projection (codegen'd, no
+    * shuffle); emitted with before/after char counts. */
+  def normalizeOf(docs: DataFrame): DataFrame = {
+    val cleaned = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^\\p{L}\\d\\s]", " "), "\\s+", " ")))
+    docs.select(
+      col("doc_id"), col("n_chars"),
+      cleaned.as("norm_text"),
+      length(cleaned).as("n_chars_norm"))
+  }
+
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    normalizeOf(Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
-    "text_token_counts" -> ((s, d) => tokenCounts(s, d)))
+    "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "text_normalize" -> ((s, d) => normalize(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -187,5 +204,14 @@ object TextOps {
         |       list_reduce(list_prepend(0::BIGINT,
         |         list_transform(toks, x -> len(x)::BIGINT * 256 + ascii(x)::BIGINT)),
         |         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id, n_chars,
+        |       lower(trim(regexp_replace(
+        |         regexp_replace(text, '[^\p{L}\d\s]', ' ', 'g'),
+        |         '\s+', ' ', 'g'))) AS norm_text,
+        |       CAST(length(lower(trim(regexp_replace(
+        |         regexp_replace(text, '[^\p{L}\d\s]', ' ', 'g'),
+        |         '\s+', ' ', 'g')))) AS INT) AS n_chars_norm
+        |FROM documents""".stripMargin)
 }
