@@ -329,6 +329,17 @@ object Dashboard {
         percentile(col("cents"), lit(0.5)).as("p50"),
         percentile(col("cents"), lit(0.75)).as("p75"))
 
+  /** O6+ — deterministic stratified sampling: a fixed arithmetic-hash
+    * threshold on the key keeps the exact same 10% of rows in any
+    * engine, any run, any cluster size — no RNG, no seed coordination,
+    * embarrassingly parallel, and per-tenant rates are just different
+    * thresholds. This is how a training-data pipeline downsamples at
+    * 100 TB without a shuffle. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    withTenant(Tables.orders(spark, dir), "o_custkey")
+      .filter(Exprs.serialOf(col("o_orderkey")) < 10000)
+      .select("tenant_id", "o_orderkey", "o_orderstatus")
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

@@ -42,7 +42,11 @@ object DashboardQueries {
     "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
     "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)),
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
-    "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)))
+    "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
+    "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
+    // HLL-sketch distinct (the 100 TB path for a15): approximate, so
+    // rows-only checked; the 5% error bound vs exact is spec-pinned.
+    "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -230,5 +234,8 @@ object DashboardQueries {
         |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
         |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
         |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "o6_hash_sample" ->
+      """SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_orderstatus
+        |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin)
 }

@@ -130,6 +130,41 @@ object TextOps {
   def normalize(spark: SparkSession, dir: String): DataFrame =
     normalizeOf(Tables.documents(spark, dir))
 
+  // Anchored, unambiguous PII shapes — fixed-length phone and a standard
+  // email pattern keep Java-regex (backtracking, leftmost-greedy) and
+  // RE2 (leftmost-longest) in exact agreement for the oracle.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "07\\d{3} \\d{6}" // UK mobile: 07700 900123
+
+  /** PII scrub for training corpora: mask emails and phone numbers and
+    * count what was masked (the audit trail a compliance pipeline
+    * needs). Pure regex projection — narrow, codegen'd.
+    * Library surface: any DataFrame with (doc_id, text-like column). */
+  def piiMaskOf(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("masked_text"),
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).as("n_phones"))
+
+  /** The testdata corpus carries no digits at all, so the registered
+    * query masks a deterministic PII-bearing note synthesized from
+    * doc_id + a text prefix (the Synth pattern of the expr module) —
+    * exercising the masking for real instead of vacuously. */
+  def piiNote(docs: DataFrame): Column =
+    concat(
+      lit("Contact agent"), col("doc_id").cast("string"),
+      lit("@firm.co.uk or 07"),
+      lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"), lit(" "),
+      lpad((col("doc_id") * 48271 % 1000000).cast("string"), 6, "0"),
+      lit(" re: "), substring(col("text"), 1, 40))
+
+  def piiMask(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    piiMaskOf(docs, piiNote(docs))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -137,7 +172,8 @@ object TextOps {
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
-    "text_normalize" -> ((s, d) => normalize(s, d)))
+    "text_normalize" -> ((s, d) => normalize(s, d)),
+    "text_pii_mask" -> ((s, d) => piiMask(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -213,5 +249,21 @@ object TextOps {
         |       CAST(length(lower(trim(regexp_replace(
         |         regexp_replace(text, '[^\p{L}\d\s]', ' ', 'g'),
         |         '\s+', ' ', 'g')))) AS INT) AS n_chars_norm
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "text_pii_mask" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         'Contact agent' || doc_id::VARCHAR || '@firm.co.uk or 07' ||
+        |         lpad((doc_id * 7 % 1000)::VARCHAR, 3, '0') || ' ' ||
+        |         lpad((doc_id * 48271 % 1000000)::VARCHAR, 6, '0') ||
+        |         ' re: ' || substr(text, 1, 40) AS note
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(note,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '07\d{3} \d{6}', '<PHONE>', 'g') AS masked_text,
+        |       CAST(len(regexp_extract_all(note,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(note, '07\d{3} \d{6}')) AS INT) AS n_phones
+        |FROM n""".stripMargin)
 }

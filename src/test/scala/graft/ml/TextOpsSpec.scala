@@ -1,0 +1,51 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Library-surface semantics of the text operators on crafted inputs
+  * (the registered queries are oracle-checked; these pin the `*Of` API
+  * behavior directly). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii mask replaces every email and phone and counts them") {
+    val docs = Seq(
+      (1L, "mail a.b@x.co.uk and c%d@y-z.org, call 07700 900123 or 07123 456789"),
+      (2L, "no pii here at all"),
+      (3L, "edge: end with bob@site.io")
+    ).toDF("doc_id", "note")
+    val out = TextOps.piiMaskOf(docs, col("note"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("masked_text"), r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"))).toMap
+    assert(out(1L)._1 == "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 2)
+    assert(out(2L) == (("no pii here at all", 0, 0)))
+    assert(out(3L)._1 == "edge: end with <EMAIL>")
+  }
+
+  test("normalize strips punctuation, collapses whitespace, lowercases") {
+    val docs = Seq((1L, "  Hello,   WORLD!!  it's 42.  ", 30L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextOps.normalizeOf(docs).collect().head
+    assert(out.getAs[String]("norm_text") == "hello world it s 42")
+    assert(out.getAs[Int]("n_chars_norm") == 19)
+  }
+
+  test("text stats: counts, ratios and quality score in range") {
+    val docs = Seq((1L, "the cat sat on the mat", 22L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextOps.textStatsOf(docs).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_uniq") == 5) // "the" twice
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
+    val q = r.getAs[Double]("quality_score")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("registered pii query synthesizes exactly one email and phone per doc") {
+    val out = TextOps.piiMask(spark, sf)
+    assert(out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
+    assert(out.filter(col("masked_text").contains("@")).count() == 0)
+  }
+}
