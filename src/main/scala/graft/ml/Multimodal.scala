@@ -93,11 +93,47 @@ object Multimodal {
       length(col("content")).as("n_bytes"),
       (lit(64) + col("doc_id") % 7).cast("int").as("frame_rate"))
 
+  /** Resize planning: fit each media item into a 224x224 box preserving
+    * aspect ratio (the standard vision-model preprocessing step). The
+    * *dimensions* come from the stub decode (pure arithmetic of the byte
+    * length), so the whole resize plan is SQL-expressible and
+    * oracle-checked; a real codec changes only where width/height come
+    * from. Narrow projection — no shuffle. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("content"))
+    val w = (lit(64) + n % 512).cast("int")
+    // n/7 must be INTEGER division (Column `/` is double division): floor
+    // of the double quotient equals n//7 for positive n
+    val h = (lit(64) + floor(n.cast("double") / 7.0).cast("int") % 512).cast("int")
+    val scale = lit(224.0) / greatest(w, h).cast("double")
+    mediaTable(spark, dir).select(
+      col("doc_id"), col("mime"), w.as("width"), h.as("height"),
+      scale.as("scale"),
+      floor(w.cast("double") * scale).cast("int").as("out_w"),
+      floor(h.cast("double") * scale).cast("int").as("out_h"))
+  }
+
+  /** Frame sampling: for video rows, k evenly-spaced frame offsets over
+    * the (stub) duration — one output row per sampled frame via a
+    * generated index array + explode (the UDTF shape). At scale this is
+    * the fan-out stage feeding a frame decoder; it stays narrow. */
+  def frameSamples(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val dur = length(col("content")).cast("double") / 1000.0
+    mediaTable(spark, dir)
+      .filter(col("mime") === "video/mp4")
+      .select(col("doc_id"), dur.as("duration_s"),
+        explode(sequence(lit(0), lit(k - 1))).as("frame_idx"))
+      .select(col("doc_id"), col("duration_s"), col("frame_idx"),
+        (col("frame_idx").cast("double") * col("duration_s") / k).as("offset_s"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> ((s, d) => extractFeaturesFlat(s, d)),
-    "multimodal_meta" -> ((s, d) => mediaMeta(s, d)))
+    "multimodal_meta" -> ((s, d) => mediaMeta(s, d)),
+    "multimodal_resize" -> ((s, d) => resizePlan(s, d)),
+    "multimodal_frames" -> ((s, d) => frameSamples(s, d)))
 
   // multimodal_features has no oracle: the decode stage is deliberately
   // outside SQL (it models a codec UDF); covered by MlSpec golden
@@ -110,5 +146,35 @@ object Multimodal {
         |            ELSE 'video/mp4' END AS mime,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       CAST(64 + doc_id % 7 AS INT) AS frame_rate
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |              ELSE 'video/mp4' END AS mime,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, mime,
+        |         CAST(64 + n % 512 AS INT) AS width,
+        |         CAST(64 + (n // 7) % 512 AS INT) AS height
+        |  FROM m)
+        |SELECT doc_id, mime, width, height,
+        |       224.0::DOUBLE / CAST(greatest(width, height) AS DOUBLE) AS scale,
+        |       CAST(floor(CAST(width AS DOUBLE) *
+        |         (224.0::DOUBLE / CAST(greatest(width, height) AS DOUBLE))) AS INT) AS out_w,
+        |       CAST(floor(CAST(height AS DOUBLE) *
+        |         (224.0::DOUBLE / CAST(greatest(width, height) AS DOUBLE))) AS INT) AS out_h
+        |FROM d""".stripMargin,
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0::DOUBLE
+        |           AS duration_s
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT CAST(i AS INT) AS frame_idx FROM range(5) t(i))
+        |SELECT doc_id, duration_s, frame_idx,
+        |       CAST(frame_idx AS DOUBLE) * duration_s / 5 AS offset_s
+        |FROM v CROSS JOIN f""".stripMargin)
 }
