@@ -126,6 +126,22 @@ object IncrementalSync {
         col("n_events"))
   }
 
+  /** Streaming exact dedup for a document feed: key on the content hash
+    * (the reference's vector content_hash, database/models.py:81),
+    * dropDuplicatesWithinWatermark so dedup state is EVICTED once the
+    * event-time watermark passes — bounded state at unbounded input,
+    * which plain dropDuplicates cannot promise. Input needs (ts, text);
+    * late duplicates beyond `lateness` may re-emit (the documented
+    * trade-off of watermarked dedup). */
+  def dedupStream(docs: org.apache.spark.sql.DataFrame,
+                  lateness: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** ST4-flavored file-stream reader: bounds per-trigger intake the way
     * the reference rate-limits jobs/hour (worker.py:283-305). */
   def rateLimitedFileStream(spark: SparkSession, path: String,

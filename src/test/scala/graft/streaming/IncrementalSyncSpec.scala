@@ -112,6 +112,27 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate texts collapse, distinct ones pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = dedupStream(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (t("2024-01-01 10:00:00"), "same doc"),
+        (t("2024-01-01 10:01:00"), "same doc"),   // in-batch dup
+        (t("2024-01-01 10:02:00"), "other doc"))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:03:00"), "same doc")) // cross-batch dup
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").collect().map(_.getAs[String]("text"))
+      assert(texts.sorted.toSeq == Seq("other doc", "same doc"))
+    } finally q.stop()
+  }
+
   test("retry step: priority order, requeue at p3, dead-letter at max attempts") {
     val jobs = Seq(
       Job(1, 0, 10, priority = 3, attempts = 0),
