@@ -165,6 +165,44 @@ object TextOps {
     piiMaskOf(docs, piiNote(docs))
   }
 
+  /** (doc_id, token, tf) term frequencies — explode once, shared by the
+    * vocabulary and keyword queries. */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** Corpus vocabulary top-k: global term frequency + document
+    * frequency, deterministic tie-break on the token. The
+    * vocabulary-building pass of a tokenizer-training pipeline; two
+    * map-side-combined aggregates, top-k via TakeOrdered. */
+  def vocabTopKOf(docs: DataFrame, k: Int = 100): DataFrame =
+    termFreqs(docs)
+      .groupBy("token")
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("df"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    vocabTopKOf(Tables.documents(spark, dir))
+
+  /** Per-document distinctive keywords: rank terms by (tf desc, df asc,
+    * token asc) — the TF-IDF ordering done entirely in integers (df
+    * replaces the idf log monotonically), so the ranking is exact in any
+    * engine. Stopwords excluded; top 3 per document. */
+  def keywordsOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termFreqs(docs).filter(!col("token").isin(stopwords.map(lit): _*))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df")
+  }
+
+  def keywords(spark: SparkSession, dir: String): DataFrame =
+    keywordsOf(Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -173,7 +211,9 @@ object TextOps {
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
     "text_normalize" -> ((s, d) => normalize(s, d)),
-    "text_pii_mask" -> ((s, d) => piiMask(s, d)))
+    "text_pii_mask" -> ((s, d) => piiMask(s, d)),
+    "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
+    "text_keywords" -> ((s, d) => keywords(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -265,5 +305,30 @@ object TextOps {
         |       CAST(len(regexp_extract_all(note,
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(note, '07\d{3} \d{6}')) AS INT) AS n_phones
-        |FROM n""".stripMargin)
+        |FROM n""".stripMargin,
+    "text_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2)
+        |SELECT token, CAST(sum(tf) AS BIGINT) AS freq, count(*) AS df
+        |FROM tf GROUP BY token
+        |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    "text_keywords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t
+         |  WHERE token NOT IN ${inList(stopwords)} GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+         |  FROM tf JOIN df USING (token))
+         |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df
+         |FROM r WHERE rank <= 3""".stripMargin)
 }
