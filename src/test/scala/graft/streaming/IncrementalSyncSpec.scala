@@ -112,6 +112,31 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("e2e sync pipeline: change log appends, watermark table versions advance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    val input = MemoryStream[SnapshotUpdate]
+    val q = syncPipeline(input.toDS(), outDir)
+    try {
+      input.addData(SnapshotUpdate(0, 1, 5), SnapshotUpdate(0, 2, 3))
+      q.processAllAvailable()
+      input.addData(
+        SnapshotUpdate(0, 1, 5),  // stale -> no change, watermark keeps 5
+        SnapshotUpdate(0, 2, 9))  // advance
+      q.processAllAvailable()
+
+      val changes = spark.read.parquet(s"$outDir/changes")
+      assert(changes.count() == 3) // 2 first sights + 1 advance
+      val marks = IncrementalSync.latestWatermarks(spark, outDir).get
+        .collect().map(r => (r.getAs[Long]("tenant_id"), r.getAs[Long]("case_ref")) ->
+          r.getAs[Long]("last_serialno")).toMap
+      assert(marks((0L, 1L)) == 5L)
+      assert(marks((0L, 2L)) == 9L)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate texts collapse, distinct ones pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
