@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property tests: the distributed as-of join and sessionization agree
+  * with naive single-machine reference implementations on randomized
+  * inputs (fixed ScalaCheck seeds — no scalatest-plus bridge in the
+  * offline cache). */
+class TemporalPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(911L + i)))
+
+  /** (key, epochSecond, id) event rows over a deliberately tiny key/time
+    * domain so ties and same-ts collisions actually occur. */
+  private val rowGen: Gen[(Long, Long, Long)] = for {
+    key <- Gen.choose(1L, 5L)
+    sec <- Gen.choose(0L, 5000L)
+  } yield (key, sec, 0L)
+
+  private def mkRows(n: Int): Seq[(Long, Timestamp, Long)] =
+    samples(rowGen, n).zipWithIndex.map { case ((k, s, _), i) =>
+      (k, Timestamp.from(java.time.Instant.ofEpochSecond(s)), i.toLong)
+    }
+
+  test("as-of join matches the naive per-probe max-filter reference") {
+    val probe = mkRows(120)
+    val build = mkRows(150).map { case (k, ts, id) => (k, ts, id + 1000L) }
+    val got = Temporal.asofJoinOf(
+        probe.toDF("user_id", "ts", "event_id"),
+        build.toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_id")).map(_.toLong)).toMap
+    // reference: greatest build (ts, id) with ts <= probe ts, same key
+    val expected = probe.map { case (k, ts, id) =>
+      val cand = build.filter(b => b._1 == k && !b._2.after(ts))
+      id -> (if (cand.isEmpty) None
+             else Some(cand.maxBy(b => (b._2.getTime, b._3))._3))
+    }.toMap
+    assert(got.size == probe.size)
+    assert(got == expected)
+  }
+
+  test("sessionization matches the naive gap-scan reference") {
+    val gap = 600L
+    val events = mkRows(200)
+    val got = Temporal.sessionizeOf(
+        events.toDF("user_id", "ts", "event_id"), gapSeconds = gap)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").getTime,
+        r.getAs[Timestamp]("session_end").getTime, r.getAs[Long]("n_events")))
+      .toSet
+    // reference: per key, sort by (ts, id), split where gap exceeded
+    val expected = events.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Timestamp, Long)]]) {
+        case (acc, r) => acc match {
+          case cur :: rest
+            if (r._2.getTime - cur.head._2.getTime) / 1000 <= gap =>
+              (r :: cur) :: rest   // cur.head is the session's LAST event
+          case _ => List(r) :: acc
+        }
+      }
+      sessions.map { s =>
+        (k, s.last._2.getTime, s.head._2.getTime, s.length.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+}
