@@ -340,6 +340,28 @@ object Dashboard {
       .filter(Exprs.serialOf(col("o_orderkey")) < 10000)
       .select("tenant_id", "o_orderkey", "o_orderstatus")
 
+  /** O7 — deterministic train/val/test split (80/10/10): the assignment
+    * is a pure function of the key via the same arithmetic hash as
+    * [[hashSample]], so it is stable across engines, runs, and cluster
+    * sizes, and any row's split can be recomputed from its id alone — the
+    * property a reproducible training-data pipeline needs. No shuffle. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Exprs.serialOf(col("doc_id")) % 100
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Quality-decile binning over the text quality score (curriculum /
+    * filtering buckets): ntile(10) with a total orderBy tie-break. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id").asc)
+    graft.ml.TextOps.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("decile", ntile(10).over(w))
+  }
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,8 @@ object DashboardQueries {
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
+    "o7_dataset_split" -> ((s, d) => Dashboard.datasetSplit(s, d)),
+    "o8_quality_deciles" -> ((s, d) => Dashboard.qualityDeciles(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)))
@@ -237,5 +239,31 @@ object DashboardQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     "o6_hash_sample" ->
       """SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_orderstatus
-        |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin)
+        |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin,
+    "o7_dataset_split" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 48271) % 100000 % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "o8_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |         least(greatest(
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+        |           + (CAST(n_uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5::DOUBLE,
+        |           0.0::DOUBLE), 1.0::DOUBLE) AS quality_score
+        |  FROM s)
+        |SELECT doc_id, quality_score,
+        |       CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC) AS INT)
+        |         AS decile
+        |FROM q""".stripMargin)
 }
