@@ -354,7 +354,13 @@ object Dashboard {
   }
 
   /** Quality-decile binning over the text quality score (curriculum /
-    * filtering buckets): ntile(10) with a total orderBy tie-break. */
+    * filtering buckets): ntile(10) with a total orderBy tie-break.
+    *
+    * Scale note: an unpartitioned window is a single-partition sort —
+    * exact and fine at oracle scale, WRONG at 100 TB. There the same
+    * query becomes approx_percentile(quality_score, [0.1..0.9]) for the
+    * bin edges (one reduce), broadcast + a when-chain to bin — identical
+    * output shape, no global sort; edges drift only by the sketch error. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("quality_score").desc, col("doc_id").asc)
     graft.ml.TextOps.textStats(spark, dir)
