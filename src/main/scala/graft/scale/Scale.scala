@@ -59,4 +59,18 @@ object Scale {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Small-files compaction: rewrite a table into ~`targetFiles` files,
+    * range-clustered and sorted within each file on `sortCols`. The
+    * incremental sync appends per-batch files forever (streaming.
+    * IncrementalSync.syncPipeline's change log); without periodic
+    * compaction a year of micro-batches is millions of tiny files and
+    * scan planning dominates query time. Range partitioning (not
+    * round-robin) keeps each output file a contiguous key range, so
+    * parquet min/max row-group stats actually prune. */
+  def compact(df: DataFrame, path: String, targetFiles: Int,
+              sortCols: Seq[String]): Unit =
+    df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }

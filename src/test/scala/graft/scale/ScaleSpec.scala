@@ -68,4 +68,32 @@ class ScaleSpec extends SparkSpec {
         r.getAs[Long]("last_serialno"))).toSet
     assert(back == Set((0L, 1L), (1L, 99L), (2L, 3L)))
   }
+
+  test("compaction: target file count, contiguous ranges, sorted within files") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 40 tiny "micro-batch" appends -> 40+ files
+    val df = (1 to 2000).map(i => ((i * 7919) % 2000L, i.toLong)).toDF("key", "v")
+    df.repartition(40).write.parquet(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 40)
+    val compacted = out + "_compacted"
+    Scale.compact(spark.read.parquet(out), compacted, targetFiles = 4, sortCols = Seq("key"))
+    val after = new java.io.File(compacted).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(after.length <= 5, s"expected ~4 files, got ${after.length}")
+    // contiguous, non-overlapping key ranges across files (range clustering)
+    val ranges = after.map { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath).select("key")
+        .collect().map(_.getLong(0))
+      // sorted within the file
+      assert(keys.sameElements(keys.sorted), s"file ${f.getName} not sorted")
+      (keys.min, keys.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges: $hi > $lo2")
+      case _ =>
+    }
+    // nothing lost
+    assert(spark.read.parquet(compacted).count() == 2000)
+  }
 }
