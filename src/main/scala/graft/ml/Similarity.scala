@@ -200,6 +200,46 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Embedding quality audit: per-label centroid outliers, exact integers
+  // -------------------------------------------------------------------
+
+  /** Top-3 outliers per label by distance to the label centroid — the
+    * mislabeled-example audit of an embedding pipeline.
+    *
+    * Exactness trick: with quantized integer vectors x and the label's
+    * element-wise sum S over n members, the (scaled) squared distance to
+    * the centroid  Σ_i (x_i·n − S_i)²  expands to
+    * n²·⟨x,x⟩ − 2n·⟨x,S⟩ + ⟨S,S⟩ — three integer dot products, no
+    * floating point anywhere, so the ranking is bit-identical in any
+    * engine. The element-wise sum is a posexplode aggregate (64·|corpus|
+    * rows, map-side combined); everything after joins against the tiny
+    * per-label centroid table. */
+  def labelOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), Dedup.quantized(col("embedding")).as("q"))
+      .repartition(32)
+      .persist()
+    val svecs = v
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sum(col("x")).as("s"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(col("label"), transform(col("ds"), e => e.getField("s")).as("svec"))
+    val cents = v.groupBy("label").agg(count(lit(1)).as("n"))
+      .join(svecs, "label")
+    val scored = v.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        (col("n") * col("n") * ArrayOps.dot_long(col("q"), col("q"))
+          - lit(2L) * col("n") * ArrayOps.dot_long(col("q"), col("svec"))
+          + ArrayOps.dot_long(col("svec"), col("svec"))).as("score"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("label", "rank", "vec_id", "score")
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -208,7 +248,8 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
-    "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)))
+    "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -229,5 +270,38 @@ object Similarity {
         |                            ORDER BY dot DESC, vec_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 10""".stripMargin)
+        |FROM r WHERE rank <= 10""".stripMargin,
+    // Exact while every intermediate stays under 2^53 (list_dot_product
+    // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
+    // the Spark side is raw long arithmetic and exact at any scale.
+    "emb_label_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(
+        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT label, i, sum(qv[i]) AS sd
+        |  FROM q CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY label, i),
+        |sv AS (
+        |  SELECT label, list(CAST(sd AS BIGINT) ORDER BY i) AS svec
+        |  FROM s GROUP BY label),
+        |c AS (
+        |  SELECT q.label, count(*) AS n FROM q GROUP BY 1),
+        |scored AS (
+        |  SELECT q.label, q.vec_id,
+        |         c.n * c.n * CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+        |           - 2 * c.n * CAST(list_dot_product(q.qv, sv.svec) AS BIGINT)
+        |           + CAST(list_dot_product(sv.svec, sv.svec) AS BIGINT) AS score
+        |  FROM q JOIN c ON q.label = c.label JOIN sv ON q.label = sv.label),
+        |r AS (
+        |  SELECT label, vec_id, score,
+        |         row_number() OVER (PARTITION BY label
+        |                            ORDER BY score DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT label, CAST(rank AS INT) AS rank, vec_id, score
+        |FROM r WHERE rank <= 3""".stripMargin)
 }
