@@ -227,6 +227,55 @@ object Dedup {
     winnowPairsOf(Tables.documents(spark, dir))
 
   // -------------------------------------------------------------------
+  // Near-dup clusters: connected components over the pair graph
+  // -------------------------------------------------------------------
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation (the DataFrame form of large-star/small-star): each doc
+    * starts as its own cluster, every round adopts the minimum label in
+    * its neighborhood, until a fixpoint (near-dup clusters have tiny
+    * diameters, so this converges in a handful of rounds; `maxIters`
+    * bounds pathological chains). This is the step that turns pairwise
+    * similarity into dedup groups with a canonical survivor — cluster_id
+    * IS the minimum (surviving) doc_id. Only documents that appear in
+    * some pair are emitted; singletons are their own trivial cluster. */
+  def clustersOf(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left_outer")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Registered form: clusters of the n-gram Jaccard pairs. */
+  def ngramClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(ngramJaccardPairs(spark, dir))
+
+  // -------------------------------------------------------------------
   // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
   // -------------------------------------------------------------------
 
@@ -283,7 +332,8 @@ object Dedup {
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
-    "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)))
+    "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
+    "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)))
 
   private val shingleCte: String =
     """WITH t AS (
@@ -317,6 +367,27 @@ object Dedup {
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE""".stripMargin,
+    "dedup_ngram_clusters" ->
+      s"""${shingleCte.replace("WITH t", "WITH RECURSIVE t")},
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |p0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |np AS (
+         |  SELECT doc_a, doc_b FROM p0
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE),
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM np
+         |  UNION ALL SELECT doc_b, doc_a FROM np),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH q AS (
         |  SELECT vec_id,

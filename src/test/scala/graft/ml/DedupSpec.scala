@@ -82,6 +82,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"winnow recall vs ngram: $recall")
   }
 
+  test("clusters: transitive closure of pairs, min doc_id is the cluster id") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 7-8: {1,2,3} and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersOf(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    // crafted corpus: exact+near dups {0,1,2} cluster; 3 and 4 have no pairs
+    val crafted = Dedup.clustersOf(
+      Dedup.ngramJaccardPairs(spark, craftedDir, threshold = 0.5)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(crafted == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingPairs(spark, sf).collect()
     pairs.foreach { r =>
