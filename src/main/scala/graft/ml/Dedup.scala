@@ -239,7 +239,9 @@ object Dedup {
     * similarity into dedup groups with a canonical survivor — cluster_id
     * IS the minimum (surviving) doc_id. Only documents that appear in
     * some pair are emitted; singletons are their own trivial cluster. */
-  def clustersOf(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clustersOf(pairsIn: DataFrame, maxIters: Int = 20): DataFrame = {
+    // both union branches read the pair pipeline — materialize it once
+    val pairs = pairsIn.persist()
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -253,21 +255,25 @@ object Dedup {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // change detection rides along in the same pass — one action per
+      // iteration, not a propagate job plus a compare-with-old join
       val next = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left_outer")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.cluster_id"),
-            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("l.cluster_id")) < col("l.cluster_id"))
+            .as("_changed"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val changed = next
+        .agg(sum(when(col("_changed"), 1L).otherwise(0L))).head.getLong(0)
       labels.unpersist()
-      labels = next
+      labels = next.drop("_changed")
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     labels
   }
 
