@@ -25,9 +25,16 @@ object Bench {
     // best-of-two per query: the first pass absorbs per-query codegen and
     // any transient host contention; reporting the min is the standard
     // warm-run convention and stabilizes run-to-run variance
+    val failed = scala.collection.mutable.Set.empty[String]
     def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a failed query must not masquerade as a fast one: record it
+          // and surface the count in the metric line
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates as optimization barriers; drop
       // them so later queries aren't squeezed by leaked cache memory
@@ -45,7 +52,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","errs":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -162,8 +162,12 @@ object Dedup {
   def simhashOf(docs: DataFrame): DataFrame =
     docs
       .repartition(32) // single-row-group input: spread the sig kernel
-      .select(col("doc_id"),
-        ArrayOps.simhash_sig(TextOps.tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // token-less docs carry no signal — dropping them matches the old
+      // explode+aggregate form and keeps m empty docs from flooding the
+      // chunk join with m^2/2 spurious hamming-0 pairs on signature 0
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), ArrayOps.simhash_sig(col("toks")).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
@@ -232,13 +236,14 @@ object Dedup {
 
   /** Connected components over near-dup pairs by iterative min-label
     * propagation (the DataFrame form of large-star/small-star): each doc
-    * starts as its own cluster, every round adopts the minimum label in
-    * its neighborhood, until a fixpoint (near-dup clusters have tiny
-    * diameters, so this converges in a handful of rounds; `maxIters`
-    * bounds pathological chains). This is the step that turns pairwise
-    * similarity into dedup groups with a canonical survivor — cluster_id
-    * IS the minimum (surviving) doc_id. Only documents that appear in
-    * some pair are emitted; singletons are their own trivial cluster. */
+    * starts as its own cluster, every round adopts the minimum of its
+    * neighborhood labels AND its label's label (pointer jumping — path
+    * lengths halve each round, so convergence is O(log diameter), and
+    * maxIters=20 covers components with diameters up to ~2^19, not 20
+    * hops). This is the step that turns pairwise similarity into dedup
+    * groups with a canonical survivor — cluster_id IS the minimum
+    * (surviving) doc_id. Only documents that appear in some pair are
+    * emitted; singletons are their own trivial cluster. */
   def clustersOf(pairsIn: DataFrame, maxIters: Int = 20): DataFrame = {
     // both union branches read the pair pipeline — materialize it once
     val pairs = pairsIn.persist()
@@ -246,28 +251,41 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // localCheckpoint (not persist) each round: the label table is
+    // referenced three times per iteration (neighbor-min, both sides of
+    // the pointer-jump self-join), so without lineage TRUNCATION the
+    // logical plan grows 3^iterations and plan handling itself OOMs.
+    // On a cluster with unreliable executors use reliable checkpoint
+    // (sc.setCheckpointDir + .checkpoint()) — same shape, durable.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // pointer jump: my label's current label (labels are member doc
+      // ids, so the lookup is a self-join on the same label table)
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.cluster_id") === col("b.doc_id"))
+        .select(col("a.doc_id").as("jdoc"), col("b.cluster_id").as("jump_min"))
       // change detection rides along in the same pass — one action per
       // iteration, not a propagate job plus a compare-with-old join
       val next = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left_outer")
+        .join(jump, col("l.doc_id") === col("jdoc"), "left_outer")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.cluster_id"),
-            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"),
-          (coalesce(col("nbr_min"), col("l.cluster_id")) < col("l.cluster_id"))
+            least(coalesce(col("nbr_min"), col("l.cluster_id")),
+              coalesce(col("jump_min"), col("l.cluster_id")))).as("cluster_id"),
+          (least(coalesce(col("nbr_min"), col("l.cluster_id")),
+            coalesce(col("jump_min"), col("l.cluster_id"))) < col("l.cluster_id"))
             .as("_changed"))
-        .persist()
+        .localCheckpoint() // eager: materializes and cuts lineage
       val changed = next
         .agg(sum(when(col("_changed"), 1L).otherwise(0L))).head.getLong(0)
-      labels.unpersist()
       labels = next.drop("_changed")
       converged = changed == 0
       iter += 1

@@ -36,8 +36,10 @@ object Temporal {
     * — versus a naive theta-join's quadratic blowup. At 100 TB both
     * inputs arrive bucketed by key and the window sort is per-bucket.
     *
-    * Library surface: probe/build need (key, ts, id); extra probe columns
-    * pass through. */
+    * Library surface: probe/build need (key, ts, id); the output is the
+    * probe's (key, id, ts) plus asof_id/asof_ts — payload columns from
+    * either side are recovered by an equi join on the id (cheap; the id
+    * is unique), which keeps the window state to three columns. */
   def asofJoinOf(probe: DataFrame, build: DataFrame,
                  key: String, ts: String, id: String): DataFrame = {
     val tsType = probe.schema(ts).dataType

@@ -69,8 +69,23 @@ object Scale {
     * round-robin) keeps each output file a contiguous key range, so
     * parquet min/max row-group stats actually prune. */
   def compact(df: DataFrame, path: String, targetFiles: Int,
-              sortCols: Seq[String]): Unit =
+              sortCols: Seq[String]): Unit = {
+    // write-to-temp + swap: the usual call compacts a path in place
+    // (df reads from `path`), and Spark refuses to overwrite a path
+    // that is also an input — so the rewrite lands beside the table and
+    // replaces it only after the write fully commits
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
     df.repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dest)) fs.rename(dest, old)
+    fs.rename(tmp, dest)
+    fs.delete(old, true)
+    ()
+  }
 }

@@ -165,7 +165,11 @@ object IncrementalSync {
         val newMarks = changes.toDF()
           .select(col("tenant_id"), col("case_ref"),
             col("serialno").as("last_serialno"))
-        val merged = latestWatermarks(spark, outDir) match {
+        // merge against the latest version BELOW this batch id: a retried
+        // batch must never read the (possibly partial) output of its own
+        // failed attempt — re-running the merge from v<batchId is
+        // idempotent, and overwrite-while-reading-same-path can't occur
+        val merged = latestWatermarks(spark, outDir, below = Some(batchId)) match {
           case Some(prev) => prev.unionByName(newMarks)
               .groupBy("tenant_id", "case_ref")
               .agg(max(col("last_serialno")).as("last_serialno"))
@@ -180,13 +184,23 @@ object IncrementalSync {
       .start()
   }
 
-  /** Highest committed watermark version under outDir, if any. */
-  def latestWatermarks(spark: SparkSession, outDir: String)
+  /** Highest COMMITTED watermark version (has a _SUCCESS marker, so a
+    * torn write is never picked up), optionally only versions strictly
+    * below `below`. Listed through the Hadoop FileSystem API so outDir
+    * may live on any supported filesystem (HDFS/S3A/local), not just
+    * java.io-visible paths. */
+  def latestWatermarks(spark: SparkSession, outDir: String,
+                       below: Option[Long] = None)
       : Option[org.apache.spark.sql.DataFrame] = {
-    val dir = new java.io.File(s"$outDir/watermarks")
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+    val base = new org.apache.hadoop.fs.Path(s"$outDir/watermarks")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(base)) Array.empty[Long]
+      else fs.listStatus(base)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+        .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/watermarks/v$v/_SUCCESS")))
+        .filter(v => below.forall(v < _))
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$outDir/watermarks/v${versions.max}"))
   }

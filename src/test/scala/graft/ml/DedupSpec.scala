@@ -95,6 +95,13 @@ class DedupSpec extends SparkSpec {
       Dedup.ngramJaccardPairs(spark, craftedDir, threshold = 0.5)).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(crafted == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+
+    // a 60-hop chain exceeds any plausible hop-per-round budget — pointer
+    // jumping must still converge it (within the default maxIters)
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chained = Dedup.clustersOf(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(chained.length == 61 && chained.forall(_._2 == 0L))
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

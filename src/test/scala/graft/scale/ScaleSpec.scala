@@ -95,5 +95,12 @@ class ScaleSpec extends SparkSpec {
     }
     // nothing lost
     assert(spark.read.parquet(compacted).count() == 2000)
+
+    // IN-PLACE compaction (the real use: squash the append-only dir the
+    // sync pipeline grows) — reading and replacing the same path
+    Scale.compact(spark.read.parquet(out), out, targetFiles = 2, sortCols = Seq("key"))
+    val inPlace = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(inPlace <= 3, s"in-place compaction left $inPlace files")
+    assert(spark.read.parquet(out).count() == 2000)
   }
 }
