@@ -202,18 +202,30 @@ object CanonicalConfig {
     FieldSpec("client_name", "party_extraction", "client", "string"),
     FieldSpec("handler", "party_extraction", "segment", "string"),
     FieldSpec("status", "direct", "status", "string"),
-    FieldSpec("opened_date", "direct_date", "opened", "date"),
+    FieldSpec("opened_date", "direct", "opened", "date"),
     FieldSpec("total_paid", "costs_extraction", "note", "currency"),
     FieldSpec("settlement_mentioned", "timeline_search", "settlement", "bool"))
 
-  def compile(f: FieldSpec): Column = f.method match {
+  /** method -> HOW the raw value is located; dataType -> the typed
+    * conversion applied to it (the two axes the reference's config
+    * declares independently, canonical_fields_corrected.json:7-9). */
+  def compile(f: FieldSpec): Column = convert(extract(f), f.dataType)
+
+  private def extract(f: FieldSpec): Column = f.method match {
     case "party_extraction" =>
       element_at(filter(col("parties"),
         p => lower(p.getField("ptype")) === f.param), 1).getField("name")
     case "direct" => col(f.param)
-    case "direct_date" => date_format(col(f.param), "yyyy-MM-dd")
-    case "costs_extraction" => Exprs.extractMoney(col(f.param)).cast("double")
+    case "costs_extraction" => Exprs.extractMoney(col(f.param))
     case "timeline_search" => Exprs.containsAny(col("note"), Seq(f.param))
     case other => throw new IllegalArgumentException(s"unknown method: $other")
+  }
+
+  private def convert(c: Column, dataType: String): Column = dataType match {
+    case "string" => c.cast("string")
+    case "date" => date_format(c, "yyyy-MM-dd")
+    case "currency" => c.cast("double")
+    case "bool" => c.cast("boolean")
+    case other => throw new IllegalArgumentException(s"unknown dataType: $other")
   }
 }

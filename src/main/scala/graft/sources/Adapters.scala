@@ -36,12 +36,18 @@ object Adapters {
 
   /** S2 — YAML case-number list scan (crm/discovery.py:347-372): the
     * reference reads `case_numbers: [- REF, ...]` and fabricates active
-    * rows. Parsed distributed via text + regex (the list-item subset of
-    * YAML the reference actually uses), not a driver-side YAML library. */
+    * rows. Read wholetext (one row per file — config files are tiny,
+    * and per-LINE scanning can't tell which block a list item belongs
+    * to, so a `---` document separator or an unrelated list like
+    * `tags:` would fabricate cases), extract the case_numbers block,
+    * then explode its items. Still distributed per file. */
   def yamlCaseList(spark: SparkSession, path: String, tenantId: String): DataFrame =
-    spark.read.text(path)
+    spark.read.option("wholetext", "true").text(path)
       .select(regexp_extract(col("value"),
-        "^\\s*-\\s*['\"]?([^'\"#]+?)['\"]?\\s*(?:#.*)?$", 1)
+        "(?m)^case_numbers:\\s*\\n((?:[ \\t]+-[^\\n]*\\n?)*)", 1).as("block"))
+      .select(explode(split(col("block"), "\n")).as("line"))
+      .select(regexp_extract(col("line"),
+        "^\\s*-\\s*['\"]?([^'\"#\\-][^'\"#]*?)['\"]?\\s*(?:#.*)?$", 1)
         .as("case_ref"))
       .filter(col("case_ref") =!= "")
       .select(
@@ -102,7 +108,7 @@ object Adapters {
         col("priority"), col("job_type"))).as("payload"))
 
   /** S11-ish — payload parse-back (worker.py:124). */
-  def parsePayloads(spark: SparkSession, payloads: DataFrame): DataFrame =
+  def parsePayloads(payloads: DataFrame): DataFrame =
     payloads.select(
       from_json(col("payload"),
         org.apache.spark.sql.types.StructType.fromDDL(

@@ -137,7 +137,7 @@ object IncrementalSync {
                   lateness: String = "1 hour"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     docs
-      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("content_hash", graft.expr.Exprs.contentHash(col("text")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
   }
@@ -160,28 +160,62 @@ object IncrementalSync {
       .option("checkpointLocation", s"$outDir/checkpoint")
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
         val spark = batch.sparkSession
-        val changes = batch.persist()
-        changes.write.mode("append").parquet(s"$outDir/changes")
-        val newMarks = changes.toDF()
-          .select(col("tenant_id"), col("case_ref"),
-            col("serialno").as("last_serialno"))
-        // merge against the latest version BELOW this batch id: a retried
-        // batch must never read the (possibly partial) output of its own
-        // failed attempt — re-running the merge from v<batchId is
-        // idempotent, and overwrite-while-reading-same-path can't occur
-        val merged = latestWatermarks(spark, outDir, below = Some(batchId)) match {
-          case Some(prev) => prev.unionByName(newMarks)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val vPath = s"$outDir/watermarks/v$batchId"
+        // a fully-committed vN means attempt 1 of this batch finished the
+        // durable side before the checkpoint commit; the replay is a no-op
+        // (rewriting would also yank files from under an external reader
+        // who already picked vN as latest)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$vPath/_SUCCESS"))) {
+          val changes = batch.persist()
+          // change log: per-batch OVERWRITE path, so a replayed batch
+          // replaces rather than double-appends its own events; readers
+          // scan $outDir/changes as one batch-partitioned table
+          changes.write.mode("overwrite")
+            .parquet(s"$outDir/changes/batch=$batchId")
+          val newMarks = changes.toDF()
+            .select(col("tenant_id"), col("case_ref"),
+              col("serialno").as("last_serialno"))
+          // merge against the latest version BELOW this batch id: a
+          // retried batch must never read the (possibly partial) output
+          // of its own failed attempt — re-running the merge from
+          // v<batchId is idempotent
+          val merged = latestWatermarks(spark, outDir, below = Some(batchId)) match {
+            case Some(prev) => prev.unionByName(newMarks)
+                .groupBy("tenant_id", "case_ref")
+                .agg(max(col("last_serialno")).as("last_serialno"))
+            case None => newMarks
               .groupBy("tenant_id", "case_ref")
               .agg(max(col("last_serialno")).as("last_serialno"))
-          case None => newMarks
-            .groupBy("tenant_id", "case_ref")
-            .agg(max(col("last_serialno")).as("last_serialno"))
+          }
+          merged.write.mode("overwrite").parquet(vPath)
+          changes.unpersist()
+          pruneWatermarks(spark, outDir, keep = 3, below = batchId)
         }
-        merged.write.mode("overwrite").parquet(s"$outDir/watermarks/v$batchId")
-        changes.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Drop committed watermark snapshots older than the newest `keep`
+    * below `below` — without retention every micro-batch adds a full
+    * snapshot forever and version listing itself becomes the per-batch
+    * bottleneck. */
+  def pruneWatermarks(spark: SparkSession, outDir: String,
+                      keep: Int, below: Long): Unit = {
+    val base = new org.apache.hadoop.fs.Path(s"$outDir/watermarks")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) {
+      val versions = fs.listStatus(base)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+        .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+        .filter(_ < below)
+        .sorted(Ordering[Long].reverse)
+      versions.drop(keep).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/watermarks/v$v"), true)
+      }
+    }
   }
 
   /** Highest COMMITTED watermark version (has a _SUCCESS marker, so a
@@ -194,15 +228,19 @@ object IncrementalSync {
       : Option[org.apache.spark.sql.DataFrame] = {
     val base = new org.apache.hadoop.fs.Path(s"$outDir/watermarks")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions =
+    val candidates =
       if (!fs.exists(base)) Array.empty[Long]
       else fs.listStatus(base)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
         .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
-        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/watermarks/v$v/_SUCCESS")))
         .filter(v => below.forall(v < _))
-    if (versions.isEmpty) None
-    else Some(spark.read.parquet(s"$outDir/watermarks/v${versions.max}"))
+        .sorted(Ordering[Long].reverse)
+    // probe _SUCCESS descending and stop at the first commit — one or two
+    // exists() calls instead of one per historical version (each is a
+    // HEAD request on an object store)
+    candidates
+      .find(v => fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/watermarks/v$v/_SUCCESS")))
+      .map(v => spark.read.parquet(s"$outDir/watermarks/v$v"))
   }
 
   /** ST4-flavored file-stream reader: bounds per-trigger intake the way

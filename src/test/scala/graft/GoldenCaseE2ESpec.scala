@@ -69,7 +69,7 @@ class GoldenCaseE2ESpec extends SparkSpec {
           .otherwise("incremental").as("job_type"))
     val payloads = Adapters.jobPayloads(jobs)
     assert(payloads.count() == 2)
-    val parsed = Adapters.parsePayloads(spark, payloads)
+    val parsed = Adapters.parsePayloads(payloads)
     assert(parsed.filter(col("priority") === 1).count() == 1)
 
     // 5. Worker drain (ST3): golden case fails once (transient), then ok

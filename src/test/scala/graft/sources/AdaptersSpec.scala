@@ -50,6 +50,23 @@ class AdaptersSpec extends SparkSpec {
     assert(refs == Seq("NBC200993.001", "NBC200994.001", "NBC200995.001"))
     assert(df.filter(!col("is_active")).count() == 0)
 
+    // adversarial file: document separator, unrelated lists, and keys
+    // after the block must NOT fabricate cases
+    val dir2 = Files.createTempDirectory("graft-yaml2")
+    Files.writeString(dir2.resolve("cases.yaml"),
+      """---
+        |tags:
+        |  - internal
+        |case_numbers:
+        |  - NBC200996.001
+        |owner: ops
+        |excluded:
+        |  - NOPE.001
+        |""".stripMargin)
+    val refs2 = Adapters.yamlCaseList(spark, dir2.toString, "fdm")
+      .collect().map(_.getAs[String]("case_ref")).toSeq
+    assert(refs2 == Seq("NBC200996.001"), s"got $refs2")
+
     val out = Files.createTempDirectory("graft-report").toString + "/report"
     Adapters.exportReportJson(df, out)
     assert(spark.read.json(out).count() == 3)
@@ -99,7 +116,7 @@ class AdaptersSpec extends SparkSpec {
     // queue payload round-trip
     val payloads = Adapters.jobPayloads(jobs)
     assert(payloads.columns.toSeq == Seq("priority", "payload"))
-    val parsed = Adapters.parsePayloads(spark, payloads)
+    val parsed = Adapters.parsePayloads(payloads)
       .orderBy("case_ref").collect()
     assert(parsed.map(_.getAs[Long]("case_ref")).toSeq == Seq(101L, 102L))
     assert(parsed.head.getAs[String]("job_type") == "full_rebuild")
