@@ -25,25 +25,34 @@ object Bench {
     // best-of-two per query: the first pass absorbs per-query codegen and
     // any transient host contention; reporting the min is the standard
     // warm-run convention and stabilizes run-to-run variance
-    val failed = scala.collection.mutable.Set.empty[String]
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // a failed attempt yields None — its time-to-throw must never enter
+    // the per-query result or the headline total
+    def timeAll(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          // a failed query must not masquerade as a fast one: record it
-          // and surface the count in the metric line
-          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates as optimization barriers; drop
       // them so later queries aren't squeezed by leaked cache memory
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) Some(dt) else None)
     }
     val pass1 = timeAll()
     val pass2 = timeAll()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // best successful attempt per query; queries that failed both passes
+    // are excluded from the timing map and counted in "errs"
+    val results = pass1.flatMap { case (k, v1) =>
+      (v1, pass2(k)) match {
+        case (Some(a), Some(b)) => Some(k -> math.min(a, b))
+        case (Some(a), None) => Some(k -> a)
+        case (None, Some(b)) => Some(k -> b)
+        case (None, None) => None
+      }
+    }
+    val failed = pass1.keySet.filter(k => pass1(k).isEmpty && pass2(k).isEmpty)
     // The driver keeps only the tail of stdout and looks for the JSON line
     // there — round timings to 3 decimals so the whole line stays well
     // inside that window (round 1's full-precision line overflowed it and

@@ -312,12 +312,16 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUTF8String(arr.getUTF8String(i), 42L)
-      var b = 0
-      while (b < 64) {
-        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
-        b += 1
+      // null elements carry no vote (public Column API — the input array
+      // type may declare containsNull)
+      if (!arr.isNullAt(i)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -339,6 +343,7 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
          |    .hashUTF8String($a.getUTF8String($i), 42L);
          |  for (int $b = 0; $b < 64; $b++) {

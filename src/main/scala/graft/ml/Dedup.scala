@@ -284,8 +284,11 @@ object Dedup {
             coalesce(col("jump_min"), col("l.cluster_id"))) < col("l.cluster_id"))
             .as("_changed"))
         .localCheckpoint() // eager: materializes and cuts lineage
+      // coalesce: sum over ZERO rows (no pairs at all) is null, and a
+      // legal empty input must return an empty cluster table, not NPE
       val changed = next
-        .agg(sum(when(col("_changed"), 1L).otherwise(0L))).head.getLong(0)
+        .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
       labels = next.drop("_changed")
       converged = changed == 0
       iter += 1

@@ -121,8 +121,10 @@ object TextOps {
   def normalizeOf(docs: DataFrame): DataFrame = {
     val cleaned = lower(trim(regexp_replace(
       regexp_replace(col("text"), "[^\\p{L}\\d\\s]", " "), "\\s+", " ")))
+    // n_chars derived, not required: the *Of library surface contract is
+    // (doc_id, text) like the sibling functions
     docs.select(
-      col("doc_id"), col("n_chars"),
+      col("doc_id"), length(col("text")).as("n_chars"),
       cleaned.as("norm_text"),
       length(cleaned).as("n_chars_norm"))
   }

@@ -83,8 +83,17 @@ object Scale {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dest)) fs.rename(dest, old)
-    fs.rename(tmp, dest)
+    // FileSystem.rename reports most failures by RETURNING FALSE, not
+    // throwing — every step must be checked or a failed swap would fall
+    // through to the delete below and destroy the only live copy
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(s"compact: could not move $dest aside")
+    if (!fs.rename(tmp, dest)) {
+      // restore the original before failing (e.g. a concurrent writer
+      // recreated dest between the two renames)
+      if (fs.exists(old) && !fs.exists(dest)) fs.rename(old, dest)
+      throw new java.io.IOException(s"compact: could not publish $tmp to $dest")
+    }
     fs.delete(old, true)
     ()
   }

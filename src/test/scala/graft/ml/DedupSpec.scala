@@ -2,6 +2,7 @@ package graft.ml
 
 import java.nio.file.Files
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Verifies the hash-based dedup paths (MinHash/SimHash — not
@@ -102,6 +103,18 @@ class DedupSpec extends SparkSpec {
     val chained = Dedup.clustersOf(chain).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
     assert(chained.length == 61 && chained.forall(_._2 == 0L))
+
+    // a corpus with no duplicates at all is a legal input, not a crash
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clustersOf(none).count() == 0)
+
+    // null tokens in the public simhash kernel carry no vote, no NPE
+    val sig = spark.range(1).select(
+      graft.functions.ArrayOps.simhash_sig(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("s"),
+      graft.functions.ArrayOps.simhash_sig(array(lit("a"), lit("b"))).as("t"))
+      .head()
+    assert(sig.getLong(0) == sig.getLong(1))
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
