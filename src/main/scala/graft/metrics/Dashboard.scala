@@ -368,6 +368,23 @@ object Dashboard {
       .withColumn("decile", ntile(10).over(w))
   }
 
+  /** A18 — one-pass table profile (the data-quality snapshot an
+    * onboarding/ingest pipeline runs first): row count, per-column null
+    * counts, key ranges, exact distinct cardinalities. Single aggregate
+    * — one scan, map-side partials; at 100 TB swap the exact distincts
+    * for approx_count_distinct. */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_keys"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      min(col("o_orderdate")).as("min_date"),
+      max(col("o_orderdate")).as("max_date"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      countDistinct(col("o_custkey")).as("n_customers"))
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

@@ -45,6 +45,7 @@ object DashboardQueries {
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
     "o7_dataset_split" -> ((s, d) => Dashboard.datasetSplit(s, d)),
+    "a18_profile_orders" -> ((s, d) => Dashboard.profileOrders(s, d)),
     "o8_quality_deciles" -> ((s, d) => Dashboard.qualityDeciles(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
@@ -240,6 +241,15 @@ object DashboardQueries {
     "o6_hash_sample" ->
       """SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_orderstatus
         |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin,
+    "a18_profile_orders" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_keys,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS null_status,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |       count(DISTINCT o_orderstatus) AS n_statuses,
+        |       count(DISTINCT o_custkey) AS n_customers
+        |FROM orders""".stripMargin,
     "o7_dataset_split" ->
       """SELECT doc_id, lang,
         |       CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'

@@ -205,6 +205,23 @@ object TextOps {
   def keywords(spark: SparkSession, dir: String): DataFrame =
     keywordsOf(Tables.documents(spark, dir))
 
+  /** Power-of-two document-length histogram (the standard corpus
+    * profiling view). The bucket is the integer log2 of n_chars computed
+    * from the BINARY-STRING length — float log2 is a trap at exact
+    * powers (libm rounding can land just below the integer and floor to
+    * the wrong bucket, differently per engine); string length is exact
+    * everywhere. */
+  def lengthHistogramOf(docs: DataFrame): DataFrame =
+    docs
+      .select((length(conv(length(col("text")).cast("string"), 10, 2)) - 1)
+        .cast("int").as("log2_bucket"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), log2_bucket)"))
+
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    lengthHistogramOf(Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -215,7 +232,8 @@ object TextOps {
     "text_normalize" -> ((s, d) => normalize(s, d)),
     "text_pii_mask" -> ((s, d) => piiMask(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
-    "text_keywords" -> ((s, d) => keywords(s, d)))
+    "text_keywords" -> ((s, d) => keywords(s, d)),
+    "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -332,5 +350,11 @@ object TextOps {
          |           ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
          |  FROM tf JOIN df USING (token))
          |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df
-         |FROM r WHERE rank <= 3""".stripMargin)
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "text_length_histogram" ->
+      """SELECT CAST(length(printf('%b', length(text))) - 1 AS INT) AS log2_bucket,
+        |       count(*) AS n_docs,
+        |       (1::BIGINT << (length(printf('%b', length(text))) - 1)) AS bucket_lo
+        |FROM documents
+        |GROUP BY 1, 3""".stripMargin)
 }
