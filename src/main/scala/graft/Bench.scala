@@ -54,14 +54,15 @@ object Bench {
     }
     val failed = pass1.keySet.filter(k => pass1(k).isEmpty && pass2(k).isEmpty)
     // The driver keeps only the tail of stdout and looks for the JSON line
-    // there — round timings to 3 decimals so the whole line stays well
-    // inside that window (round 1's full-precision line overflowed it and
-    // the round's bench was recorded as unparsed).
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // there — round per-query timings to 2 decimals so the whole line
+    // stays well inside that window even as the registry grows (round 1's
+    // full-precision line overflowed it and the bench was recorded as
+    // unparsed).
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","errs":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","errs":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
