@@ -69,6 +69,31 @@ object Temporal {
       key = "user_id", ts = "ts", id = "event_id")
   }
 
+  /** Tolerance-bounded as-of: like [[asofJoinOf]] but a match older than
+    * `toleranceSeconds` is nulled out (the "quote must be fresh" form —
+    * the nearest candidate is the only possible match, so a post-filter
+    * on its age is exact). Same one-shuffle plan. */
+  def asofJoinWithinOf(probe: DataFrame, build: DataFrame,
+                       key: String, ts: String, id: String,
+                       toleranceSeconds: Long): DataFrame = {
+    val fresh = epochUs(col(ts)) - epochUs(col("asof_ts")) <=
+      toleranceSeconds * 1000000L
+    asofJoinOf(probe, build, key, ts, id)
+      .select(col(key), col(id), col(ts),
+        when(fresh, col("asof_id")).as("asof_id"),
+        when(fresh, col("asof_ts")).as("asof_ts"))
+  }
+
+  /** Registered form: purchases only count a browse within 30 minutes. */
+  def purchaseAsofFresh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    asofJoinWithinOf(
+      probe = e.filter(col("event_type") === "purchase"),
+      build = e.filter(col("event_type").isin("view", "click")),
+      key = "user_id", ts = "ts", id = "event_id",
+      toleranceSeconds = 1800L)
+  }
+
   // -------------------------------------------------------------------
   // Range (band) join
   // -------------------------------------------------------------------
@@ -178,6 +203,7 @@ object Temporal {
 
   val queries: Map[String, Q] = Map(
     "t1_asof_purchase_browse" -> ((s, d) => purchaseAsofBrowse(s, d)),
+    "t6_asof_within_30m" -> ((s, d) => purchaseAsofFresh(s, d)),
     "t2_price_band_join" -> ((s, d) => priceBandStats(s, d)),
     "t3_user_sessions" -> ((s, d) => userSessions(s, d)),
     "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
@@ -202,6 +228,29 @@ object Temporal {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
         |  FROM u)
         |SELECT user_id, event_id, ts, asof_id, asof_ts
+        |FROM w WHERE is_probe = 1""".stripMargin,
+    "t6_asof_within_30m" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS is_probe,
+        |         event_id AS build_id, ts AS build_ts
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_probe,
+        |         last_value(build_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+        |         last_value(build_ts IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+        |  FROM u)
+        |SELECT user_id, event_id, ts,
+        |       CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 1800 * 1000000
+        |            THEN asof_id END AS asof_id,
+        |       CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 1800 * 1000000
+        |            THEN asof_ts END AS asof_ts
         |FROM w WHERE is_probe = 1""".stripMargin,
     "t2_price_band_join" ->
       """WITH bands AS (
