@@ -243,6 +243,31 @@ object IncrementalSync {
       .map(v => spark.read.parquet(s"$outDir/watermarks/v$v"))
   }
 
+  /** Stream-stream interval join: pair each left event with right
+    * events of the same key whose timestamp falls in
+    * [left.ts - windowSeconds, left.ts]. Both sides carry event-time
+    * watermarks, so Spark bounds the join state and evicts rows once
+    * they can no longer match — the stateful two-stream correlation
+    * (purchase <- preceding browse) that batch as-of performs offline.
+    * Inputs need (key, ts, id) with distinct id column names. */
+  def intervalJoinStreams(lhs: org.apache.spark.sql.DataFrame,
+                          rhs: org.apache.spark.sql.DataFrame,
+                          key: String, windowSeconds: Long,
+                          lateness: String = "10 minutes")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = lhs.withWatermark("ts", lateness)
+      .select(col(key).as("l_key") +: col("ts").as("l_ts") +:
+        lhs.columns.filterNot(c => c == key || c == "ts").map(c => col(c)): _*)
+    val r = rhs.withWatermark("ts", lateness)
+      .select(col(key).as("r_key") +: col("ts").as("r_ts") +:
+        rhs.columns.filterNot(c => c == key || c == "ts").map(c => col(c)): _*)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** ST4-flavored file-stream reader: bounds per-trigger intake the way
     * the reference rate-limits jobs/hour (worker.py:283-305). */
   def rateLimitedFileStream(spark: SparkSession, path: String,

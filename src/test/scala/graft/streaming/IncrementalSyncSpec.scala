@@ -137,6 +137,33 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val browses = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = intervalJoinStreams(
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      browses.toDF().toDF("user_id", "ts", "browse_id"),
+      key = "user_id", windowSeconds = 1800L)
+    val q = joined.writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      browses.addData(
+        (1L, t("2024-01-01 09:50:00"), 10L),  // within 30 min of purchase
+        (1L, t("2024-01-01 08:00:00"), 11L),  // too old
+        (2L, t("2024-01-01 09:55:00"), 12L))  // other user
+      purchases.addData((1L, t("2024-01-01 10:00:00"), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("corr")
+        .select(col("purchase_id"), col("browse_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((100L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate texts collapse, distinct ones pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
