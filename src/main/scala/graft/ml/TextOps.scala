@@ -222,6 +222,46 @@ object TextOps {
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
     lengthHistogramOf(Tables.documents(spark, dir))
 
+  /** Token-distribution drift between two corpus slices, as
+    * total-variation distance: TV = ½ Σ_t |p_a(t) − p_b(t)|. KL/JS need
+    * logs (libm low bits differ across engines); TV over counts is
+    * Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b) — an INTEGER numerator, one
+    * exact division at the end, bit-identical anywhere. The per-token
+    * contributions also rank the most-drifted tokens — the monitoring
+    * view a training-data pipeline alerts on. */
+  def tokenDriftOf(a: DataFrame, b: DataFrame, topK: Int = 10): DataFrame = {
+    def counts(df: DataFrame, side: String): DataFrame =
+      df.select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(s"c_$side"))
+    val ca = counts(a, "a")
+    val cb = counts(b, "b")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .persist()
+    val tot = joined.agg(
+      sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("num").desc, col("token").asc)
+    joined.crossJoin(broadcast(tot))
+      .select(col("token"), col("c_a"), col("c_b"),
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("num"),
+        col("n_a"), col("n_b"))
+      .withColumn("tv_contrib",
+        col("num").cast("double") / (lit(2.0) * col("n_a") * col("n_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("rank", "token", "c_a", "c_b", "tv_contrib")
+  }
+
+  /** Registered form: even vs odd doc_ids as the two slices. */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    tokenDriftOf(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -233,7 +273,8 @@ object TextOps {
     "text_pii_mask" -> ((s, d) => piiMask(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_keywords" -> ((s, d) => keywords(s, d)),
-    "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)))
+    "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
+    "text_token_drift" -> ((s, d) => tokenDrift(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -356,5 +397,30 @@ object TextOps {
         |       count(*) AS n_docs,
         |       (1::BIGINT << (length(printf('%b', length(text))) - 1)) AS bucket_lo
         |FROM documents
-        |GROUP BY 1, 3""".stripMargin)
+        |GROUP BY 1, 3""".stripMargin,
+    "text_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, count(*) AS c_a FROM ta GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS c_b FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+        |             CAST(sum(c_b) AS BIGINT) AS n_b FROM j),
+        |s AS (
+        |  SELECT token, c_a, c_b,
+        |         abs(c_a * n_b - c_b * n_a) AS num, n_a, n_b
+        |  FROM j, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY num DESC, token ASC) AS rank
+        |  FROM s)
+        |SELECT CAST(rank AS INT) AS rank, token, c_a, c_b,
+        |       CAST(num AS DOUBLE) / (2.0::DOUBLE * n_a * n_b) AS tv_contrib
+        |FROM r WHERE rank <= 10""".stripMargin)
 }
