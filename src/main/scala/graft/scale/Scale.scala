@@ -60,6 +60,35 @@ object Scale {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Morton (z-order) key: interleave the low 32 bits of two non-negative
+    * dimension keys so one sort clusters BOTH dimensions — parquet
+    * min/max stats then prune on either column, where a linear sort
+    * prunes only its leading column. Pure Column arithmetic (the classic
+    * bit-spread magic numbers), fully codegen'd. */
+  def mortonKey(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Spread the low 32 bits of `v` into the even bit positions. */
+  private def spreadBits(v: Column): Column = {
+    var s = v.bitwiseAND(lit(0xFFFFFFFFL))
+    s = s.bitwiseOR(shiftleft(s, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    s = s.bitwiseOR(shiftleft(s, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    s = s.bitwiseOR(shiftleft(s, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    s = s.bitwiseOR(shiftleft(s, 2)).bitwiseAND(lit(0x3333333333333333L))
+    s.bitwiseOR(shiftleft(s, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Z-order-clustered write: range-partition and sort on the Morton key
+    * of (xCol, yCol), so every output file covers a compact region in
+    * BOTH dimensions. The multi-dimensional twin of [[compact]]. */
+  def zOrderWrite(df: DataFrame, path: String,
+                  xCol: String, yCol: String, targetFiles: Int): Unit =
+    df.withColumn("_z", mortonKey(col(xCol), col(yCol)))
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Small-files compaction: rewrite a table into ~`targetFiles` files,
     * range-clustered and sorted within each file on `sortCols`. The
     * incremental sync appends per-batch files forever (streaming.

@@ -103,4 +103,40 @@ class ScaleSpec extends SparkSpec {
     assert(inPlace <= 3, s"in-place compaction left $inPlace files")
     assert(spark.read.parquet(out).count() == 2000)
   }
+
+  test("z-order clustering bounds BOTH dimensions per file; linear sort doesn't") {
+    import spark.implicits._
+    // deterministic scatter over a 1024x1024 grid
+    val pts = (0 until 4096).map { i =>
+      ((i.toLong * 48271) % 1024, (i.toLong * 16807) % 1024)
+    }.toDF("x", "y")
+    def fileRanges(path: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val zdir = Files.createTempDirectory("graft-z").toString + "/t"
+    Scale.zOrderWrite(pts, zdir, "x", "y", targetFiles = 16)
+    val zRanges = fileRanges(zdir)
+    assert(zRanges.length >= 8)
+    // every z file is compact in BOTH dims (a boundary-straddling file
+    // may span two tiles, never the full grid)
+    zRanges.foreach { case (rx, ry) =>
+      assert(rx <= 768 && ry <= 768, s"z file spans ($rx, $ry)")
+    }
+    // linear sort on x: x is clustered but y stays essentially unbounded
+    val ldir = Files.createTempDirectory("graft-lin").toString + "/t"
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(ldir)
+    // the meaningful metric is the NON-LEADING dimension: a linear sort
+    // produces thin slivers (tiny x-range, but y spans the whole grid —
+    // zero pruning for y predicates); z-order bounds y too
+    val linY = fileRanges(ldir).map(_._2)
+    val zY = zRanges.map(_._2)
+    assert(linY.sum / linY.length > 800,
+      s"linear-sort mean y-range unexpectedly small: ${linY.sum / linY.length}")
+    assert(zY.sum / zY.length < 500,
+      s"z-order mean y-range too wide: ${zY.sum / zY.length}")
+  }
 }
