@@ -385,6 +385,26 @@ object Dashboard {
       countDistinct(col("o_orderstatus")).as("n_statuses"),
       countDistinct(col("o_custkey")).as("n_customers"))
 
+  /** U9 — missing-value repair: nulls imputed with the per-status median
+    * (computed over integer cents so the exact PERCENTILE_CONT is
+    * engine-portable, as in [[valuePercentiles]]); the was_imputed flag
+    * is the audit column. Nulls are synthesized deterministically (every
+    * 13th key) since the testdata has none. Median table is tiny ->
+    * broadcast; the fact side never shuffles. */
+  def imputeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      when(col("o_orderkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("v"))
+    val med = base.filter(col("v").isNotNull)
+      .groupBy("o_orderstatus")
+      .agg(percentile(round(col("v") * 100).cast("long"), lit(0.5)).as("med_cents"))
+    base.join(broadcast(med), "o_orderstatus")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("v"), col("med_cents") / 100.0).as("value_imputed"),
+        col("v").isNull.as("was_imputed"))
+  }
+
   /** Union with provenance tag (process_case.py:296-297's vector concat ->
     * unionByName). */
   def taggedUnion(spark: SparkSession, dir: String): DataFrame = {

@@ -46,6 +46,7 @@ object DashboardQueries {
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
     "o7_dataset_split" -> ((s, d) => Dashboard.datasetSplit(s, d)),
     "a18_profile_orders" -> ((s, d) => Dashboard.profileOrders(s, d)),
+    "u9_impute_median" -> ((s, d) => Dashboard.imputeMedian(s, d)),
     "o8_quality_deciles" -> ((s, d) => Dashboard.qualityDeciles(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
@@ -250,6 +251,20 @@ object DashboardQueries {
         |       count(DISTINCT o_orderstatus) AS n_statuses,
         |       count(DISTINCT o_custkey) AS n_customers
         |FROM orders""".stripMargin,
+    "u9_impute_median" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |              ELSE o_totalprice END AS v
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderstatus,
+        |         quantile_cont(CAST(round(v * 100) AS BIGINT), 0.5) AS med_cents
+        |  FROM b WHERE v IS NOT NULL GROUP BY 1)
+        |SELECT o_orderkey, b.o_orderstatus,
+        |       coalesce(v, med_cents / 100.0::DOUBLE) AS value_imputed,
+        |       v IS NULL AS was_imputed
+        |FROM b JOIN m ON b.o_orderstatus = m.o_orderstatus""".stripMargin,
     "o7_dataset_split" ->
       """SELECT doc_id, lang,
         |       CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'
