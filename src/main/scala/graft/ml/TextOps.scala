@@ -213,11 +213,16 @@ object TextOps {
     * everywhere. */
   def lengthHistogramOf(docs: DataFrame): DataFrame =
     docs
-      .select((length(conv(length(col("text")).cast("string"), 10, 2)) - 1)
-        .cast("int").as("log2_bucket"))
+      // empty docs get their own bucket (-1, lo 0): log2 is undefined at
+      // 0 and folding them into the length-1 bucket would mislabel it
+      .select(when(length(col("text")) === 0, lit(-1))
+        .otherwise((length(conv(length(col("text")).cast("string"), 10, 2)) - 1)
+          .cast("int")).as("log2_bucket"))
       .groupBy("log2_bucket")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("bucket_lo", expr("shiftleft(CAST(1 AS BIGINT), log2_bucket)"))
+      .withColumn("bucket_lo",
+        when(col("log2_bucket") === -1, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), log2_bucket)")))
 
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
     lengthHistogramOf(Tables.documents(spark, dir))
@@ -244,9 +249,12 @@ object TextOps {
       sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("num").desc, col("token").asc)
+    // the cross products go through decimal(38): long c*N wraps silently
+    // past 2^63 (trillion-token corpora), decimal stays exact
     joined.crossJoin(broadcast(tot))
       .select(col("token"), col("c_a"), col("c_b"),
-        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("num"),
+        abs(col("c_a").cast("decimal(38,0)") * col("n_b")
+          - col("c_b").cast("decimal(38,0)") * col("n_a")).as("num"),
         col("n_a"), col("n_b"))
       .withColumn("tv_contrib",
         col("num").cast("double") / (lit(2.0) * col("n_a") * col("n_b")))
@@ -393,11 +401,15 @@ object TextOps {
          |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df
          |FROM r WHERE rank <= 3""".stripMargin,
     "text_length_histogram" ->
-      """SELECT CAST(length(printf('%b', length(text))) - 1 AS INT) AS log2_bucket,
-        |       count(*) AS n_docs,
-        |       (1::BIGINT << (length(printf('%b', length(text))) - 1)) AS bucket_lo
-        |FROM documents
-        |GROUP BY 1, 3""".stripMargin,
+      """WITH b AS (
+        |  SELECT CASE WHEN length(text) = 0 THEN -1
+        |              ELSE CAST(length(printf('%b', length(text))) - 1 AS INT)
+        |         END AS log2_bucket
+        |  FROM documents)
+        |SELECT log2_bucket, count(*) AS n_docs,
+        |       CASE WHEN log2_bucket = -1 THEN 0::BIGINT
+        |            ELSE (1::BIGINT << log2_bucket) END AS bucket_lo
+        |FROM b GROUP BY 1""".stripMargin,
     "text_token_drift" ->
       """WITH ta AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
@@ -415,7 +427,8 @@ object TextOps {
         |             CAST(sum(c_b) AS BIGINT) AS n_b FROM j),
         |s AS (
         |  SELECT token, c_a, c_b,
-        |         abs(c_a * n_b - c_b * n_a) AS num, n_a, n_b
+        |         abs(CAST(c_a AS HUGEINT) * n_b
+        |             - CAST(c_b AS HUGEINT) * n_a) AS num, n_a, n_b
         |  FROM j, t),
         |r AS (
         |  SELECT *, row_number() OVER (ORDER BY num DESC, token ASC) AS rank

@@ -60,17 +60,21 @@ object Scale {
       .partitionBy(partitionCol)
       .parquet(path)
 
-  /** Morton (z-order) key: interleave the low 32 bits of two non-negative
+  /** Morton (z-order) key: interleave the low 31 bits of two non-negative
     * dimension keys so one sort clusters BOTH dimensions — parquet
     * min/max stats then prune on either column, where a linear sort
-    * prunes only its leading column. Pure Column arithmetic (the classic
-    * bit-spread magic numbers), fully codegen'd. */
+    * prunes only its leading column. 31 (not 32) bits per dimension: a
+    * bit at position 31 would land on the long SIGN bit after the
+    * y-shift, and signed comparison would then order all high-y points
+    * before low-y ones. Dimensions wider than 31 bits must be quantized
+    * first (they always are — the point of z-ordering is bucketed
+    * locality, not identity). Pure Column arithmetic, codegen'd. */
   def mortonKey(x: Column, y: Column): Column =
     spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
 
-  /** Spread the low 32 bits of `v` into the even bit positions. */
+  /** Spread the low 31 bits of `v` into the even bit positions. */
   private def spreadBits(v: Column): Column = {
-    var s = v.bitwiseAND(lit(0xFFFFFFFFL))
+    var s = v.bitwiseAND(lit(0x7FFFFFFFL))
     s = s.bitwiseOR(shiftleft(s, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
     s = s.bitwiseOR(shiftleft(s, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
     s = s.bitwiseOR(shiftleft(s, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -80,14 +84,18 @@ object Scale {
 
   /** Z-order-clustered write: range-partition and sort on the Morton key
     * of (xCol, yCol), so every output file covers a compact region in
-    * BOTH dimensions. The multi-dimensional twin of [[compact]]. */
+    * BOTH dimensions. Publishes via the same write-to-temp + checked
+    * swap as [[compact]], so re-clustering a table in place (the normal
+    * use) is safe. */
   def zOrderWrite(df: DataFrame, path: String,
                   xCol: String, yCol: String, targetFiles: Int): Unit =
-    df.withColumn("_z", mortonKey(col(xCol), col(yCol)))
-      .repartitionByRange(targetFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+    publishOverwrite(df.sparkSession, path) { tmpPath =>
+      df.withColumn("_z", mortonKey(col(xCol), col(yCol)))
+        .repartitionByRange(targetFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.mode("overwrite").parquet(tmpPath)
+    }
 
   /** Small-files compaction: rewrite a table into ~`targetFiles` files,
     * range-clustered and sorted within each file on `sortCols`. The
@@ -98,30 +106,37 @@ object Scale {
     * round-robin) keeps each output file a contiguous key range, so
     * parquet min/max row-group stats actually prune. */
   def compact(df: DataFrame, path: String, targetFiles: Int,
-              sortCols: Seq[String]): Unit = {
-    // write-to-temp + swap: the usual call compacts a path in place
-    // (df reads from `path`), and Spark refuses to overwrite a path
-    // that is also an input — so the rewrite lands beside the table and
-    // replaces it only after the write fully commits
+              sortCols: Seq[String]): Unit =
+    publishOverwrite(df.sparkSession, path) { tmpPath =>
+      df.repartitionByRange(targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmpPath)
+    }
+
+  /** Write-to-temp + checked swap: `write` stages the new table beside
+    * `path`, then the swap replaces the original only after the write
+    * fully commits. Needed because the usual call rewrites a path in
+    * place (df reads from `path`) and Spark refuses to overwrite a path
+    * that is also an input. */
+  private def publishOverwrite(spark: org.apache.spark.sql.SparkSession,
+                               path: String)(write: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
-    df.repartitionByRange(targetFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_rewrite_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_rewrite_old")
+    write(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     // FileSystem.rename reports most failures by RETURNING FALSE, not
     // throwing — every step must be checked or a failed swap would fall
     // through to the delete below and destroy the only live copy
     if (fs.exists(dest) && !fs.rename(dest, old))
-      throw new java.io.IOException(s"compact: could not move $dest aside")
+      throw new java.io.IOException(s"rewrite: could not move $dest aside")
     if (!fs.rename(tmp, dest)) {
       // restore the original before failing (e.g. a concurrent writer
       // recreated dest between the two renames)
       if (fs.exists(old) && !fs.exists(dest)) fs.rename(old, dest)
-      throw new java.io.IOException(s"compact: could not publish $tmp to $dest")
+      throw new java.io.IOException(s"rewrite: could not publish $tmp to $dest")
     }
     fs.delete(old, true)
     ()
