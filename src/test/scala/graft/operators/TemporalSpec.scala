@@ -33,6 +33,23 @@ class TemporalSpec extends SparkSpec {
     assert(out.size == 4)           // every probe row survives (left as-of)
   }
 
+  test("tolerance as-of nulls out matches older than the window") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),  // build 9:50 -> fresh (10 min)
+      (2L, ts("2024-01-01 10:00:00"), 101L))  // build 8:00 -> stale
+      .toDF("user_id", "ts", "event_id")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:50:00"), 10L),
+      (2L, ts("2024-01-01 08:00:00"), 11L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoinWithinOf(probe, build,
+        "user_id", "ts", "event_id", toleranceSeconds = 1800L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_id")).map(_.toLong)).toMap
+    assert(out(100L).contains(10L))
+    assert(out(101L).isEmpty) // nearest candidate exists but is too old
+  }
+
   test("as-of ties on build ts resolve to the max build id") {
     val probe = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
       .toDF("user_id", "ts", "event_id")
