@@ -231,6 +231,15 @@ object Dashboard {
     graft.sync.Reconcile.crmSnapshot(spark, dir).select("tenant_id", "case_ref")
       .intersect(graft.sync.Reconcile.dbSnapshot(spark, dir).select("tenant_id", "case_ref"))
 
+  /** Multiset (bag) set ops — EXCEPT ALL preserves duplicate
+    * multiplicity, which the set forms above collapse. Exercised on
+    * tenant-level key projections where duplicates are real (many cases
+    * per tenant): tenants' surplus case-slots on the DB side (the larger snapshot). */
+  def tenantSlotsOnlyInDb(spark: SparkSession, dir: String): DataFrame =
+    graft.sync.Reconcile.dbSnapshot(spark, dir).select("tenant_id")
+      .exceptAll(graft.sync.Reconcile.crmSnapshot(spark, dir).select("tenant_id"))
+      .groupBy("tenant_id").agg(count(lit(1)).as("surplus"))
+
   /** P8 — meaningful-document filter: substantial docs (n_chars > 300),
     * top-10 per language (embedder.py:285-289's meaningful-event slice,
     * per-group form). */

@@ -41,6 +41,7 @@ object DashboardQueries {
     "set_only_in_crm" -> ((s, d) => Dashboard.keysOnlyInCrm(s, d)),
     "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
     "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)),
+    "set_except_all_surplus" -> ((s, d) => Dashboard.tenantSlotsOnlyInDb(s, d)),
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
@@ -225,6 +226,12 @@ object DashboardQueries {
     "set_tagged_union" ->
       s"""$snapCtes SELECT tenant_id, case_ref, 'crm' AS source FROM crm
          |UNION ALL SELECT tenant_id, case_ref, 'db' AS source FROM db""".stripMargin,
+    "set_except_all_surplus" ->
+      s"""$snapCtes, surplus AS (
+         |  SELECT tenant_id FROM db
+         |  EXCEPT ALL
+         |  SELECT tenant_id FROM crm)
+         |SELECT tenant_id, count(*) AS surplus FROM surplus GROUP BY 1""".stripMargin,
     "a16_event_type_pivot" ->
       """SELECT user_id % 4 AS tenant_id,
         |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
