@@ -306,6 +306,24 @@ object Dashboard {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
 
+  /** A13 — error statistics by severity with resolution rate
+    * (core/error_handling.py:368-412): severity derived from the error
+    * magnitude, resolution synthesized deterministically from the id. */
+  def errorStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        when(col("value") > 400.0, "critical")
+          .when(col("value") > 200.0, "error")
+          .otherwise("warning").as("severity"),
+        (col("event_id") % 3 =!= 0).as("resolved"))
+      .groupBy("severity")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("resolved"), 1L).otherwise(0L)).as("n_resolved"))
+      .withColumn("resolution_rate",
+        col("n_resolved").cast("double") / greatest(col("n"), lit(1L)))
+
   /** A16 — per-tenant event-type matrix via pivot (the wide form of the
     * status-distribution counters, status_detector.py:453-476). The pivot
     * values are declared, so Spark skips the extra distinct pass and the

@@ -42,6 +42,7 @@ object DashboardQueries {
     "set_in_both" -> ((s, d) => Dashboard.keysInBoth(s, d)),
     "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)),
     "set_except_all_surplus" -> ((s, d) => Dashboard.tenantSlotsOnlyInDb(s, d)),
+    "a13_error_stats" -> ((s, d) => Dashboard.errorStats(s, d)),
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
@@ -232,6 +233,18 @@ object DashboardQueries {
          |  EXCEPT ALL
          |  SELECT tenant_id FROM crm)
          |SELECT tenant_id, count(*) AS surplus FROM surplus GROUP BY 1""".stripMargin,
+    "a13_error_stats" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN value > 400.0::DOUBLE THEN 'critical'
+        |              WHEN value > 200.0::DOUBLE THEN 'error'
+        |              ELSE 'warning' END AS severity,
+        |         event_id % 3 <> 0 AS resolved
+        |  FROM events WHERE event_type = 'error')
+        |SELECT severity, count(*) AS n,
+        |       CAST(sum(CASE WHEN resolved THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved,
+        |       CAST(sum(CASE WHEN resolved THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(greatest(count(*), 1) AS DOUBLE) AS resolution_rate
+        |FROM e GROUP BY severity""".stripMargin,
     "a16_event_type_pivot" ->
       """SELECT user_id % 4 AS tenant_id,
         |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
