@@ -324,6 +324,26 @@ object Dashboard {
       .withColumn("resolution_rate",
         col("n_resolved").cast("double") / greatest(col("n"), lit(1L)))
 
+  /** A14 — queue-depth progress (onboard_tenant.py:269-305): depth per
+    * priority queue plus completion percentage against the expected
+    * total ((expected - remaining) / expected). "Remaining" is the
+    * deterministic pending subset (every 4th job id). */
+  def queueDepths(spark: SparkSession, dir: String): DataFrame = {
+    val prio = when(col("event_type") === "error", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .otherwise(4)
+    Tables.events(spark, dir)
+      .select(prio.as("priority"), (col("event_id") % 4 === 0).as("pending"))
+      .groupBy("priority")
+      .agg(
+        count(lit(1)).as("expected"),
+        sum(when(col("pending"), 1L).otherwise(0L)).as("remaining"))
+      .withColumn("completion_pct",
+        (col("expected") - col("remaining")).cast("double") * 100.0 /
+          greatest(col("expected"), lit(1L)))
+  }
+
   /** A16 — per-tenant event-type matrix via pivot (the wide form of the
     * status-distribution counters, status_detector.py:453-476). The pivot
     * values are declared, so Spark skips the extra distinct pass and the

@@ -43,6 +43,7 @@ object DashboardQueries {
     "set_tagged_union" -> ((s, d) => Dashboard.taggedUnion(s, d)),
     "set_except_all_surplus" -> ((s, d) => Dashboard.tenantSlotsOnlyInDb(s, d)),
     "a13_error_stats" -> ((s, d) => Dashboard.errorStats(s, d)),
+    "a14_queue_depths" -> ((s, d) => Dashboard.queueDepths(s, d)),
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
@@ -245,6 +246,20 @@ object DashboardQueries {
         |       CAST(sum(CASE WHEN resolved THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(greatest(count(*), 1) AS DOUBLE) AS resolution_rate
         |FROM e GROUP BY severity""".stripMargin,
+    "a14_queue_depths" ->
+      """WITH q AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 1
+        |              WHEN event_type = 'purchase' THEN 2
+        |              WHEN event_type = 'signup' THEN 3
+        |              ELSE 4 END AS priority,
+        |         event_id % 4 = 0 AS pending
+        |  FROM events)
+        |SELECT CAST(priority AS INT) AS priority, count(*) AS expected,
+        |       CAST(sum(CASE WHEN pending THEN 1 ELSE 0 END) AS BIGINT) AS remaining,
+        |       CAST(count(*) - sum(CASE WHEN pending THEN 1 ELSE 0 END) AS DOUBLE)
+        |         * 100.0::DOUBLE / CAST(greatest(count(*), 1) AS DOUBLE)
+        |         AS completion_pct
+        |FROM q GROUP BY priority""".stripMargin,
     "a16_event_type_pivot" ->
       """SELECT user_id % 4 AS tenant_id,
         |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
