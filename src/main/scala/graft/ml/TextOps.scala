@@ -233,7 +233,11 @@ object TextOps {
     * Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b) — an INTEGER numerator, one
     * exact division at the end, bit-identical anywhere. The per-token
     * contributions also rank the most-drifted tokens — the monitoring
-    * view a training-data pipeline alerts on. */
+    * view a training-data pipeline alerts on.
+    *
+    * Cache contract: the joined count table is persist()ed and referenced
+    * by the returned lazy plan — callers in a long-lived session release
+    * it after their final action (clearCache, as Bench/Verify do). */
   def tokenDriftOf(a: DataFrame, b: DataFrame, topK: Int = 10): DataFrame = {
     def counts(df: DataFrame, side: String): DataFrame =
       df.select(explode(tokens(col("text"))).as("token"))

@@ -184,15 +184,19 @@ object Temporal {
 
   /** Status x priority rollup: subtotals at (status, priority), (status),
     * and grand-total levels in one pass (partial aggregation handles the
-    * level expansion map-side). Null grouping cells are labeled 'ALL' so
-    * the output is total-orderable in any compare layer. */
+    * level expansion map-side). Subtotal cells are labeled 'ALL' via
+    * grouping() — not coalesce — so a genuine NULL grouping value (legal
+    * if the data contract ever allows it) stays distinguishable from a
+    * rollup subtotal row. */
   def statusPriorityRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"), Exprs.moneySum(col("o_totalprice")).as("total_spend"))
       .select(
-        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total_spend"))
 
   // -------------------------------------------------------------------
@@ -298,8 +302,10 @@ object Temporal {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "t5_status_rollup" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |       coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE o_orderstatus END AS status,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE o_orderpriority END AS priority,
         |       count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS total_spend

@@ -125,6 +125,13 @@ object Scale {
     val dest = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + "_rewrite_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "_rewrite_old")
+    // crash recovery: a process death between rename(dest->old) and
+    // rename(tmp->dest) leaves no live table at `path` but a complete
+    // copy at `_rewrite_old` — restore it before doing anything else, so
+    // the swap below always starts from a live dest
+    if (!fs.exists(dest) && fs.exists(old) && !fs.rename(old, dest))
+      throw new java.io.IOException(
+        s"rewrite: could not restore interrupted swap from $old to $dest")
     write(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     // FileSystem.rename reports most failures by RETURNING FALSE, not

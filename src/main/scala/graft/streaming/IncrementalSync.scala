@@ -201,7 +201,15 @@ object IncrementalSync {
   /** Drop committed watermark snapshots older than the newest `keep`
     * below `below` — without retention every micro-batch adds a full
     * snapshot forever and version listing itself becomes the per-batch
-    * bottleneck. */
+    * bottleneck.
+    *
+    * Retention/reader contract (plain-parquet versioning has no
+    * snapshot pinning): an external reader that picked a version via
+    * [[latestWatermarks]] can see it deleted by a concurrent prune
+    * (read-after-list race). Readers must either tolerate a vanished
+    * version by re-listing, or `keep` must exceed the maximum reader
+    * latency in batches — same contract as the change-log rewrite race
+    * documented on [[syncPipeline]]. */
   def pruneWatermarks(spark: SparkSession, outDir: String,
                       keep: Int, below: Long): Unit = {
     val base = new org.apache.hadoop.fs.Path(s"$outDir/watermarks")

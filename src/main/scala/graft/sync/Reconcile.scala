@@ -113,7 +113,9 @@ object Reconcile {
     val tot = cat.agg(
       sum("n").as("total"),
       sum(when(col("category") === "unchanged", col("n")).otherwise(lit(0L))).as("n_unchanged"))
-    cat.crossJoin(tot)
+    // scalar anchor: hint it so the plan is a deterministic broadcast
+    // nested-loop, not whatever AQE happens to pick at runtime
+    cat.crossJoin(broadcast(tot))
       .select(
         col("category"), col("n"),
         (col("n").cast("double") / col("total")).as("share"),
@@ -166,7 +168,7 @@ object Reconcile {
       count(lit(1)).as("total"),
       sum(when(col("category").isin("new", "deactivated", "needs_update"), 1L)
         .otherwise(0L)).as("changed"))
-    cat.crossJoin(crmN).crossJoin(dbN)
+    cat.crossJoin(broadcast(crmN)).crossJoin(broadcast(dbN))
       .select(
         col("total"), col("changed"), col("crm_count"), col("db_count"),
         (col("changed").cast("double") / greatest(col("total"), lit(1L))).as("change_rate"),
