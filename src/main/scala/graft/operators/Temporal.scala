@@ -191,11 +191,17 @@ object Temporal {
   def statusPriorityRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), Exprs.moneySum(col("o_totalprice")).as("total_spend"))
+      // grouping() only resolves inside the Aggregate itself, so the flags
+      // are computed here and consumed (then dropped) one select later.
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        count(lit(1)).as("n"),
+        Exprs.moneySum(col("o_totalprice")).as("total_spend"))
       .select(
-        when(grouping(col("o_orderstatus")) === 1, lit("ALL"))
+        when(col("g_status") === 1, lit("ALL"))
           .otherwise(col("o_orderstatus")).as("status"),
-        when(grouping(col("o_orderpriority")) === 1, lit("ALL"))
+        when(col("g_priority") === 1, lit("ALL"))
           .otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total_spend"))
 
