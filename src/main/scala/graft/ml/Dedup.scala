@@ -41,8 +41,7 @@ object Dedup {
     * ~n^2/2^64), far cheaper join keys; persisted because the pair query
     * reads it three times (sizes + both join sides). */
   private def shingleIndex(docs: DataFrame, dfCap: Int): DataFrame = {
-    val sh = docs
-      .repartition(32) // single-row-group input: spread the shingle kernel
+    val sh = graft.scale.Scale.spread(docs) // few-split input: spread the shingle kernel
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("hs"))
     val hot = sh.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("hs")
@@ -117,8 +116,7 @@ object Dedup {
     * fraction of equal signature components. */
   def minhashPairsOf(docTable: DataFrame,
                      threshold: Double = 0.5): DataFrame = {
-    val docs = docTable
-      .repartition(32) // single-row-group input: spread the sig kernel
+    val docs = graft.scale.Scale.spread(docTable) // spread the sig kernel
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
@@ -160,8 +158,7 @@ object Dedup {
     * (graft.functions.SimhashSig, same XXH64 token hash as `xxhash64`) —
     * a narrow map stage, no shuffle of exploded tokens at all. */
   def simhashOf(docs: DataFrame): DataFrame =
-    docs
-      .repartition(32) // single-row-group input: spread the sig kernel
+    graft.scale.Scale.spread(docs) // spread the sig kernel
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // token-less docs carry no signal — dropping them matches the old
       // explode+aggregate form and keeps m empty docs from flooding the
@@ -206,8 +203,7 @@ object Dedup {
     * Overlap = |F_a ∩ F_b| / min(|F_a|, |F_b|) >= threshold. */
   def winnowPairsOf(docs: DataFrame, threshold: Double = 0.5,
                     dfCap: Int = 1000): DataFrame = {
-    val fp = docs
-      .repartition(32)
+    val fp = graft.scale.Scale.spread(docs)
       .select(col("doc_id"),
         explode(graft.functions.Winnow.winnow_fingerprints(col("text"))).as("f"))
     val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
@@ -312,23 +308,72 @@ object Dedup {
     * One generated pass (graft.functions.QuantizeVec). */
   def quantized(emb: Column): Column = ArrayOps.quantize_vec(emb, 10000)
 
-  /** cos(a,b) > 0.4 pairs, decided entirely in integers:
-    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25).
+  // LSH blocking shape for the near-dup pair query: few sign bits per
+  // table (wide buckets -> high recall) amplified across many tables.
+  // At the cos>0.4 gate the worst-case per-pair collision probability is
+  // (1-66.4°/180°)^2 ≈ 0.40 per table, so a qualifying pair is missed by
+  // all 8 tables with probability 0.60^8 ≈ 1.7% — and real near-dups sit
+  // far above the gate, where the miss rate is negligible (measured in
+  // DedupSpec against the exact all-pairs form).
+  val EmbLshPlanes = 2
+  val EmbLshTables = 8
+
+  /** cos(a,b) > 0.4 pairs among LSH-colliding candidates, decided entirely
+    * in integers: dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25).
     *
-    * The persist() between pair scoring and thresholding is load-bearing:
-    * without it Catalyst pushes the threshold into the join condition and
-    * evaluates the dot product three times per candidate pair (measured
-    * 3x slower at sf0.1). The materialized pair table is (5 longs/row) —
-    * at corpus scale you block first (LSH) so the pair table stays small. */
+    * Scale design: candidate pairs come from an equi-join on (table,
+    * sign-bit bucket) — one hash shuffle keyed on shared substructure,
+    * exactly like the n-gram/MinHash/SimHash blockers above, never an
+    * all-pairs scan. The SQL oracle reproduces the identical planes
+    * (deterministic integer constants), so the blocked result is
+    * bit-comparable across engines; recall vs the exact all-pairs form
+    * ([[embeddingPairsExactOf]]) is measured in DedupSpec.
+    *
+    * The persist() on the quantized side is load-bearing twice over: the
+    * quantize HOF is interpreted (expensive to re-evaluate per bucket
+    * row), and the bucket table self-joins — without the persist the
+    * scan+quantize pass runs once per join side. */
   def embeddingPairsOf(vectors: DataFrame): DataFrame = {
-    val e = vectors
+    val sq = graft.scale.Scale.spread(
+        vectors.select(col("vec_id"), quantized(col("embedding")).as("q")))
+      .select(col("vec_id"), col("q"),
+        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
+      .persist()
+    val bucketed = sq.select(col("vec_id"), col("q"), col("nsq"),
+      explode(array((0 until EmbLshTables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("q"), t, EmbLshPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("q"), col("nsq"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.q").as("qa"), col("b.q").as("qb"),
+        col("a.nsq").as("na"), col("b.nsq").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .select(col("vec_a"), col("vec_b"),
+        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+  }
+
+  /** Exact all-pairs form of [[embeddingPairsOf]] — O(n^2), spec-only: it
+    * exists as the recall yardstick for the blocked query and must never
+    * be registered (the blocked plan is the 100 TB one). */
+  def embeddingPairsExactOf(vectors: DataFrame): DataFrame = {
+    val sq = vectors
       .select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val sq = e.select(col("vec_id"), col("q"),
-      ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
-    // the testdata is one parquet file = one input partition; without an
-    // explicit repartition the whole nested-loop pair scan runs on a
-    // single core (at real scale the input is already many splits)
-    val scored = sq.repartition(32).as("a")
+      .select(col("vec_id"), col("q"),
+        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
+    val scored = sq.as("a")
       .join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
@@ -415,22 +460,45 @@ object Dedup {
          |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
-    "dedup_embedding_pairs" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(round(
-        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
-        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |s AS (SELECT vec_id, qv,
-        |             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
-        |      FROM q)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE) /
-        |         (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-        |FROM s a JOIN s b ON a.vec_id < b.vec_id
-        |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
-        |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
-        |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin)
+    "dedup_embedding_pairs" -> embeddingPairsOracle)
+
+  /** Oracle for the LSH-blocked pair query: the same deterministic
+    * hyperplanes ([[Similarity.plane]]) inlined as integer literals, the
+    * same sign-bit buckets, the same integer threshold — so DuckDB and
+    * Spark compute the identical candidate set, not just the same final
+    * filter. Plane dots stay < 2^30, exact in any arithmetic. */
+  private def embeddingPairsOracle: String = {
+    val bucketSelects = (0 until EmbLshTables).map { t =>
+      val bucket = (0 until EmbLshPlanes).map { k =>
+        val planeLit = Similarity.plane(t, k, EmbLshPlanes).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(qv, $planeLit) >= 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $t AS tbl, $bucket AS bucket FROM s"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(
+       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, qv,
+       |             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+       |      FROM q),
+       |bk AS (
+       |$bucketSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT cand.vec_a, cand.vec_b,
+       |       CAST(CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) AS DOUBLE) /
+       |         (sqrt(CAST(sa.nsq AS DOUBLE)) * sqrt(CAST(sb.nsq AS DOUBLE))) AS cosine
+       |FROM cand
+       |JOIN s sa ON sa.vec_id = cand.vec_a
+       |JOIN s sb ON sb.vec_id = cand.vec_b
+       |WHERE CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) > 0
+       |  AND CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) *
+       |      CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) * 25 > sa.nsq * sb.nsq * 4""".stripMargin
+  }
 }

@@ -49,7 +49,7 @@ object Similarity {
         Dedup.quantized(col("embedding")).as("qv"))
     val scored = corpus
       .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
-      .repartition(32) // single-file input -> parallelize the scan side
+      .transform(graft.scale.Scale.spread) // parallelize the scan side
       .join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         dot(col("qv"), col("q")).as("dot"))
@@ -78,20 +78,28 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane for (table t, plane k): the
     * components are pure constants, so they're materialized as a literal
-    * array and the per-row work is one codegen'd integer dot product. */
-  private def plane(t: Int, k: Int, dims: Int = 64): Seq[Long] =
+    * array and the per-row work is one codegen'd integer dot product.
+    * Public at the generalized arity so other blockers (Dedup's near-dup
+    * candidate generation) and their SQL oracles can reproduce the exact
+    * same planes. */
+  def plane(t: Int, k: Int, planesPerTable: Int, dims: Int = 64): Seq[Long] =
     (0 until dims).map { j =>
-      val raw = (j + 1).toLong * (2654435761L % 100003L) * (t * LshPlanes + k + 7) +
+      val raw = (j + 1).toLong * (2654435761L % 100003L) * (t * planesPerTable + k + 7) +
         k * 131L + t * 977L
       ((raw % 2001L) + 2001L) % 2001L - 1000L
     }
 
-  /** Sign-bit bucket id within table `t`. */
-  def lshBucket(q: Column, t: Int): Column =
-    (0 until LshPlanes).map { k =>
-      val planeDot = ArrayOps.dot_long(q, typedLit(plane(t, k).toArray))
+  private def plane(t: Int, k: Int): Seq[Long] = plane(t, k, LshPlanes)
+
+  /** Sign-bit bucket id within table `t` (generalized arity). */
+  def lshBucket(q: Column, t: Int, planesPerTable: Int): Column =
+    (0 until planesPerTable).map { k =>
+      val planeDot = ArrayOps.dot_long(q, typedLit(plane(t, k, planesPerTable).toArray))
       when(planeDot >= 0, shiftleft(lit(1L), k)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+
+  /** Sign-bit bucket id within table `t` at this object's table shape. */
+  def lshBucket(q: Column, t: Int): Column = lshBucket(q, t, LshPlanes)
 
   /** (vec_id, q, table, bucket) — one row per table per vector. The
     * persist() stops Catalyst from inlining the (interpreted, expensive)
@@ -185,7 +193,7 @@ object Similarity {
     * list; queries probe their `IvfProbes` nearest lists; candidates are
     * reranked by exact integer dot. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val v = quantizedVectors(spark, dir).repartition(32).persist()
+    val v = graft.scale.Scale.spread(quantizedVectors(spark, dir)).persist()
     // trained (not just seeded) coarse quantizer; persist()ed because the
     // list build and the query probing both re-read it
     val cents = trainedCentroids(v).persist()
@@ -224,7 +232,7 @@ object Similarity {
   def labelOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), Dedup.quantized(col("embedding")).as("q"))
-      .repartition(32)
+      .transform(graft.scale.Scale.spread)
       .persist()
     val svecs = v
       .select(col("label"), posexplode(col("q")).as(Seq("dim", "x")))

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread a narrow scan across the session's full parallelism — but only
+    * when the input actually has fewer splits than cores. The small test
+    * parquet files arrive as one partition, which would serialize every
+    * downstream kernel; real multi-split input passes through untouched
+    * (no forced exchange), and the target tracks the cluster size instead
+    * of hardcoding local[32]'s 32. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Two-phase (salted) aggregation: count/sum per key without a single
     * hot reducer. Phase 1 aggregates (key, salt); phase 2 merges salts.
     * The salt discriminator must distribute rows of one key across salts

@@ -124,4 +124,21 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") > 0.39) // integer-gate ~= 0.4
     }
   }
+
+  test("LSH-blocked embedding pairs: subset of exact, near-total recall") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingPairsExactOf(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val blocked = Dedup.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // blocking only removes candidates; the threshold is identical — the
+    // blocked result can never contain a pair the exact form lacks
+    assert(blocked.subsetOf(exact),
+      s"blocked produced non-pairs: ${blocked.diff(exact).take(5)}")
+    // 2-bit x 8-table OR amplification: worst-case (cos exactly 0.4) miss
+    // probability is ~1.7% per pair; on this corpus measured recall is 1.0
+    // — gate at 0.9 to stay robust to testdata regeneration
+    assert(blocked.size >= (exact.size * 0.9).toInt,
+      s"recall too low: ${blocked.size}/${exact.size}")
+  }
 }

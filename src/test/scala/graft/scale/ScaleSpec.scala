@@ -139,4 +139,19 @@ class ScaleSpec extends SparkSpec {
     assert(zY.sum / zY.length < 500,
       s"z-order mean y-range too wide: ${zY.sum / zY.length}")
   }
+
+  test("spread follows the session's parallelism and never forces an exchange on wide input") {
+    val p = spark.sparkContext.defaultParallelism // 4 under this suite, not 32
+    // narrow input (1 partition): spread widens to exactly defaultParallelism
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    assert(Scale.spread(narrow).rdd.getNumPartitions == p,
+      "spread must target the session's parallelism, not a hardcoded width")
+    // already-wide input: pass through untouched — same partition count,
+    // no Exchange node introduced
+    val wide = spark.range(0, 1000, 1, p * 2).toDF("id")
+    val spreadWide = Scale.spread(wide)
+    assert(spreadWide.rdd.getNumPartitions == p * 2)
+    assert(!spreadWide.queryExecution.executedPlan.toString.contains("Exchange"),
+      "spread must not force an exchange when the input is already split")
+  }
 }
