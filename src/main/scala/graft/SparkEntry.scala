@@ -23,7 +23,8 @@ object SparkEntry {
       graft.expr.ExprQueries.queries ++ graft.pipeline.CaseDocs.queries ++
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
       graft.ml.Similarity.queries ++ graft.ml.Multimodal.queries ++
-      graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries
+      graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
+      graft.streaming.IncrementalSync.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.expr.ExprQueries.oracles ++ graft.pipeline.CaseDocs.oracles ++
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
       graft.ml.Similarity.oracles ++ graft.ml.Multimodal.oracles ++
-      graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles
+      graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
+      graft.streaming.IncrementalSync.oracles
 }

@@ -285,4 +285,49 @@ object IncrementalSync {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
+
+  // -------------------------------------------------------------------
+  // ST1 in oracle-checkable batch form
+  // -------------------------------------------------------------------
+
+  /** ST1 registered as an oracle query: a multi-observation update stream
+    * synthesized from lineitem (several observations per case; duplicate
+    * serials included to exercise the no-emit-on-equal rule of
+    * change_tracking.py:126-152) pushed through the SAME
+    * flatMapGroupsWithState operator that serves streaming. Batch
+    * execution starts every key's watermark at 0, so the emitted events
+    * are exactly the distinct serials per key in ascending order, each
+    * carrying the previous distinct serial (or 0) — which is the DuckDB
+    * window form the oracle states. */
+  def changeEventsBatch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val updates = graft.Tables.lineitem(spark, dir)
+      .select(
+        (col("l_orderkey") % 4).as("tenant_id"),
+        col("l_orderkey").as("case_ref"),
+        // pairs of linenumbers share a serial (duplicates), scaled by a
+        // per-case stride so serial values vary across cases
+        (floor((col("l_linenumber") + 1) / 2).cast("long") *
+          (col("l_orderkey") % 5 + 1)).as("serialno"))
+      .as[SnapshotUpdate]
+    detectChanges(updates).toDF()
+  }
+
+  type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st1_change_events" -> ((s, d) => changeEventsBatch(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "st1_change_events" ->
+      """WITH u AS (
+        |  SELECT l_orderkey % 4 AS tenant_id, l_orderkey AS case_ref,
+        |         ((l_linenumber + 1) // 2) * (l_orderkey % 5 + 1) AS serialno
+        |  FROM lineitem),
+        |d AS (SELECT DISTINCT tenant_id, case_ref, serialno FROM u)
+        |SELECT tenant_id, case_ref, serialno,
+        |       coalesce(lag(serialno) OVER (
+        |         PARTITION BY tenant_id, case_ref ORDER BY serialno), 0) AS prev_serialno
+        |FROM d""".stripMargin)
 }
