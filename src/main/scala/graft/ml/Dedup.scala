@@ -308,77 +308,10 @@ object Dedup {
     * One generated pass (graft.functions.QuantizeVec). */
   def quantized(emb: Column): Column = ArrayOps.quantize_vec(emb, 10000)
 
-  // LSH blocking shape for the near-dup pair query: few sign bits per
-  // table (wide buckets -> high recall) amplified across many tables.
-  // At the cos>0.4 gate the worst-case per-pair collision probability is
-  // (1-66.4°/180°)^2 ≈ 0.40 per table, so a qualifying pair is missed by
-  // all 8 tables with probability 0.60^8 ≈ 1.7% — and real near-dups sit
-  // far above the gate, where the miss rate is negligible (measured in
-  // DedupSpec against the exact all-pairs form).
-  val EmbLshPlanes = 2
-  val EmbLshTables = 8
-
-  /** cos(a,b) > 0.4 pairs among LSH-colliding candidates, decided entirely
-    * in integers: dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25).
-    *
-    * Scale design: candidate pairs come from an equi-join on (table,
-    * sign-bit bucket) — one hash shuffle keyed on shared substructure,
-    * exactly like the n-gram/MinHash/SimHash blockers above, never an
-    * all-pairs scan. The SQL oracle reproduces the identical planes
-    * (deterministic integer constants), so the blocked result is
-    * bit-comparable across engines; recall vs the exact all-pairs form
-    * ([[embeddingPairsExactOf]]) is measured in DedupSpec.
-    *
-    * The persist() on the quantized side is load-bearing twice over: the
-    * quantize HOF is interpreted (expensive to re-evaluate per bucket
-    * row), and the bucket table self-joins — without the persist the
-    * scan+quantize pass runs once per join side. */
-  def embeddingPairsOf(vectors: DataFrame): DataFrame = {
-    val sq = graft.scale.Scale.spread(
-        vectors.select(col("vec_id"), quantized(col("embedding")).as("q")))
-      .select(col("vec_id"), col("q"),
-        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
-      .persist()
-    val bucketed = sq.select(col("vec_id"), col("q"), col("nsq"),
-      explode(array((0 until EmbLshTables).map(t =>
-        struct(lit(t).as("tbl"),
-          Similarity.lshBucket(col("q"), t, EmbLshPlanes).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("q"), col("nsq"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.q").as("qa"), col("b.q").as("qb"),
-        col("a.nsq").as("na"), col("b.nsq").as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
-    cand
-      .select(col("vec_a"), col("vec_b"),
-        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
-        col("na"), col("nb"))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
-      .select(col("vec_a"), col("vec_b"),
-        (col("dot").cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-          .as("cosine"))
-  }
-
-  /** Exact all-pairs form of [[embeddingPairsOf]] — O(n^2), spec-only: it
-    * exists as the recall yardstick for the blocked query and must never
-    * be registered (the blocked plan is the 100 TB one). */
-  def embeddingPairsExactOf(vectors: DataFrame): DataFrame = {
-    val sq = vectors
-      .select(col("vec_id"), quantized(col("embedding")).as("q"))
-      .select(col("vec_id"), col("q"),
-        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
-    val scored = sq.as("a")
-      .join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
-        col("a.nsq").as("na"), col("b.nsq").as("nb"))
-      .persist()
+  /** Integer threshold gate shared by every embedding-pair form:
+    * cos(a,b) > 0.4 decided entirely in integers —
+    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25). */
+  private def gated(scored: DataFrame): DataFrame =
     scored
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
@@ -386,10 +319,114 @@ object Dedup {
         (col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cosine"))
+
+  private def quantizedWithNorm(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"),
+        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
+
+  /** EXACT cos>0.4 pairs via a distributed tile self-join.
+    *
+    * Exact all-pairs similarity at a noise-level gate (0.4 in 64-d is
+    * barely above orthogonal) is inherently Θ(n²) work — no blocking
+    * scheme separates cos≈0.42 pairs from cos≈0 noise with usable recall
+    * (sign-LSH ρ ≈ 0.66 at this gate; measured on this corpus: 50%
+    * recall at 23% candidate fraction). What CAN scale is the plan
+    * shape: instead of one driver-broadcast nested loop, each vector is
+    * hashed to one of B tiles and replicated across a tile-pair key, so
+    * the pair space becomes B(B+1)/2 independent equi-join tasks — a
+    * plain hash shuffle, per-task work n²/B² with bounded memory, no
+    * broadcast of the corpus. B follows the session's parallelism.
+    * [[embeddingLshPairsOf]] below is the subquadratic approximate form
+    * for thresholds where blocking actually works.
+    *
+    * A pair (x in tile i, y in tile j, i <= j) meets exactly once: at
+    * tile key (i, j), x arriving via the a-side explode (i..B-1) and y
+    * via the b-side explode (0..j). Same-tile pairs are ordered by the
+    * id predicate; cross-tile pairs are emitted as (least, greatest). */
+  def embeddingPairsOf(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    val tiles = math.max(4, math.min(64, spark.sparkContext.defaultParallelism))
+    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors))
+      .withColumn("tile", pmod(xxhash64(col("vec_id")), lit(tiles.toLong)))
+      .persist() // quantize HOF is interpreted; both join sides re-read this
+    val aSide = sq
+      .withColumn("tj", explode(sequence(col("tile"), lit(tiles.toLong - 1))))
+      .select(col("tile").as("ti"), col("tj"),
+        col("vec_id").as("aid"), col("q").as("qa"), col("nsq").as("na"))
+    val bSide = sq
+      .withColumn("ti", explode(sequence(lit(0L), col("tile"))))
+      .select(col("ti"), col("tile").as("tj"),
+        col("vec_id").as("bid"), col("q").as("qb"), col("nsq").as("nb"))
+    val scored = aSide
+      .join(bSide,
+        Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("aid") < col("bid"))
+      .select(
+        least(col("aid"), col("bid")).as("vec_a"),
+        greatest(col("aid"), col("bid")).as("vec_b"),
+        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"), // symmetric
+        col("na"), col("nb"))
+    gated(scored)
+  }
+
+  /** Naive O(n²) theta-join form — spec-only equality yardstick for the
+    * tiled plan ([[embeddingPairsOf]] must return the identical set). */
+  def embeddingPairsExactOf(vectors: DataFrame): DataFrame = {
+    val sq = quantizedWithNorm(vectors)
+    val scored = sq.as("a")
+      .join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
+        col("a.nsq").as("na"), col("b.nsq").as("nb"))
+      .persist()
+    gated(scored)
+  }
+
+  // Sign-bit LSH shape for the SUBQUADRATIC mining form: 8 planes per
+  // table x 16 OR-amplified tables. At a real near-dup gate (cos 0.9,
+  // p_bit ≈ 0.857) a true pair collides in some table with probability
+  // 1-(1-0.857^8)^16 ≈ 0.996 while random pairs collide at ~6% — real
+  // blocking. At the synthetic 0.4 gate recall is ~0.36 by construction
+  // (documented above); the oracle mirrors the blocking so the result is
+  // still bit-exact, and DedupSpec proves planted cos>=0.9 pairs are all
+  // recovered.
+  val EmbLshPlanes = 8
+  val EmbLshTables = 16
+
+  /** Subquadratic LSH-mined near-dup pairs: candidates collide in some
+    * (table, sign-bucket); the integer gate then decides exactly. The
+    * candidate join carries ids only (narrow shuffle); vectors are
+    * re-fetched after the distinct (AQE broadcasts the small quantized
+    * side here; at corpus scale it is a co-partitioned shuffle join). */
+  def embeddingLshPairsOf(vectors: DataFrame): DataFrame = {
+    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
+    val bucketed = sq.select(col("vec_id"),
+      explode(array((0 until EmbLshTables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("q"), t, EmbLshPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val scored = cand
+      .join(sq.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nsq").as("na")), "vec_a")
+      .join(sq.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nsq").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+    gated(scored)
   }
 
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame =
     embeddingPairsOf(Tables.embeddings(spark, dir))
+
+  def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshPairsOf(Tables.embeddings(spark, dir))
 
   // -------------------------------------------------------------------
   // Registration
@@ -405,6 +442,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
+    "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)))
 
   private val shingleCte: String =
@@ -460,14 +498,37 @@ object Dedup {
          |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
-    "dedup_embedding_pairs" -> embeddingPairsOracle)
+    "dedup_embedding_pairs" ->
+      s"""$embQuantCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE) /
+         |         (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+         |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
+         |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin,
+    "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle)
 
-  /** Oracle for the LSH-blocked pair query: the same deterministic
+  /** Shared quantization CTE: L2-normalize, scale by 1e4, round to
+    * BIGINT — byte-identical to [[quantized]]. */
+  private def embQuantCte: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(
+      |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, qv,
+      |             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+      |      FROM q)""".stripMargin
+
+  /** Oracle for the LSH-mined pair query: the same deterministic
     * hyperplanes ([[Similarity.plane]]) inlined as integer literals, the
     * same sign-bit buckets, the same integer threshold — so DuckDB and
     * Spark compute the identical candidate set, not just the same final
     * filter. Plane dots stay < 2^30, exact in any arithmetic. */
-  private def embeddingPairsOracle: String = {
+  private def embeddingLshPairsOracle: String = {
     val bucketSelects = (0 until EmbLshTables).map { t =>
       val bucket = (0 until EmbLshPlanes).map { k =>
         val planeLit = Similarity.plane(t, k, EmbLshPlanes).mkString("[", ", ", "]")
@@ -475,16 +536,7 @@ object Dedup {
       }.mkString(" + ")
       s"  SELECT vec_id, $t AS tbl, $bucket AS bucket FROM s"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(round(
-       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-       |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
-       |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |s AS (SELECT vec_id, qv,
-       |             CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
-       |      FROM q),
+    s"""$embQuantCte,
        |bk AS (
        |$bucketSelects),
        |cand AS (

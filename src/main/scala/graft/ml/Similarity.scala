@@ -141,10 +141,12 @@ object Similarity {
   // -------------------------------------------------------------------
 
   /** Every `stride`-th vector seeds a coarse centroid; `IvfIters` rounds
-    * of Lloyd refinement (spherical k-means) follow. */
+    * of Lloyd refinement (spherical k-means) follow, trained on a
+    * deterministic 1-in-`IvfTrainStride` sample. */
   val IvfCentroidStride = 97
   val IvfProbes = 3
   val IvfIters = 1
+  val IvfTrainStride = 3
 
   private def seedCentroids(v: DataFrame): DataFrame =
     v.filter(col("vec_id") % IvfCentroidStride === 0)
@@ -154,13 +156,17 @@ object Similarity {
     * to its max-dot centroid (broadcast join + windowed argmax), then
     * recompute each centroid as the re-normalized element-wise mean of
     * its members (posexplode -> per-(centroid,dim) avg -> re-quantize).
-    * Every step is a bounded shuffle; centroids stay broadcast-sized. At
-    * 100 TB you'd train on a sample with the identical plan and only the
-    * final assignment pass would touch the full corpus. */
+    * Every step is a bounded shuffle; centroids stay broadcast-sized.
+    * Training touches only a deterministic sample (vec_id stride — the
+    * k-means objective barely moves, the pass cost drops by the stride);
+    * only the FINAL assignment pass in [[ivfTopK]] reads the full
+    * corpus. Seeds still come from the full corpus so the centroid count
+    * is independent of the training stride. */
   private def trainedCentroids(v: DataFrame, iters: Int = IvfIters): DataFrame = {
     var cents = seedCentroids(v)
+    val sample = v.filter(col("vec_id") % IvfTrainStride === 0)
     for (_ <- 0 until iters) {
-      val members = assignTo(v, cents, probes = 1)
+      val members = assignTo(sample, cents, probes = 1)
         .select(col("centroid_id"), col("q"))
       val dimMeans = members
         .select(col("centroid_id"), posexplode(col("q")).as(Seq("dim", "x")))

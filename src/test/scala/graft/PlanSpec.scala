@@ -69,17 +69,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$finalPlan")
   }
 
-  test("embedding near-dup pairs: LSH equi-join, no nested loop over the corpus") {
-    val df = graft.ml.Dedup.embeddingPairs(spark, sf)
-    df.collect() // finalize AQE
-    val plan = planOf(df)
+  test("embedding pair queries: partitioned equi-joins, no nested loop over the corpus") {
     // the round-2 shape was a corpus x corpus BroadcastNestedLoopJoin on
-    // vec_id < vec_id — fatal at scale; candidates must come from the
-    // (tbl, bucket) hash join now
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"embedding pair candidates must be LSH-blocked, not all-pairs:\n$plan")
-    spark.catalog.clearCache()
+    // vec_id < vec_id — fatal at scale. The exact form must be the tiled
+    // hash join; the LSH form must be the (tbl, bucket) hash join.
+    for (q <- Seq(graft.ml.Dedup.embeddingPairs(spark, sf),
+                  graft.ml.Dedup.embeddingLshPairs(spark, sf))) {
+      q.collect() // finalize AQE
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"embedding pair candidates must come from a partitioned equi-join:\n$plan")
+      spark.catalog.clearCache()
+    }
   }
 
   test("band join broadcasts the interval table, never shuffles the fact side") {

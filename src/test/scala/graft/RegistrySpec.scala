@@ -34,7 +34,8 @@ class RegistrySpec extends SparkSpec {
       graft.expr.ExprQueries.queries, graft.pipeline.CaseDocs.queries,
       graft.ml.TextOps.queries, graft.ml.Dedup.queries,
       graft.ml.Similarity.queries, graft.ml.Multimodal.queries,
-      graft.pipeline.Enricher.queries, graft.operators.Temporal.queries)
+      graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
+      graft.streaming.IncrementalSync.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

@@ -125,20 +125,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("LSH-blocked embedding pairs: subset of exact, near-total recall") {
+  test("tiled embedding pairs equal the naive theta-join exactly") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val naive = asSet(Dedup.embeddingPairsExactOf(emb))
+    val tiled = asSet(Dedup.embeddingPairs(spark, sf))
+    assert(tiled == naive,
+      s"tiled plan changed the result: missing=${naive.diff(tiled).take(5)} " +
+        s"extra=${tiled.diff(naive).take(5)}")
+    spark.catalog.clearCache()
+  }
+
+  test("LSH-mined pairs: subset of exact; ALL true near-dups (cos>=0.9) recovered") {
     val emb = graft.Tables.embeddings(spark, sf)
     val exact = Dedup.embeddingPairsExactOf(emb).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
-    val blocked = Dedup.embeddingPairs(spark, sf).collect()
+    val mined = Dedup.embeddingLshPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
-    // blocking only removes candidates; the threshold is identical — the
-    // blocked result can never contain a pair the exact form lacks
-    assert(blocked.subsetOf(exact),
-      s"blocked produced non-pairs: ${blocked.diff(exact).take(5)}")
-    // 2-bit x 8-table OR amplification: worst-case (cos exactly 0.4) miss
-    // probability is ~1.7% per pair; on this corpus measured recall is 1.0
-    // — gate at 0.9 to stay robust to testdata regeneration
-    assert(blocked.size >= (exact.size * 0.9).toInt,
-      s"recall too low: ${blocked.size}/${exact.size}")
+    // blocking only removes candidates; the gate is identical — mined can
+    // never contain a pair the exact form lacks
+    assert(mined.subsetOf(exact),
+      s"mined produced non-pairs: ${mined.diff(exact).take(5)}")
+    spark.catalog.clearCache()
+
+    // plant genuine near-dups (cos ~0.95): at that similarity the 8x16
+    // table shape misses a pair with probability (1-0.857^8)^16 ~ 0.4%,
+    // so every planted pair must surface
+    val base = (0 until 64).map(i => math.sin(i * 0.7) * 10).toArray
+    def jitter(seed: Int): Array[Double] =
+      base.zipWithIndex.map { case (x, i) => x + math.sin(seed * 131 + i) * 0.9 }
+    val rows = (0 until 20).flatMap { g =>
+      Seq((g * 2L, jitter(g)), (g * 2L + 1L, jitter(g))) // identical twins per group
+    } ++ (1000L until 1100L).map(i =>
+      (i, (0 until 64).map(d => math.sin(i * 997.0 + d * 13.7) * 10).toArray))
+    val planted = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val found = Dedup.embeddingLshPairsOf(planted).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    (0 until 20).foreach { g =>
+      assert(found((g * 2L, g * 2L + 1L)),
+        s"planted near-dup pair ($g) escaped the LSH blocker")
+    }
+    spark.catalog.clearCache()
   }
 }
