@@ -274,6 +274,49 @@ object TextOps {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  // -------------------------------------------------------------------
+  // U3 — markup/control-char text extraction
+  // -------------------------------------------------------------------
+
+  /** U3: extract clean text from tagged markup — strip elements, decode
+    * the basic HTML entities (&amp; last, so &amp;lt; survives single
+    * decoding), erase control characters, collapse whitespace. The
+    * column-expression stand-in for the reference's external document
+    * parser (docproc/format_config.py:147-230): where that service
+    * consumes PDFs, this consumes the markup-shaped text that survives
+    * in a crawl/export corpus. Pure codegen'd regex projection — narrow,
+    * no UDF. */
+  def extractText(markup: Column): Column = {
+    val noTags = regexp_replace(markup, "<[^>]*>", " ")
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&nbsp;", " "),
+      "&amp;", "&")
+    val noCtl = regexp_replace(ent, "[\\x00-\\x1F\\x7F]", " ")
+    trim(regexp_replace(noCtl, " +", " "))
+  }
+
+  /** Registered U3 form over a markup column synthesized from documents
+    * (tags + entities + control bytes wrapped around the real text, so
+    * the oracle can rebuild the identical input). */
+  def extractTextQuery(spark: SparkSession, dir: String): DataFrame = {
+    val marked = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        lit("<html>\n<body>\t<h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1>\u0001<p>"), col("text"),
+        lit(" &amp; tail&nbsp;&lt;EOF&gt;</p>\u0007</body></html>")).as("markup"))
+    marked.select(
+      col("doc_id"),
+      extractText(col("markup")).as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -286,12 +329,37 @@ object TextOps {
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_keywords" -> ((s, d) => keywords(s, d)),
     "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
-    "text_token_drift" -> ((s, d) => tokenDrift(s, d)))
+    "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
+    "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "u3_extract_text" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         '<html>' || chr(10) || '<body>' || chr(9) || '<h1>Doc ' ||
+        |         doc_id::VARCHAR || '</h1>' || chr(1) || '<p>' || text ||
+        |         ' &amp; tail&nbsp;&lt;EOF&gt;</p>' || chr(7) ||
+        |         '</body></html>' AS markup
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |         replace(replace(replace(replace(replace(
+        |           regexp_replace(markup, '<[^>]*>', ' ', 'g'),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&nbsp;', ' '), '&amp;', '&') AS s1
+        |  FROM m),
+        |y AS (
+        |  SELECT doc_id,
+        |         regexp_replace(s1, '[\x00-\x1f\x7f]', ' ', 'g') AS s2
+        |  FROM x)
+        |SELECT doc_id,
+        |       trim(regexp_replace(s2, ' +', ' ', 'g')) AS text_clean,
+        |       CAST(length(trim(regexp_replace(s2, ' +', ' ', 'g'))) AS BIGINT)
+        |         AS n_chars_clean
+        |FROM y""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,

@@ -48,4 +48,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1).count() == 0)
     assert(out.filter(col("masked_text").contains("@")).count() == 0)
   }
+
+  test("extractText strips tags, decodes entities once, erases control bytes") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      // &amp; decoded LAST: &amp;lt; must yield literal "&lt;", not "<"
+      ("a &amp;lt; b &lt;c&gt; &quot;d&quot;", "a &lt; b <c> \"d\""),
+      ("x\u0001y\u0007z\nw", "x y z w"),
+      ("  spaced   <div>   out  </div>  ", "spaced out"),
+      ("no markup at all", "no markup at all"))
+    val got = cases.toDF("markup", "want")
+      .select(TextOps.extractText(col("markup")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+  }
 }
