@@ -167,7 +167,14 @@ object IncrementalSync {
         // durable side before the checkpoint commit; the replay is a no-op
         // (rewriting would also yank files from under an external reader
         // who already picked vN as latest)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$vPath/_SUCCESS"))) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$vPath/_SUCCESS"))) {
+          // the skip must still CONSUME the batch: the stateful operator
+          // upstream only commits its per-partition state stores when
+          // every partition is processed, and Spark validates exactly
+          // that at batch commit (STATE_STORE_COMMIT_VALIDATION_FAILED
+          // otherwise)
+          batch.foreach(_ => ())
+        } else {
           val changes = batch.persist()
           // change log: per-batch OVERWRITE path, so a replayed batch
           // replaces rather than double-appends its own events; readers

@@ -91,4 +91,71 @@ class GoldenCaseE2ESpec extends SparkSpec {
       .select("last_serialno").as[Long].head()
     assert(goldenAfter == goldenSerial)
   }
+
+  test("failure-injected sync: torn version ignored, dead-letter recorded, committed replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import IncrementalSync.SnapshotUpdate
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-e2e-fail").toString
+
+    // two clean micro-batches
+    val input = MemoryStream[SnapshotUpdate]
+    val q = IncrementalSync.syncPipeline(input.toDS(), outDir)
+    try {
+      input.addData(SnapshotUpdate(0, 1, 5), SnapshotUpdate(0, 2, 3))
+      q.processAllAvailable()
+      input.addData(SnapshotUpdate(0, 2, 9))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def marks(): Map[Long, Long] =
+      IncrementalSync.latestWatermarks(spark, outDir).get.collect()
+        .map(r => r.getAs[Long]("case_ref") -> r.getAs[Long]("last_serialno")).toMap
+    assert(marks() == Map(1L -> 5L, 2L -> 9L))
+
+    // CRASH: a later batch died mid-write — parquet fragments on disk,
+    // no _SUCCESS. The reader must keep serving the last committed state.
+    val torn = new java.io.File(s"$outDir/watermarks/v99")
+    torn.mkdirs()
+    Files.writeString(torn.toPath.resolve("part-00000.parquet"), "torn bytes")
+    assert(marks() == Map(1L -> 5L, 2L -> 9L),
+      "a torn (uncommitted) version must never be served")
+
+    // RETRY -> DEAD-LETTER: drive the worker over jobs derived from the
+    // durable change log; case 2's rebuild fails permanently
+    val jobs = spark.read.parquet(s"$outDir/changes")
+      .groupBy("tenant_id", "case_ref")
+      .agg(max(col("serialno")).as("serialno")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        IncrementalSync.Job(i.toLong, r.getAs[Long]("tenant_id"),
+          r.getAs[Long]("case_ref"), priority = 2, attempts = 0)
+      }.toSeq
+    val drained = IncrementalSync.drain(jobs, j => j.case_ref != 2L)
+    assert(drained.dead.map(_.case_ref).distinct == Seq(2L))
+    assert(drained.dead.forall(_.attempts == 3), "dead only after max attempts")
+    drained.dead.toDF().write.mode("overwrite").parquet(s"$outDir/dead_letter")
+    assert(spark.read.parquet(s"$outDir/dead_letter")
+      .select("case_ref").as[Long].collect().toSeq == Seq(2L))
+
+    // REPLAY: attempt 2 of an already-committed batch (checkpoint loss)
+    // must not rewrite the durable side — the _SUCCESS guard makes the
+    // replay a no-op instead of yanking files from under readers
+    val v1File = new java.io.File(s"$outDir/watermarks/v1/_SUCCESS")
+    val mtimeBefore = v1File.lastModified()
+    val changesBefore = spark.read.parquet(s"$outDir/changes").count()
+    // wipe the checkpoint: the restarted query re-derives batch 0 from
+    // scratch, exactly the replayed-attempt shape the guard must absorb
+    new scala.reflect.io.Directory(new java.io.File(s"$outDir/checkpoint")).deleteRecursively()
+    val input3 = MemoryStream[SnapshotUpdate]
+    val q3 = IncrementalSync.syncPipeline(input3.toDS(), outDir)
+    try {
+      input3.addData(SnapshotUpdate(0, 1, 5), SnapshotUpdate(0, 2, 3)) // batch 0 again
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(spark.read.parquet(s"$outDir/changes").count() == changesBefore,
+      "replaying a committed batch must not duplicate the change log")
+    assert(v1File.lastModified() == mtimeBefore,
+      "replaying a committed batch must not rewrite its watermark snapshot")
+    assert(marks() == Map(1L -> 5L, 2L -> 9L))
+  }
 }

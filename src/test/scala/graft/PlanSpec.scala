@@ -84,6 +84,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("every scalar-anchor cross join plans as a broadcast nested loop") {
+    // scalar anchors (1-row aggregate totals joined onto a detail table)
+    // must broadcast deterministically — not rely on AQE noticing the
+    // 1-row side at runtime
+    for (df <- Seq(graft.sync.Reconcile.summary(spark, sf),
+                   graft.sync.Reconcile.qualityValidation(spark, sf),
+                   graft.ml.TextOps.tokenDrift(spark, sf))) {
+      df.collect()
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"scalar anchor must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("band join broadcasts the interval table, never shuffles the fact side") {
     val df = graft.operators.Temporal.priceBandStats(spark, sf)
     df.collect()
