@@ -402,11 +402,14 @@ object Dedup {
     * side here; at corpus scale it is a co-partitioned shuffle join). */
   def embeddingLshPairsOf(vectors: DataFrame): DataFrame = {
     val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
+    // persisted: the self-join below would otherwise evaluate the 16x8
+    // plane dots once per side; the bucket table is 3 longs/row
     val bucketed = sq.select(col("vec_id"),
       explode(array((0 until EmbLshTables).map(t =>
         struct(lit(t).as("tbl"),
           Similarity.lshBucket(col("q"), t, EmbLshPlanes).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist()
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -107,6 +107,32 @@ object Adapters {
         col("tenant_id"), col("case_ref"), col("serialno"),
         col("priority"), col("job_type"))).as("payload"))
 
+  /** S8 live form — partitioned JDBC snapshot scan, the production
+    * counterpart of the parquet-snapshot model used throughout (no
+    * database exists in this environment, so this adapter is
+    * compile-checked only; every consumer reads through the identical
+    * (case_ref, tenant_id, status, is_active, serialno/last_serialno)
+    * schema either way).
+    *
+    * Scale shape (reference etl/flows/sync_daily_enhanced.py:156-197):
+    *  - `partitionColumn/lowerBound/upperBound/numPartitions` split the
+    *    table into range-parallel reads — one connection per partition,
+    *    no single-reader bottleneck at 10^8-row mirrors;
+    *  - `pushDownPredicate` (default true) ships tenant/status filters
+    *    into the database as WHERE clauses rather than scanning;
+    *  - `fetchsize` bounds per-round-trip rows (the JDBC cursor knob).
+    */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String,
+                   partitionColumn: String, lowerBound: Long, upperBound: Long,
+                   numPartitions: Int, fetchSize: Int = 10000): DataFrame =
+    spark.read
+      .option("fetchsize", fetchSize)
+      .jdbc(url, table,
+        columnName = partitionColumn,
+        lowerBound = lowerBound, upperBound = upperBound,
+        numPartitions = numPartitions,
+        connectionProperties = new java.util.Properties())
+
   /** S11-ish — payload parse-back (worker.py:124). */
   def parsePayloads(payloads: DataFrame): DataFrame =
     payloads.select(

@@ -90,6 +90,49 @@ object IncrementalSync {
       dead.map(j => j.copy(attempts = j.attempts + 1)))
   }
 
+  // -------------------------------------------------------------------
+  // Circuit breaker (reference core/error_handling.py:165-177,576-593)
+  // -------------------------------------------------------------------
+
+  /** Circuit-breaker state machine: CLOSED counts consecutive failures;
+    * at `failureThreshold` it OPENS (callers shed load instead of
+    * hammering a down dependency); after `timeoutSeconds` the next probe
+    * half-opens, where one success re-closes and one failure re-opens.
+    * Pure transition function — drive it from foreachBatch alongside
+    * [[step]], persisting the state like the watermark table. */
+  final case class Breaker(
+      failures: Int = 0, openedAt: Option[Long] = None,
+      failureThreshold: Int = 5, timeoutSeconds: Long = 300L) {
+    def isOpen(now: Long): Boolean =
+      openedAt.exists(t => now - t < timeoutSeconds)
+    /** May a call proceed at `now`? (closed, or half-open probe) */
+    def allows(now: Long): Boolean = !isOpen(now)
+    def onSuccess: Breaker =
+      copy(failures = 0, openedAt = None)
+    def onFailure(now: Long): Breaker = {
+      val n = failures + 1
+      if (n >= failureThreshold || openedAt.isDefined)
+        copy(failures = n, openedAt = Some(now)) // open (or re-open from half-open)
+      else copy(failures = n)
+    }
+  }
+
+  /** One guarded micro-batch: if the breaker is open, jobs are shed
+    * untouched (attempts unchanged — load-shedding is not failure);
+    * otherwise run [[step]] and advance the breaker on the batch
+    * outcome (any failure counts once; a fully-clean batch resets). */
+  def guardedStep(jobs: Seq[Job], succeeds: Job => Boolean, breaker: Breaker,
+                  now: Long, maxAttempts: Int = 3): (StepResult, Breaker, Seq[Job]) =
+    if (!breaker.allows(now)) (StepResult(Nil, Nil, Nil), breaker, jobs)
+    else {
+      val r = step(jobs, succeeds, maxAttempts)
+      val next =
+        if (r.retry.nonEmpty || r.dead.nonEmpty) breaker.onFailure(now)
+        else if (r.succeeded.nonEmpty) breaker.onSuccess
+        else breaker
+      (r, next, Nil)
+    }
+
   /** Drain a job set to completion (bounded by maxAttempts rounds) —
     * the batch-mode equivalent of the worker loop. */
   def drain(jobs: Seq[Job], succeeds: Job => Boolean,

@@ -206,4 +206,27 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(r.dead.map(_.job_id) == Seq(7))
     assert(r.dead.head.attempts == 3)
   }
+
+  test("circuit breaker: opens at threshold, sheds while open, half-open probe decides") {
+    val jobs = Seq(Job(1, 0, 1, 1, 0))
+    var b = Breaker(failureThreshold = 3, timeoutSeconds = 300L)
+    // three failing batches -> breaker opens
+    for (t <- 1L to 3L) {
+      val (r, nb, shed) = guardedStep(jobs, _ => false, b, now = t)
+      assert(shed.isEmpty && (r.retry.nonEmpty || r.dead.nonEmpty))
+      b = nb
+    }
+    assert(b.isOpen(now = 4L))
+    // open: jobs shed untouched, attempts NOT burned
+    val (rOpen, bOpen, shedOpen) = guardedStep(jobs, _ => false, b, now = 10L)
+    assert(rOpen.succeeded.isEmpty && rOpen.retry.isEmpty && rOpen.dead.isEmpty)
+    assert(shedOpen == jobs && shedOpen.head.attempts == 0)
+    // after the timeout: half-open — a failing probe re-opens from now
+    val (_, bReopened, _) = guardedStep(jobs, _ => false, bOpen, now = 304L)
+    assert(bReopened.isOpen(now = 305L) && bReopened.isOpen(now = 603L))
+    // a succeeding probe after the new window fully closes it
+    val (rOk, bClosed, _) = guardedStep(jobs, _ => true, bReopened, now = 605L)
+    assert(rOk.succeeded == jobs)
+    assert(!bClosed.isOpen(now = 606L) && bClosed.failures == 0)
+  }
 }
