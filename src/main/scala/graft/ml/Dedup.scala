@@ -431,6 +431,17 @@ object Dedup {
   def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
     embeddingLshPairsOf(Tables.embeddings(spark, dir))
 
+  /** SemDeDup-shaped completion of the embedding path: connected
+    * components over the LSH-mined pair graph (same min-label
+    * propagation + pointer jumping as the n-gram clusters), so the
+    * embedding near-dups collapse to a canonical survivor per semantic
+    * cluster. Oracle = recursive-CTE transitive closure over the
+    * mirrored-blocking pair SQL. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(embeddingLshPairs(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -446,6 +457,7 @@ object Dedup {
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
+    "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)))
 
   private val shingleCte: String =
@@ -510,7 +522,8 @@ object Dedup {
          |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
          |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
          |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin,
-    "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle)
+    "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle,
+    "dedup_embedding_clusters" -> embeddingClustersOracle)
 
   /** Shared quantization CTE: L2-normalize, scale by 1e4, round to
     * BIGINT — byte-identical to [[quantized]]. */
@@ -531,7 +544,10 @@ object Dedup {
     * same sign-bit buckets, the same integer threshold — so DuckDB and
     * Spark compute the identical candidate set, not just the same final
     * filter. Plane dots stay < 2^30, exact in any arithmetic. */
-  private def embeddingLshPairsOracle: String = {
+  /** CTE chain shared by the LSH pair and cluster oracles: quantize ->
+    * per-table sign-bit buckets (plane constants inlined) -> distinct
+    * colliding id pairs. */
+  private def embLshCandCte: String = {
     val bucketSelects = (0 until EmbLshTables).map { t =>
       val bucket = (0 until EmbLshPlanes).map { k =>
         val planeLit = Similarity.plane(t, k, EmbLshPlanes).mkString("[", ", ", "]")
@@ -545,7 +561,11 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bk a JOIN bk b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  private def embeddingLshPairsOracle: String =
+    s"""$embLshCandCte
        |SELECT cand.vec_a, cand.vec_b,
        |       CAST(CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) AS DOUBLE) /
        |         (sqrt(CAST(sa.nsq AS DOUBLE)) * sqrt(CAST(sb.nsq AS DOUBLE))) AS cosine
@@ -555,5 +575,26 @@ object Dedup {
        |WHERE CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) > 0
        |  AND CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) *
        |      CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) * 25 > sa.nsq * sb.nsq * 4""".stripMargin
-  }
+
+  /** Transitive closure over the gated LSH pairs — the DuckDB twin of
+    * [[embeddingClusters]]'s label propagation. */
+  private def embeddingClustersOracle: String =
+    s"""${embLshCandCte.replace("WITH q", "WITH RECURSIVE q")},
+       |np AS (
+       |  SELECT cand.vec_a, cand.vec_b
+       |  FROM cand
+       |  JOIN s sa ON sa.vec_id = cand.vec_a
+       |  JOIN s sb ON sb.vec_id = cand.vec_b
+       |  WHERE CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) > 0
+       |    AND CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) *
+       |        CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) * 25 > sa.nsq * sb.nsq * 4),
+       |e AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM np
+       |  UNION ALL SELECT vec_b, vec_a FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
 }

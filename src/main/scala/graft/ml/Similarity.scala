@@ -183,16 +183,29 @@ object Similarity {
   }
 
   /** Assign each vector to its `probes` nearest centroids (by integer
-    * dot). The inverted-list assignment is a broadcast join + windowed
-    * rank — no shuffle of the corpus until the final grouping. */
+    * dot). The inverted-list assignment is a broadcast join + argmax —
+    * no shuffle of the corpus until the final grouping. probes == 1
+    * (the bulk corpus pass) is a hash aggregate with max_by, which
+    * skips the sort a windowed rank would pay; multi-probe (the small
+    * query side) keeps the windowed form. */
   private def assignTo(v: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("centroid_id").asc)
-    v.join(broadcast(cents), lit(true))
+    val scored = v.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("q"), col("centroid_id"),
         dot(col("q"), col("cv")).as("cdot"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= probes)
+    if (probes == 1)
+      // argmax with the window's exact tie-break: max dot, then MIN
+      // centroid id — encoded as max_by on (cdot, -centroid_id)
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(struct(col("centroid_id"), col("q"), col("cdot")),
+          struct(col("cdot"), (-col("centroid_id")).as("neg"))).as("best"))
+        .select(col("vec_id"), col("best.q").as("q"),
+          col("best.centroid_id").as("centroid_id"), col("best.cdot").as("cdot"))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("centroid_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+    }
   }
 
   /** ANN via IVF: corpus vectors live in their single nearest centroid's
