@@ -285,7 +285,50 @@ object Similarity {
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)))
 
+  /** Oracle for the multi-table LSH ANN: the hyperplanes are inlined as
+    * the SAME integer constants the Spark plan uses ([[plane]]), so the
+    * candidate set — and therefore the (approximate) top-k itself — is
+    * engine-independent and hash-exact, upgrading this query from a
+    * recall-only spec to a full oracle row. */
+  private def annOracle: String = {
+    val bucketSelects = (0 until LshTables).map { t =>
+      val bucket = (0 until LshPlanes).map { k =>
+        val planeLit = plane(t, k, LshPlanes).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(qv, $planeLit) >= 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, qv, $t AS tbl, $bucket AS bucket FROM q"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(
+       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |bk AS (
+       |$bucketSelects),
+       |cand AS (
+       |  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id
+       |  FROM bk qs JOIN bk c
+       |    ON qs.vec_id % 200 = 0 AND qs.tbl = c.tbl AND qs.bucket = c.bucket
+       |   AND c.vec_id <> qs.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         CAST(list_dot_product(qq.qv, cc.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN q qq ON qq.vec_id = cand.query_id
+       |  JOIN q cc ON cc.vec_id = cand.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY dot DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_ann" -> annOracle,
     "sim_topk_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id,
