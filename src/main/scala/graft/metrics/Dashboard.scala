@@ -400,6 +400,23 @@ object Dashboard {
         .otherwise("test").as("split"))
   }
 
+  /** O9 — balanced mixture sample (the data-mixing primitive of a
+    * multilingual training pipeline): undersample the over-represented
+    * language toward a ~`cap`-docs-per-language target (en dominates
+    * the corpus 3:1). Per-language keep rates come from a tiny
+    * aggregated counts table (broadcast), and the keep decision is the
+    * deterministic arithmetic hash — a pure row-local predicate, so
+    * there is NO window and NO shuffle of the corpus, and any row's
+    * in/out status is recomputable from its id alone at any scale. */
+  def balancedSample(spark: SparkSession, dir: String, cap: Long = 75L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    docs.join(broadcast(counts), "lang")
+      .filter((Exprs.serialOf(col("doc_id")) % 1000L) * col("n_lang") <
+        lit(cap * 1000L))
+      .select("doc_id", "lang", "n_lang")
+  }
+
   /** Quality-decile binning over the text quality score (curriculum /
     * filtering buckets): ntile(10) with a total orderBy tie-break.
     *

@@ -51,6 +51,7 @@ object DashboardQueries {
     "a18_profile_orders" -> ((s, d) => Dashboard.profileOrders(s, d)),
     "u9_impute_median" -> ((s, d) => Dashboard.imputeMedian(s, d)),
     "o8_quality_deciles" -> ((s, d) => Dashboard.qualityDeciles(s, d)),
+    "o9_balanced_sample" -> ((s, d) => Dashboard.balancedSample(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)))
@@ -277,6 +278,12 @@ object DashboardQueries {
     "o6_hash_sample" ->
       """SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_orderstatus
         |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin,
+    "o9_balanced_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang
+        |           FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, c.n_lang
+        |FROM documents d JOIN c ON d.lang = c.lang
+        |WHERE (((d.doc_id * 48271) % 100000) % 1000) * c.n_lang < 75000""".stripMargin,
     "a18_profile_orders" ->
       """SELECT count(*) AS n_rows,
         |       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_keys,

@@ -48,6 +48,30 @@ object Dedup {
     sh.join(broadcast(hot), Seq("hs"), "left_anti").persist()
   }
 
+  /** Benchmark decontamination: flag eval-side documents (odd doc_id)
+    * that share >= `minShared` distinct shingles with ANY train-side
+    * document (even doc_id) — the train/benchmark overlap check every
+    * training-data pipeline runs before a model ships. Same inverted-
+    * index shape as the near-dup blockers: explode shingles, semi-join
+    * the eval postings against the distinct train shingle set (a hash
+    * join keyed on the 64-bit shingle hash), count per eval doc. The
+    * hot-shingle df cap keeps stop-phrase postings from flooding the
+    * join at corpus scale. */
+  def contaminationOf(docs: DataFrame, minShared: Int = 3,
+                      dfCap: Int = 1000): DataFrame = {
+    val sh = shingleIndex(docs, dfCap)
+    val trainShingles = sh.filter(col("doc_id") % 2 === 0)
+      .select("hs").distinct()
+    sh.filter(col("doc_id") % 2 =!= 0)
+      .join(trainShingles, "hs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.documents(spark, dir))
+
   /** Exact dedup groups: content-hash -> surviving (minimum) doc_id +
     * group size. Survivor selection is an aggregate, not a window — one
     * shuffle on the hash. */
@@ -458,7 +482,8 @@ object Dedup {
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
-    "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)))
+    "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
+    "curation_contamination" -> ((s, d) => contamination(s, d)))
 
   private val shingleCte: String =
     """WITH t AS (
@@ -523,7 +548,18 @@ object Dedup {
          |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
          |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin,
     "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle,
-    "dedup_embedding_clusters" -> embeddingClustersOracle)
+    "dedup_embedding_clusters" -> embeddingClustersOracle,
+    // string shingles in the oracle vs 64-bit hashed shingles in the
+    // plan: identical counts barring a 2^-64 collision (the documented
+    // dedup_ngram_pairs precedent)
+    "curation_contamination" ->
+      s"""$shingleCte,
+         |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+         |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)
+         |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ev JOIN tr ON ev.s = tr.s
+         |GROUP BY ev.doc_id
+         |HAVING count(*) >= 3""".stripMargin)
 
   /** Shared quantization CTE: L2-normalize, scale by 1e4, round to
     * BIGINT — byte-identical to [[quantized]]. */
