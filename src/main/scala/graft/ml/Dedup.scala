@@ -334,9 +334,15 @@ object Dedup {
 
   /** Integer threshold gate shared by every embedding-pair form:
     * cos(a,b) > 0.4 decided entirely in integers —
-    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25). */
+    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25).
+    *
+    * The persist() is the projection barrier the pair queries need:
+    * without it CollapseProject/filter-pushdown inlines the dot product
+    * into the post-join condition AND the cosine projection — three
+    * evaluations per candidate pair (measured 3x slower at sf0.1 on the
+    * round-2 shape). Bench/Verify clearCache() between queries. */
   private def gated(scored: DataFrame): DataFrame =
-    scored
+    scored.persist()
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
       .select(col("vec_a"), col("vec_b"),
@@ -404,8 +410,7 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
         col("a.nsq").as("na"), col("b.nsq").as("nb"))
-      .persist()
-    gated(scored)
+    gated(scored) // gated() persists — the projection barrier
   }
 
   // Sign-bit LSH shape for the SUBQUADRATIC mining form: 8 planes per

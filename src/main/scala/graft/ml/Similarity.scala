@@ -168,16 +168,23 @@ object Similarity {
     for (_ <- 0 until iters) {
       val members = assignTo(sample, cents, probes = 1)
         .select(col("centroid_id"), col("q"))
+      // NB: refined below via left join so a centroid whose members all
+      // fell outside the training sample KEEPS its previous vector
+      // instead of silently vanishing — the centroid count must stay
+      // independent of the training stride
       val dimMeans = members
         .select(col("centroid_id"), posexplode(col("q")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
         .agg(avg(col("x").cast("double")).as("m"))
-      cents = dimMeans
+      val refined = dimMeans
         .groupBy("centroid_id")
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
           ArrayOps.quantize_vec(
-            transform(col("dm"), e => e.getField("m")), 10000).as("cv"))
+            transform(col("dm"), e => e.getField("m")), 10000).as("rcv"))
+      cents = cents
+        .join(refined, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"), coalesce(col("rcv"), col("cv")).as("cv"))
     }
     cents
   }

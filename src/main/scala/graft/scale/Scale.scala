@@ -21,7 +21,14 @@ object Scale {
     * parquet files arrive as one partition, which would serialize every
     * downstream kernel; real multi-split input passes through untouched
     * (no forced exchange), and the target tracks the cluster size instead
-    * of hardcoding local[32]'s 32. */
+    * of hardcoding local[32]'s 32.
+    *
+    * CONTRACT: apply this to SCAN(+project/filter) frames only. The
+    * partition probe goes through `df.rdd`, which under AQE finalizes the
+    * physical plan — on a frame with upstream shuffles (post-aggregate,
+    * post-join) that would EXECUTE those stages once for the probe and
+    * again for the real query. Scans plan without running jobs, so the
+    * probe is free exactly where spreading is useful. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)

@@ -149,14 +149,16 @@ class DedupSpec extends SparkSpec {
       s"mined produced non-pairs: ${mined.diff(exact).take(5)}")
     spark.catalog.clearCache()
 
-    // plant genuine near-dups (cos ~0.95): at that similarity the 8x16
-    // table shape misses a pair with probability (1-0.857^8)^16 ~ 0.4%,
+    // plant genuine near-dups (cos ~0.99, NOT identical — each twin gets
+    // a different jitter seed so the pair exercises real cross-bucket
+    // collision, not the trivial equal-vector case): at that similarity
+    // the 8x16 table shape misses a pair with negligible probability,
     // so every planted pair must surface
     val base = (0 until 64).map(i => math.sin(i * 0.7) * 10).toArray
     def jitter(seed: Int): Array[Double] =
       base.zipWithIndex.map { case (x, i) => x + math.sin(seed * 131 + i) * 0.9 }
     val rows = (0 until 20).flatMap { g =>
-      Seq((g * 2L, jitter(g)), (g * 2L + 1L, jitter(g))) // identical twins per group
+      Seq((g * 2L, jitter(g)), (g * 2L + 1L, jitter(g + 5000)))
     } ++ (1000L until 1100L).map(i =>
       (i, (0 until 64).map(d => math.sin(i * 997.0 + d * 13.7) * 10).toArray))
     val planted = rows.toDF("vec_id", "embedding")
