@@ -12,13 +12,14 @@ object Bench {
       // the scan stages real parallelism on local[N]
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // events.parquet is TIMESTAMP(NANOS); Tables.events requires this
+      .config(Tables.NanosAsLongConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup outside the timed region: JIT/codegen spin-up and parquet
     // footer reads otherwise land entirely on whichever query runs first.
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
-    // via Tables: events needs the nanosAsLong conf set before its footer
-    // is read, and Tables.events does that
+    // via Tables: events needs the nanosAsLong conf (set at session build)
     Seq("orders", "lineitem", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).schema)
     Tables.events(spark, sfDir).schema

@@ -17,9 +17,19 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
     * (legacy conf) and rebuild a TIMESTAMP_NTZ column — the generator only
-    * populates microsecond precision, so `div 1000` is lossless. */
+    * populates microsecond precision, so `div 1000` is lossless.
+    *
+    * The conf must be set AT SESSION BUILD (as SparkSpec/Bench/Verify do):
+    * the parquet reader consults it both at schema inference and again at
+    * physical planning, so a set-and-restore around the read would still
+    * leak order dependence, and a reader that mutates session state flips
+    * a global toggle for every neighboring query. A reader asserts instead
+    * of mutating. */
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get(NanosAsLongConf, "false") == "true",
+      s"Tables.events needs $NanosAsLongConf=true set at session build " +
+        "(events.parquet is TIMESTAMP(NANOS))")
     import org.apache.spark.sql.functions._
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))

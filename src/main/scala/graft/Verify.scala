@@ -16,6 +16,8 @@ object Verify {
       // the scan stages real parallelism on local[N]
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // events.parquet is TIMESTAMP(NANOS); Tables.events requires this
+      .config(Tables.NanosAsLongConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -193,15 +193,36 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (a pair within
-    * hamming distance 3 shares at least one of 4 chunks), verify with
-    * popcount of XOR <= maxHamming. */
-  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sh = simhashOf(docs)
+  /** SimHash near-dup pairs with GUARANTEED recall at the gate: block on
+    * `maxHamming + 1` disjoint bit-chunks — by pigeonhole a pair within
+    * hamming distance `maxHamming` differs in at most `maxHamming` chunks,
+    * so it SHARES at least one chunk and must surface as a candidate.
+    * Verification is an exact popcount of XOR <= maxHamming. (The earlier
+    * fixed 4x16-bit blocking only guaranteed recall to hamming 3 while
+    * the default gate advertised 6; the chunk count now tracks the
+    * threshold — 7 chunks of 9 bits at the default — and DedupSpec proves
+    * blocked == brute-force at the gate.) */
+  def simhashPairsOf(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    simhashPairsOfSigs(simhashOf(docs), maxHamming)
+
+  /** Blocking + verification over a precomputed (doc_id, simhash) frame —
+    * the unit DedupSpec plants adversarial signatures into (pairs at
+    * exactly `maxHamming` with flips spread one-per-chunk of the OLD
+    * fixed blocking must still surface). */
+  def simhashPairsOfSigs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val nChunks = maxHamming + 1
+    val w = 64 / nChunks // last chunk absorbs the remainder bits
+    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1L
+    val chunkArr = array((0 until nChunks).map { i =>
+      val width = if (i == nChunks - 1) 64 - w * (nChunks - 1) else w
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * w).bitwiseAND(lit(mask(width))).as("ch"))
+    }: _*)
     val chunks = sh
+      .select(col("doc_id"), col("simhash"), explode(chunkArr).as("cc"))
       .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("ch", expr("shiftright(simhash, chunk * 16) & 65535"))
+        col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
     val cand = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&

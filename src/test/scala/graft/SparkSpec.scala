@@ -12,6 +12,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // events.parquet is TIMESTAMP(NANOS); Tables.events requires this at
+    // session build instead of mutating session conf per read
+    .config(Tables.NanosAsLongConf, "true")
     // bucketed-table tests need a warehouse outside the repo; static conf,
     // so it must be set by whichever suite creates the session first
     .config("spark.sql.warehouse.dir",

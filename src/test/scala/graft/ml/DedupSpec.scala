@@ -64,6 +64,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)))
   }
 
+  test("simhash blocking is LOSSLESS at the gate: blocked == brute force, " +
+    "including planted pairs at exactly maxHamming") {
+    import spark.implicits._
+    // adversarial plants at the guarantee bound: 6 flipped bits spread so
+    // every 16-bit chunk of the OLD fixed blocking differs (bits 0, 16,
+    // 32, 48 kill all four old chunks; 5 and 21 pad to hamming 6). The
+    // maxHamming+1-chunk blocking must still find them.
+    def flips(bits: Seq[Int]): Long = bits.map(1L << _).reduce(_ | _)
+    val planted = Seq(
+      (9001L, 0L),
+      (9002L, flips(Seq(0, 16, 32, 48, 5, 21))),        // hamming 6 from 9001
+      (9003L, flips(Seq(1, 17, 33, 49, 9, 25, 41))),    // hamming 7 — past gate
+      (9004L, -1L),
+      (9005L, -1L ^ flips(Seq(7, 23, 39, 55, 13, 29)))) // hamming 6 from 9004
+    // plus the real corpus signatures — the equivalence must hold on data
+    val real = Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val all = planted ++ real
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    val blocked = Dedup.simhashPairsOfSigs(
+        all.toDF("doc_id", "simhash"), maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(blocked == brute,
+      s"missing=${brute.diff(blocked).take(5)} extra=${blocked.diff(brute).take(5)}")
+    assert(brute((9001L, 9002L)) && brute((9004L, 9005L)),
+      "planted at-the-bound pairs must be in the expected set")
+    assert(!blocked.exists(p => p._1 == 9003L || p._2 == 9003L),
+      "hamming-7 plant must be gated out")
+  }
+
   test("winnowing fingerprints catch the crafted near-dups and agree with " +
     "n-gram Jaccard on real data") {
     val pairs = Dedup.winnowPairsOf(
