@@ -286,21 +286,44 @@ object Dedup {
     * (surviving) doc_id. Only documents that appear in some pair are
     * emitted; singletons are their own trivial cluster. */
   def clustersOf(pairsIn: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sc = pairsIn.sparkSession.sparkContext
+    // localCheckpoint leaves its RDD blocks in the block manager until the
+    // ContextCleaner happens to GC the reference — across an iterative
+    // loop that is (iters+1) superseded label tables pinned in executor
+    // memory. Track the block-manager ids each checkpoint creates (probe
+    // diff; driver-side, between our own two calls) and free a round's
+    // blocks as soon as the next round has materialized.
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def dropBlocks(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.filter { case (id, _) => ids(id) }
+        .values.foreach(_.unpersist(blocking = false))
     // both union branches read the pair pipeline — materialize it once
     val pairs = pairsIn.persist()
+    // edges are re-joined on dst EVERY round — shuffle them onto the join
+    // key once here, so each round's neighbor-min join is exchange-free on
+    // the edge side (labels below are checkpointed hash-partitioned on
+    // doc_id, and LogicalRDD preserves outputPartitioning)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
+    // Materialize both caches NOW: the id-diff around each checkpoint
+    // below must see only that checkpoint's blocks, and a lazy cache
+    // would register its block-manager RDD mid-diff and get swept as a
+    // stale label table.
+    edges.count()
     // localCheckpoint (not persist) each round: the label table is
     // referenced three times per iteration (neighbor-min, both sides of
     // the pointer-jump self-join), so without lineage TRUNCATION the
     // logical plan grows 3^iterations and plan handling itself OOMs.
     // On a cluster with unreliable executors use reliable checkpoint
     // (sc.setCheckpointDir + .checkpoint()) — same shape, durable.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var beforeCkpt = persistedIds
+    var labels = edges.select(col("dst").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
+    var labelBlocks = persistedIds -- beforeCkpt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -324,13 +347,20 @@ object Dedup {
           (least(coalesce(col("nbr_min"), col("l.cluster_id")),
             coalesce(col("jump_min"), col("l.cluster_id"))) < col("l.cluster_id"))
             .as("_changed"))
-        .localCheckpoint() // eager: materializes and cuts lineage
+      beforeCkpt = persistedIds
+      val nextCkpt = next.localCheckpoint() // eager: materializes and cuts lineage
+      val nextBlocks = persistedIds -- beforeCkpt
       // coalesce: sum over ZERO rows (no pairs at all) is null, and a
       // legal empty input must return an empty cluster table, not NPE
-      val changed = next
+      val changed = nextCkpt
         .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
         .head.getLong(0)
-      labels = next.drop("_changed")
+      // nextCkpt is materialized — the previous round's checkpoint blocks
+      // are now dead weight; free them instead of waiting on the GC-driven
+      // ContextCleaner (which pins iters× label tables in executor memory)
+      dropBlocks(labelBlocks)
+      labelBlocks = nextBlocks
+      labels = nextCkpt.drop("_changed")
       converged = changed == 0
       iter += 1
     }
