@@ -209,6 +209,127 @@ case class ShingleHash3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct 3-token shingle hashes where the hash is an ENGINE-PORTABLE
+  * char-level polynomial (mod 1e9+7) of the space-joined shingle string:
+  * hash("t1 t2 t3") = fold codepoints cp of the joined text as
+  * (acc*31 + cp) % 1000000007. A SQL oracle recomputes it exactly with
+  * list_reduce over unicode(substring(...)) — this is what lets the
+  * MinHash query carry a full DuckDB oracle, unlike [[ShingleHash3]]'s
+  * JVM-internal string hash. Each token's characters are walked ONCE:
+  * per-token (hash, 31^len) are precomputed and windows combine them via
+  * the rolling-hash concatenation identity
+  * hash(a ++ b) = (hash(a) * 31^len(b) + hash(b)) mod P. */
+case class ShinglePoly3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_poly3 expects array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    val pw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var h = 0L
+      var p = 1L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        h = (h * 31L + cp) % ShinglePoly3.P
+        p = (p * 31L) % ShinglePoly3.P
+        ci += Character.charCount(cp)
+      }
+      th(i) = h; pw(i) = p
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - 3) {
+      var h = th(i)
+      h = (h * 31L + 32L) % ShinglePoly3.P
+      h = (h * pw(i + 1) + th(i + 1)) % ShinglePoly3.P
+      h = (h * 31L + 32L) % ShinglePoly3.P
+      h = (h * pw(i + 2) + th(i + 2)) % ShinglePoly3.P
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val th = ctx.freshName("th")
+      val pw = ctx.freshName("pw")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val pp = ctx.freshName("pp")
+      val ci = ctx.freshName("ci")
+      val cp = ctx.freshName("cp")
+      val p = ctx.freshName("p")
+      val it = ctx.freshName("it")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n < 3) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] $th = new long[$n];
+         |  long[] $pw = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    String $s = $a.getUTF8String($i).toString();
+         |    long $h = 0L;
+         |    long $pp = 1L;
+         |    for (int $ci = 0; $ci < $s.length(); ) {
+         |      int $cp = $s.codePointAt($ci);
+         |      $h = ($h * 31L + $cp) % 1000000007L;
+         |      $pp = ($pp * 31L) % 1000000007L;
+         |      $ci += java.lang.Character.charCount($cp);
+         |    }
+         |    $th[$i] = $h;
+         |    $pw[$i] = $pp;
+         |  }
+         |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
+         |  for (int $i = 0; $i + 2 < $n; $i++) {
+         |    long $h = $th[$i];
+         |    $h = ($h * 31L + 32L) % 1000000007L;
+         |    $h = ($h * $pw[$i + 1] + $th[$i + 1]) % 1000000007L;
+         |    $h = ($h * 31L + 32L) % 1000000007L;
+         |    $h = ($h * $pw[$i + 2] + $th[$i + 2]) % 1000000007L;
+         |    $seen.add(java.lang.Long.valueOf($h));
+         |  }
+         |  long[] $out = new long[$seen.size()];
+         |  int $p = 0;
+         |  for (java.util.Iterator $it = $seen.iterator(); $it.hasNext();) {
+         |    $out[$p++] = ((java.lang.Long) $it.next()).longValue();
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePoly3 =
+    copy(child = newChild)
+}
+
+object ShinglePoly3 {
+  val P = 1000000007L
+}
+
 /** L2-normalize + integer-quantize a float/double vector in one generated
   * pass: out[i] = round(x[i] / ||x|| * scale) as long. Replaces a
   * transform(...) whose lambda re-evaluated the norm fold per element.
@@ -378,6 +499,10 @@ object ArrayOps {
   /** Column wrapper: distinct 3-token shingle hashes (codegen'd). */
   def shingle_hash3(tokens: Column): Column =
     ColumnBridge.column(ShingleHash3(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: distinct PORTABLE polynomial 3-gram hashes (codegen'd). */
+  def shingle_poly3(tokens: Column): Column =
+    ColumnBridge.column(ShinglePoly3(ColumnBridge.expression(tokens)))
 
   /** Column wrapper: one-pass L2-normalize + integer quantize (codegen'd). */
   def quantize_vec(v: Column, scale: Int): Column =

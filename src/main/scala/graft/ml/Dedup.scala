@@ -120,14 +120,18 @@ object Dedup {
     ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap)
 
   // -------------------------------------------------------------------
-  // MinHash + LSH (not SQL-oracle-expressible: relies on Spark's 64-bit
-  // hash; verified against exact Jaccard in ScalaTest instead)
+  // MinHash + LSH — every hash ENGINE-PORTABLE (char-level polynomial
+  // shingle hash, affine permutations mod 2^31-1, polynomial band fold),
+  // so the DuckDB oracle reproduces the signatures bit-for-bit and the
+  // registered query gets a full rows+schema+hash check; the ScalaTest
+  // recall spec against exact Jaccard is kept on top.
   // -------------------------------------------------------------------
 
   val MinhashK = 32          // signature length
   val LshBands = 8           // bands of 4 rows each
   private val RowsPerBand = MinhashK / LshBands
   private val Prime = 2147483647L // 2^31 - 1
+  private val PolyP = 1000000007L
 
   /** MinHash signature column: one generated pass over the shingles
     * (graft.functions.MinhashSig) instead of K interpreted
@@ -137,20 +141,22 @@ object Dedup {
 
   /** LSH candidate pairs + signature-estimated Jaccard >= threshold.
     * Banding: equal 4-row band => candidate; then the estimate is the
-    * fraction of equal signature components. */
+    * fraction of equal signature components. The band key is a
+    * polynomial fold of the band's components (mod 1e9+7) rather than a
+    * JVM hash — 4 multiply-adds per band, and the oracle mirrors it. */
   def minhashPairsOf(docTable: DataFrame,
                      threshold: Double = 0.5): DataFrame = {
     val docs = graft.scale.Scale.spread(docTable) // spread the sig kernel
-      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .select(col("doc_id"), ArrayOps.shingle_poly3(TextOps.tokens(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
     val bands = docs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
         struct(b.as("band"),
-          xxhash64(array_join(transform(
+          aggregate(
             slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
-            v => v.cast("string")), ","), b).as("bh"))))
+            lit(0L), (acc, v) => (acc * lit(1000003L) + v) % lit(PolyP)).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
       // persisted: the candidate self-join reads both sides, and the
@@ -603,6 +609,46 @@ object Dedup {
          |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
          |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
          |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin,
+    // mirrors minhashPairsOf hash-for-hash: the char-polynomial shingle
+    // hash (ShinglePoly3), the affine permutation family of MinhashSig,
+    // and the polynomial band fold are all plain integer arithmetic
+    "dedup_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |shs AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                               for i in range(1, len(toks) - 1)])) AS s
+        |  FROM t WHERE len(toks) >= 3),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
+        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+        |  FROM shs),
+        |sigc AS (
+        |  SELECT doc_id, k,
+        |         min((h * (1 + 2*k) + 40503 * (k + 1)) % 2147483647) AS comp
+        |  FROM hs, range(0, 32) r(k)
+        |  GROUP BY doc_id, k),
+        |sigs AS (
+        |  SELECT doc_id, list(comp ORDER BY k) AS sig FROM sigc GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, b*4 + 1, b*4 + 4)),
+        |           (a, v) -> (a * 1000003 + v) % 1000000007) AS bh
+        |  FROM sigs, range(0, 8) rb(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+        |FROM cand
+        |JOIN sigs sa ON sa.doc_id = doc_a
+        |JOIN sigs sb ON sb.doc_id = doc_b
+        |WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5::DOUBLE""".stripMargin,
     "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle,
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     // string shingles in the oracle vs 64-bit hashed shingles in the
