@@ -155,7 +155,12 @@ object Similarity {
   /** Spherical k-means refinement, DataFrame-native: assign each vector
     * to its max-dot centroid (broadcast join + windowed argmax), then
     * recompute each centroid as the re-normalized element-wise mean of
-    * its members (posexplode -> per-(centroid,dim) avg -> re-quantize).
+    * its members (posexplode -> per-(centroid,dim) SUM -> re-quantize).
+    * Integer-exactness: normalizing the member-sum vector equals
+    * normalizing the mean vector (the 1/n scale cancels), so the
+    * refinement aggregates exact longs — no FP-order-sensitive avg()
+    * anywhere — and the whole seed -> refine -> assign pipeline is
+    * reproducible in any engine (see [[ivfOracle]]).
     * Every step is a bounded shuffle; centroids stay broadcast-sized.
     * Training touches only a deterministic sample (vec_id stride — the
     * k-means objective barely moves, the pass cost drops by the stride);
@@ -172,16 +177,16 @@ object Similarity {
       // fell outside the training sample KEEPS its previous vector
       // instead of silently vanishing — the centroid count must stay
       // independent of the training stride
-      val dimMeans = members
+      val dimSums = members
         .select(col("centroid_id"), posexplode(col("q")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
-        .agg(avg(col("x").cast("double")).as("m"))
-      val refined = dimMeans
+        .agg(sum(col("x")).as("s"))
+      val refined = dimSums
         .groupBy("centroid_id")
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("s")))).as("dm"))
         .select(col("centroid_id"),
           ArrayOps.quantize_vec(
-            transform(col("dm"), e => e.getField("m")), 10000).as("rcv"))
+            transform(col("dm"), e => e.getField("s").cast("double")), 10000).as("rcv"))
       cents = cents
         .join(refined, Seq("centroid_id"), "left_outer")
         .select(col("centroid_id"), coalesce(col("rcv"), col("cv")).as("cv"))
@@ -334,8 +339,89 @@ object Similarity {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** Oracle for the IVF ANN: the whole pipeline — stride seeds, one
+    * integer-exact Lloyd round (member SUMs, not avg, so the aggregate is
+    * exact long arithmetic; normalizing the sum vector equals normalizing
+    * the mean), re-quantization, single-probe corpus assignment and
+    * 3-probe query assignment — is deterministic arithmetic, so DuckDB
+    * replays it bit-exactly. `IvfIters` is 1 by construction here; the
+    * single refinement round is written out inline. */
+  private def ivfOracle: String = {
+    val qCte =
+      """  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(
+        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings""".stripMargin
+    s"""WITH q AS (
+       |$qCte),
+       |seeds AS (
+       |  SELECT vec_id AS centroid_id, qv AS cv FROM q
+       |  WHERE vec_id % $IvfCentroidStride = 0),
+       |samp AS (SELECT vec_id, qv FROM q WHERE vec_id % $IvfTrainStride = 0),
+       |sassign AS (
+       |  SELECT vec_id, centroid_id, qv FROM (
+       |    SELECT s.vec_id, se.centroid_id, s.qv,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY CAST(list_dot_product(s.qv, se.cv) AS BIGINT) DESC,
+       |                      se.centroid_id ASC) AS rn
+       |    FROM samp s CROSS JOIN seeds se) WHERE rn = 1),
+       |dsum AS (
+       |  SELECT centroid_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
+       |  FROM sassign CROSS JOIN range(1, 65) t(i)
+       |  GROUP BY centroid_id, i),
+       |sv AS (
+       |  SELECT centroid_id, list(s ORDER BY i) AS svec
+       |  FROM dsum GROUP BY centroid_id),
+       |refined AS (
+       |  SELECT centroid_id,
+       |         list_transform(svec, x -> CASE WHEN norm = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(round(CAST(x AS DOUBLE) / norm * 10000) AS BIGINT) END) AS rcv
+       |  FROM (SELECT centroid_id, svec,
+       |          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |            list_transform(svec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |            (a, b) -> a + b)) AS norm
+       |        FROM sv)),
+       |cents AS (
+       |  SELECT se.centroid_id, COALESCE(r.rcv, se.cv) AS cv
+       |  FROM seeds se LEFT JOIN refined r ON se.centroid_id = r.centroid_id),
+       |lists AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM q v CROSS JOIN cents c) WHERE rn = 1),
+       |qlists AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT v.vec_id AS query_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM q v CROSS JOIN cents c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
+       |cand AS (
+       |  SELECT DISTINCT ql.query_id, l.vec_id
+       |  FROM qlists ql JOIN lists l ON ql.centroid_id = l.centroid_id
+       |  WHERE l.vec_id <> ql.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         CAST(list_dot_product(qq.qv, cc.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN q qq ON qq.vec_id = cand.query_id
+       |  JOIN q cc ON cc.vec_id = cand.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY dot DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_topk_ann" -> annOracle,
+    "sim_topk_ivf" -> ivfOracle,
     "sim_topk_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -43,33 +43,51 @@ object Enricher {
 
   /** U2 — deterministic embedding stub: input truncated (the reference
     * truncates to ~8k tokens / 32k chars, embedder.py:148-151), then a
-    * fixed-dim pseudo-random vector seeded by a per-dimension hash of the
-    * text. Swap this expression for a model-backed stage in production —
+    * fixed-dim pseudo-random vector derived from an ENGINE-PORTABLE
+    * rolling polynomial hash of the tokens (same token-code fold as
+    * `text_fingerprints`, mod 1e9+7) so a SQL oracle can replay the
+    * whole pipeline in exact integer arithmetic: component j is
+    * ((h*(2j+1) + (j+1)*40503) mod 1000 - 500) / 1000, in [-0.5, 0.5).
+    * Swap this expression for a model-backed stage in production —
     * the dim/type/truncation contract is what the rest of the pipeline
     * (similarity, dedup) consumes. */
-  def embedText(text: Column, dim: Int = 64): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      ((xxhash64(substring(text, 1, 32000), j) % 1000L).cast("double") / 1000.0)
-        .cast("float"))
+  def embedText(text: Column, dim: Int = 64): Column = {
+    val toks = filter(split(substring(text, 1, 32000), " "), t => t =!= "")
+    val codes = transform(toks,
+      t => length(t).cast("long") * 256 + ascii(t).cast("long"))
+    val h = aggregate(codes, lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+    transform(sequence(lit(0), lit(dim - 1)), j => {
+      val jl = j.cast("long")
+      (((h * (jl * 2 + 1) + (jl + 1) * 40503L) % 1000L - 500L).cast("double")
+        / 1000.0).cast("float")
+    })
+  }
 
   def embedDocuments(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), embedText(col("text")).as("embedding"))
 
   /** Registered form of the embed stage: the vector projected to scalar
-    * descriptors (dim, L1 mass, first/last components). The driver's
-    * rows-only check loads result parquet into pandas and sorts every
-    * column — array columns are unhashable there, so the registered
-    * output must be scalar; `embedDocuments` keeps the vector form for
-    * downstream consumers (similarity, dedup). */
-  def embedStats(spark: SparkSession, dir: String): DataFrame =
+    * descriptors (dim, L1 mass, first/last components) in exact integer
+    * milli-units. Each component is exactly (k-500)/1000 for an integer
+    * k in [0, 1000), stored as float32 whose relative error (< 2^-24)
+    * stays far below the 0.0005 recovery margin — so round(x*1000)
+    * reconstructs the integer exactly and the descriptors are
+    * engine-portable integers, not rounded float sums. The registered
+    * output must also be scalar: the driver's compare loads parquet into
+    * pandas and sorts every column, and array columns are unhashable
+    * there; `embedDocuments` keeps the vector form for downstream
+    * consumers (similarity, dedup). */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    def milli(x: Column): Column = round(x.cast("double") * 1000).cast("long")
     embedDocuments(spark, dir).select(
       col("doc_id"),
       size(col("embedding")).as("dim"),
-      round(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + abs(x)), 6).as("l1_mass"),
-      round(element_at(col("embedding"), 1).cast("double"), 6).as("c_first"),
-      round(element_at(col("embedding"), -1).cast("double"), 6).as("c_last"))
+      aggregate(col("embedding"), lit(0L),
+        (acc, x) => acc + abs(milli(x))).as("l1_milli"),
+      milli(element_at(col("embedding"), 1)).as("c_first_milli"),
+      milli(element_at(col("embedding"), -1)).as("c_last_milli"))
+  }
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -106,7 +124,34 @@ object Enricher {
          |         + least(CAST(nh AS DOUBLE) / 20.0::DOUBLE, 0.4::DOUBLE)
          |         + CASE WHEN status = 'complete' THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END,
          |         0.0::DOUBLE), 1.0::DOUBLE) AS confidence_score
-         |FROM iss""".stripMargin)
-  // u2 has no oracle: the stub hash (xxhash64 with per-dim seeds) is not
-  // reproducible in DuckDB; determinism/shape is pinned by MlSpec.
+         |FROM iss""".stripMargin,
+    // Replays embedText's integer pipeline directly: token-code fold
+    // (proven portable by the text_fingerprints oracle) -> per-dim
+    // modular arithmetic -> milli-unit descriptors. The float32 vector
+    // is bypassed, which is sound because round(x*1000) recovers the
+    // integer k-500 exactly (see embedStats scaladoc).
+    "u2_embed_stub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(substring(text, 1, 32000), ' '),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(toks, x -> len(x)::BIGINT * 256 + ascii(x)::BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 1000000007) AS hash
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 64), j ->
+        |           (hash * (2 * j + 1) + (j + 1) * 40503) % 1000 - 500) AS kv
+        |  FROM h)
+        |SELECT doc_id,
+        |       CAST(len(kv) AS INT) AS dim,
+        |       CAST(list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(kv, x -> abs(x))), (a, b) -> a + b) AS BIGINT) AS l1_milli,
+        |       CAST(kv[1] AS BIGINT) AS c_first_milli,
+        |       CAST(kv[64] AS BIGINT) AS c_last_milli
+        |FROM v""".stripMargin)
 }

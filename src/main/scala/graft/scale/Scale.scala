@@ -28,10 +28,34 @@ object Scale {
     * physical plan — on a frame with upstream shuffles (post-aggregate,
     * post-join) that would EXECUTE those stages once for the probe and
     * again for the real query. Scans plan without running jobs, so the
-    * probe is free exactly where spreading is useful. */
+    * probe is free exactly where spreading is useful. The contract is
+    * enforced mechanically, not documentarily: any shuffle-introducing
+    * node in the analyzed plan is rejected before the probe runs (a plan
+    * walk costs nothing next to the double-execution it prevents), and
+    * ScaleSpec's listener test proves the probe schedules zero jobs on a
+    * compliant frame. */
   def spread(df: DataFrame): DataFrame = {
+    assertScanShaped(df)
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** Reject frames whose analyzed plan contains a node the partition
+    * probe could trigger work through: shuffles (Aggregate/Join/Window/
+    * Deduplicate/Repartition), range-sampled Sort, or a single-partition
+    * GlobalLimit. Pure tree walk — no jobs, no execution. */
+  private def assertScanShaped(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.foreach {
+      case p @ (_: Aggregate | _: Join | _: Window | _: Sort |
+                _: Deduplicate | _: GlobalLimit | _: RepartitionOperation) =>
+        throw new IllegalArgumentException(
+          s"Scale.spread contract violation: scan(+project/filter) frames only, " +
+            s"found ${p.nodeName}. The partition probe would execute the upstream " +
+            "stage once for the probe and again for the query; repartition " +
+            "explicitly instead.")
+      case _ => ()
+    }
   }
 
   /** Two-phase (salted) aggregation: count/sum per key without a single

@@ -140,6 +140,124 @@ class ScaleSpec extends SparkSpec {
       s"z-order mean y-range too wide: ${zY.sum / zY.length}")
   }
 
+  test("spread's partition probe schedules zero jobs on a scan frame") {
+    val sc = spark.sparkContext
+    // positive control first: prove the job-group detection machinery
+    // actually sees jobs — df.rdd on a post-aggregate frame (what the
+    // guard forbids) finalizes and EXECUTES the upstream stage
+    sc.setJobGroup("graft-probe-positive", "probe positive control")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus").count().rdd.getNumPartitions
+    sc.clearJobGroup()
+    def jobsIn(group: String, waitForSome: Boolean): Int = {
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var n = sc.statusTracker.getJobIdsForGroup(group).length
+      while ((if (waitForSome) n == 0 else true) && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        n = sc.statusTracker.getJobIdsForGroup(group).length
+        if (!waitForSome && n > 0) return n // early out: a job appeared
+      }
+      n
+    }
+    assert(jobsIn("graft-probe-positive", waitForSome = true) > 0,
+      "control failed: the status tracker never saw the aggregate probe's job")
+    // the real assertion: spread on a scan(+project/filter) frame probes
+    // partition count without scheduling ANY job. Build the frame OUTSIDE
+    // the group — parquet schema inference may run its own job, and that
+    // read-time cost isn't what this test measures.
+    val scan = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "O").select("o_orderkey")
+    sc.setJobGroup("graft-probe-scan", "spread probe under test")
+    Scale.spread(scan)
+    sc.clearJobGroup()
+    assert(jobsIn("graft-probe-scan", waitForSome = false) == 0,
+      "spread's partition probe must not schedule jobs on a scan frame")
+  }
+
+  test("spread rejects frames with shuffle-introducing nodes (contract guard)") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "k")
+    val offending = Seq(
+      base.groupBy("k").count(),                  // Aggregate
+      base.join(base.withColumnRenamed("id", "id2"), "k"), // Join
+      base.orderBy("id"),                         // Sort (range sampling)
+      base.dropDuplicates("k"),                   // Deduplicate
+      base.limit(10),                             // GlobalLimit
+      base.repartition(8))                        // Repartition
+    offending.foreach { df =>
+      val e = intercept[IllegalArgumentException](Scale.spread(df))
+      assert(e.getMessage.contains("contract violation"), e.getMessage)
+    }
+    // and plain scan/project/filter shapes still pass
+    Scale.spread(base.filter($"k" > 2).select("id"))
+  }
+
+  test("salted join caps the hot task at ~1/salts of the unsalted hot task (task metrics)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // 40k rows on ONE key + 4k distinct tail: the unsalted SMJ funnels the
+    // hot key through a single reducer task
+    val big = (1 to 44000).map(i =>
+      (if (i <= 40000) 1L else i.toLong, i.toLong)).toDF("key", "payload")
+    val small = Seq((1L, "hot"), (42000L, "cold")).toDF("key", "label")
+    class MaxShuffleRead extends SparkListener {
+      @volatile var maxRecords = 0L
+      @volatile var tasks = 0
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          if (r > maxRecords) maxRecords = r
+          tasks += 1
+        }
+      }
+    }
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val l = new MaxShuffleRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener delivery is async: wait until the task stream goes quiet
+        var last = -1
+        var same = 0
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (same < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
+        }
+        l.maxRecords
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // AQE off: its own skew-join splitting would mask what salting does;
+    // broadcast off: the comparison needs the shuffled-join path; enough
+    // reduce partitions that distinct (key, salt) groups don't collide
+    // into one task and re-concentrate the skew this test measures
+    withConf("spark.sql.adaptive.enabled", "false") {
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+       withConf("spark.sql.shuffle.partitions", "64") {
+        val salts = 8
+        val unsaltedMax = maxTaskShuffleRead {
+          big.join(small, Seq("key")).select("key", "payload", "label")
+            .write.format("noop").mode("overwrite").save()
+        }
+        val saltedMax = maxTaskShuffleRead {
+          Scale.saltedJoin(big, small, "key", "payload", salts)
+            .select("key", "payload", "label")
+            .write.format("noop").mode("overwrite").save()
+        }
+        // the hot key's 40k rows land in one unsalted task...
+        assert(unsaltedMax >= 40000L,
+          s"unsalted hot task read only $unsaltedMax records — skew not reproduced")
+        // ...and salting divides that task ~salts ways (assert half the
+        // ideal split to absorb hash unevenness and the replicated small side)
+        assert(saltedMax <= unsaltedMax / (salts / 2),
+          s"salted max task read $saltedMax vs unsalted $unsaltedMax — " +
+            s"expected ~${salts}x reduction")
+       }
+      }
+    }
+  }
+
   test("spread follows the session's parallelism and never forces an exchange on wide input") {
     val p = spark.sparkContext.defaultParallelism // 4 under this suite, not 32
     // narrow input (1 partition): spread widens to exactly defaultParallelism
