@@ -71,8 +71,12 @@ object Similarity {
 
   // OR-amplified multi-table LSH: L tables of `LshPlanes` sign bits each.
   // A pair is a candidate if it collides in ANY table — more tables raise
-  // recall at linear candidate cost (the standard knob at corpus scale;
-  // at 100 TB you'd also add multi-probe within each table).
+  // recall at linear candidate cost. On top of that, the QUERY side is
+  // multi-probed: each query also looks in the neighbor bucket reached by
+  // flipping its lowest-margin sign bit (the plane it sits closest to —
+  // the likeliest single bit to disagree with a true neighbor's). That
+  // raises recall at fixed table count for ~2x the probe volume on the
+  // tiny query side only; the corpus is bucketed exactly once either way.
   val LshPlanes = 4
   val LshTables = 4
 
@@ -101,24 +105,49 @@ object Similarity {
   /** Sign-bit bucket id within table `t` at this object's table shape. */
   def lshBucket(q: Column, t: Int): Column = lshBucket(q, t, LshPlanes)
 
+  /** The multi-probe neighbor of table `t`'s bucket: flip the sign bit of
+    * the plane with the LOWEST absolute dot (the query's tightest margin).
+    * Ties break to the lowest plane index via lexicographic struct-min, so
+    * the probe set is deterministic and an oracle can mirror it. */
+  def lshNeighborBucket(q: Column, t: Int, planesPerTable: Int): Column = {
+    val dots = (0 until planesPerTable).map(k =>
+      ArrayOps.dot_long(q, typedLit(plane(t, k, planesPerTable).toArray)))
+    val minIdx = array_min(array(dots.zipWithIndex.map { case (d, k) =>
+      struct(abs(d).as("m"), lit(k).as("k"))
+    }: _*)).getField("k")
+    val flipMask = (0 until planesPerTable).map(k =>
+      when(minIdx === k, lit(1L << k)).otherwise(0L)).reduce(_ + _)
+    lshBucket(q, t, planesPerTable).bitwiseXOR(flipMask)
+  }
+
   /** (vec_id, q, table, bucket) — one row per table per vector. The
-    * persist() stops Catalyst from inlining the (interpreted, expensive)
-    * quantization HOF into each of the 16 plane-dot expressions. */
-  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val v = quantizedVectors(spark, dir).persist()
+    * persist() on the caller's `v` stops Catalyst from inlining the
+    * (interpreted, expensive) quantization HOF into each of the 16
+    * plane-dot expressions. */
+  private def withBuckets(v: DataFrame): DataFrame =
     v.select(col("vec_id"), col("q"),
       explode(array((0 until LshTables).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col("q"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("q"), col("tb.tbl"), col("tb.bucket"))
-  }
 
-  /** ANN via multi-table LSH: candidates collide with the query in some
-    * table; dedup, rerank by exact integer dot. Recall < 1 by
-    * construction; the ScalaTest suite measures it against
-    * [[bruteForceTopK]]. */
+  /** Query-side probe rows: per table, the home bucket AND the
+    * flip-1-lowest-margin-bit neighbor — 2L rows per query. */
+  private def withProbeBuckets(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("q"),
+      explode(array((0 until LshTables).flatMap(t => Seq(
+        struct(lit(t).as("tbl"), lshBucket(col("q"), t).as("bucket")),
+        struct(lit(t).as("tbl"),
+          lshNeighborBucket(col("q"), t, LshPlanes).as("bucket")))): _*)).as("tb"))
+      .select(col("vec_id"), col("q"), col("tb.tbl"), col("tb.bucket"))
+
+  /** ANN via multi-table, multi-probe LSH: candidates collide with the
+    * query's home or neighbor bucket in some table; dedup, rerank by
+    * exact integer dot. Recall < 1 by construction; the ScalaTest suite
+    * measures it against [[bruteForceTopK]]. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val b = bucketed(spark, dir)
-    val queries = b.filter(isQuery(col("vec_id")))
+    val v = quantizedVectors(spark, dir).persist()
+    val b = withBuckets(v)
+    val queries = withProbeBuckets(v.filter(isQuery(col("vec_id"))))
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
     val cand = b
@@ -297,18 +326,39 @@ object Similarity {
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)))
 
-  /** Oracle for the multi-table LSH ANN: the hyperplanes are inlined as
-    * the SAME integer constants the Spark plan uses ([[plane]]), so the
-    * candidate set — and therefore the (approximate) top-k itself — is
-    * engine-independent and hash-exact, upgrading this query from a
-    * recall-only spec to a full oracle row. */
+  /** Oracle for the multi-table, multi-probe LSH ANN: the hyperplanes are
+    * inlined as the SAME integer constants the Spark plan uses ([[plane]]),
+    * and the query side replays the probe expansion (home bucket + the
+    * flip-1-lowest-margin-bit neighbor, ties to the lowest plane index) —
+    * so the candidate set, and therefore the (approximate) top-k itself,
+    * is engine-independent and hash-exact. The plane dots are
+    * integer-valued and bounded (|q|<=10000, |plane|<=1000, 64 dims →
+    * <= 6.4e8), so DuckDB's double list_dot_product is exact and the
+    * sign/margin comparisons are bit-identical to Spark's long
+    * arithmetic. */
   private def annOracle: String = {
+    def planeLit(t: Int, k: Int) = plane(t, k, LshPlanes).mkString("[", ", ", "]")
     val bucketSelects = (0 until LshTables).map { t =>
       val bucket = (0 until LshPlanes).map { k =>
-        val planeLit = plane(t, k, LshPlanes).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(qv, $planeLit) >= 0 THEN ${1 << k} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product(qv, ${planeLit(t, k)}) >= 0 THEN ${1 << k} ELSE 0 END)"
       }.mkString(" + ")
       s"  SELECT vec_id, qv, $t AS tbl, $bucket AS bucket FROM q"
+    }.mkString("\n  UNION ALL\n")
+    val queryProbeSelects = (0 until LshTables).map { t =>
+      val ds = (0 until LshPlanes).map(k =>
+        s"list_dot_product(qv, ${planeLit(t, k)}) AS d$k").mkString(",\n           ")
+      val bucket = (0 until LshPlanes).map(k =>
+        s"(CASE WHEN d$k >= 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+      val flipArms = (0 until LshPlanes - 1).map { k =>
+        val later = (k + 1 until LshPlanes).map(j => s"abs(d$k) <= abs(d$j)")
+          .mkString(" AND ")
+        s"WHEN $later THEN ${1 << k}"
+      }.mkString(" ")
+      val flip = s"CASE $flipArms ELSE ${1 << (LshPlanes - 1)} END"
+      s"""  SELECT vec_id, $t AS tbl, $bucket AS bucket, $flip AS flip
+         |  FROM (SELECT vec_id,
+         |           $ds
+         |        FROM q WHERE vec_id % 200 = 0)""".stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""WITH q AS (
        |  SELECT vec_id,
@@ -319,10 +369,16 @@ object Similarity {
        |  FROM embeddings),
        |bk AS (
        |$bucketSelects),
+       |qp AS (
+       |$queryProbeSelects),
+       |qbk AS (
+       |  SELECT vec_id, tbl, bucket FROM qp
+       |  UNION ALL
+       |  SELECT vec_id, tbl, xor(bucket, flip) AS bucket FROM qp),
        |cand AS (
        |  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id
-       |  FROM bk qs JOIN bk c
-       |    ON qs.vec_id % 200 = 0 AND qs.tbl = c.tbl AND qs.bucket = c.bucket
+       |  FROM qbk qs JOIN bk c
+       |    ON qs.tbl = c.tbl AND qs.bucket = c.bucket
        |   AND c.vec_id <> qs.vec_id),
        |scored AS (
        |  SELECT cand.query_id, cand.vec_id,

@@ -31,18 +31,44 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, v) => assert(q != v) }
   }
 
-  test("LSH ANN finds a usable fraction of the true neighbors") {
+  test("multi-probe LSH ANN: recall floor with bounded candidate fraction") {
+    import org.apache.spark.sql.functions._
     val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     val ann = Similarity.annTopK(spark, sf, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     assert(ann.nonEmpty, "ANN must produce candidates")
     val recall = exact.count(ann.contains).toDouble / exact.size
-    // a 32-bucket single-table LSH on ~unit-norm random vectors is a
-    // coarse filter; the contract here is "meaningfully better than
-    // nothing, never empty" — exact recall is measured, not guessed
-    assert(recall >= 0.2, s"ANN recall $recall")
+    // the whole pipeline is deterministic, so this is a real floor, not a
+    // statistical one: measured 0.567 at sf0.001 with the home bucket +
+    // flip-1-lowest-margin-bit probe (up from 0.40 home-bucket-only)
+    assert(recall >= 0.5, s"ANN recall $recall")
     // every ANN hit must be a real corpus vector with correct ordering
     ann.foreach { case (q, v) => assert(q != v) }
+
+    // multi-probe must NOT degenerate into brute force: reconstruct the
+    // bucket join with the public bucket functions and bound the scored
+    // candidate fraction of the full queries x corpus rectangle
+    val v = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q")).cache()
+    val corpus = (0 until Similarity.LshTables).map(t =>
+      v.select(col("vec_id"), lit(t).as("tbl"),
+        Similarity.lshBucket(col("q"), t).as("bucket"))).reduce(_ unionAll _)
+    val qv = v.filter(col("vec_id") % 200 === 0)
+    val probes = (0 until Similarity.LshTables).flatMap(t => Seq(
+      qv.select(col("vec_id").as("query_id"), lit(t).as("tbl"),
+        Similarity.lshBucket(col("q"), t).as("bucket")),
+      qv.select(col("vec_id").as("query_id"), lit(t).as("tbl"),
+        Similarity.lshNeighborBucket(col("q"), t, Similarity.LshPlanes)
+          .as("bucket")))).reduce(_ unionAll _)
+    val candidates = corpus.join(probes, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct().count()
+    val nQueries = qv.count()
+    val nCorpus = v.count()
+    val fraction = candidates.toDouble / (nQueries * (nCorpus - 1))
+    assert(fraction <= 0.55,
+      f"candidate fraction $fraction%.3f — probing stopped pruning")
+    v.unpersist()
   }
 }
