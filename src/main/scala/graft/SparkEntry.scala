@@ -24,7 +24,7 @@ object SparkEntry {
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
       graft.ml.Similarity.queries ++ graft.ml.Multimodal.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
-      graft.streaming.IncrementalSync.queries
+      graft.streaming.IncrementalSync.queries ++ graft.pipeline.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
       graft.ml.Similarity.oracles ++ graft.ml.Multimodal.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
-      graft.streaming.IncrementalSync.oracles
+      graft.streaming.IncrementalSync.oracles ++ graft.pipeline.Lineage.oracles
 }

@@ -11,8 +11,9 @@ object ReconcileQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Shared snapshot CTEs: must mirror Reconcile.crmSnapshot/dbSnapshot
-    * + the active-case filter (status 'O' <=> active). */
-  private val ctes: String =
+    * + the active-case filter (status 'O' <=> active). Visible package-wide
+    * so the flagship lineage oracle (pipeline.Lineage) composes them. */
+  private[graft] val ctes: String =
     """WITH crm AS (
       |  SELECT o_orderkey AS case_ref, o_custkey % 4 AS tenant_id,
       |         (o_orderkey * 48271) % 100000

@@ -110,6 +110,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("flagship lineage composes five stages into one barrier-free plan") {
+    val df = graft.pipeline.Lineage.flagship(spark, sf)
+    df.collect() // finalize AQE
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // no barrier: no cache/persist materialization between stages — the
+    // whole recon -> enrich -> dedup -> index chain is one Catalyst plan
+    assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
+      s"flagship lineage must not materialize intermediates:\n$plan")
+    // the recon snapshot filters still reach the scans through 4 operators
+    assert(plan.contains("EqualTo(o_orderstatus,O)"),
+      s"snapshot status filter must stay pushed down:\n$plan")
+    // stage fusion keeps the shuffle count intrinsic: 2 snapshot exchanges
+    // + the lineitem history aggregate + the changed-set broadcast prep +
+    // the dedup aggregate — composition must not add exchanges beyond them
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("reuse"))
+    assert(exchanges <= 5, s"composition added shuffles ($exchanges):\n$plan")
+    // the index bucket assignment is a codegen'd projection, not a join
+    assert(plan.contains("dotproductlong"), plan)
+  }
+
   test("rollup aggregates with partial (map-side) aggregation via Expand") {
     val df = graft.operators.Temporal.statusPriorityRollup(spark, sf)
     df.collect()

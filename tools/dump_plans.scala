@@ -8,4 +8,5 @@ dump("q1_pricing_summary", graft.metrics.Dashboard.pricingSummary(spark, sf))
 dump("j5_revenue_by_supplier", graft.metrics.Dashboard.revenueBySupplier(spark, sf))
 dump("t1_asof", graft.operators.Temporal.purchaseAsofBrowse(spark, sf))
 dump("dedup_ngram_pairs", graft.ml.Dedup.ngramJaccardPairs(spark, sf))
+dump("e2e_flagship_lineage", graft.pipeline.Lineage.flagship(spark, sf))
 sys.exit(0)
