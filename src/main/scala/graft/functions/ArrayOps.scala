@@ -483,6 +483,105 @@ case class SimhashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a token array where every bit is derived from the
+  * ENGINE-PORTABLE char-level polynomial token hash (same base-31 mod-1e9+7
+  * fold as [[ShinglePoly3]]): bit b's vote for a token with hash h is the
+  * parity of (h²%P·(2b+1) + h·(4b+7) + 40503·(b+1)) mod P, P = 1e9+7.
+  * The QUADRATIC term matters: with a purely linear plane, tokens whose
+  * poly hashes are near-consecutive (shared prefixes differing in one
+  * trailing char — exactly what similar corpora produce) get complementary
+  * bit patterns (parity(h·odd) flips with h), anti-correlated votes pull
+  * every bit's sum toward zero, and near-dup hamming distances inflate
+  * ~2x (measured 14 vs 7 on DedupSpec's crafted docs). Squaring h mod P
+  * breaks the linear structure. A SQL oracle replays the signature
+  * bit-for-bit with list_reduce + modular arithmetic — unlike
+  * [[SimhashSig]]'s XXH64, which has no DuckDB twin. One generated pass
+  * per row; h < 2^30 so h² < 2^60, no overflow in either engine. */
+case class SimhashPolySig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_poly_sig expects array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var h = 0L
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          h = (h * 31L + cp) % 1000000007L
+          ci += Character.charCount(cp)
+        }
+        val g = (h * h) % 1000000007L
+        var b = 0
+        while (b < 64) {
+          val r = (g * (2L * b + 1L) + h * (4L * b + 7L) + 40503L * (b + 1L)) %
+            1000000007L
+          votes(b) += (((r & 1L).toInt) << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      val s = ctx.freshName("s")
+      val ci = ctx.freshName("ci")
+      val cp = ctx.freshName("cp")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  String $s = $a.getUTF8String($i).toString();
+         |  long $h = 0L;
+         |  for (int $ci = 0; $ci < $s.length(); ) {
+         |    int $cp = $s.codePointAt($ci);
+         |    $h = ($h * 31L + $cp) % 1000000007L;
+         |    $ci += java.lang.Character.charCount($cp);
+         |  }
+         |  long ${h}g = ($h * $h) % 1000000007L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    long $r = (${h}g * (2L * $b + 1L) + $h * (4L * $b + 7L)
+         |      + 40503L * ($b + 1L)) % 1000000007L;
+         |    $votes[$b] += (((int) ($r & 1L)) << 1) - 1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashPolySig =
+    copy(child = newChild)
+}
+
 object ArrayOps {
   import org.apache.spark.sql.graftops.ColumnBridge
 
@@ -511,4 +610,8 @@ object ArrayOps {
   /** Column wrapper: one-pass 64-bit SimHash of a token array (codegen'd). */
   def simhash_sig(tokens: Column): Column =
     ColumnBridge.column(SimhashSig(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: one-pass PORTABLE-hash 64-bit SimHash (codegen'd). */
+  def simhash_poly_sig(tokens: Column): Column =
+    ColumnBridge.column(SimhashPolySig(ColumnBridge.expression(tokens)))
 }

@@ -183,10 +183,14 @@ object Dedup {
   // SimHash (64-bit; ScalaTest-verified)
   // -------------------------------------------------------------------
 
-  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 by token-hash
-    * bit, take sign. One generated pass per document
-    * (graft.functions.SimhashSig, same XXH64 token hash as `xxhash64`) —
-    * a narrow map stage, no shuffle of exploded tokens at all. */
+  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 by a
+    * pseudo-random bit of the token hash, take sign. One generated pass
+    * per document (graft.functions.SimhashPolySig) — a narrow map stage,
+    * no shuffle of exploded tokens at all. The token hash is the
+    * ENGINE-PORTABLE char-level polynomial fold (mod 1e9+7) with parity
+    * bit-planes, so the registered pairs query carries a full DuckDB
+    * oracle; the XXH64 variant (ArrayOps.simhash_sig) remains for callers
+    * who prefer the stronger mixing over portability. */
   def simhashOf(docs: DataFrame): DataFrame =
     graft.scale.Scale.spread(docs) // spread the sig kernel
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -194,7 +198,7 @@ object Dedup {
       // explode+aggregate form and keeps m empty docs from flooding the
       // chunk join with m^2/2 spurious hamming-0 pairs on signature 0
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), ArrayOps.simhash_sig(col("toks")).as("simhash"))
+      .select(col("doc_id"), ArrayOps.simhash_poly_sig(col("toks")).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
@@ -612,6 +616,53 @@ object Dedup {
     // mirrors minhashPairsOf hash-for-hash: the char-polynomial shingle
     // hash (ShinglePoly3), the affine permutation family of MinhashSig,
     // and the polynomial band fold are all plain integer arithmetic
+    // Replays the portable SimHash end to end: char-level poly token hash
+    // (as in the minhash oracle), parity bit-plane votes, sign take — the
+    // signature is carried as a 64-element bit LIST (no int64 sign-bit
+    // hazards), chunk blocking folds each slice to an integer (any
+    // bijective encoding gives the identical candidate set), and
+    // verification counts differing bits. Constants mirror
+    // simhashPairsOfSigs at the default maxHamming=6: 7 chunks of 9 bits,
+    // the last absorbing 10.
+    "dedup_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS s FROM t WHERE len(toks) > 0),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
+        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN ((h*h % 1000000007) * (2*b + 1) + h * (4*b + 7)
+        |                        + 40503 * (b + 1)) % 1000000007 % 2 = 1
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM hs, range(0, 64) r(b)
+        |  GROUP BY doc_id, b),
+        |bits AS (
+        |  SELECT doc_id,
+        |         list(CASE WHEN v > 0 THEN 1::BIGINT ELSE 0::BIGINT END ORDER BY b) AS bits
+        |  FROM votes GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, c,
+        |         list_reduce(list_prepend(0::BIGINT,
+        |           list_slice(bits, c*9 + 1, CASE WHEN c = 6 THEN 64 ELSE c*9 + 9 END)),
+        |           (a, v) -> a * 2 + v) AS ch
+        |  FROM bits, range(0, 7) rc(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) AS INT) AS hamming
+        |FROM cand
+        |JOIN bits ba ON ba.doc_id = doc_a
+        |JOIN bits bb ON bb.doc_id = doc_b
+        |WHERE len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) <= 6""".stripMargin,
     "dedup_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
