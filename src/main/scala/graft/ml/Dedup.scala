@@ -255,12 +255,15 @@ object Dedup {
 
   /** Near-dup pairs by shared winnowing fingerprints: same inverted-index
     * shape as the n-gram path but char-level and tokenization-agnostic.
-    * Overlap = |F_a ∩ F_b| / min(|F_a|, |F_b|) >= threshold. */
+    * Overlap = |F_a ∩ F_b| / min(|F_a|, |F_b|) >= threshold. The
+    * fingerprints use the PORTABLE mod-1e9+7 codepoint hash
+    * (Winnow.winnow_poly_fingerprints), so the registered query carries a
+    * full DuckDB oracle that recomputes every gram hash and window min. */
   def winnowPairsOf(docs: DataFrame, threshold: Double = 0.5,
                     dfCap: Int = 1000): DataFrame = {
     val fp = graft.scale.Scale.spread(docs)
       .select(col("doc_id"),
-        explode(graft.functions.Winnow.winnow_fingerprints(col("text"))).as("f"))
+        explode(graft.functions.Winnow.winnow_poly_fingerprints(col("text"))).as("f"))
     val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("f")
     val idx = fp.join(broadcast(hot), Seq("f"), "left_anti").persist()
@@ -616,6 +619,44 @@ object Dedup {
     // mirrors minhashPairsOf hash-for-hash: the char-polynomial shingle
     // hash (ShinglePoly3), the affine permutation family of MinhashSig,
     // and the polynomial band fold are all plain integer arithmetic
+    // Replays portable winnowing end to end: codepoint 12-gram poly
+    // hashes (each gram recomputed independently — modular arithmetic
+    // matches the Spark side's rolling form exactly), window-16 mins,
+    // distinct, then the same inverted-index overlap join with the
+    // df-cap guard. Constants mirror winnowPairsOf's defaults.
+    "dedup_winnow_pairs" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         [list_reduce(list_prepend(0::BIGINT, list_slice(cp, i, i + 11)),
+        |            (a, c) -> (a * 31 + c) % 1000000007)
+        |          for i in range(1, len(cp) - 10)] AS hs
+        |  FROM cps WHERE len(cp) >= 12),
+        |mins AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+        |              ELSE [list_min(list_slice(hs, i, i + 15))
+        |                    for i in range(1, len(hs) - 14)] END AS ms
+        |  FROM grams),
+        |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins),
+        |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
+        |idx AS (SELECT fp.doc_id, fp.f FROM fp LEFT JOIN hot ON fp.f = hot.f
+        |        WHERE hot.f IS NULL),
+        |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+        |  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
+        |FROM inter
+        |JOIN sz na ON na.doc_id = doc_a
+        |JOIN sz nb ON nb.doc_id = doc_b
+        |WHERE CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+        |      >= 0.5::DOUBLE""".stripMargin,
     // Replays the portable SimHash end to end: char-level poly token hash
     // (as in the minhash oracle), parity bit-plane votes, sign take — the
     // signature is carried as a 64-element bit LIST (no int64 sign-bit
