@@ -108,11 +108,12 @@ object Adapters {
         col("priority"), col("job_type"))).as("payload"))
 
   /** S8 live form — partitioned JDBC snapshot scan, the production
-    * counterpart of the parquet-snapshot model used throughout (no
-    * database exists in this environment, so this adapter is
-    * compile-checked only; every consumer reads through the identical
-    * (case_ref, tenant_id, status, is_active, serialno/last_serialno)
-    * schema either way).
+    * counterpart of the parquet-snapshot model used throughout (every
+    * consumer reads through the identical (case_ref, tenant_id, status,
+    * is_active, serialno/last_serialno) schema either way). EXECUTED
+    * against a real database in JdbcSpec: embedded Derby proves the
+    * range-split parallel read, the WHERE pushdown, and the S9 MERGE
+    * write-back end to end.
     *
     * Scale shape (reference etl/flows/sync_daily_enhanced.py:156-197):
     *  - `partitionColumn/lowerBound/upperBound/numPartitions` split the

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** S8/S9 against a REAL database: embedded Derby (on Spark's own
+  * classpath) stands in for the reference's Postgres mirror
+  * (etl/flows/sync_daily_enhanced.py:156-197, database/
+  * change_tracking.py:369-434). This executes the exact adapter the
+  * production path uses — range-partitioned parallel reads, predicate
+  * pushdown into the database, and the MERGE-shaped watermark
+  * write-back — rather than compile-checking it. */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private lazy val seeded: Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE db_mirror (case_ref BIGINT NOT NULL, " +
+          "tenant_id BIGINT NOT NULL, last_serialno BIGINT NOT NULL)")
+      val ins = conn.prepareStatement(
+        "INSERT INTO db_mirror VALUES (?, ?, ?)")
+      (1L to 1000L).foreach { i =>
+        ins.setLong(1, i)
+        ins.setLong(2, i % 4)
+        ins.setLong(3, (i * 48271) % 100000)
+        ins.addBatch()
+      }
+      ins.executeBatch()
+      st.close(); ins.close()
+    } finally conn.close()
+  }
+
+  test("S8 live: range-partitioned JDBC read returns the mirror in N splits") {
+    seeded
+    val df = Adapters.jdbcSnapshot(spark, url, "db_mirror",
+      partitionColumn = "case_ref", lowerBound = 1L, upperBound = 1001L,
+      numPartitions = 4)
+    // the range split is real parallelism: one partition per bound stripe
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 1000)
+    // values round-trip exactly (Derby uppercases unquoted identifiers)
+    val row = df.filter(col("CASE_REF") === 7L).head()
+    assert(row.getAs[Long]("TENANT_ID") == 3L)
+    assert(row.getAs[Long]("LAST_SERIALNO") == (7L * 48271) % 100000)
+  }
+
+  test("S8 live: tenant predicate is pushed into the database, not scanned") {
+    seeded
+    val df = Adapters.jdbcSnapshot(spark, url, "db_mirror",
+      partitionColumn = "case_ref", lowerBound = 1L, upperBound = 1001L,
+      numPartitions = 4)
+      .filter(col("TENANT_ID") === 1L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(TENANT_ID,1)"),
+      s"tenant filter must ship to the database as WHERE:\n$plan")
+    assert(df.count() == 250)
+  }
+
+  test("S9 live: MERGE-shaped watermark advance round-trips through JDBC") {
+    seeded
+    import spark.implicits._
+    val db = Adapters.jdbcSnapshot(spark, url, "db_mirror",
+      partitionColumn = "case_ref", lowerBound = 1L, upperBound = 1001L,
+      numPartitions = 4)
+      .select(col("CASE_REF").as("case_ref"), col("TENANT_ID").as("tenant_id"),
+        col("LAST_SERIALNO").as("last_serialno"))
+    // processed cases move their watermark forward
+    val processed = Seq((1L, 5L, 999999L), (2L, 10L, 888888L))
+      .toDF("tenant_id", "case_ref", "serialno")
+    val advanced = graft.sync.Reconcile.advanceOf(db, processed)
+    // publish the merged snapshot back through the same JDBC channel
+    advanced.write.mode("overwrite")
+      .jdbc(url, "db_mirror_next", new java.util.Properties())
+    // Spark QUOTES identifiers on CREATE, so the published table keeps
+    // the frame's lowercase names (unlike the hand-DDL'd uppercase source)
+    val back = spark.read.jdbc(url, "db_mirror_next", new java.util.Properties())
+    assert(back.count() == 1000)
+    val moved = back.filter(col("case_ref") === 5L).head()
+    assert(moved.getAs[Long]("last_serialno") == 999999L)
+    val kept = back.filter(col("case_ref") === 7L).head()
+    assert(kept.getAs[Long]("last_serialno") == (7L * 48271) % 100000)
+  }
+}
