@@ -89,11 +89,40 @@ object Enricher {
       milli(element_at(col("embedding"), -1)).as("c_last_milli"))
   }
 
+  /** U2 pre-embedding chunking (reference: `chunk_size` 800 tenant /
+    * 1000 model default — configs/tenants/fdm_solicitors.json:44,
+    * database/models.py:125, core/tenant_manager.py:185): fixed-size
+    * character windows with optional overlap, one output row per chunk.
+    * Pure per-row explode — no shuffle; chunk boundaries are arithmetic,
+    * so the operator carries a full SQL oracle. A chunk starts every
+    * `size - overlap` chars while inside the text; the last chunk may be
+    * short. */
+  def chunksOf(docs: DataFrame, size: Int = 800, overlap: Int = 0): DataFrame = {
+    require(size > overlap && overlap >= 0, s"size=$size overlap=$overlap")
+    val step = size - overlap
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ((length(col("text")) - 1) / step).cast("int")),
+          i => struct(i.as("idx"),
+            col("text").substr(i * step + 1, lit(size)).as("txt")))).as("ch"))
+      .select(col("doc_id"), col("ch.idx").as("chunk_idx"),
+        col("ch.txt").as("chunk_text"),
+        length(col("ch.txt")).as("n_chars"))
+  }
+
+  /** Registered form: size 200 / overlap 50 so the gate corpus (≤ ~550
+    * chars/doc) actually produces multi-chunk documents; the library
+    * default stays at the reference's 800. */
+  def chunkText(spark: SparkSession, dir: String): DataFrame =
+    chunksOf(graft.Tables.documents(spark, dir), size = 200, overlap = 50)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "u1_enrichment" -> ((s, d) => enrich(s, d)),
-    "u2_embed_stub" -> ((s, d) => embedStats(s, d)))
+    "u2_embed_stub" -> ((s, d) => embedStats(s, d)),
+    "u2_chunk_text" -> ((s, d) => chunkText(s, d)))
 
   val oracles: Map[String, String] = Map(
     "u1_enrichment" ->
@@ -153,5 +182,16 @@ object Enricher {
         |         list_transform(kv, x -> abs(x))), (a, b) -> a + b) AS BIGINT) AS l1_milli,
         |       CAST(kv[1] AS BIGINT) AS c_first_milli,
         |       CAST(kv[64] AS BIGINT) AS c_last_milli
-        |FROM v""".stripMargin)
+        |FROM v""".stripMargin,
+    // chunk starts at i*(size-overlap) while < len; substring clamps the
+    // final short chunk identically in both engines
+    "u2_chunk_text" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         unnest([{'idx': i, 'txt': substring(text, CAST(i*150 + 1 AS INT), 200)}
+        |                 for i in range(0, (len(text) - 1) // 150 + 1)]) AS ch
+        |  FROM documents WHERE len(text) >= 1)
+        |SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx, ch.txt AS chunk_text,
+        |       CAST(len(ch.txt) AS INT) AS n_chars
+        |FROM c""".stripMargin)
 }

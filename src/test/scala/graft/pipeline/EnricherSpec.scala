@@ -30,6 +30,29 @@ class EnricherSpec extends SparkSpec {
     }
   }
 
+  test("u2 chunking: overlap-consistent, lossless reconstruction") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val chunks = Enricher.chunksOf(
+        graft.Tables.documents(spark, sf), size = 200, overlap = 50)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("chunk_idx"))
+        .map(_.getAs[String]("chunk_text")).toSeq).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (id, cs) =>
+      val text = docs(id)
+      // dropping each chunk's 50-char overlap tail reconstructs the text
+      val rebuilt = cs.init.map(_.take(150)).mkString + cs.last
+      assert(rebuilt == text, s"doc $id: chunking lost characters")
+      // every chunk but the last covers at least its step (else it could
+      // not have a successor) and never exceeds `size`; the final partial
+      // window clamps, so penultimate chunks may be shorter than `size`
+      cs.init.foreach(c => assert(c.length > 150 && c.length <= 200))
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val exact = graft.metrics.Dashboard.distinctUsers(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
