@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.expr.Exprs
 import graft.functions.ArrayOps
@@ -68,6 +69,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Sequence packing for training batches: assign documents to
+    * fixed-token-budget bins by contiguous fill — doc d joins bin
+    * floor(cum_before(d) / budget) within its shard. The window is
+    * PARTITIONED BY a shard key (doc_id mod `shards`), never global: at
+    * 100 TB a single ORDER BY over the corpus is the textbook
+    * one-reducer window, while per-shard packing keeps every partition's
+    * state bounded and bins are globally named by (shard, bin). Packing
+    * quality is unaffected — fill happens within each shard and the
+    * budget overshoot stays bounded by one document either way.
+    * Deterministic integer arithmetic end to end (token count = the
+    * whitespace tokenizer shared with every text operator), so the
+    * assignment carries a full SQL oracle. */
+  def packSequencesOf(docs: DataFrame, budget: Int = 2048,
+                      shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // (cum - n) and budget are non-negative longs < 2^53: the double
+      // division is exact and the cast truncates = floor
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        ((col("cum") - col("n_tokens")) / lit(budget.toLong)).cast("long")
+          .as("bin"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir))
 
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contaminationOf(Tables.documents(spark, dir))
@@ -552,7 +583,8 @@ object Dedup {
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
-    "curation_contamination" -> ((s, d) => contamination(s, d)))
+    "curation_contamination" -> ((s, d) => contamination(s, d)),
+    "curation_pack_sequences" -> ((s, d) => packSequences(s, d)))
 
   private val shingleCte: String =
     """WITH t AS (
@@ -619,6 +651,20 @@ object Dedup {
     // mirrors minhashPairsOf hash-for-hash: the char-polynomial shingle
     // hash (ShinglePoly3), the affine permutation family of MinhashSig,
     // and the polynomial band fold are all plain integer arithmetic
+    "curation_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |           AS n_tokens,
+        |         doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        |FROM c""".stripMargin,
     // Replays portable winnowing end to end: codepoint 12-gram poly
     // hashes (each gram recomputed independently — modular arithmetic
     // matches the Spark side's rolling form exactly), window-16 mins,

@@ -56,6 +56,28 @@ class DedupSpec extends SparkSpec {
     assert(mh.size <= exact.size * 5 + 10, s"minhash flooded: ${mh.size} pairs")
   }
 
+  test("sequence packing: contiguous fill respects the budget per bin") {
+    val budget = 256
+    val rows = Dedup.packSequencesOf(
+        graft.Tables.documents(spark, sf), budget = budget, shards = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+    assert(rows.nonEmpty)
+    // multiple docs actually share bins (the operator packs, not labels)
+    assert(rows.groupBy(t => (t._1, t._2)).exists(_._2.length > 1))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((shard, bin), ds) =>
+      // fill property: before a bin's LAST doc arrived, the bin was
+      // under budget — so only one doc can overshoot, and bins are tight
+      val sorted = ds.sortBy(_._3)
+      val withoutLast = sorted.init.map(_._4).sum
+      assert(withoutLast < budget,
+        s"bin ($shard,$bin) was already full before its last doc: $withoutLast")
+    }
+    // shards partition the corpus: every doc appears exactly once
+    assert(rows.map(_._3).distinct.length == rows.length)
+  }
+
   test("simhash: exact dups at hamming 0, near dups within threshold") {
     val pairs = Dedup.simhashPairs(spark, craftedDir, maxHamming = 10)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
