@@ -195,12 +195,32 @@ object IncrementalSync {
     * graft.scale.Scale). Readers pick the highest version — never a
     * half-written table. */
   def syncPipeline(updates: Dataset[SnapshotUpdate], outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    syncPipelineWith(updates, outDir, once = false)
+
+  /** ST5 — the reference's scheduled daily sync (`0 2 * * *`,
+    * configs/tenants/fdm_solicitors.json:90-97) in Spark idiom: the
+    * external scheduler just launches the job, and `once = true` runs it
+    * as a Trigger.AvailableNow drain — process everything that arrived
+    * since the last checkpoint, commit, and exit. Same pipeline, same
+    * checkpoint, same replay guard; a crashed nightly run resumes from
+    * its checkpoint on the next launch. */
+  def scheduledSyncOnce(updates: Dataset[SnapshotUpdate], outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    syncPipelineWith(updates, outDir, once = true)
+
+  private def syncPipelineWith(updates: Dataset[SnapshotUpdate],
+                               outDir: String, once: Boolean)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
-    detectChanges(updates)
+    val base = detectChanges(updates)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$outDir/checkpoint")
+    val triggered =
+      if (once) base.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      else base
+    triggered
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(outDir)

@@ -122,6 +122,25 @@ object Reconcile {
         (col("n_unchanged").cast("double") / col("total")).as("processing_reduction"))
   }
 
+  /** ST5 — the sync dry run (the reference runs one before every
+    * scheduled sync, configs/tenants/fdm_solicitors.json:90-97): the full
+    * reconciliation plan executed against a counting sink instead of the
+    * queue — per category, how many cases WOULD be touched and how many
+    * batch-of-`batchSize` enqueues that means (sync_daily_enhanced.py:
+    * 275-407 enqueues new/needs_update in batches of 100). Pure query,
+    * zero side effects — which is the whole point of a dry run. */
+  def dryRunPlan(spark: SparkSession, dir: String,
+                 batchSize: Int = 100): DataFrame =
+    categories(spark, dir)
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .select(
+        col("category"), col("n"),
+        // ceil(n/batchSize) in exact arithmetic: (n + b - 1) / b floored
+        when(col("category").isin("new", "needs_update"),
+          ((col("n") + (batchSize - 1)) / batchSize).cast("long"))
+          .otherwise(lit(0L)).as("n_batches"),
+        col("category").isin("new", "needs_update").as("would_enqueue"))
+
   /** J1 — new cases via left-anti join (sync_daily.py:171-175). */
   def newCases(spark: SparkSession, dir: String): DataFrame =
     activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")

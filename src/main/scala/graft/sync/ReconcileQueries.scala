@@ -42,7 +42,8 @@ object ReconcileQueries {
     "recon_potential_updates" -> ((s, d) => Reconcile.potentialUpdates(s, d)),
     "recon_needs_update" -> ((s, d) => Reconcile.needsUpdate(s, d)),
     "recon_advance_watermarks" -> ((s, d) => Reconcile.advanceWatermarks(s, d)),
-    "recon_quality" -> ((s, d) => Reconcile.qualityValidation(s, d)))
+    "recon_quality" -> ((s, d) => Reconcile.qualityValidation(s, d)),
+    "recon_dry_run" -> ((s, d) => Reconcile.dryRunPlan(s, d)))
 
   val oracles: Map[String, String] = Map(
     "recon_categories" ->
@@ -85,6 +86,13 @@ object ReconcileQueries {
          |       coalesce(p.new_serialno, db_all.last_serialno) AS last_serialno
          |FROM db_all LEFT JOIN processed p
          |  ON db_all.tenant_id = p.tenant_id AND db_all.case_ref = p.case_ref""".stripMargin,
+    "recon_dry_run" ->
+      s"""$ctes, agg AS (SELECT category, count(*) AS n FROM cat GROUP BY 1)
+         |SELECT category, n,
+         |       CASE WHEN category IN ('new', 'needs_update')
+         |            THEN CAST((n + 99) // 100 AS BIGINT) ELSE 0 END AS n_batches,
+         |       category IN ('new', 'needs_update') AS would_enqueue
+         |FROM agg""".stripMargin,
     "recon_quality" ->
       s"""$ctes, crmn AS (SELECT count(*) AS crm_count FROM crm),
          |dbn AS (SELECT count(*) AS db_count FROM db),

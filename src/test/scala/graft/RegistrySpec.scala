@@ -35,7 +35,7 @@ class RegistrySpec extends SparkSpec {
       graft.ml.TextOps.queries, graft.ml.Dedup.queries,
       graft.ml.Similarity.queries, graft.ml.Multimodal.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
-      graft.streaming.IncrementalSync.queries)
+      graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

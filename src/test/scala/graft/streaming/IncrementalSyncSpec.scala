@@ -137,6 +137,30 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5 scheduled sync: AvailableNow drains once, exits, resumes from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-once").toString
+    val input = MemoryStream[SnapshotUpdate]
+    input.addData(SnapshotUpdate(0, 1, 5), SnapshotUpdate(0, 2, 3))
+    // "nightly run" #1: drain what's there and EXIT on its own — the
+    // cron-launched shape; no explicit stop()
+    val q1 = IncrementalSync.scheduledSyncOnce(input.toDS(), outDir)
+    assert(q1.awaitTermination(60000), "AvailableNow run must terminate itself")
+    assert(spark.read.parquet(s"$outDir/changes").count() == 2)
+    // data arriving between runs
+    input.addData(SnapshotUpdate(0, 2, 9))
+    // "nightly run" #2: same checkpoint — processes ONLY the new data and
+    // keeps the merged watermark state across runs
+    val q2 = IncrementalSync.scheduledSyncOnce(input.toDS(), outDir)
+    assert(q2.awaitTermination(60000))
+    assert(spark.read.parquet(s"$outDir/changes").count() == 3)
+    val marks = IncrementalSync.latestWatermarks(spark, outDir).get
+      .collect().map(r => (r.getAs[Long]("tenant_id"), r.getAs[Long]("case_ref")) ->
+        r.getAs[Long]("last_serialno")).toMap
+    assert(marks((0L, 1L)) == 5L && marks((0L, 2L)) == 9L)
+  }
+
   test("stream-stream interval join pairs events within the window only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
