@@ -306,6 +306,38 @@ object Dashboard {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
 
+  /** A15c — approximate distinct via a KMV (k-minimum-values) sketch
+    * built from ENGINE-PORTABLE arithmetic: hash each user id with a
+    * quadratic congruential mix mod 1e9+7, keep each group's k smallest
+    * DISTINCT hash values, and estimate n ≈ (k-1)·P / h_k (exact count
+    * when a group holds fewer than k distinct hashes). Unlike HLL
+    * (a15b, whose register layout is engine-private), every step here is
+    * deterministic integer arithmetic, so the SKETCH ITSELF is
+    * oracle-checked — the rare approximate operator with a full
+    * rows+schema+hash gate. Scale shape: the distinct() pre-shrink caps
+    * the window input at one row per (group, hash); at 100 TB the
+    * windowed top-k would become a bounded-heap TypedImperativeAggregate,
+    * same estimator. */
+  def kmvDistinctUsers(spark: SparkSession, dir: String,
+                       k: Int = 64): DataFrame = {
+    val P = 1000000007L
+    val g = ((col("user_id") % P) + P) % P // non-negative residue
+    val gg = (g * g) % P                   // g < 2^30: no overflow
+    val h = ((gg * 1315423911L) % P + (g * 2654435761L) % P + 97L) % P
+    val hashes = Tables.events(spark, dir)
+      .select(col("event_type"), h.as("hv")).distinct()
+    val w = Window.partitionBy("event_type").orderBy(col("hv").asc)
+    hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === k, col("hv"))).as("hk"),
+        count(lit(1)).as("nmin"))
+      .select(col("event_type"),
+        when(col("nmin") < k, col("nmin"))
+          .otherwise(expr(s"${(k - 1).toLong * P}L div hk"))
+          .as("n_users_kmv"))
+  }
+
   /** A13 — error statistics by severity with resolution rate
     * (core/error_handling.py:368-412): severity derived from the error
     * magnitude, resolution synthesized deterministically from the id. */

@@ -54,7 +54,8 @@ object DashboardQueries {
     "o9_balanced_sample" -> ((s, d) => Dashboard.balancedSample(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
-    "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)))
+    "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
+    "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -220,6 +221,31 @@ object DashboardQueries {
     "a15_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    // the KMV sketch replayed exactly: same quadratic congruential hash,
+    // same k smallest distinct values, same integer-division estimator
+    "a15c_kmv_distinct_users" ->
+      """WITH g AS (
+        |  SELECT DISTINCT event_type,
+        |         ((user_id % 1000000007) + 1000000007) % 1000000007 AS gv
+        |  FROM events),
+        |h AS (
+        |  SELECT DISTINCT event_type,
+        |         ((gv * gv % 1000000007) * 1315423911 % 1000000007
+        |          + gv * 2654435761 % 1000000007 + 97) % 1000000007 AS hv
+        |  FROM g),
+        |r AS (
+        |  SELECT event_type, hv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |top AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = 64 THEN hv END) AS hk,
+        |         count(*) AS nmin
+        |  FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type,
+        |       CASE WHEN nmin < 64 THEN nmin
+        |            ELSE 63 * 1000000007 // hk END AS n_users_kmv
+        |FROM top""".stripMargin,
     "set_only_in_crm" ->
       s"""$snapCtes SELECT tenant_id, case_ref FROM crm
          |EXCEPT SELECT tenant_id, case_ref FROM db""".stripMargin,

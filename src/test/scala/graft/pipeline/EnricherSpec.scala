@@ -53,6 +53,20 @@ class EnricherSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch tracks exact distinct counts within its k=64 error bound") {
+    val exact = graft.metrics.Dashboard.distinctUsers(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kmv = graft.metrics.Dashboard.kmvDistinctUsers(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == kmv.keySet)
+    exact.foreach { case (g, n) =>
+      val est = kmv(g)
+      if (n < 64) assert(est == n, s"$g: below k must be exact ($est vs $n)")
+      // KMV std error ≈ 1/sqrt(k-2) ≈ 12.7% at k=64; 3σ margin
+      else assert(math.abs(est - n).toDouble / n <= 0.40, s"$g: $est vs $n")
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val exact = graft.metrics.Dashboard.distinctUsers(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
