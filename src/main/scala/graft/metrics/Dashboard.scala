@@ -450,17 +450,40 @@ object Dashboard {
   }
 
   /** Quality-decile binning over the text quality score (curriculum /
-    * filtering buckets): ntile(10) with a total orderBy tie-break.
+    * filtering buckets) — the scale-safe plan: quantize the score to a
+    * bounded integer grid (1e4 cells), take the 9 decile edges with ONE
+    * `percentile` aggregate (its internal value→count map is bounded by
+    * the grid, so map-side partials stay small at any corpus size),
+    * broadcast the 1-row edge array, and bin each row with an array
+    * filter. No window, no global sort — the corpus is touched by one
+    * bounded aggregate and one broadcast join.
     *
-    * Scale note: an unpartitioned window is a single-partition sort —
-    * exact and fine at oracle scale, WRONG at 100 TB. There the same
-    * query becomes approx_percentile(quality_score, [0.1..0.9]) for the
-    * bin edges (one reduce), broadcast + a when-chain to bin — identical
-    * output shape, no global sort; edges drift only by the sketch error. */
+    * vs the exact form ([[qualityDecilesExactOf]], the spec yardstick):
+    * rows tied on a grid cell land in the same decile instead of being
+    * split by the doc_id tie-break, so bins can differ by at most the
+    * grid resolution at the edges. An approx_percentile sketch gives the
+    * same plan profile, but its edges are not engine-portable; the
+    * quantized-exact edges replay bit-for-bit in the DuckDB oracle. */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val stats = graft.ml.TextOps.textStats(spark, dir)
+      .select(col("doc_id"), col("quality_score"),
+        floor(col("quality_score") * 10000).cast("long").as("qbin"))
+    val edges = stats.agg(percentile(col("qbin"),
+      array((1 to 9).map(k => lit(k / 10.0)): _*)).as("edges"))
+    stats.crossJoin(broadcast(edges))
+      .select(col("doc_id"), col("quality_score"),
+        (lit(10) - size(filter(col("edges"),
+          e => col("qbin").cast("double") > e))).cast("int").as("decile"))
+  }
+
+  /** Exact decile yardstick: ntile(10) with a total orderBy tie-break —
+    * a single-partition global sort, deliberately NOT registered (the
+    * registered [[qualityDeciles]] is the scale-safe twin; DashboardSpec
+    * proves the two agree within grid resolution), mirroring the
+    * dedup_embedding_pairs exact/LSH pairing. */
+  def qualityDecilesExactOf(stats: DataFrame): DataFrame = {
     val w = Window.orderBy(col("quality_score").desc, col("doc_id").asc)
-    graft.ml.TextOps.textStats(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
+    stats.select(col("doc_id"), col("quality_score"))
       .withColumn("decile", ntile(10).over(w))
   }
 

@@ -244,7 +244,7 @@ object DashboardQueries {
         |  FROM r WHERE rn <= 64 GROUP BY event_type)
         |SELECT event_type,
         |       CASE WHEN nmin < 64 THEN nmin
-        |            ELSE 63 * 1000000007 // hk END AS n_users_kmv
+        |            ELSE 63::BIGINT * 1000000007 // hk END AS n_users_kmv
         |FROM top""".stripMargin,
     "set_only_in_crm" ->
       s"""$snapCtes SELECT tenant_id, case_ref FROM crm
