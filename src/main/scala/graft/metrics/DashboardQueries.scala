@@ -354,9 +354,17 @@ object DashboardQueries {
         |           least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
         |           + (CAST(n_uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5::DOUBLE,
         |           0.0::DOUBLE), 1.0::DOUBLE) AS quality_score
-        |  FROM s)
+        |  FROM s),
+        |qb AS (
+        |  SELECT doc_id, quality_score,
+        |         CAST(floor(quality_score * 10000.0::DOUBLE) AS BIGINT) AS qbin
+        |  FROM q),
+        |e AS (
+        |  SELECT quantile_cont(qbin,
+        |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM qb)
         |SELECT doc_id, quality_score,
-        |       CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC) AS INT)
-        |         AS decile
-        |FROM q""".stripMargin)
+        |       CAST(10 - len(list_filter(e.edges,
+        |         x -> CAST(qb.qbin AS DOUBLE) > x)) AS INT) AS decile
+        |FROM qb CROSS JOIN e""".stripMargin)
 }

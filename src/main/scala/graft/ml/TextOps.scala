@@ -251,20 +251,29 @@ object TextOps {
       .persist()
     val tot = joined.agg(
       sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("num").desc, col("token").asc)
     // the cross products go through decimal(38): long c*N wraps silently
     // past 2^63 (trillion-token corpora), decimal stays exact
-    joined.crossJoin(broadcast(tot))
+    val scored = joined.crossJoin(broadcast(tot))
       .select(col("token"), col("c_a"), col("c_b"),
         abs(col("c_a").cast("decimal(38,0)") * col("n_b")
           - col("c_b").cast("decimal(38,0)") * col("n_a")).as("num"),
         col("n_a"), col("n_b"))
-      .withColumn("tv_contrib",
-        col("num").cast("double") / (lit(2.0) * col("n_a") * col("n_b")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("rank", "token", "c_a", "c_b", "tv_contrib")
+    // top-K via orderBy+limit -> TakeOrderedAndProject (per-partition heap
+    // then a K-row merge), never a global-sort window over the vocabulary;
+    // rank is then a broadcast theta-join over the K survivors only —
+    // windowless end to end (tokens are unique, so ahead-count+1 is exactly
+    // row_number over (num DESC, token ASC))
+    val top = scored.orderBy(col("num").desc, col("token").asc).limit(topK)
+    top.join(
+        broadcast(top.select(col("num").as("num2"), col("token").as("token2"))),
+        col("num2") > col("num") ||
+          (col("num2") === col("num") && col("token2") < col("token")),
+        "left")
+      .groupBy("token", "c_a", "c_b", "num", "n_a", "n_b")
+      .agg((count(col("token2")) + 1).cast("int").as("rank"))
+      .select(col("rank"), col("token"), col("c_a"), col("c_b"),
+        (col("num").cast("double") / (lit(2.0) * col("n_a") * col("n_b")))
+          .as("tv_contrib"))
   }
 
   /** Registered form: even vs odd doc_ids as the two slices. */
