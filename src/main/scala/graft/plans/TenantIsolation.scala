@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
 /** Tenant isolation as a Catalyst rule — the reference enforces a
   * mandatory `tenant_id` predicate on every query by convention
@@ -32,17 +33,49 @@ case class TenantIsolationRule(spark: SparkSession) extends Rule[LogicalPlan] {
     tenant match {
       case None | Some("") => plan
       case Some(t) =>
+        def isolate(r: LogicalPlan): LogicalPlan = {
+          r.setTagValue(Isolated, true)
+          val attr = r.output.find(_.name == TenantCol).get
+          // cast to the relation's own tenant type (partition-inferred
+          // columns come back as int, data columns may be long/string)
+          Filter(EqualTo(attr, Cast(Literal(t), attr.dataType)), r)
+        }
         plan.transformUp {
+          // DSv1 (parquet/csv/jdbc default path). Scan-schema narrowing
+          // happens at physical planning, so output always carries the
+          // full relation schema and late injection still prunes.
+          // The tag survives fixpoint re-runs of the batch, so the filter
+          // is injected once per relation.
           case r: LogicalRelation
               if r.getTagValue(Isolated).isEmpty &&
                 r.output.exists(_.name == TenantCol) =>
-            // tag survives fixpoint re-runs of this batch, so the filter
-            // is injected once per relation
-            r.setTagValue(Isolated, true)
-            val attr = r.output.find(_.name == TenantCol).get
-            // cast to the relation's own tenant type (partition-inferred
-            // columns come back as int, data columns may be long/string)
-            Filter(EqualTo(attr, Cast(Literal(t), attr.dataType)), r)
+            isolate(r)
+          // DSv2 before V2ScanRelationPushDown (the injectOptimizerRule /
+          // spark.sql.extensions path runs in the operator-optimization
+          // batch, ahead of early scan push-down): full output, and the
+          // injected predicate participates in v2 filter push-down and
+          // partition pruning like any user filter.
+          case r: DataSourceV2Relation
+              if r.getTagValue(Isolated).isEmpty &&
+                r.output.exists(_.name == TenantCol) =>
+            isolate(r)
+          // DSv2 after push-down (the experimental.extraOptimizations path
+          // runs in the last optimizer batch): the Scan is already built.
+          // If tenant_id survived column pruning, a residual filter above
+          // the scan still isolates (no file pruning, but correct rows).
+          // If pruning dropped it, isolation is impossible this late —
+          // FAIL CLOSED rather than silently return cross-tenant rows,
+          // the exact failure the rule exists to prevent.
+          case r: DataSourceV2ScanRelation if r.getTagValue(Isolated).isEmpty =>
+            if (r.output.exists(_.name == TenantCol)) isolate(r)
+            else if (r.relation.output.exists(_.name == TenantCol))
+              throw new IllegalStateException(
+                s"tenant isolation: '$TenantCol' was pruned from a v2 scan of " +
+                  s"${r.relation.table.name()} before the isolation rule ran; " +
+                  "register the rule via spark.sql.extensions=" +
+                  "graft.plans.TenantIsolationExtensions so it runs before " +
+                  "scan push-down")
+            else r
         }
     }
   }
