@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.LiveFetch.{FetchConf, Fetched}
+
+/** Live per-case dossier fetch (S3/S5 live form) against an in-process
+  * stub server: per-partition client reuse, token-bucket rate cap, and
+  * breaker open → shed → half-open probe → re-close under injected
+  * failures. local[4] executors are threads in this JVM, so the stub's
+  * counters observe exactly what real executors sent. */
+class LiveFetchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // stub: /api/case/OK-*    -> 200 {"case_ref":...,"status":"Active"}
+  //       /api/case/FLAKY-* -> 500 on the first hit for that ref, then 200
+  //       /api/case/DOWN-*  -> always 500
+  private val hits = new AtomicInteger(0)
+  private val firstHitNanos = new AtomicLong(0L)
+  private val lastHitNanos = new AtomicLong(0L)
+  private val flakySeen = new ConcurrentHashMap[String, Boolean]()
+  private lazy val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/api/case/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val now = System.nanoTime()
+        firstHitNanos.compareAndSet(0L, now)
+        lastHitNanos.set(now)
+        hits.incrementAndGet()
+        val ref = x.getRequestURI.getPath.split('/').last
+        val fail = ref.startsWith("DOWN") ||
+          (ref.startsWith("FLAKY") && flakySeen.putIfAbsent(ref, true) == null)
+        val body =
+          if (fail) """{"error":"boom"}"""
+          else s"""{"case_ref":"$ref","tenant_id":"t1","status":"Active"}"""
+        val code = if (fail) 500 else 200
+        val bytes = body.getBytes("UTF-8")
+        x.sendResponseHeaders(code, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    s.start()
+    s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  test("one client per partition, reused across all of that partition's refs") {
+    hits.set(0)
+    val clients = spark.sparkContext.longAccumulator("clientsCreated")
+    val refs = (1 to 40).map(i => s"OK-$i").toDS().repartition(4)
+    val got = LiveFetch.fetchCaseData(refs, base,
+      transport = () => { clients.add(1); new LiveFetch.JdkHttp() }).collect()
+    assert(got.length == 40 && got.forall(_.state == "ok"))
+    assert(got.forall(_.attempts == 1))
+    assert(hits.get() == 40)      // exactly one request per ref
+    assert(clients.value == 4L)   // one client per PARTITION, not per ref
+    // and the bodies parse into the S3 dossier schema downstream
+    val parsed = LiveFetch.parseDossiers(
+      spark.createDataset(got.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.product[Fetched]).toDF())
+    assert(parsed.select("case_ref").as[String].collect().toSet ==
+      (1 to 40).map(i => s"OK-$i").toSet)
+    assert(parsed.columns.contains("parties")) // full nested schema came through
+  }
+
+  test("failed fetches retry up to maxAttempts; transient failures recover") {
+    hits.set(0); flakySeen.clear()
+    val refs = Seq("FLAKY-a", "OK-b", "DOWN-c").toDS().repartition(1)
+    val got = LiveFetch.fetchCaseData(refs, base,
+        FetchConf(maxAttempts = 3, breakerThreshold = 100))
+      .collect().map(f => f.case_ref -> f).toMap
+    assert(got("FLAKY-a").state == "ok" && got("FLAKY-a").attempts == 2)
+    assert(got("OK-b").state == "ok" && got("OK-b").attempts == 1)
+    assert(got("DOWN-c").state == "failed" && got("DOWN-c").attempts == 3)
+  }
+
+  test("token bucket caps the per-partition request rate") {
+    hits.set(0); firstHitNanos.set(0L); lastHitNanos.set(0L)
+    val refs = (1 to 10).map(i => s"OK-r$i").toDS().repartition(1)
+    val got = LiveFetch.fetchCaseData(refs, base,
+      FetchConf(ratePerSec = 25.0, burst = 1)).collect()
+    assert(got.forall(_.state == "ok"))
+    // server-side span between first and last request: 10 requests at 25/s
+    // with burst 1 -> 9 enforced 40ms gaps = 360ms; slack for timer jitter
+    val spanMs = (lastHitNanos.get() - firstHitNanos.get()) / 1000000L
+    assert(spanMs >= 300, s"rate cap not enforced: ${spanMs}ms span for 10 reqs")
+  }
+
+  test("breaker opens after threshold, sheds without requests, half-open probe re-closes") {
+    hits.set(0)
+    // deterministic fake clock: every call advances 1s. Per LiveFetch's
+    // clock-call contract (one admission call per ref; on a failed attempt
+    // one onFailure call, plus one continue-check only if attempts remain),
+    // with maxAttempts=1, threshold=2, timeout=6s the walk is:
+    //   DOWN-1: allows(0) ok, onFailure(1) -> failures=1      -> failed
+    //   DOWN-2: allows(2) ok, onFailure(3) -> OPEN @3         -> failed
+    //   OK-3..OK-7: allows(4..8), all < 3+6                   -> shed x5
+    //   OK-8: allows(9), 9-3 >= 6 -> HALF-OPEN probe, 200     -> ok (re-closed)
+    //   OK-9: allows(10), closed                              -> ok
+    val tick = new AtomicLong(0L)
+    val refs = (Seq("DOWN-1", "DOWN-2") ++ (3 to 9).map(i => s"OK-$i"))
+      .toDS().repartition(1)
+    // repartition shuffles: restore the walk order inside the partition
+    // (sort by the numeric suffix so DOWN-1, DOWN-2 lead)
+    val got = LiveFetch.fetchCaseData(
+        refs.sortWithinPartitions(
+          substring_index($"value", "-", -1).cast("int")), base,
+        FetchConf(maxAttempts = 1, breakerThreshold = 2, breakerTimeoutSec = 6),
+        clockSec = () => tick.getAndIncrement())
+      .collect().map(f => f.case_ref -> f.state).toMap
+    assert(got("DOWN-1") == "failed" && got("DOWN-2") == "failed")
+    (3 to 7).foreach(i => assert(got(s"OK-$i") == "shed", s"OK-$i should shed"))
+    assert(got("OK-8") == "ok", "half-open probe should re-close the breaker")
+    assert(got("OK-9") == "ok")
+    // shed refs never reached the server: 2 failures + 2 successes only
+    assert(hits.get() == 4)
+  }
+}
