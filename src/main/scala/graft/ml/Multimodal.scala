@@ -135,10 +135,42 @@ object Multimodal {
     "multimodal_resize" -> ((s, d) => resizePlan(s, d)),
     "multimodal_frames" -> ((s, d) => frameSamples(s, d)))
 
-  // multimodal_features has no oracle: the decode stage is deliberately
-  // outside SQL (it models a codec UDF); covered by MlSpec golden
-  // assertions instead. The metadata projection is oracle-checked.
+  // multimodal_features: the stub decode is integer arithmetic over the
+  // UTF-8 payload bytes, and the corpus is ASCII (verified across all SFs),
+  // so codepoints == bytes and DuckDB replays the whole decode per
+  // codepoint — the same portable technique as the winnowing oracle. The
+  // double-precision mean is computed once and reused for the variance
+  // before the final float32 narrowing, mirroring decodeStub exactly.
   val oracles: Map[String, String] = Map(
+    "multimodal_features" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(cp) AS n,
+        |         coalesce(list_aggregate(cp, 'sum'), 0)::BIGINT AS s1,
+        |         coalesce(list_aggregate(list_transform(cp, x -> x * x), 'sum'),
+        |                  0)::BIGINT AS s2
+        |  FROM cps),
+        |m AS (
+        |  SELECT doc_id, n, s1, s2,
+        |         CASE WHEN n > 0 THEN CAST(s1 AS DOUBLE) / n
+        |              ELSE 0.0::DOUBLE END AS mean_d
+        |  FROM s)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |       CAST(n AS INT) AS n_bytes,
+        |       CAST(64 + n % 512 AS INT) AS width,
+        |       CAST(64 + (n // 7) % 512 AS INT) AS height,
+        |       CAST(n AS REAL) AS f_len,
+        |       CAST(mean_d AS REAL) AS f_mean,
+        |       CAST(CASE WHEN n > 0 THEN CAST(s2 AS DOUBLE) / n - mean_d * mean_d
+        |            ELSE 0.0::DOUBLE END AS REAL) AS f_var,
+        |       CAST(s1 % 1000000007 AS REAL) AS f_checksum
+        |FROM m""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
