@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** S9 dialect-aware JDBC upsert — the write shape a Postgres-mirror user
+  * reaches for (reference database/change_tracking.py:369-390:
+  * `INSERT INTO cases … ON CONFLICT (tenant_id, case_ref) DO UPDATE SET
+  * last_serialno = EXCLUDED.last_serialno, …`). The reference executes it
+  * per case in a Python loop (change_tracking.py:411-434); here the frame
+  * is repartitioned on the conflict key so each key is owned by exactly
+  * one task (no cross-writer conflicts, no serialization failures to
+  * retry), and each task streams prepared-statement BATCHES over one
+  * connection — thousands of upserts per round trip instead of one.
+  *
+  * Engines without ON CONFLICT get [[UpdateThenInsert]]: batch UPDATEs,
+  * read the per-row update counts, batch INSERTs for the misses — the
+  * same two-statement emulation JDBC dialect layers use, correct under
+  * the same single-writer-per-key partitioning. The Derby-executed spec
+  * drives the full executor machinery through this dialect; the Postgres
+  * dialect differs only in the SQL string it emits. */
+object Upsert {
+
+  /** A dialect either renders the one-statement native upsert, or None to
+    * request the portable update-then-insert emulation. */
+  sealed trait Dialect extends Serializable {
+    def upsertSql(table: String, cols: Seq[String], keys: Seq[String]): Option[String]
+  }
+
+  /** Postgres `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`
+    * (change_tracking.py:372-379). */
+  case object Postgres extends Dialect {
+    override def upsertSql(table: String, cols: Seq[String],
+                           keys: Seq[String]): Option[String] = {
+      val sets = cols.filterNot(keys.contains)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      Some(s"INSERT INTO $table (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets")
+    }
+  }
+
+  /** Portable emulation for engines without a native upsert (embedded
+    * Derby in the spec): batched UPDATE, then batched INSERT of the rows
+    * whose update count was 0. */
+  case object UpdateThenInsert extends Dialect {
+    override def upsertSql(table: String, cols: Seq[String],
+                           keys: Seq[String]): Option[String] = None
+  }
+
+  /** Upsert `df` into `table` on the `keys` conflict target. Repartitions
+    * on the keys first: one writer per key is what makes both the native
+    * and emulated paths race-free without engine-level retries. */
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+             dialect: Dialect, batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"conflict keys $keys must be columns of $cols")
+    df.repartition(keys.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          dialect.upsertSql(table, cols, keys) match {
+            case Some(sql) => runNative(conn, sql, cols, rows, batchSize)
+            case None => runEmulated(conn, table, cols, keys, rows, batchSize)
+          }
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+
+  private def bind(st: PreparedStatement, row: Row, cols: Seq[String],
+                   offset: Int = 0): Unit =
+    cols.zipWithIndex.foreach { case (c, i) =>
+      st.setObject(offset + i + 1, row.getAs[Any](c))
+    }
+
+  private def runNative(conn: Connection, sql: String, cols: Seq[String],
+                        rows: Iterator[Row], batchSize: Int): Unit = {
+    val st = conn.prepareStatement(sql)
+    try {
+      var pending = 0
+      rows.foreach { r =>
+        bind(st, r, cols)
+        st.addBatch()
+        pending += 1
+        if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+      }
+      if (pending > 0) st.executeBatch()
+    } finally st.close()
+  }
+
+  private def runEmulated(conn: Connection, table: String, cols: Seq[String],
+                          keys: Seq[String], rows: Iterator[Row],
+                          batchSize: Int): Unit = {
+    val nonKeys = cols.filterNot(keys.contains)
+    val upd = conn.prepareStatement(
+      s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}")
+    val ins = conn.prepareStatement(
+      s"INSERT INTO $table (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+    try {
+      rows.grouped(batchSize).foreach { chunk =>
+        chunk.foreach { r =>
+          bind(upd, r, nonKeys)
+          bind(upd, r, keys, offset = nonKeys.length)
+          upd.addBatch()
+        }
+        val counts = upd.executeBatch()
+        var inserts = 0
+        chunk.iterator.zip(counts.iterator).foreach { case (r, n) =>
+          if (n == 0) { bind(ins, r, cols); ins.addBatch(); inserts += 1 }
+        }
+        if (inserts > 0) ins.executeBatch()
+      }
+    } finally { upd.close(); ins.close() }
+  }
+}

@@ -61,6 +61,55 @@ class JdbcSpec extends SparkSpec {
     assert(df.count() == 250)
   }
 
+  test("S9 dialect upsert: batched upsert is idempotent against live Derby") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE watermarks (tenant_id BIGINT NOT NULL, " +
+          "case_ref BIGINT NOT NULL, last_serialno BIGINT NOT NULL, " +
+          "PRIMARY KEY (tenant_id, case_ref))")
+      conn.createStatement().executeUpdate(
+        "INSERT INTO watermarks VALUES (0, 1, 10), (0, 2, 20)")
+    } finally conn.close()
+
+    def readBack(): Map[(Long, Long), Long] =
+      spark.read.jdbc(url, "watermarks", new java.util.Properties())
+        .collect()
+        .map(r => (r.getAs[Long]("TENANT_ID"), r.getAs[Long]("CASE_REF")) ->
+          r.getAs[Long]("LAST_SERIALNO")).toMap
+
+    // 1 exists (moves forward), 3 and 4 are new
+    val batch = Seq((0L, 1L, 999L), (0L, 3L, 30L), (1L, 4L, 40L))
+      .toDF("tenant_id", "case_ref", "last_serialno")
+    Upsert.upsert(batch, url, "watermarks",
+      Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    val expected = Map((0L, 1L) -> 999L, (0L, 2L) -> 20L,
+      (0L, 3L) -> 30L, (1L, 4L) -> 40L)
+    assert(readBack() == expected)
+
+    // re-running the SAME batch is a no-op (the primary key would reject
+    // duplicate inserts, so this proves misses vs hits are re-classified)
+    Upsert.upsert(batch, url, "watermarks",
+      Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    assert(readBack() == expected)
+
+    // a later batch advances in place
+    Upsert.upsert(Seq((0L, 3L, 31L)).toDF("tenant_id", "case_ref", "last_serialno"),
+      url, "watermarks", Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    assert(readBack() == expected.updated((0L, 3L), 31L))
+  }
+
+  test("S9 dialect upsert: Postgres renders the reference's ON CONFLICT form") {
+    val sql = Upsert.Postgres.upsertSql("cases",
+      Seq("tenant_id", "case_ref", "last_serialno", "is_active"),
+      Seq("tenant_id", "case_ref")).get
+    assert(sql ==
+      "INSERT INTO cases (tenant_id, case_ref, last_serialno, is_active) " +
+        "VALUES (?, ?, ?, ?) ON CONFLICT (tenant_id, case_ref) DO UPDATE SET " +
+        "last_serialno = EXCLUDED.last_serialno, is_active = EXCLUDED.is_active")
+  }
+
   test("S9 live: MERGE-shaped watermark advance round-trips through JDBC") {
     seeded
     import spark.implicits._
