@@ -69,6 +69,74 @@ object Temporal {
       key = "user_id", ts = "ts", id = "event_id")
   }
 
+  /** Skew-proofed as-of join — identical semantics to [[asofJoinOf]], but
+    * the per-key window is SEGMENTED into fixed time buckets (a segmented
+    * prefix scan, the window analog of [[graft.scale.Scale.saltedCounts]]'s
+    * two-phase aggregation): the shuffle key is (key, bucket), so one hot
+    * key at 100 TB spreads over its timeline's buckets instead of landing
+    * on a single reducer task.
+    *
+    * Two phases. Phase 1 runs the sorted-union carry-forward WITHIN each
+    * (key, bucket) partition. Phase 2 computes the carry-in across bucket
+    * boundaries on a bucket-level summary (one row per (key, bucket), the
+    * per-bucket max (ts, id) build): the latest preceding non-empty
+    * bucket's max is exactly the as-of match for probes that saw no build
+    * in their own bucket — builds in earlier buckets always have earlier
+    * timestamps, so no tie-break subtlety crosses a boundary. The summary
+    * window is per-key but over ~#buckets rows, not events — trivially
+    * small at any scale. */
+  def asofJoinSaltedOf(probe: DataFrame, build: DataFrame,
+                       key: String, ts: String, id: String,
+                       bucketSpanSeconds: Long): DataFrame = {
+    val spanUs = bucketSpanSeconds * 1000000L
+    def bktOf(c: Column): Column =
+      ((epochUs(c) - pmod(epochUs(c), lit(spanUs))) / lit(spanUs)).cast("long")
+    val tsType = probe.schema(ts).dataType
+    val probeTagged = probe.select(
+      col(key), col(ts), col(id), lit(1).as("is_probe"),
+      lit(null).cast("long").as("build_id"), lit(null).cast(tsType).as("build_ts"))
+    val buildTagged = build.select(
+      col(key), col(ts), col(id), lit(0).as("is_probe"),
+      col(id).as("build_id"), col(ts).as("build_ts"))
+    val unioned = probeTagged.unionByName(buildTagged)
+      .withColumn("bkt", bktOf(col(ts)))
+    val w = Window.partitionBy(col(key), col("bkt"))
+      .orderBy(col(ts).asc, col("is_probe").asc, col(id).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = unioned
+      .withColumn("asof_id", last(col("build_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("build_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+    // bucket-level carry: per-bucket max build, then the latest preceding
+    // non-empty bucket's max via a summary window (struct ordering gives
+    // the (ts, id) max — same tie rule as the in-bucket `last`)
+    val bmax = buildTagged.withColumn("bkt", bktOf(col(ts)))
+      .groupBy(col(key), col("bkt"))
+      .agg(max(struct(col(ts), col(id))).as("m"))
+    val cw = Window.partitionBy(col(key)).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = unioned.select(col(key), col("bkt")).distinct()
+      .join(bmax, Seq(key, "bkt"), "left_outer")
+      .withColumn("c", last(col("m"), ignoreNulls = true).over(cw))
+      .select(col(key), col("bkt"),
+        col(s"c.$id").as("carry_id"), col(s"c.$ts").as("carry_ts"))
+    within.join(carry, Seq(key, "bkt"), "left_outer")
+      .select(col(key), col(id), col(ts),
+        coalesce(col("asof_id"), col("carry_id")).as("asof_id"),
+        coalesce(col("asof_ts"), col("carry_ts")).as("asof_ts"))
+  }
+
+  /** Registered form: [[purchaseAsofBrowse]] through the segmented plan
+    * (daily buckets) — same oracle, different (skew-proof) shuffle. */
+  def purchaseAsofBrowseSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    asofJoinSaltedOf(
+      probe = e.filter(col("event_type") === "purchase"),
+      build = e.filter(col("event_type").isin("view", "click")),
+      key = "user_id", ts = "ts", id = "event_id",
+      bucketSpanSeconds = 86400L)
+  }
+
   /** Tolerance-bounded as-of: like [[asofJoinOf]] but a match older than
     * `toleranceSeconds` is nulled out (the "quote must be fresh" form —
     * the nearest candidate is the only possible match, so a post-filter
@@ -152,6 +220,62 @@ object Temporal {
   def userSessions(spark: SparkSession, dir: String): DataFrame =
     sessionizeOf(Tables.events(spark, dir), gapSeconds = 1800L)
 
+  /** Skew-proofed sessionization — identical semantics to [[sessionizeOf]]
+    * via the same segmentation as [[asofJoinSaltedOf]]: sessionize WITHIN
+    * (key, bucket) partitions, then stitch sessions across bucket
+    * boundaries on the bucket summary. A boundary session merges when the
+    * gap from the previous non-empty bucket's last event to this bucket's
+    * first is within the threshold; each bucket then contributes
+    * (n_sessions − merged) new session starts, and a prefix sum over the
+    * summary renumbers globally: global = offset − merged + within_idx.
+    * The final per-session aggregate groups by (key, global), which
+    * merges the spanning sessions' halves exactly. Events shuffle on
+    * (key, bucket) — never on the bare hot key. */
+  def sessionizeSaltedOf(events: DataFrame, gapSeconds: Long,
+                         bucketSpanSeconds: Long): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val spanUs = bucketSpanSeconds * 1000000L
+    val us = epochUs(col("ts"))
+    val base = events.select(
+      col("user_id"), col("ts"), col("event_id"), us.as("us"),
+      ((us - pmod(us, lit(spanUs))) / lit(spanUs)).cast("long").as("bkt"))
+    val order = Window.partitionBy(col("user_id"), col("bkt"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = base
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("s_within", sum(col("is_new")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sw = Window.partitionBy(col("user_id")).orderBy(col("bkt").asc)
+    val offsets = flagged
+      .groupBy(col("user_id"), col("bkt"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        max(col("s_within")).as("n_sessions"))
+      .withColumn("prev_last_us", lag(col("last_us"), 1).over(sw))
+      .withColumn("merged",
+        when(col("prev_last_us").isNotNull &&
+          col("first_us") - col("prev_last_us") <= gapUs, 1L).otherwise(0L))
+      .withColumn("offset", coalesce(
+        sum(col("n_sessions") - col("merged"))
+          .over(sw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("bkt"), col("merged"), col("offset"))
+    flagged.join(offsets, Seq("user_id", "bkt"))
+      .withColumn("session_idx", col("offset") - col("merged") + col("s_within"))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000L).cast("long").as("duration_s"))
+  }
+
+  /** Registered form: [[userSessions]] through the segmented plan. */
+  def userSessionsSalted(spark: SparkSession, dir: String): DataFrame =
+    sessionizeSaltedOf(Tables.events(spark, dir),
+      gapSeconds = 1800L, bucketSpanSeconds = 86400L)
+
   // -------------------------------------------------------------------
   // Running totals / lead-lag frames
   // -------------------------------------------------------------------
@@ -213,13 +337,15 @@ object Temporal {
 
   val queries: Map[String, Q] = Map(
     "t1_asof_purchase_browse" -> ((s, d) => purchaseAsofBrowse(s, d)),
+    "t1b_asof_salted" -> ((s, d) => purchaseAsofBrowseSalted(s, d)),
     "t6_asof_within_30m" -> ((s, d) => purchaseAsofFresh(s, d)),
     "t2_price_band_join" -> ((s, d) => priceBandStats(s, d)),
     "t3_user_sessions" -> ((s, d) => userSessions(s, d)),
+    "t3b_sessions_salted" -> ((s, d) => userSessionsSalted(s, d)),
     "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
     "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "t1_asof_purchase_browse" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, 0 AS is_probe,
@@ -317,4 +443,11 @@ object Temporal {
         |         AS total_spend
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+
+  /** The salted twins must produce bit-identical results to their plain
+    * forms, so they share the oracle — the correctness gate then proves
+    * the segmented plans equivalent against an independent engine. */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "t1b_asof_salted" -> baseOracles("t1_asof_purchase_browse"),
+    "t3b_sessions_salted" -> baseOracles("t3_user_sessions"))
 }

@@ -33,6 +33,37 @@ class TemporalSpec extends SparkSpec {
     assert(out.size == 4)           // every probe row survives (left as-of)
   }
 
+  test("segmented variants stitch sessions and as-of matches across bucket boundaries") {
+    // a session straddling midnight (the daily-bucket boundary), a clean
+    // later session, and an as-of probe whose only build lives in the
+    // previous bucket — the carry/stitch paths, exercised explicitly
+    val events = Seq(
+      (1L, ts("2024-01-01 23:50:00"), 1L),
+      (1L, ts("2024-01-01 23:55:00"), 2L),
+      (1L, ts("2024-01-02 00:05:00"), 3L), // 10 min gap: same session
+      (1L, ts("2024-01-02 00:10:00"), 4L),
+      (1L, ts("2024-01-02 12:00:00"), 5L)  // new session
+    ).toDF("user_id", "ts", "event_id")
+    val plain = Temporal.sessionizeOf(events, gapSeconds = 1800L)
+    val salted = Temporal.sessionizeSaltedOf(events,
+      gapSeconds = 1800L, bucketSpanSeconds = 86400L)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    val spanning = salted.filter(col("n_events") === 4).collect()
+    assert(spanning.length == 1, "the midnight-straddling session must merge")
+    assert(spanning.head.getAs[Long]("duration_s") == 1200L)
+
+    val probe = Seq((1L, ts("2024-01-02 00:30:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val build = Seq(
+      (1L, ts("2024-01-01 22:00:00"), 10L),  // previous bucket: the match
+      (1L, ts("2024-01-01 23:00:00"), 11L))  // previous bucket, later: wins
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.asofJoinSaltedOf(probe, build,
+      "user_id", "ts", "event_id", bucketSpanSeconds = 86400L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("asof_id") == 11L,
+      "carry-in must surface the latest previous-bucket build")
+  }
+
   test("tolerance as-of nulls out matches older than the window") {
     val probe = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L),  // build 9:50 -> fresh (10 min)

@@ -258,6 +258,74 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("segmented as-of join splits a planted hot key's window ~buckets ways (task metrics)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // ONE hot user with 40k events 90s apart (~42 days) + a 4k-user tail:
+    // the plain as-of window funnels the hot user through a single task
+    val rows = (1 to 40000).map(i => (1L, i * 90L, i.toLong)) ++
+      (1 to 4000).map(i => ((i + 1).toLong, i * 90L, (40000 + i).toLong))
+    val events = rows.toDF("user_id", "secs", "event_id")
+      .select($"user_id", timestamp_seconds($"secs").as("ts"), $"event_id")
+    val probe = events.filter($"event_id" % 2 === 1)
+    val build = events.filter($"event_id" % 2 === 0)
+    class MaxShuffleRead extends SparkListener {
+      @volatile var maxRecords = 0L
+      @volatile var tasks = 0
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          if (r > maxRecords) maxRecords = r
+          tasks += 1
+        }
+      }
+    }
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val l = new MaxShuffleRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var last = -1
+        var same = 0
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (same < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
+        }
+        l.maxRecords
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    withConf("spark.sql.adaptive.enabled", "false") {
+     withConf("spark.sql.shuffle.partitions", "64") {
+      val plainMax = maxTaskShuffleRead {
+        graft.operators.Temporal.asofJoinOf(probe, build,
+            "user_id", "ts", "event_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val saltedMax = maxTaskShuffleRead {
+        graft.operators.Temporal.asofJoinSaltedOf(probe, build,
+            "user_id", "ts", "event_id", bucketSpanSeconds = 86400L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // the hot user's full 40k-row union hits one plain window task...
+      assert(plainMax >= 40000L,
+        s"plain hot task read only $plainMax records — skew not reproduced")
+      // ...and daily segmentation spreads it over ~42 buckets; assert a
+      // conservative 8x drop to absorb reducer collisions on (key, bucket)
+      assert(saltedMax <= plainMax / 8,
+        s"segmented max task read $saltedMax vs plain $plainMax — " +
+          "expected ~buckets-fold reduction")
+      // and the two plans agree row-for-row on this corpus
+      val a = graft.operators.Temporal.asofJoinOf(probe, build,
+        "user_id", "ts", "event_id")
+      val b = graft.operators.Temporal.asofJoinSaltedOf(probe, build,
+        "user_id", "ts", "event_id", 86400L)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+     }
+    }
+  }
+
   test("spread follows the session's parallelism and never forces an exchange on wide input") {
     val p = spark.sparkContext.defaultParallelism // 4 under this suite, not 32
     // narrow input (1 partition): spread widens to exactly defaultParallelism
