@@ -395,13 +395,15 @@ object Similarity {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
-  /** Oracle for the IVF ANN: the whole pipeline — stride seeds, one
-    * integer-exact Lloyd round (member SUMs, not avg, so the aggregate is
-    * exact long arithmetic; normalizing the sum vector equals normalizing
-    * the mean), re-quantization, single-probe corpus assignment and
-    * 3-probe query assignment — is deterministic arithmetic, so DuckDB
-    * replays it bit-exactly. `IvfIters` is 1 by construction here; the
-    * single refinement round is written out inline. */
+  /** Oracle for the IVF ANN: the whole pipeline — stride seeds,
+    * `IvfIters` integer-exact Lloyd rounds (member SUMs, not avg, so the
+    * aggregate is exact long arithmetic; normalizing the sum vector
+    * equals normalizing the mean), re-quantization, single-probe corpus
+    * assignment and 3-probe query assignment — is deterministic
+    * arithmetic, so DuckDB replays it bit-exactly. The refinement CTE
+    * chain is GENERATED per round from the same `IvfIters` constant the
+    * Spark side trains with (validated green at both 1 and 2), so
+    * raising the iteration count never forks the oracle. */
   private def ivfOracle: String = {
     val qCte =
       """  SELECT vec_id,
@@ -410,52 +412,61 @@ object Similarity {
         |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
         |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
         |  FROM embeddings""".stripMargin
+    // one Lloyd round = assign-to-prev -> dim sums -> renormalize ->
+    // left-join carry-through; cents_0 is the seed table
+    def round(i: Int): String = {
+      val prev = if (i == 1) "seeds" else s"cents_${i - 1}"
+      s"""sassign_$i AS (
+         |  SELECT vec_id, centroid_id, qv FROM (
+         |    SELECT s.vec_id, c.centroid_id, s.qv,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY CAST(list_dot_product(s.qv, c.cv) AS BIGINT) DESC,
+         |                      c.centroid_id ASC) AS rn
+         |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1),
+         |dsum_$i AS (
+         |  SELECT centroid_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
+         |  FROM sassign_$i CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY centroid_id, i),
+         |sv_$i AS (
+         |  SELECT centroid_id, list(s ORDER BY i) AS svec
+         |  FROM dsum_$i GROUP BY centroid_id),
+         |refined_$i AS (
+         |  SELECT centroid_id,
+         |         list_transform(svec, x -> CASE WHEN norm = 0 THEN CAST(0 AS BIGINT)
+         |           ELSE CAST(round(CAST(x AS DOUBLE) / norm * 10000) AS BIGINT) END) AS rcv
+         |  FROM (SELECT centroid_id, svec,
+         |          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |            list_transform(svec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |            (a, b) -> a + b)) AS norm
+         |        FROM sv_$i)),
+         |cents_$i AS (
+         |  SELECT c.centroid_id, COALESCE(r.rcv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN refined_$i r ON c.centroid_id = r.centroid_id)""".stripMargin
+    }
+    val refineChain = if (IvfIters == 0) "" else
+      (1 to IvfIters).map(round).mkString("", ",\n", ",\n")
+    val cents = if (IvfIters == 0) "seeds" else s"cents_$IvfIters"
     s"""WITH q AS (
        |$qCte),
        |seeds AS (
        |  SELECT vec_id AS centroid_id, qv AS cv FROM q
        |  WHERE vec_id % $IvfCentroidStride = 0),
        |samp AS (SELECT vec_id, qv FROM q WHERE vec_id % $IvfTrainStride = 0),
-       |sassign AS (
-       |  SELECT vec_id, centroid_id, qv FROM (
-       |    SELECT s.vec_id, se.centroid_id, s.qv,
-       |           row_number() OVER (PARTITION BY s.vec_id
-       |             ORDER BY CAST(list_dot_product(s.qv, se.cv) AS BIGINT) DESC,
-       |                      se.centroid_id ASC) AS rn
-       |    FROM samp s CROSS JOIN seeds se) WHERE rn = 1),
-       |dsum AS (
-       |  SELECT centroid_id, i, CAST(sum(qv[i]) AS BIGINT) AS s
-       |  FROM sassign CROSS JOIN range(1, 65) t(i)
-       |  GROUP BY centroid_id, i),
-       |sv AS (
-       |  SELECT centroid_id, list(s ORDER BY i) AS svec
-       |  FROM dsum GROUP BY centroid_id),
-       |refined AS (
-       |  SELECT centroid_id,
-       |         list_transform(svec, x -> CASE WHEN norm = 0 THEN CAST(0 AS BIGINT)
-       |           ELSE CAST(round(CAST(x AS DOUBLE) / norm * 10000) AS BIGINT) END) AS rcv
-       |  FROM (SELECT centroid_id, svec,
-       |          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-       |            list_transform(svec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-       |            (a, b) -> a + b)) AS norm
-       |        FROM sv)),
-       |cents AS (
-       |  SELECT se.centroid_id, COALESCE(r.rcv, se.cv) AS cv
-       |  FROM seeds se LEFT JOIN refined r ON se.centroid_id = r.centroid_id),
-       |lists AS (
+       |$refineChain""".stripMargin +
+    s"""lists AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT v.vec_id, c.centroid_id,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM q v CROSS JOIN cents c) WHERE rn = 1),
+       |    FROM q v CROSS JOIN $cents c) WHERE rn = 1),
        |qlists AS (
        |  SELECT query_id, centroid_id FROM (
        |    SELECT v.vec_id AS query_id, c.centroid_id,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM q v CROSS JOIN cents c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
+       |    FROM q v CROSS JOIN $cents c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
        |cand AS (
        |  SELECT DISTINCT ql.query_id, l.vec_id
        |  FROM qlists ql JOIN lists l ON ql.centroid_id = l.centroid_id
