@@ -32,18 +32,32 @@ object LiveFetch {
     * uses [[JdkHttp]]. Factories must be serializable (they ship to
     * executors); the client itself is built per partition and never
     * serialized. */
-  trait Http { def get(url: String): (Int, String); def close(): Unit = () }
+  trait Http {
+    def get(url: String): (Int, String)
+    /** Binary GET (the SOAP document-download shape). Default goes
+      * through [[get]] for simple stubs; real transports override. */
+    def getBytes(url: String): (Int, Array[Byte]) = {
+      val (st, body) = get(url); (st, body.getBytes("UTF-8"))
+    }
+    def close(): Unit = ()
+  }
 
   /** JDK HttpClient-backed transport — one instance per partition,
     * connection pool + keep-alive reused across that partition's refs. */
   final class JdkHttp(timeoutMs: Long = 30000L) extends Http {
     private val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
-    override def get(url: String): (Int, String) = {
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    private def req(url: String) =
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
-      val resp = client.send(req,
+    override def get(url: String): (Int, String) = {
+      val resp = client.send(req(url),
         java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    override def getBytes(url: String): (Int, Array[Byte]) = {
+      val resp = client.send(req(url),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       (resp.statusCode(), resp.body())
     }
   }
@@ -92,43 +106,92 @@ object LiveFetch {
     * `clockSec()` per ref for the admission check; on each failed attempt,
     * one for `Breaker.onFailure` and — only when attempts remain — one for
     * the continue-check; none on success. */
+  /** The per-partition walk shared by every live fetch: one client, one
+    * bucket, one breaker, applied to each item in partition order. Kept
+    * generic over the item type `I` (so payload columns ride along) and
+    * the body type `A` (text dossiers vs binary documents). */
+  private def fetchLoop[I, A](it: Iterator[I], conf: FetchConf,
+                              transport: () => Http, clockSec: () => Long,
+                              doFetch: (Http, I) => (Int, A),
+                              errBody: Exception => A, empty: A)
+  : Iterator[(I, Int, A, Int, String)] = {
+    val http = transport() // ONE per partition — session/connection reuse
+    val bucket = if (conf.ratePerSec > 0)
+      Some(new TokenBucket(conf.ratePerSec, conf.burst.toDouble)) else None
+    var breaker = Breaker(failureThreshold = conf.breakerThreshold,
+      timeoutSeconds = conf.breakerTimeoutSec)
+    val out = it.map { item =>
+      if (!breaker.allows(clockSec())) (item, 0, empty, 0, "shed")
+      else {
+        var attempts = 0
+        var res: (I, Int, A, Int, String) = null
+        while (res == null) {
+          attempts += 1
+          bucket.foreach(_.acquire())
+          val (st, body) =
+            try doFetch(http, item)
+            catch { case e: Exception => (-1, errBody(e)) }
+          if (st >= 200 && st < 300) {
+            breaker = breaker.onSuccess
+            res = (item, st, body, attempts, "ok")
+          } else {
+            breaker = breaker.onFailure(clockSec())
+            if (attempts >= conf.maxAttempts || !breaker.allows(clockSec()))
+              res = (item, st, body, attempts, "failed")
+          }
+        }
+        res
+      }
+    }
+    // by-name ++ runs after the last item: release the partition's client
+    out ++ { http.close(); Iterator.empty }
+  }
+
   def fetchCaseData(refs: Dataset[String], baseUrl: String,
                     conf: FetchConf = FetchConf(),
                     transport: () => Http = () => new JdkHttp(),
                     clockSec: () => Long = () => System.currentTimeMillis() / 1000L)
   : Dataset[Fetched] =
     refs.mapPartitions { it =>
-      val http = transport() // ONE per partition — session/connection reuse
-      val bucket = if (conf.ratePerSec > 0)
-        Some(new TokenBucket(conf.ratePerSec, conf.burst.toDouble)) else None
-      var breaker = Breaker(failureThreshold = conf.breakerThreshold,
-        timeoutSeconds = conf.breakerTimeoutSec)
-      val out = it.map { ref =>
-        if (!breaker.allows(clockSec())) Fetched(ref, 0, "", 0, "shed")
-        else {
-          var attempts = 0
-          var res: Fetched = null
-          while (res == null) {
-            attempts += 1
-            bucket.foreach(_.acquire())
-            val (st, body) =
-              try http.get(s"$baseUrl/api/case/$ref")
-              catch { case e: Exception => (-1, String.valueOf(e.getMessage)) }
-            if (st >= 200 && st < 300) {
-              breaker = breaker.onSuccess
-              res = Fetched(ref, st, body, attempts, "ok")
-            } else {
-              breaker = breaker.onFailure(clockSec())
-              if (attempts >= conf.maxAttempts || !breaker.allows(clockSec()))
-                res = Fetched(ref, st, body, attempts, "failed")
-            }
-          }
-          res
-        }
-      }
-      // by-name ++ runs after the last ref: release the partition's client
-      out ++ { http.close(); Iterator.empty }
+      fetchLoop[String, String](it, conf, transport, clockSec,
+        (h, ref) => h.get(s"$baseUrl/api/case/$ref"),
+        e => String.valueOf(e.getMessage), "")
+        .map { case (ref, st, body, attempts, state) =>
+          Fetched(ref, st, body, attempts, state) }
     }(Encoders.product[Fetched])
+
+  /** One binary fetch outcome (S5 live form): document code + declared
+    * format + raw payload bytes + the resolved MIME (F21 map). */
+  final case class FetchedDoc(doc_code: String, format: String, status: Int,
+                              content: Array[Byte], attempts: Int, state: String)
+
+  /** S5 live form — the per-document binary download (reference
+    * caseguard/proclaim/soap_downloader.py: proGetDocument(sessionid,
+    * documentcode, documentformat) → decoded bytes; MIME from the
+    * FORMAT_TO_MIME map, technical-details.md:92-163). Same partition
+    * topology as [[fetchCaseData]] — one client/bucket/breaker per
+    * partition — over (doc_code, format) rows; the payload lands as a
+    * binary column ready for [[Adapters.writePartitioned]]-style sinks,
+    * and `mime` is resolved by the same F21 map expression the offline
+    * path uses. */
+  def fetchDocuments(docs: DataFrame, baseUrl: String,
+                     conf: FetchConf = FetchConf(),
+                     transport: () => Http = () => new JdkHttp(),
+                     clockSec: () => Long = () => System.currentTimeMillis() / 1000L)
+  : DataFrame = {
+    val pairs = docs
+      .select(col("doc_code").cast("string"), col("format").cast("string"))
+      .as[(String, String)](Encoders.product[(String, String)])
+    pairs.mapPartitions { it =>
+      fetchLoop[(String, String), Array[Byte]](it, conf, transport, clockSec,
+        (h, cf) => h.getBytes(s"$baseUrl/api/document/${cf._1}?format=${cf._2}"),
+        _ => Array.empty[Byte], Array.empty[Byte])
+        .map { case ((code, fmt), st, bytes, attempts, state) =>
+          FetchedDoc(code, fmt, st, bytes, attempts, state) }
+    }(Encoders.product[FetchedDoc])
+      .toDF()
+      .withColumn("mime", graft.metrics.Dashboard.mimeFor(col("format")))
+  }
 
   /** Parse successful fetches into the nested dossier shape (S3) — the
     * same schema the offline jsonDossiers model reads, so everything

@@ -44,6 +44,17 @@ class LiveFetchSpec extends SparkSpec {
         x.close()
       }
     })
+    s.createContext("/api/document/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        val code = x.getRequestURI.getPath.split('/').last
+        // deterministic binary payload incl. non-UTF8 bytes
+        val bytes = code.getBytes("UTF-8") ++ Array[Byte](0, 1, -1, -128)
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
     s.start()
     s
   }
@@ -66,6 +77,23 @@ class LiveFetchSpec extends SparkSpec {
     assert(parsed.select("case_ref").as[String].collect().toSet ==
       (1 to 40).map(i => s"OK-$i").toSet)
     assert(parsed.columns.contains("parties")) // full nested schema came through
+  }
+
+  test("binary document fetch round-trips payload bytes and resolves MIME") {
+    hits.set(0)
+    val docs = Seq(("DOC-1", "PDF"), ("DOC-2", "jpg"), ("DOC-3", "xyz"))
+      .toDF("doc_code", "format")
+    val got = LiveFetch.fetchDocuments(docs.repartition(2), base)
+      .collect().map(r => r.getAs[String]("doc_code") -> r).toMap
+    assert(got.size == 3 && got.values.forall(_.getAs[String]("state") == "ok"))
+    // payload bytes survive exactly, including non-UTF8 values
+    val c1 = got("DOC-1").getAs[Array[Byte]]("content")
+    assert(c1.sameElements("DOC-1".getBytes("UTF-8") ++ Array[Byte](0, 1, -1, -128)))
+    // MIME resolution goes through the same F21 map as the offline path,
+    // case-insensitively, with the octet-stream fallback
+    assert(got("DOC-1").getAs[String]("mime") == "application/pdf")
+    assert(got("DOC-2").getAs[String]("mime") == "image/jpeg")
+    assert(got("DOC-3").getAs[String]("mime") == "application/octet-stream")
   }
 
   test("failed fetches retry up to maxAttempts; transient failures recover") {
