@@ -70,6 +70,44 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Repeated-span detection — the exact-substring dedup of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2021) at
+    * k-token granularity, and C4's repeated-span removal rule: every
+    * k-gram occurring >= `minCount` times ANYWHERE in the corpus is a
+    * repeated span, and each document reports how much of it is built
+    * from such spans (the cut list a cleaning pass would act on).
+    *
+    * Scale shape: one narrow pass explodes per-position k-grams (here the
+    * literal joined string so the DuckDB oracle replays it; at 100 TB the
+    * span hashes through the same 64-bit poly fold as [[shingleIndex]],
+    * with its df-cap guard); ONE shuffle aggregates global span counts;
+    * the repeated-span set semi-joins back against the positions (hash
+    * join on the span key — broadcastable when the hot set is small, as
+    * repetition is by definition rare in clean corpora). No window, no
+    * driver state. */
+  def spanDedupStatsOf(docs: DataFrame, k: Int = 10,
+                       minCount: Int = 2): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val spans = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("toks")) - k),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))).as("span"))
+    val hot = spans.groupBy("span").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("span")
+    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val repeated = spans.join(hot, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+    perDoc.join(repeated, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        (coalesce(col("n_repeated"), lit(0L)).cast("double") /
+          col("n_spans")).as("repeat_ratio"))
+  }
+
+  def spanDedupStats(spark: SparkSession, dir: String): DataFrame =
+    spanDedupStatsOf(Tables.documents(spark, dir))
+
   /** Sequence packing for training batches: assign documents to
     * fixed-token-budget bins by contiguous fill — doc d joins bin
     * floor(cum_before(d) / budget) within its shard. The window is
@@ -584,6 +622,7 @@ object Dedup {
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
     "curation_contamination" -> ((s, d) => contamination(s, d)),
+    "curation_span_dedup" -> ((s, d) => spanDedupStats(s, d)),
     "curation_pack_sequences" -> ((s, d) => packSequences(s, d)))
 
   private val shingleCte: String =
@@ -599,6 +638,24 @@ object Dedup {
       |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curation_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         unnest([list_aggregate(list_slice(toks, i, i + 9), 'string_agg', ' ')
+        |                 for i in range(1, len(toks) - 8)]) AS span
+        |  FROM t WHERE len(toks) >= 10),
+        |hot AS (SELECT span FROM s GROUP BY span HAVING count(*) >= 2),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(CASE WHEN span IN (SELECT span FROM hot)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_spans, n_repeated,
+        |       CAST(n_repeated AS DOUBLE) / n_spans AS repeat_ratio
+        |FROM per""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_docs

@@ -138,6 +138,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"winnow recall vs ngram: $recall")
   }
 
+  test("repeated-span stats count exactly the globally duplicated k-grams") {
+    // doc 1 and doc 2 share one 10-token span (planted copy); doc 3 is
+    // unique; doc 4 repeats a span twice WITHIN itself (self-repetition
+    // counts — the C4 rule is corpus-global occurrences, not doc count)
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, s"pre1 pre2 pre3 $span post1 post2 post3 post4 post5"),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      (4L, s"$span filler1 filler2 filler3 filler4 filler5 filler6 filler7 filler8 filler9 $span")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupStatsOf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_repeated"))).toMap
+    // doc 1: 19 tokens -> 10 spans; only the one starting at pos 0 is the
+    // planted span (the rest mix planted + unique tail)
+    assert(got(1L) == (10L, 1L))
+    assert(got(2L) == (9L, 1L))
+    assert(got(3L) == (11L, 0L))
+    // doc 4: 29 tokens -> 20 spans; the planted span occurs at both ends
+    assert(got(4L) == (20L, 2L))
+  }
+
   test("clusters: transitive closure of pairs, min doc_id is the cluster id") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 7-8: {1,2,3} and {7,8}
