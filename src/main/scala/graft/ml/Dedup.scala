@@ -77,14 +77,18 @@ object Dedup {
     * repeated span, and each document reports how much of it is built
     * from such spans (the cut list a cleaning pass would act on).
     *
-    * Scale shape: one narrow pass explodes per-position k-grams (here the
-    * literal joined string so the DuckDB oracle replays it; at 100 TB the
-    * span hashes through the same 64-bit poly fold as [[shingleIndex]],
-    * with its df-cap guard); ONE shuffle aggregates global span counts;
-    * the repeated-span set semi-joins back against the positions (hash
-    * join on the span key — broadcastable when the hot set is small, as
-    * repetition is by definition rare in clean corpora). No window, no
-    * driver state. */
+    * Scale shape: one narrow pass explodes per-position k-grams and
+    * immediately folds each to a 64-bit xxhash — the span STRING never
+    * leaves the map side, so the global-count shuffle carries 16 bytes a
+    * row, not ~6·k-byte strings; ONE shuffle aggregates global span
+    * counts; the repeated-span set semi-joins back against the positions
+    * (hash join on the 64-bit key — broadcastable when the hot set is
+    * small, as repetition is by definition rare in clean corpora). No
+    * window, no driver state. The hash is invisible in the OUTPUT (only
+    * per-doc counts surface), so the DuckDB oracle can group by the
+    * literal string while Spark groups by the hash: any 2^-64-birthday
+    * collision at verify scale would break the hash compare — it is
+    * itself under test. */
   def spanDedupStatsOf(docs: DataFrame, k: Int = 10,
                        minCount: Int = 2): DataFrame = {
     val toks = docs
@@ -92,11 +96,12 @@ object Dedup {
       .filter(size(col("toks")) >= k)
     val spans = toks.select(col("doc_id"),
       explode(transform(sequence(lit(0), size(col("toks")) - k),
-        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))).as("span"))
-    val hot = spans.groupBy("span").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount).select("span")
+        i => xxhash64(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+        .as("h"))
+    val hot = spans.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("h")
     val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val repeated = spans.join(hot, Seq("span"), "left_semi")
+    val repeated = spans.join(hot, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
     perDoc.join(repeated, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_spans"),
