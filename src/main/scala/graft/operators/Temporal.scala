@@ -152,6 +152,32 @@ object Temporal {
         when(fresh, col("asof_ts")).as("asof_ts"))
   }
 
+  /** Tolerance-bounded form of the SEGMENTED as-of: the freshness
+    * post-filter is plan-agnostic (the nearest candidate is the only
+    * possible match either way), so it composes over the skew-proof
+    * variant unchanged. */
+  def asofJoinWithinSaltedOf(probe: DataFrame, build: DataFrame,
+                             key: String, ts: String, id: String,
+                             toleranceSeconds: Long,
+                             bucketSpanSeconds: Long): DataFrame = {
+    val fresh = epochUs(col(ts)) - epochUs(col("asof_ts")) <=
+      toleranceSeconds * 1000000L
+    asofJoinSaltedOf(probe, build, key, ts, id, bucketSpanSeconds)
+      .select(col(key), col(id), col(ts),
+        when(fresh, col("asof_id")).as("asof_id"),
+        when(fresh, col("asof_ts")).as("asof_ts"))
+  }
+
+  /** Registered form: [[purchaseAsofFresh]] through the segmented plan. */
+  def purchaseAsofFreshSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    asofJoinWithinSaltedOf(
+      probe = e.filter(col("event_type") === "purchase"),
+      build = e.filter(col("event_type").isin("view", "click")),
+      key = "user_id", ts = "ts", id = "event_id",
+      toleranceSeconds = 1800L, bucketSpanSeconds = 86400L)
+  }
+
   /** Registered form: purchases only count a browse within 30 minutes. */
   def purchaseAsofFresh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -339,6 +365,7 @@ object Temporal {
     "t1_asof_purchase_browse" -> ((s, d) => purchaseAsofBrowse(s, d)),
     "t1b_asof_salted" -> ((s, d) => purchaseAsofBrowseSalted(s, d)),
     "t6_asof_within_30m" -> ((s, d) => purchaseAsofFresh(s, d)),
+    "t6b_asof_within_salted" -> ((s, d) => purchaseAsofFreshSalted(s, d)),
     "t2_price_band_join" -> ((s, d) => priceBandStats(s, d)),
     "t3_user_sessions" -> ((s, d) => userSessions(s, d)),
     "t3b_sessions_salted" -> ((s, d) => userSessionsSalted(s, d)),
@@ -449,5 +476,6 @@ object Temporal {
     * the segmented plans equivalent against an independent engine. */
   val oracles: Map[String, String] = baseOracles ++ Map(
     "t1b_asof_salted" -> baseOracles("t1_asof_purchase_browse"),
+    "t6b_asof_within_salted" -> baseOracles("t6_asof_within_30m"),
     "t3b_sessions_salted" -> baseOracles("t3_user_sessions"))
 }
