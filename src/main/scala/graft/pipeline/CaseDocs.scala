@@ -115,6 +115,28 @@ object CaseDocs {
     caseDocuments(spark, dir).select(col("case_ref") +: extracted: _*)
   }
 
+  /** U6 over LIVE dossiers — the reference's actual per-case ingest
+    * (process_case.py: fetched dossier -> canonical fields): adapt a
+    * parsed dossier frame ([[graft.sources.Adapters.dossierSchema]], the
+    * exact shape [[graft.sources.LiveFetch.parseDossiers]] emits) to the
+    * canonical-extraction input and run the same compiled config. Pure
+    * projection on top of the fetch stage — the whole fetch -> parse ->
+    * extract path is one narrow Catalyst plan per partition. */
+  def canonicalFieldsFromDossiers(dossiers: DataFrame): DataFrame = {
+    val shaped = dossiers.select(
+      col("case_ref"),
+      transform(col("parties"), p => struct(
+        p.getField("type").as("ptype"),
+        p.getField("name").as("name"))).as("parties"),
+      col("core_details.case_status").as("status"),
+      col("core_details.date_opened").as("opened"),
+      array_join(transform(col("history"),
+        h => coalesce(h.getField("notes"), lit(""))), " ").as("note"))
+    val extracted = CanonicalConfig.default.map(f =>
+      CanonicalConfig.compile(f).as(f.name))
+    shaped.select(col("case_ref") +: extracted: _*)
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------

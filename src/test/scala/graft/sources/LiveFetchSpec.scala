@@ -36,6 +36,17 @@ class LiveFetchSpec extends SparkSpec {
           (ref.startsWith("FLAKY") && flakySeen.putIfAbsent(ref, true) == null)
         val body =
           if (fail) """{"error":"boom"}"""
+          else if (ref.startsWith("FULL"))
+            s"""{"case_ref":"$ref","tenant_id":"t1","status":"Active",
+               |"core_details":{"case_status":"active","handler_name":"JD",
+               |  "client_name":"Smith","date_opened":"2024-09-18"},
+               |"history":[{"description":"settle",
+               |  "notes":"Settlement agreed £1,234.56 on 18/9/2024",
+               |  "date":"2024-09-18"}],
+               |"parties":[{"type":"Client","name":"Smith"},
+               |           {"type":"Segment","name":"Housing"}],
+               |"document_manifest":[{"code":"D1","format":"PDF",
+               |  "filename":"d1.pdf"}]}""".stripMargin
           else s"""{"case_ref":"$ref","tenant_id":"t1","status":"Active"}"""
         val code = if (fail) 500 else 200
         val bytes = body.getBytes("UTF-8")
@@ -77,6 +88,24 @@ class LiveFetchSpec extends SparkSpec {
     assert(parsed.select("case_ref").as[String].collect().toSet ==
       (1 to 40).map(i => s"OK-$i").toSet)
     assert(parsed.columns.contains("parties")) // full nested schema came through
+  }
+
+  test("live ingest path: fetch -> parse -> canonical-field extraction") {
+    hits.set(0)
+    val refs = Seq("FULL-NBC200993").toDS().repartition(1)
+    val fetched = LiveFetch.fetchCaseData(refs, base)
+    val dossiers = LiveFetch.parseDossiers(fetched.toDF())
+    val canon = graft.pipeline.CaseDocs.canonicalFieldsFromDossiers(dossiers)
+      .collect()
+    assert(canon.length == 1)
+    val r = canon.head
+    assert(r.getAs[String]("case_ref") == "FULL-NBC200993")
+    assert(r.getAs[String]("client_name") == "Smith")   // party_extraction
+    assert(r.getAs[String]("handler") == "Housing")     // segment party
+    assert(r.getAs[String]("status") == "active")       // direct
+    assert(r.getAs[String]("opened_date") == "2024-09-18")
+    assert(r.getAs[Double]("total_paid") == 1234.56)    // costs_extraction
+    assert(r.getAs[Boolean]("settlement_mentioned"))    // timeline_search
   }
 
   test("binary document fetch round-trips payload bytes and resolves MIME") {
