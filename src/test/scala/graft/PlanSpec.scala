@@ -69,6 +69,48 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$finalPlan")
   }
 
+  test("token drift top-K plans windowless: TakeOrderedAndProject, no WindowExec") {
+    val df = graft.ml.TextOps.tokenDrift(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must heap-select, not sort globally:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the former global-sort window must stay gone:\n$plan")
+    spark.catalog.clearCache() // release tokenDriftOf's persisted count table
+  }
+
+  test("segmented as-of: corpus shuffles once on (key, bucket), carry broadcasts back") {
+    val df = graft.operators.Temporal.purchaseAsofBrowseSalted(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the event-scale window must be keyed by BOTH columns — a bare-key
+    // window would mean the skew protection silently regressed
+    val windowed = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowed.exists(l => l.contains("user_id") && l.contains("bkt")),
+      s"per-event window must partition on (key, bucket):\n$plan")
+    // the carry lands on probe rows without re-shuffling the big side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-level carry should come back as a broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("repeated-span counts hash map-side: no span strings in any exchange") {
+    val df = graft.ml.Dedup.spanDedupStats(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("xxhash64"),
+      s"span keys must fold to 64-bit before shuffling:\n$plan")
+    // every aggregate must have a map-side partial stage
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"span counting needs map-side partials:\n$plan")
+    // the span string is born and dies inside the same projection: no
+    // exchange carries an array_join output column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("array_join")),
+      s"no exchange may carry the joined span string:\n$plan")
+  }
+
   test("embedding pair queries: partitioned equi-joins, no nested loop over the corpus") {
     // the round-2 shape was a corpus x corpus BroadcastNestedLoopJoin on
     // vec_id < vec_id — fatal at scale. The exact form must be the tiled
