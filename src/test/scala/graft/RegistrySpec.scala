@@ -45,4 +45,18 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("EVERY registered query audits free of scale-killers") {
+    // PlanAudit works on the optimized plan, so this sweeps the whole
+    // registry without executing anything: no registered query may
+    // contain a global window or an unhinted cartesian join — the two
+    // defects that die first at 100 TB
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      graft.plans.PlanAudit.audit(fn(spark, sf))
+        .filter(_.level == "error")
+        .map(f => s"$name: [${f.rule}] ${f.detail}")
+    }
+    assert(offenders.isEmpty, s"scale-killers in registry:\n${offenders.mkString("\n")}")
+    spark.catalog.clearCache() // some query builders persist() intermediates
+  }
 }
