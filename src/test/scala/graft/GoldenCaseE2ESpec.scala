@@ -90,6 +90,40 @@ class GoldenCaseE2ESpec extends SparkSpec {
       .filter(col("case_ref") === abs(xxhash64(lit(golden))))
       .select("last_serialno").as[Long].head()
     assert(goldenAfter == goldenSerial)
+
+    // 7. Per-case ingest (S3 live + U6): the drained job fetches the golden
+    //    dossier from the (stub) CRM and canonical fields come out typed —
+    //    the process_case.py leg of the reference's e2e test
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/case/", { x: com.sun.net.httpserver.HttpExchange =>
+      val body =
+        s"""{"case_ref":"$golden","tenant_id":"0","status":"Active",
+           |"core_details":{"case_status":"active","handler_name":"JD",
+           |  "client_name":"Smith","date_opened":"2024-09-18"},
+           |"history":[{"description":"settle",
+           |  "notes":"Settlement agreed £2,500.00 on 18/9/2024",
+           |  "date":"2024-09-18"}],
+           |"parties":[{"type":"Client","name":"Smith"},
+           |           {"type":"Segment","name":"Housing Disrepair"}],
+           |"document_manifest":[]}""".stripMargin
+      val bytes = body.getBytes("UTF-8")
+      x.sendResponseHeaders(200, bytes.length)
+      x.getResponseBody.write(bytes)
+      x.close()
+    })
+    server.start()
+    try {
+      val fetched = graft.sources.LiveFetch.fetchCaseData(
+        Seq(golden).toDS(),
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val canon = graft.pipeline.CaseDocs.canonicalFieldsFromDossiers(
+        graft.sources.LiveFetch.parseDossiers(fetched.toDF())).head()
+      assert(canon.getAs[String]("client_name") == "Smith")
+      assert(canon.getAs[String]("status") == "active")
+      assert(canon.getAs[Double]("total_paid") == 2500.00)
+      assert(canon.getAs[Boolean]("settlement_mentioned"))
+    } finally server.stop(0)
   }
 
   test("failure-injected sync: torn version ignored, dead-letter recorded, committed replay is a no-op") {
