@@ -57,14 +57,18 @@ object Upsert {
     val cols = df.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"conflict keys $keys must be columns of $cols")
+    // null binding needs a declared SQL type on strict drivers (Derby
+    // rejects a bare setObject(i, null)); derive per-column types once
+    val sqlTypes: Map[String, Int] = df.schema.fields.map(f =>
+      f.name -> jdbcType(f.dataType)).toMap
     df.repartition(keys.map(col): _*).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
           dialect.upsertSql(table, cols, keys) match {
-            case Some(sql) => runNative(conn, sql, cols, rows, batchSize)
-            case None => runEmulated(conn, table, cols, keys, rows, batchSize)
+            case Some(sql) => runNative(conn, sql, cols, sqlTypes, rows, batchSize)
+            case None => runEmulated(conn, table, cols, keys, sqlTypes, rows, batchSize)
           }
           conn.commit()
         } catch {
@@ -74,19 +78,40 @@ object Upsert {
     }
   }
 
+  private def jdbcType(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case DateType => java.sql.Types.DATE
+      case _: TimestampType => java.sql.Types.TIMESTAMP
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case BinaryType => java.sql.Types.BINARY
+      case _ => java.sql.Types.VARCHAR
+    }
+  }
+
   private def bind(st: PreparedStatement, row: Row, cols: Seq[String],
-                   offset: Int = 0): Unit =
+                   sqlTypes: Map[String, Int], offset: Int = 0): Unit =
     cols.zipWithIndex.foreach { case (c, i) =>
-      st.setObject(offset + i + 1, row.getAs[Any](c))
+      row.getAs[Any](c) match {
+        case null => st.setNull(offset + i + 1, sqlTypes(c))
+        case v => st.setObject(offset + i + 1, v)
+      }
     }
 
   private def runNative(conn: Connection, sql: String, cols: Seq[String],
-                        rows: Iterator[Row], batchSize: Int): Unit = {
+                        sqlTypes: Map[String, Int], rows: Iterator[Row],
+                        batchSize: Int): Unit = {
     val st = conn.prepareStatement(sql)
     try {
       var pending = 0
       rows.foreach { r =>
-        bind(st, r, cols)
+        bind(st, r, cols, sqlTypes)
         st.addBatch()
         pending += 1
         if (pending >= batchSize) { st.executeBatch(); pending = 0 }
@@ -96,8 +121,8 @@ object Upsert {
   }
 
   private def runEmulated(conn: Connection, table: String, cols: Seq[String],
-                          keys: Seq[String], rows: Iterator[Row],
-                          batchSize: Int): Unit = {
+                          keys: Seq[String], sqlTypes: Map[String, Int],
+                          rows: Iterator[Row], batchSize: Int): Unit = {
     val nonKeys = cols.filterNot(keys.contains)
     val upd = conn.prepareStatement(
       s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
@@ -108,14 +133,14 @@ object Upsert {
     try {
       rows.grouped(batchSize).foreach { chunk =>
         chunk.foreach { r =>
-          bind(upd, r, nonKeys)
-          bind(upd, r, keys, offset = nonKeys.length)
+          bind(upd, r, nonKeys, sqlTypes)
+          bind(upd, r, keys, sqlTypes, offset = nonKeys.length)
           upd.addBatch()
         }
         val counts = upd.executeBatch()
         var inserts = 0
         chunk.iterator.zip(counts.iterator).foreach { case (r, n) =>
-          if (n == 0) { bind(ins, r, cols); ins.addBatch(); inserts += 1 }
+          if (n == 0) { bind(ins, r, cols, sqlTypes); ins.addBatch(); inserts += 1 }
         }
         if (inserts > 0) ins.executeBatch()
       }

@@ -100,6 +100,28 @@ class JdbcSpec extends SparkSpec {
     assert(readBack() == expected.updated((0L, 3L), 31L))
   }
 
+  test("S9 dialect upsert: null values bind with declared SQL types") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE notes (tenant_id BIGINT NOT NULL, case_ref BIGINT NOT " +
+        "NULL, note VARCHAR(64), PRIMARY KEY (tenant_id, case_ref))")
+    finally conn.close()
+    val batch = Seq((0L, 1L, Option("hello")), (0L, 2L, Option.empty[String]))
+      .toDF("tenant_id", "case_ref", "note")
+    // both the insert path and (on re-run) the update path must bind the
+    // null through setNull with the declared VARCHAR type — Derby rejects
+    // a bare setObject(i, null)
+    Upsert.upsert(batch, url, "notes",
+      Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    Upsert.upsert(batch, url, "notes",
+      Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    val back = spark.read.jdbc(url, "notes", new java.util.Properties())
+      .collect().map(r => r.getAs[Long]("CASE_REF") ->
+        Option(r.getAs[String]("NOTE"))).toMap
+    assert(back == Map(1L -> Some("hello"), 2L -> None))
+  }
+
   test("S9 dialect upsert: Postgres renders the reference's ON CONFLICT form") {
     val sql = Upsert.Postgres.upsertSql("cases",
       Seq("tenant_id", "case_ref", "last_serialno", "is_active"),
