@@ -85,6 +85,13 @@ object LiveFetch {
     }
   }
 
+  /** Path-segment encoding for case refs (the reference quote()s them,
+    * client.py:193 — refs like "NBC 200993/001" must survive the URL).
+    * URLEncoder is form-encoding, so its '+' for space is corrected to
+    * the path form %20. */
+  def pathEncode(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
   /** One fetch outcome. state: "ok" (2xx), "failed" (attempts exhausted or
     * breaker opened mid-retry), "shed" (breaker open — NOT attempted, no
     * request sent, retriable for free in a later batch). */
@@ -98,18 +105,16 @@ object LiveFetch {
       breakerThreshold: Int = 5,
       breakerTimeoutSec: Long = 300L)
 
-  /** Fetch `baseUrl`/api/case/`ref` for every ref, one client + bucket +
-    * breaker per partition.
-    *
-    * Clock-call contract (specs drive a fake clock through open/half-open
-    * transitions, so the call sequence is part of the API): exactly one
-    * `clockSec()` per ref for the admission check; on each failed attempt,
-    * one for `Breaker.onFailure` and — only when attempts remain — one for
-    * the continue-check; none on success. */
   /** The per-partition walk shared by every live fetch: one client, one
     * bucket, one breaker, applied to each item in partition order. Kept
     * generic over the item type `I` (so payload columns ride along) and
-    * the body type `A` (text dossiers vs binary documents). */
+    * the body type `A` (text dossiers vs binary documents).
+    *
+    * Clock-call contract (specs drive a fake clock through open/half-open
+    * transitions, so the call sequence is part of the API): exactly one
+    * `clockSec()` per item for the admission check; on each failed attempt,
+    * one for `Breaker.onFailure` and — only when attempts remain — one for
+    * the continue-check; none on success. */
   private def fetchLoop[I, A](it: Iterator[I], conf: FetchConf,
                               transport: () => Http, clockSec: () => Long,
                               doFetch: (Http, I) => (Int, A),
@@ -147,6 +152,8 @@ object LiveFetch {
     out ++ { http.close(); Iterator.empty }
   }
 
+  /** Fetch `baseUrl`/api/case/`ref` for every ref — one client + bucket +
+    * breaker per partition. */
   def fetchCaseData(refs: Dataset[String], baseUrl: String,
                     conf: FetchConf = FetchConf(),
                     transport: () => Http = () => new JdkHttp(),
@@ -154,7 +161,7 @@ object LiveFetch {
   : Dataset[Fetched] =
     refs.mapPartitions { it =>
       fetchLoop[String, String](it, conf, transport, clockSec,
-        (h, ref) => h.get(s"$baseUrl/api/case/$ref"),
+        (h, ref) => h.get(s"$baseUrl/api/case/${pathEncode(ref)}"),
         e => String.valueOf(e.getMessage), "")
         .map { case (ref, st, body, attempts, state) =>
           Fetched(ref, st, body, attempts, state) }
@@ -184,7 +191,8 @@ object LiveFetch {
       .as[(String, String)](Encoders.product[(String, String)])
     pairs.mapPartitions { it =>
       fetchLoop[(String, String), Array[Byte]](it, conf, transport, clockSec,
-        (h, cf) => h.getBytes(s"$baseUrl/api/document/${cf._1}?format=${cf._2}"),
+        (h, cf) => h.getBytes(
+          s"$baseUrl/api/document/${pathEncode(cf._1)}?format=${pathEncode(cf._2)}"),
         _ => Array.empty[Byte], Array.empty[Byte])
         .map { case ((code, fmt), st, bytes, attempts, state) =>
           FetchedDoc(code, fmt, st, bytes, attempts, state) }

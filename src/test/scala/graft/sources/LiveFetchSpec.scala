@@ -90,6 +90,18 @@ class LiveFetchSpec extends SparkSpec {
     assert(parsed.columns.contains("parties")) // full nested schema came through
   }
 
+  test("refs with spaces and percent signs survive the URL (path encoding)") {
+    hits.set(0)
+    // the stub echoes the decoded last path segment back as case_ref, so a
+    // round-trip proves encode(ref) -> server-decode(ref) is the identity
+    // (an unencoded ' ' or '%' would make URI.create throw or corrupt)
+    val awkward = "OK NBC 200993%001"
+    val got = LiveFetch.fetchCaseData(Seq(awkward).toDS().repartition(1), base)
+      .collect()
+    assert(got.length == 1 && got.head.state == "ok")
+    assert(got.head.body.contains(s""""case_ref":"$awkward""""))
+  }
+
   test("live ingest path: fetch -> parse -> canonical-field extraction") {
     hits.set(0)
     val refs = Seq("FULL-NBC200993").toDS().repartition(1)
