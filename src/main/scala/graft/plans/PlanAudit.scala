@@ -34,11 +34,14 @@ object PlanAudit {
     val findings = Seq.newBuilder[Finding]
 
     plan.foreach {
-      case w: Window if w.partitionSpec.isEmpty =>
+      // empty forall = true, so this covers both "no PARTITION BY" and the
+      // disguised form partitionBy(lit(...)) — constants hash every row to
+      // the same task just as surely as no partition at all
+      case w: Window if w.partitionSpec.forall(_.foldable) =>
         findings += Finding("error", "global-window",
           s"window [${w.windowExpressions.map(_.name).mkString(", ")}] has no " +
-            "PARTITION BY: every row lands on one task. Partition by a key, " +
-            "or for top-K use orderBy(...).limit(k).")
+            "non-constant PARTITION BY: every row lands on one task. " +
+            "Partition by a key, or for top-K use orderBy(...).limit(k).")
       case j: Join if (j.joinType == Cross || j.condition.isEmpty) &&
           !Seq(j.hint.leftHint, j.hint.rightHint)
             .flatten.exists(_.strategy.nonEmpty) =>

@@ -19,6 +19,11 @@ class PlanAuditSpec extends SparkSpec {
     val good = base.withColumn("r",
       row_number().over(Window.partitionBy(col("k")).orderBy(col("id"))))
     assert(!PlanAudit.audit(good).exists(_.rule == "global-window"))
+    // partitionBy(constant) is the disguised global window — same flag
+    val disguised = base.withColumn("r",
+      row_number().over(Window.partitionBy(lit(0)).orderBy(col("id"))))
+    assert(PlanAudit.audit(disguised).exists(f =>
+      f.level == "error" && f.rule == "global-window"))
     intercept[IllegalArgumentException](PlanAudit.assertScaleSafe(bad))
     PlanAudit.assertScaleSafe(good)
   }
