@@ -48,6 +48,41 @@ class TemporalPropSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("segmented as-of equals the plain form for any bucket span") {
+    val probe = mkRows(120).toDF("user_id", "ts", "event_id")
+    val build = mkRows(150).map { case (k, ts, id) => (k, ts, id + 1000L) }
+      .toDF("user_id", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("asof_id")).map(_.toLong),
+        Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime))).toSet
+    val plain = canon(Temporal.asofJoinOf(probe, build, "user_id", "ts", "event_id"))
+    // prime/odd spans shake boundary alignment; a span past the domain
+    // degenerates to one bucket (must equal plain trivially)
+    for (span <- Seq(601L, 733L, 1500L, 10000L)) {
+      val seg = canon(Temporal.asofJoinSaltedOf(
+        probe, build, "user_id", "ts", "event_id", bucketSpanSeconds = span))
+      assert(seg == plain, s"segmented as-of diverged at span=$span")
+    }
+  }
+
+  test("segmented sessionization equals the plain form, even with spans below the gap") {
+    val gap = 600L
+    val events = mkRows(200).toDF("user_id", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").getTime,
+        r.getAs[Timestamp]("session_end").getTime, r.getAs[Long]("n_events"),
+        r.getAs[Long]("duration_s"))).toSet
+    val plain = canon(Temporal.sessionizeOf(events, gapSeconds = gap))
+    // span < gap forces sessions to straddle MANY buckets — every
+    // consecutive-bucket pair must stitch through the offset chain
+    for (span <- Seq(300L, 601L, 977L, 10000L)) {
+      val seg = canon(Temporal.sessionizeSaltedOf(
+        events, gapSeconds = gap, bucketSpanSeconds = span))
+      assert(seg == plain, s"segmented sessions diverged at span=$span")
+    }
+  }
+
   test("sessionization matches the naive gap-scan reference") {
     val gap = 600L
     val events = mkRows(200)
