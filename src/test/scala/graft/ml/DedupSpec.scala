@@ -161,6 +161,35 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (20L, 2L))
   }
 
+  test("repeated-span stats match a naive reference on random token streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocabulary so k-gram collisions are common — both the repeated
+    // and the unique path get exercised hard
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = for {
+      n <- Gen.choose(5, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks
+    val docs = (0 until 60).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(1717L + i)))
+      .zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val k = 3
+    val got = Dedup.spanDedupStatsOf(docs.toDF("doc_id", "text"), k = k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_repeated"))).toMap
+    // naive reference: global occurrence counts over all k-gram positions
+    val spans = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).sliding(k).filter(_.length == k)
+        .map(w => id -> w.mkString(" "))
+    }
+    val counts = spans.groupBy(_._2).map { case (s, occ) => s -> occ.size }
+    val expected = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> (ss.size.toLong, ss.count(s => counts(s._2) >= 2).toLong)
+    }
+    assert(got == expected)
+  }
+
   test("clusters: transitive closure of pairs, min doc_id is the cluster id") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 7-8: {1,2,3} and {7,8}
