@@ -441,7 +441,7 @@ object Dedup {
       // legal empty input must return an empty cluster table, not NPE
       val changed = nextCkpt
         .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       // nextCkpt is materialized — the previous round's checkpoint blocks
       // are now dead weight; free them instead of waiting on the GC-driven
       // ContextCleaner (which pins iters× label tables in executor memory)

@@ -336,10 +336,10 @@ object IncrementalSync {
     import org.apache.spark.sql.functions._
     val l = lhs.withWatermark("ts", lateness)
       .select(col(key).as("l_key") +: col("ts").as("l_ts") +:
-        lhs.columns.filterNot(c => c == key || c == "ts").map(c => col(c)): _*)
+        lhs.columns.filterNot(c => c == key || c == "ts").toIndexedSeq.map(col): _*)
     val r = rhs.withWatermark("ts", lateness)
       .select(col(key).as("r_key") +: col("ts").as("r_ts") +:
-        rhs.columns.filterNot(c => c == key || c == "ts").map(c => col(c)): _*)
+        rhs.columns.filterNot(c => c == key || c == "ts").toIndexedSeq.map(col): _*)
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") <= col("l_ts") &&
