@@ -328,7 +328,113 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // -------------------------------------------------------------------
+  // Tokenizer merge training (word-level BPE)
+  // -------------------------------------------------------------------
+
+  /** Merge rounds learned by [[bpeMergesOf]] / replayed by its oracle. */
+  val BpeRounds = 3
+
+  /** Apply ONE merge rule greedily left-to-right. Restricted to p1 != p2
+    * (enforced at rule selection), merge sites cannot be adjacent — a
+    * site at i and i+1 would need toks(i+1) = p2 = p1 — so the greedy
+    * walk decomposes into independent per-position flags and the merge
+    * is a closed-form projection (no sequential fold, which also keeps
+    * it replayable in SQL engines whose list_reduce cannot carry a
+    * struct accumulator). */
+  private def mergeOnce(toks: Column, p1: Column, p2: Column): Column = {
+    val n = size(toks)
+    flatten(transform(sequence(lit(1), n), i =>
+      when(i < n && element_at(toks, i) === p1 && element_at(toks, i + 1) === p2,
+        array(concat_ws("_", p1, p2)))
+        .when(i > 1 && element_at(toks, i - 1) === p1 && element_at(toks, i) === p2,
+          array().cast("array<string>"))
+        .otherwise(array(element_at(toks, i)))))
+  }
+
+  /** Tokenizer merge training — byte-pair encoding's training loop at
+    * word granularity (phrase mining): each round counts adjacent token
+    * pairs across the corpus, adopts the most frequent non-self pair
+    * (ties: lexicographic, so the rule table is deterministic in any
+    * engine), rewrites the corpus with the merge, and repeats. Output is
+    * the learned rule table (round, p1, p2, n) — what a tokenizer ships.
+    *
+    * Scale shape per round: one narrow pass explodes adjacent pairs, ONE
+    * count shuffle (map-side partials), the argmax is orderBy+limit 1
+    * (TakeOrderedAndProject — never a global window), and the 1-row rule
+    * broadcasts back into a narrow rewrite. Self-pairs (p1 == p2) are
+    * excluded at selection so the greedy rewrite stays closed-form (see
+    * [[mergeOnce]]) — at word granularity they are degenerate phrases
+    * anyway. Rounds are a driver loop over persisted generations, like
+    * the IVF trainer; callers release the cache after their action.
+    *
+    * Cite: the reference has no tokenizer, but its embedder chunks text
+    * for the vector path (caseguard/vectorization/embedder.py) — this is
+    * the north-star training-data extension of that stage. */
+  def bpeMergesOf(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    var toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .persist()
+    val bests = (1 to rounds).map { r =>
+      val pairs = toks
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("p1"),
+            element_at(col("toks"), i + 1).as("p2")))).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .filter(col("p1") =!= col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("p1").asc, col("p2").asc)
+        .limit(1)
+        .select(lit(r).cast("int").as("round"), col("p1"), col("p2"), col("n"))
+        .persist()
+      toks = toks.crossJoin(broadcast(best.select("p1", "p2")))
+        .select(col("doc_id"),
+          mergeOnce(col("toks"), col("p1"), col("p2")).as("toks"))
+        .persist()
+      best
+    }
+    bests.reduce(_ unionByName _)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(spark, dir))
+
+  /** Oracle for [[bpeMergesOf]], one CTE block per round generated from
+    * the same [[BpeRounds]] constant the trainer runs — identical count,
+    * tie-break, and closed-form rewrite semantics. */
+  private def bpeOracle: String = {
+    def round(r: Int): String = {
+      val prev = s"t${r - 1}"
+      s"""pc_$r AS (
+         |  SELECT u.p1 AS p1, u.p2 AS p2, count(*) AS n FROM (
+         |    SELECT unnest([{'p1': toks[i], 'p2': toks[i+1]}
+         |                   for i in range(1, len(toks))]) AS u
+         |    FROM $prev WHERE len(toks) >= 2) s
+         |  WHERE p1 <> p2 GROUP BY 1, 2),
+         |b_$r AS (SELECT p1, p2, n FROM pc_$r
+         |         ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 1),
+         |t$r AS (
+         |  SELECT doc_id, flatten([CASE
+         |      WHEN i < len(toks) AND toks[i] = b.p1 AND toks[i+1] = b.p2
+         |        THEN [b.p1 || '_' || b.p2]
+         |      WHEN i > 1 AND toks[i-1] = b.p1 AND toks[i] = b.p2
+         |        THEN CAST([] AS VARCHAR[])
+         |      ELSE [toks[i]] END for i in range(1, len(toks) + 1)]) AS toks
+         |  FROM $prev, b_$r b)""".stripMargin
+    }
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |SELECT * FROM (${(1 to BpeRounds).map(r =>
+            s"SELECT CAST($r AS INT) AS round, p1, p2, n FROM b_$r")
+          .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
@@ -345,6 +451,7 @@ object TextOps {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeOracle,
     "u3_extract_text" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -64,4 +64,57 @@ class TextOpsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1),
       s"got '${r.getString(0)}' want '${r.getString(1)}'"))
   }
+
+  test("BPE merge rules match a naive greedy reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny vocabulary so winning pairs recur and ROUND-2+ rules involve
+    // round-1's merged tokens (the chaining that makes BPE BPE)
+    val vocab = Vector("a", "b", "c")
+    val docGen = for {
+      n <- Gen.choose(4, 25)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks
+    val docs = (0 until 50).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(4242L + i)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    def naive(rounds: Int): Seq[(Int, String, String, Long)] = {
+      var cur: Seq[Vector[String]] = docs.map(_._2.toVector)
+      (1 to rounds).flatMap { r =>
+        val counts = cur.flatMap(_.sliding(2).filter(_.length == 2))
+          .map(p => (p(0), p(1))).filter(p => p._1 != p._2)
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+        if (counts.isEmpty) Nil
+        else {
+          val ((p1, p2), n) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+          cur = cur.map { t =>
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == p1 && t(i + 1) == p2) {
+                out += s"${p1}_$p2"; i += 2
+              } else { out += t(i); i += 1 }
+            }
+            out.result().toVector
+          }
+          Seq((r, p1, p2, n.toLong))
+        }
+      }
+    }
+
+    val rounds = 6
+    val got = TextOps.bpeMergesOf(
+        docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+        rounds = rounds)
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("p1"),
+        r.getAs[String]("p2"), r.getAs[Long]("n"))).toSeq.sortBy(_._1)
+    assert(got == naive(rounds))
+    // chaining really happened: some later rule consumes a merged token
+    assert(got.exists { case (_, p1, p2, _) => p1.contains("_") || p2.contains("_") },
+      s"no chained merge in $got — vocabulary too large for the test to bite")
+    spark.catalog.clearCache()
+  }
 }
