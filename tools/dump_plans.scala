@@ -11,5 +11,6 @@ dump("t1b_asof_salted", graft.operators.Temporal.purchaseAsofBrowseSalted(spark,
 dump("text_token_drift", graft.ml.TextOps.tokenDrift(spark, sf))
 dump("dedup_ngram_pairs", graft.ml.Dedup.ngramJaccardPairs(spark, sf))
 dump("curation_span_dedup", graft.ml.Dedup.spanDedupStats(spark, sf))
+dump("text_bpe_merges", graft.ml.TextOps.bpeMerges(spark, sf))
 dump("e2e_flagship_lineage", graft.pipeline.Lineage.flagship(spark, sf))
 sys.exit(0)
