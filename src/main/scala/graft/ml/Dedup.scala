@@ -100,7 +100,10 @@ object Dedup {
         .as("h"))
     val hot = spans.groupBy("h").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select("h")
-    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    // n_spans is closed-form (size - k + 1): a narrow projection, not a
+    // second corpus-wide explode + shuffle
+    val perDoc = toks.select(col("doc_id"),
+      (size(col("toks")) - (k - 1)).cast("long").as("n_spans"))
     val repeated = spans.join(hot, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
     perDoc.join(repeated, Seq("doc_id"), "left_outer")

@@ -145,7 +145,10 @@ object Multimodal {
     "multimodal_features" ->
       """WITH cps AS (
         |  SELECT doc_id,
-        |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
+        |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+        |              ELSE list_transform(string_split(text, ''),
+        |                                  c -> unicode(c)::BIGINT)
+        |         END AS cp
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, len(cp) AS n,

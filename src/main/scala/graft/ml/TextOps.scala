@@ -389,12 +389,19 @@ object TextOps {
         .limit(1)
         .select(lit(r).cast("int").as("round"), col("p1"), col("p2"), col("n"))
         .persist()
-      toks = toks.crossJoin(broadcast(best.select("p1", "p2")))
+      val next = toks.crossJoin(broadcast(best.select("p1", "p2")))
         .select(col("doc_id"),
           mergeOnce(col("toks"), col("p1"), col("p2")).as("toks"))
         .persist()
+      // materialize generation r, then FREE generation r-1 — otherwise
+      // rounds x corpus-sized cache entries pile up until the caller's
+      // clearCache (the 1-row best tables stay cached for the output)
+      next.count()
+      toks.unpersist()
+      toks = next
       best
     }
+    toks.unpersist() // the final generation feeds nothing downstream
     bests.reduce(_ unionByName _)
   }
 

@@ -40,15 +40,25 @@ object Temporal {
     * probe's (key, id, ts) plus asof_id/asof_ts — payload columns from
     * either side are recovered by an equi join on the id (cheap; the id
     * is unique), which keeps the window state to three columns. */
+  /** Shared probe/build tagging — the as-of tie-break contract (build
+    * rows sort before probes at equal ts; build_id/ts carried for the
+    * last-non-null window) lives HERE once, so the plain and segmented
+    * forms cannot silently fork semantics. */
+  private def asofTagged(probe: DataFrame, build: DataFrame,
+                         key: String, ts: String, id: String)
+  : (DataFrame, DataFrame) = {
+    val tsType = probe.schema(ts).dataType
+    (probe.select(
+      col(key), col(ts), col(id), lit(1).as("is_probe"),
+      lit(null).cast("long").as("build_id"), lit(null).cast(tsType).as("build_ts")),
+      build.select(
+        col(key), col(ts), col(id), lit(0).as("is_probe"),
+        col(id).as("build_id"), col(ts).as("build_ts")))
+  }
+
   def asofJoinOf(probe: DataFrame, build: DataFrame,
                  key: String, ts: String, id: String): DataFrame = {
-    val tsType = probe.schema(ts).dataType
-    val probeTagged = probe.select(
-      col(key), col(ts), col(id), lit(1).as("is_probe"),
-      lit(null).cast("long").as("build_id"), lit(null).cast(tsType).as("build_ts"))
-    val buildTagged = build.select(
-      col(key), col(ts), col(id), lit(0).as("is_probe"),
-      col(id).as("build_id"), col(ts).as("build_ts"))
+    val (probeTagged, buildTagged) = asofTagged(probe, build, key, ts, id)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("is_probe").asc, col(id).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -91,13 +101,7 @@ object Temporal {
     val spanUs = bucketSpanSeconds * 1000000L
     def bktOf(c: Column): Column =
       ((epochUs(c) - pmod(epochUs(c), lit(spanUs))) / lit(spanUs)).cast("long")
-    val tsType = probe.schema(ts).dataType
-    val probeTagged = probe.select(
-      col(key), col(ts), col(id), lit(1).as("is_probe"),
-      lit(null).cast("long").as("build_id"), lit(null).cast(tsType).as("build_ts"))
-    val buildTagged = build.select(
-      col(key), col(ts), col(id), lit(0).as("is_probe"),
-      col(id).as("build_id"), col(ts).as("build_ts"))
+    val (probeTagged, buildTagged) = asofTagged(probe, build, key, ts, id)
     val unioned = probeTagged.unionByName(buildTagged)
       .withColumn("bkt", bktOf(col(ts)))
     val w = Window.partitionBy(col(key), col("bkt"))

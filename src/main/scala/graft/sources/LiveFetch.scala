@@ -121,6 +121,11 @@ object LiveFetch {
                               errBody: Exception => A, empty: A)
   : Iterator[(I, Int, A, Int, String)] = {
     val http = transport() // ONE per partition — session/connection reuse
+    // release on TASK end, not on iterator exhaustion: a downstream
+    // limit/head or a mid-stream failure abandons the iterator without
+    // draining it, which would leak the client's threads and sockets
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => http.close()))
     val bucket = if (conf.ratePerSec > 0)
       Some(new TokenBucket(conf.ratePerSec, conf.burst.toDouble)) else None
     var breaker = Breaker(failureThreshold = conf.breakerThreshold,
@@ -148,8 +153,7 @@ object LiveFetch {
         res
       }
     }
-    // by-name ++ runs after the last item: release the partition's client
-    out ++ { http.close(); Iterator.empty }
+    out
   }
 
   /** Fetch `baseUrl`/api/case/`ref` for every ref — one client + bucket +

@@ -29,15 +29,19 @@ object Upsert {
   }
 
   /** Postgres `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`
-    * (change_tracking.py:372-379). */
+    * (change_tracking.py:372-379); a whole-row key (presence table)
+    * renders DO NOTHING — an empty SET list is a syntax error. */
   case object Postgres extends Dialect {
     override def upsertSql(table: String, cols: Seq[String],
                            keys: Seq[String]): Option[String] = {
-      val sets = cols.filterNot(keys.contains)
-        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      val nonKeys = cols.filterNot(keys.contains)
+      val action =
+        if (nonKeys.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " +
+          nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
       Some(s"INSERT INTO $table (${cols.mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-        s"ON CONFLICT (${keys.mkString(", ")}) DO UPDATE SET $sets")
+        s"ON CONFLICT (${keys.mkString(", ")}) $action")
     }
   }
 
@@ -57,11 +61,21 @@ object Upsert {
     val cols = df.columns.toSeq
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"conflict keys $keys must be columns of $cols")
+    require(dialect.upsertSql(table, cols, keys).isDefined ||
+      cols.exists(!keys.contains(_)),
+      "the update-then-insert emulation needs at least one non-key column; " +
+        "for a whole-row key use a native dialect (Postgres renders DO NOTHING)")
     // null binding needs a declared SQL type on strict drivers (Derby
     // rejects a bare setObject(i, null)); derive per-column types once
     val sqlTypes: Map[String, Int] = df.schema.fields.map(f =>
       f.name -> jdbcType(f.dataType)).toMap
-    df.repartition(keys.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+    // one physical row per conflict key per batch: duplicate keys in one
+    // chunk would otherwise both miss the UPDATE and collide on INSERT in
+    // the emulated path (and land in unspecified order in the native one
+    // — row order inside a frame is arbitrary either way, so collapsing
+    // duplicates makes the two dialects agree instead of diverging)
+    df.dropDuplicates(keys)
+      .repartition(keys.map(col): _*).foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(url)
         try {
@@ -140,7 +154,19 @@ object Upsert {
         val counts = upd.executeBatch()
         var inserts = 0
         chunk.iterator.zip(counts.iterator).foreach { case (r, n) =>
-          if (n == 0) { bind(ins, r, cols, sqlTypes); ins.addBatch(); inserts += 1 }
+          // SUCCESS_NO_INFO drivers don't report batched update counts:
+          // re-run that row's update singly to learn hit vs miss — slower
+          // on such drivers, but never silently drops a missed insert
+          val updated =
+            if (n != java.sql.Statement.SUCCESS_NO_INFO) n
+            else {
+              bind(upd, r, nonKeys, sqlTypes)
+              bind(upd, r, keys, sqlTypes, offset = nonKeys.length)
+              upd.executeUpdate()
+            }
+          if (updated == 0) {
+            bind(ins, r, cols, sqlTypes); ins.addBatch(); inserts += 1
+          }
         }
         if (inserts > 0) ins.executeBatch()
       }

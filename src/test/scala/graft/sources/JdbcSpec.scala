@@ -122,6 +122,39 @@ class JdbcSpec extends SparkSpec {
     assert(back == Map(1L -> Some("hello"), 2L -> None))
   }
 
+  test("S9 dialect upsert: duplicate conflict keys inside one batch collapse safely") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE dupes (tenant_id BIGINT NOT NULL, case_ref BIGINT NOT " +
+        "NULL, last_serialno BIGINT NOT NULL, PRIMARY KEY (tenant_id, case_ref))")
+    finally conn.close()
+    // two change events for the same case in one batch: without the
+    // key-level dedupe both would miss the UPDATE and collide on INSERT
+    val batch = Seq((0L, 1L, 10L), (0L, 1L, 11L), (0L, 2L, 20L))
+      .toDF("tenant_id", "case_ref", "last_serialno")
+    Upsert.upsert(batch, url, "dupes",
+      Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    val back = spark.read.jdbc(url, "dupes", new java.util.Properties())
+    assert(back.count() == 2)
+    val v = back.filter(col("CASE_REF") === 1L)
+      .head().getAs[Long]("LAST_SERIALNO")
+    assert(v == 10L || v == 11L) // one of the duplicates, exactly one row
+  }
+
+  test("S9 dialect upsert: whole-row conflict keys render DO NOTHING / fail fast") {
+    val sql = Upsert.Postgres.upsertSql("seen",
+      Seq("tenant_id", "case_ref"), Seq("tenant_id", "case_ref")).get
+    assert(sql == "INSERT INTO seen (tenant_id, case_ref) VALUES (?, ?) " +
+      "ON CONFLICT (tenant_id, case_ref) DO NOTHING")
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(Seq((0L, 1L)).toDF("tenant_id", "case_ref"),
+        url, "seen", Seq("tenant_id", "case_ref"), Upsert.UpdateThenInsert)
+    }
+    assert(e.getMessage.contains("non-key column"))
+  }
+
   test("S9 dialect upsert: Postgres renders the reference's ON CONFLICT form") {
     val sql = Upsert.Postgres.upsertSql("cases",
       Seq("tenant_id", "case_ref", "last_serialno", "is_active"),
