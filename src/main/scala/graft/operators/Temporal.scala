@@ -271,6 +271,12 @@ object Temporal {
       ((us - pmod(us, lit(spanUs))) / lit(spanUs)).cast("long").as("bkt"))
     val order = Window.partitionBy(col("user_id"), col("bkt"))
       .orderBy(col("ts").asc, col("event_id").asc)
+    // The flagged frame feeds BOTH the bucket summary and the final join;
+    // Spark recomputes the window subtree for each consumer. Measured at
+    // bench scale a persist() buys nothing (the window is not the cost),
+    // and at 100 TB caching a corpus-sized intermediate is a memory
+    // liability while the recompute is two pushed, column-pruned scans —
+    // so the plan deliberately recomputes.
     val flagged = base
       .withColumn("prev_us", lag(col("us"), 1).over(order))
       .withColumn("is_new",
