@@ -322,6 +322,22 @@ class ScaleSpec extends SparkSpec {
       val b = graft.operators.Temporal.asofJoinSaltedOf(probe, build,
         "user_id", "ts", "event_id", 86400L)
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+      // same story for sessionization: the hot user's window funnels
+      // through one task plain, spreads over daily buckets segmented
+      val plainSess = maxTaskShuffleRead {
+        graft.operators.Temporal.sessionizeOf(events, gapSeconds = 1800L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val segSess = maxTaskShuffleRead {
+        graft.operators.Temporal.sessionizeSaltedOf(events,
+            gapSeconds = 1800L, bucketSpanSeconds = 86400L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(plainSess >= 40000L,
+        s"plain sessionize hot task read only $plainSess — skew not reproduced")
+      assert(segSess <= plainSess / 8,
+        s"segmented sessionize max task read $segSess vs plain $plainSess")
      }
     }
   }
