@@ -275,6 +275,56 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // SemDeDup-style semantic prune: cluster, then near-dup within cluster
+  // -------------------------------------------------------------------
+
+  /** Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the SAME trained IVF
+    * coarse quantizer [[ivfTopK]] uses, then mark as `pruned` every
+    * vector that has a cos>0.4 neighbor of smaller id INSIDE its
+    * cluster (keep-lowest-id survivor rule — deterministic where the
+    * paper keeps a random/centroid-farthest exemplar). Output one row
+    * per corpus vector: (vec_id, centroid_id, pruned). This is the
+    * semantic complement to [[graft.ml.Dedup]]'s lexical near-dup
+    * family: paraphrases land in the same cluster even when they share
+    * no shingles.
+    *
+    * Scale design: the quadratic pair test runs per cluster, and stride
+    * seeding makes the EXPECTED CLUSTER SIZE a constant
+    * (~[[IvfCentroidStride]]): centroid count grows linearly with the
+    * corpus, so total pair work is O(n · stride) — linear, where
+    * corpus-global pair mining is Θ(n²) — and each cluster's block is an
+    * independent equi-join task (one hash shuffle on centroid_id).
+    * The near-dup gate reuses Dedup.embeddingPairsOf's exact integer
+    * cosine arithmetic (dot>0 && 25·dot² > 4·|a|²·|b|²), so the
+    * decision replays bit-for-bit in the DuckDB oracle, which shares
+    * the trained quantizer's generated SQL via [[ivfListsPrefix]]. */
+  def semanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.scale.Scale.spread(quantizedVectors(spark, dir)).persist()
+    val cents = trainedCentroids(v).persist()
+    val lists = assignTo(v, cents, probes = 1)
+      .select(col("centroid_id"), col("vec_id"), col("q"),
+        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
+      .persist() // both self-join sides and the final left join re-read it
+    val aSide = lists.select(col("centroid_id"), col("vec_id").as("aid"),
+      col("q").as("qa"), col("nsq").as("na"))
+    val bSide = lists.select(col("centroid_id"), col("vec_id").as("bid"),
+      col("q").as("qb"), col("nsq").as("nb"))
+    val prunedIds = aSide.join(bSide, Seq("centroid_id"))
+      .filter(col("aid") < col("bid"))
+      .select(col("bid"), ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
+      .select(col("bid").as("vec_id"))
+      .distinct()
+    lists
+      .join(prunedIds.withColumn("hit", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("hit"), lit(false)).as("pruned"))
+  }
+
+  // -------------------------------------------------------------------
   // Embedding quality audit: per-label centroid outliers, exact integers
   // -------------------------------------------------------------------
 
@@ -324,6 +374,7 @@ object Similarity {
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)))
 
   /** Oracle for the multi-table, multi-probe LSH ANN: the hyperplanes are
@@ -404,7 +455,16 @@ object Similarity {
     * chain is GENERATED per round from the same `IvfIters` constant the
     * Spark side trains with (validated green at both 1 and 2), so
     * raising the iteration count never forks the oracle. */
-  private def ivfOracle: String = {
+  /** Final centroid CTE name after `IvfIters` generated Lloyd rounds. */
+  private def centsCte: String =
+    if (IvfIters == 0) "seeds" else s"cents_$IvfIters"
+
+  /** Shared oracle prefix ending at `lists(vec_id, centroid_id)` — the
+    * quantization, stride seeds, generated Lloyd chain, and single-probe
+    * corpus assignment. [[ivfOracle]] and [[semanticPruneOracle]] both
+    * splice onto this, so "the prune uses the SAME trained quantizer as
+    * the index" is true by construction in the oracle too. */
+  private def ivfListsPrefix: String = {
     val qCte =
       """  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(round(
@@ -445,7 +505,6 @@ object Similarity {
     }
     val refineChain = if (IvfIters == 0) "" else
       (1 to IvfIters).map(round).mkString("", ",\n", ",\n")
-    val cents = if (IvfIters == 0) "seeds" else s"cents_$IvfIters"
     s"""WITH q AS (
        |$qCte),
        |seeds AS (
@@ -459,14 +518,18 @@ object Similarity {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM q v CROSS JOIN $cents c) WHERE rn = 1),
+       |    FROM q v CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracle: String =
+    ivfListsPrefix + s""",
        |qlists AS (
        |  SELECT query_id, centroid_id FROM (
        |    SELECT v.vec_id AS query_id, c.centroid_id,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM q v CROSS JOIN $cents c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
+       |    FROM q v CROSS JOIN $centsCte c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
        |cand AS (
        |  SELECT DISTINCT ql.query_id, l.vec_id
        |  FROM qlists ql JOIN lists l ON ql.centroid_id = l.centroid_id
@@ -484,11 +547,31 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 10""".stripMargin
-  }
+
+  /** Oracle for [[semanticPrune]]: the shared [[ivfListsPrefix]] replays
+    * the trained quantizer + corpus assignment; the within-cluster gate
+    * replays Dedup's integer cosine test. Bounded: dot <= ~1.01e8, so
+    * 25·dot² <= 2.6e17 < 2^63 — exact in BIGINT. */
+  private def semanticPruneOracle: String =
+    ivfListsPrefix + s""",
+       |pr AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM lists a
+       |  JOIN lists b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  JOIN q qa ON qa.vec_id = a.vec_id
+       |  JOIN q qb ON qb.vec_id = b.vec_id
+       |  WHERE CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) > 0
+       |    AND CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT)
+       |        * CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) * 25
+       |        > CAST(list_dot_product(qa.qv, qa.qv) AS BIGINT)
+       |        * CAST(list_dot_product(qb.qv, qb.qv) AS BIGINT) * 4)
+       |SELECT l.vec_id, l.centroid_id, (pr.vec_id IS NOT NULL) AS pruned
+       |FROM lists l LEFT JOIN pr ON l.vec_id = pr.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_topk_ann" -> annOracle,
     "sim_topk_ivf" -> ivfOracle,
+    "dedup_semantic_prune" -> semanticPruneOracle,
     "sim_topk_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id,

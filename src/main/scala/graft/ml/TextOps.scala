@@ -284,6 +284,73 @@ object TextOps {
   }
 
   // -------------------------------------------------------------------
+  // Corpus-DF document rarity score (CCNet-style quality signal)
+  // -------------------------------------------------------------------
+
+  /** Tokens whose DF join goes through the broadcast hot arm. */
+  val HotVocab = 64
+
+  /** Per-document rarity statistics against the corpus-wide token
+    * document-frequency (DF) table — the deterministic analog of CCNet's
+    * LM-perplexity quality signal (Wenzek et al. 2020): a document whose
+    * distinct tokens are mostly hapaxes (DF=1) is likely OCR noise or
+    * encoding garbage; one made only of ubiquitous tokens is likely
+    * template boilerplate. Output per doc: distinct-token count, hapax
+    * count, DF sum, and integral milli-ratios (a·1000 div b — exact long
+    * division, no floating point, so the oracle replays bit-for-bit).
+    *
+    * Scale design: unlike [[textStatsOf]]'s row-local signals, this one
+    * needs a corpus-global statistic joined back per document. The DF
+    * table is vocab-sized — NOT broadcastable at web scale — so the join
+    * back to (doc, token) pairs shuffles on token, and natural-language
+    * tokens are the canonical skewed key (every doc contains "the"; its
+    * reducer would receive ~|corpus| rows). The plan splits the join:
+    * the [[HotVocab]] highest-DF tokens (a TakeOrdered — tiny) join via
+    * broadcast, so the hot keys NEVER enter a shuffle; the cold
+    * remainder shuffle-joins with per-key multiplicity bounded by the
+    * (HotVocab+1)-th DF. The effect of a salted join, with zero
+    * replication of the fact side. TextOpsSpec proves the split equals
+    * the naive single-join form. */
+  def docRarityOf(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .persist() // read by the DF aggregate and both join arms
+    val dfTab = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val hot = dfTab.orderBy(col("df").desc, col("tok").asc).limit(HotVocab)
+    val cold = dfTab.join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
+    val joined = pairs.join(broadcast(hot), Seq("tok"))
+      .unionByName(pairs.join(cold, Seq("tok")))
+    joined.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_uniq"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("df")).as("df_sum"))
+      .select(col("doc_id"), col("n_uniq"), col("n_hapax"), col("df_sum"),
+        expr("n_hapax * 1000 div n_uniq").as("hapax_milli"),
+        expr("df_sum * 1000 div n_uniq").as("mean_df_milli"))
+  }
+
+  /** Naive single-join form — spec-only equality yardstick for the
+    * hot/cold split (skew-prone: one reducer per stopword). */
+  def docRarityNaiveOf(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dfTab = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    pairs.join(dfTab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_uniq"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("df")).as("df_sum"))
+      .select(col("doc_id"), col("n_uniq"), col("n_hapax"), col("df_sum"),
+        expr("n_hapax * 1000 div n_uniq").as("hapax_milli"),
+        expr("df_sum * 1000 div n_uniq").as("mean_df_milli"))
+  }
+
+  def docRarity(spark: SparkSession, dir: String): DataFrame =
+    docRarityOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
   // U3 — markup/control-char text extraction
   // -------------------------------------------------------------------
 
@@ -452,6 +519,7 @@ object TextOps {
     "text_keywords" -> ((s, d) => keywords(s, d)),
     "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
+    "text_doc_rarity" -> ((s, d) => docRarity(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -459,6 +527,23 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeOracle,
+    // integral `div`/`//` on longs in both engines — no FP anywhere
+    "text_doc_rarity" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '),
+        |           x -> x <> ''))) AS tok
+        |  FROM documents),
+        |d AS (SELECT tok, count(*) AS df FROM p GROUP BY tok),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_uniq,
+        |         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |         CAST(sum(df) AS BIGINT) AS df_sum
+        |  FROM p JOIN d USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_uniq, n_hapax, df_sum,
+        |       n_hapax * 1000 // n_uniq AS hapax_milli,
+        |       df_sum * 1000 // n_uniq AS mean_df_milli
+        |FROM a""".stripMargin,
     "u3_extract_text" ->
       """WITH m AS (
         |  SELECT doc_id,

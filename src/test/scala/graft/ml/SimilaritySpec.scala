@@ -71,4 +71,36 @@ class SimilaritySpec extends SparkSpec {
       f"candidate fraction $fraction%.3f — probing stopped pruning")
     v.unpersist()
   }
+
+  test("semantic prune: one row per vector; pruned set equals a brute-force " +
+    "replay of the gate within the returned clusters") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.semanticPrune(spark, sf).collect()
+    val nCorpus = graft.Tables.embeddings(spark, sf).count()
+    assert(out.length == nCorpus, "exactly one verdict per corpus vector")
+
+    val qvecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray).toMap
+    val cluster = out.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val ids = out.map(_.getAs[Long]("vec_id")).sorted
+    val expected = ids.filter { b =>
+      ids.exists { a =>
+        a < b && cluster(a) == cluster(b) && {
+          val d = dot(qvecs(a), qvecs(b))
+          d > 0 && d * d * 25 > dot(qvecs(a), qvecs(a)) * dot(qvecs(b), qvecs(b)) * 4
+        }
+      }
+    }.toSet
+    val got = out.filter(_.getAs[Boolean]("pruned"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(got == expected, "keep-lowest-id survivor rule must replay exactly")
+    assert(got.nonEmpty, "corpus contains cos>0.4 same-cluster pairs")
+    // survivors: the lowest id of any within-cluster near-dup group is kept
+    assert(!got.contains(ids.min))
+  }
 }

@@ -117,4 +117,30 @@ class TextOpsSpec extends SparkSpec {
       s"no chained merge in $got — vocabulary too large for the test to bite")
     spark.catalog.clearCache()
   }
+
+  test("doc rarity: hot/cold DF split equals the naive single join, and the " +
+    "hapax/DF arithmetic is right on a crafted corpus") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_uniq"), r.getAs[Long]("n_hapax"),
+        r.getAs[Long]("df_sum"), r.getAs[Long]("hapax_milli"),
+        r.getAs[Long]("mean_df_milli"))).toSet
+
+    // the real corpus: split must be a pure plan change, not a semantics one
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows(TextOps.docRarityOf(docs)) == rows(TextOps.docRarityNaiveOf(docs)))
+
+    // crafted: "the" in all docs (hot), "unicorn" only in doc 3 (hapax)
+    val mini = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the unicorn"))
+      .toDF("doc_id", "text")
+    val got = rows(TextOps.docRarityOf(mini)).map(t => t._1 -> t).toMap
+    // doc 3: tokens {the(df 3), unicorn(df 1)} -> n_uniq 2, hapax 1,
+    // df_sum 4, hapax_milli 500, mean_df_milli 2000
+    assert(got(3L) == ((3L, 2L, 1L, 4L, 500L, 2000L)))
+    // doc 1: {the(3), cat(2), sat(1)} -> 3 uniq, 1 hapax, df_sum 6,
+    // 1000/3 = 333 (integral div), 2000
+    assert(got(1L) == ((1L, 3L, 1L, 6L, 333L, 2000L)))
+    spark.catalog.clearCache()
+  }
 }
