@@ -351,6 +351,71 @@ object TextOps {
     docRarityOf(Tables.documents(spark, dir))
 
   // -------------------------------------------------------------------
+  // Gopher-style repetition/quality filters (Rae et al. 2021, table A1)
+  // -------------------------------------------------------------------
+
+  /** Per-document Gopher rule values — the repetition + shape heuristics
+    * every large-scale pretraining pipeline applies before training
+    * (Rae et al. 2021 appendix A1.1; also C4/MassiveText): word count,
+    * mean word length, alphabetic-word fraction, the token share of the
+    * single most repeated bigram, and the repeated-5-gram fraction. All
+    * ratios are integral milli-units (`a·1000 div b`), so the oracle
+    * replays them exactly. `gopher_pass` combines the thresholds —
+    * consumers filter on it or re-cut from the raw rule values.
+    *
+    * Scale shape: everything except the top-bigram mode is a row-local
+    * array expression (narrow, codegen'd). The within-doc bigram mode is
+    * explode → (doc, gram) count → per-doc max — two map-side-combined
+    * aggregates keyed by doc, no corpus-global state at all, so the
+    * operator is embarrassingly parallel at any corpus size. The
+    * repeated-5-gram fraction deliberately stays row-local
+    * (size − size(array_distinct)) rather than exploding 5× the corpus. */
+  def gopherQualityOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_words"),
+        isum(transform(col("toks"), w => length(w).cast("long"))).as("sum_len"),
+        size(filter(col("toks"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        when(size(col("toks")) >= 5,
+          transform(sequence(lit(1), size(col("toks")) - 4),
+            i => concat_ws(" ", slice(col("toks"), i, lit(5)))))
+          .otherwise(array().cast("array<string>")).as("g5"))
+      .select(col("doc_id"), col("toks"), col("n_words"), col("sum_len"),
+        col("n_alpha"),
+        size(col("g5")).cast("long").as("n5"),
+        size(array_distinct(col("g5"))).cast("long").as("n5d"))
+      .persist() // re-read by the bigram explode and the final join
+    val topBigram = base
+      .filter(col("n_words") >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(2))))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+    base.join(topBigram, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"), col("sum_len"), col("n_alpha"),
+        col("n5"), col("n5d"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sum_len * 1000 div greatest(n_words, 1)").as("mean_word_len_milli"),
+        expr("n_alpha * 1000 div greatest(n_words, 1)").as("alpha_word_milli"),
+        expr("top_bigram_n * 2000 div greatest(n_words, 1)").as("top_bigram_milli"),
+        expr("CASE WHEN n5 > 0 THEN (n5 - n5d) * 1000 div n5 ELSE 0 END")
+          .as("rep5_milli"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 10 &&
+          col("mean_word_len_milli").between(1000, 10000) &&
+          col("alpha_word_milli") >= 500 &&
+          col("top_bigram_milli") <= 200 &&
+          col("rep5_milli") <= 150)
+  }
+
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
   // U3 — markup/control-char text extraction
   // -------------------------------------------------------------------
 
@@ -520,6 +585,7 @@ object TextOps {
     "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
     "text_doc_rarity" -> ((s, d) => docRarity(s, d)),
+    "text_gopher_quality" -> ((s, d) => gopherQuality(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -544,6 +610,52 @@ object TextOps {
         |       n_hapax * 1000 // n_uniq AS hapax_milli,
         |       df_sum * 1000 // n_uniq AS mean_df_milli
         |FROM a""".stripMargin,
+    "text_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(list_sum(list_transform(toks,
+        |           w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+        |         CAST(len(list_filter(toks,
+        |           w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |         CASE WHEN len(toks) >= 5
+        |              THEN list_transform(range(1, len(toks) - 3),
+        |                     i -> array_to_string(toks[i:i+4], ' '))
+        |              ELSE [] END AS g5
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_words, sum_len, n_alpha,
+        |         CAST(len(g5) AS BIGINT) AS n5,
+        |         CAST(len(list_distinct(g5)) AS BIGINT) AS n5d
+        |  FROM b),
+        |g2 AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)),
+        |           i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |m AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_n
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |v AS (
+        |  SELECT c.doc_id, n_words,
+        |         sum_len * 1000 // greatest(n_words, 1) AS mean_word_len_milli,
+        |         n_alpha * 1000 // greatest(n_words, 1) AS alpha_word_milli,
+        |         COALESCE(top_bigram_n, 0) * 2000 // greatest(n_words, 1)
+        |           AS top_bigram_milli,
+        |         CASE WHEN n5 > 0 THEN (n5 - n5d) * 1000 // n5 ELSE 0 END
+        |           AS rep5_milli
+        |  FROM c LEFT JOIN m ON c.doc_id = m.doc_id)
+        |SELECT doc_id, n_words, mean_word_len_milli, alpha_word_milli,
+        |       top_bigram_milli, rep5_milli,
+        |       (n_words >= 10 AND mean_word_len_milli BETWEEN 1000 AND 10000
+        |        AND alpha_word_milli >= 500 AND top_bigram_milli <= 200
+        |        AND rep5_milli <= 150) AS gopher_pass
+        |FROM v""".stripMargin,
     "u3_extract_text" ->
       """WITH m AS (
         |  SELECT doc_id,

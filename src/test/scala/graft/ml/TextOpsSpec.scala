@@ -143,4 +143,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((1L, 3L, 1L, 6L, 333L, 2000L)))
     spark.catalog.clearCache()
   }
+
+  test("gopher quality: repetition and shape rules fire on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // alternating bigram loop: top bigram "aa bb" covers the doc
+      (1L, "aa bb aa bb aa bb aa bb aa bb"),
+      // clean prose-shaped doc: everything passes
+      (2L, "the quick brown fox jumps over lazy dog here now"),
+      // digits only: alphabetic-word rule fails
+      (3L, "123 456 789 012 345 678 901 234 567 890"))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQualityOf(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("mean_word_len_milli"),
+          r.getAs[Long]("alpha_word_milli"), r.getAs[Long]("top_bigram_milli"),
+          r.getAs[Long]("rep5_milli"), r.getAs[Boolean]("gopher_pass")))).toMap
+    // doc 1: "aa bb" occurs 5x in 9 bigrams -> 5*2000 div 10 = 1000;
+    // 6 5-grams, 2 distinct -> (6-2)*1000 div 6 = 666; both rules fire
+    assert(got(1L) == ((10L, 2000L, 1000L, 1000L, 666L, false)))
+    // doc 2: all-distinct tokens -> top bigram 1 -> exactly the 200
+    // boundary (inclusive); zero repeated 5-grams; passes
+    assert(got(2L) == ((10L, 3900L, 1000L, 200L, 0L, true)))
+    // doc 3: no alphabetic words -> alpha rule fails
+    assert(got(3L)._3 == 0L && !got(3L)._6)
+    // the real corpus: values must be populated and mostly passing
+    val corpus = TextOps.gopherQuality(spark, sf).collect()
+    assert(corpus.length == 500)
+    val passFrac = corpus.count(_.getAs[Boolean]("gopher_pass")).toDouble / 500
+    assert(passFrac > 0.9, s"pass fraction $passFrac")
+    spark.catalog.clearCache()
+  }
 }
