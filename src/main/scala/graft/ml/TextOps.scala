@@ -306,11 +306,15 @@ object TextOps {
     * tokens are the canonical skewed key (every doc contains "the"; its
     * reducer would receive ~|corpus| rows). The plan splits the join:
     * the [[HotVocab]] highest-DF tokens (a TakeOrdered — tiny) join via
-    * broadcast, so the hot keys NEVER enter a shuffle; the cold
-    * remainder shuffle-joins with per-key multiplicity bounded by the
-    * (HotVocab+1)-th DF. The effect of a salted join, with zero
-    * replication of the fact side. TextOpsSpec proves the split equals
-    * the naive single-join form. */
+    * broadcast, AND the hot pair rows are carved out of the cold arm by
+    * a broadcast anti-join BEFORE it shuffles — without the carve-out
+    * the cold join would still drag every stopword pair row through its
+    * exchange and re-concentrate the exact skew the split exists to
+    * break (caught by ScaleSpec's task-metric test). Post-split no
+    * hot-key row enters any shuffle, and the cold arm's per-key
+    * multiplicity is bounded by the (HotVocab+1)-th DF. The effect of a
+    * salted join, with zero replication of the fact side. TextOpsSpec
+    * proves the split equals the naive single-join form. */
   def docRarityOf(docs: DataFrame): DataFrame = {
     val pairs = docs
       .select(col("doc_id"),
@@ -318,9 +322,10 @@ object TextOps {
       .persist() // read by the DF aggregate and both join arms
     val dfTab = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
     val hot = dfTab.orderBy(col("df").desc, col("tok").asc).limit(HotVocab)
-    val cold = dfTab.join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
+    val coldPairs = pairs
+      .join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
     val joined = pairs.join(broadcast(hot), Seq("tok"))
-      .unionByName(pairs.join(cold, Seq("tok")))
+      .unionByName(coldPairs.join(dfTab, Seq("tok")))
     joined.groupBy("doc_id")
       .agg(count(lit(1)).as("n_uniq"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),

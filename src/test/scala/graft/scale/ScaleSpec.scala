@@ -342,6 +342,82 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("doc rarity's hot/cold DF split caps the stopword task (task metrics)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // every doc contains "the" (DF = n_docs) plus one unique token: the
+    // naive DF join funnels all of "the"'s pair rows through one reducer.
+    // Large enough that corpus-proportional skew dominates the split's
+    // one CONSTANT-bounded task: the hot-token TakeOrdered merge reads
+    // exactly shufflePartitions x HotVocab = 64*64 = 4096 records
+    // regardless of corpus size.
+    val nDocs = 40000
+    val docs = (1 to nDocs).map(i => (i.toLong, s"the u$i"))
+      .toDF("doc_id", "text")
+    class MaxShuffleRead extends SparkListener {
+      @volatile var maxRecords = 0L
+      @volatile var tasks = 0
+      val byStage = scala.collection.concurrent.TrieMap[Int, Long]()
+      val names = scala.collection.concurrent.TrieMap[Int, String]()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        names(sc.stageInfo.stageId) = sc.stageInfo.name.take(80)
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          if (r > maxRecords) maxRecords = r
+          if (r > byStage.getOrElse(te.stageId, -1L)) byStage(te.stageId) = r
+          tasks += 1
+        }
+      }
+    }
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val l = new MaxShuffleRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var last = -1
+        var same = 0
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (same < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
+        }
+        info("per-stage max reads: " + l.byStage.toSeq.sortBy(-_._2).take(6)
+          .map { case (s, r) => s"$s:$r:${l.names.getOrElse(s, "?")}" })
+        l.maxRecords
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // AQE off (its skew splitting would mask the operator's own split);
+    // auto-broadcast off (the naive DF table must take the shuffled path —
+    // the split's hot arm still broadcasts via its explicit hint)
+    withConf("spark.sql.adaptive.enabled", "false") {
+     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      withConf("spark.sql.shuffle.partitions", "64") {
+        val naiveMax = maxTaskShuffleRead {
+          graft.ml.TextOps.docRarityNaiveOf(docs)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val splitMax = maxTaskShuffleRead {
+          graft.ml.TextOps.docRarityOf(docs)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache() // docRarityOf persists its pair table
+        assert(naiveMax >= nDocs.toLong,
+          s"naive hot task read only $naiveMax records — skew not reproduced")
+        // the stopword rides the broadcast arm, and the anti-join carves
+        // its pair rows out BEFORE the cold shuffle, so the split's worst
+        // task is max(top-K merge = partitions*HotVocab, ~corpus/partitions)
+        // — both bounded, neither proportional to the hot key
+        assert(splitMax <= naiveMax / 8,
+          s"split max task read $splitMax vs naive $naiveMax — " +
+            "hot tokens still entering the shuffle")
+      }
+     }
+    }
+  }
+
   test("spread follows the session's parallelism and never forces an exchange on wide input") {
     val p = spark.sparkContext.defaultParallelism // 4 under this suite, not 32
     // narrow input (1 partition): spread widens to exactly defaultParallelism
