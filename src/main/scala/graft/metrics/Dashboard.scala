@@ -449,6 +449,39 @@ object Dashboard {
       .select("doc_id", "lang", "n_lang")
   }
 
+  /** O10 — exact-N-per-stratum sample ("exactly 40 docs per language");
+    * [[balancedSample]] (O9) is the proportional-rate form, this is the
+    * exact-count one. Rank within each language by the portable serial
+    * hash (doc_id tie-break makes the order total despite the hash's
+    * 100k-value range) and keep the first `n` — a deterministic,
+    * reproducible draw any engine replays.
+    *
+    * Scale design: a lang-partitioned window alone funnels each language
+    * through ONE reducer (languages are few, partitions huge). Phase 1
+    * pre-prunes inside each INPUT partition — window over
+    * (lang, spark_partition_id()): high-cardinality balanced shuffle,
+    * bounded per-task sort. Every row of the global per-lang top-n is
+    * also in its own partition's top-n, so phase 1 never discards a
+    * winner (the candidate SET depends on physical partitioning; the
+    * result does not — same argument as Temporal's segmented windows).
+    * Phase 2 ranks the <= n·partitions survivors per language — bounded
+    * input, safe at any corpus size. */
+  def stratifiedSample(spark: SparkSession, dir: String, n: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Exprs.serialOf(col("doc_id")).as("hkey"))
+    val pre = Window.partitionBy(col("lang"), spark_partition_id())
+      .orderBy(col("hkey"), col("doc_id"))
+    val candidates = docs
+      .withColumn("prerank", row_number().over(pre))
+      .filter(col("prerank") <= n)
+      .drop("prerank")
+    val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+    candidates.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= n)
+      .select("lang", "sample_rank", "doc_id", "hkey")
+  }
+
   /** Quality-decile binning over the text quality score (curriculum /
     * filtering buckets) — the scale-safe plan: quantize the score to a
     * bounded integer grid (1e4 cells), take the 9 decile edges with ONE

@@ -52,6 +52,7 @@ object DashboardQueries {
     "u9_impute_median" -> ((s, d) => Dashboard.imputeMedian(s, d)),
     "o8_quality_deciles" -> ((s, d) => Dashboard.qualityDeciles(s, d)),
     "o9_balanced_sample" -> ((s, d) => Dashboard.balancedSample(s, d)),
+    "o10_stratified_sample" -> ((s, d) => Dashboard.stratifiedSample(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
@@ -310,6 +311,14 @@ object DashboardQueries {
         |SELECT d.doc_id, d.lang, c.n_lang
         |FROM documents d JOIN c ON d.lang = c.lang
         |WHERE (((d.doc_id * 48271) % 100000) % 1000) * c.n_lang < 75000""".stripMargin,
+    "o10_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, (doc_id * 48271) % 100000 AS hkey,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (doc_id * 48271) % 100000, doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id, hkey
+        |FROM r WHERE sample_rank <= 40""".stripMargin,
     "a18_profile_orders" ->
       """SELECT count(*) AS n_rows,
         |       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS null_keys,

@@ -51,4 +51,53 @@ class DashboardSpec extends SparkSpec {
     // corpus, so the interior-exactness assertion above has real teeth
     assert(joined.exists { case (_, _, _, qb) => atEdge(qb) })
   }
+
+  test("stratified sample: exactly n per language, invariant to physical partitioning") {
+    val n = 40
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("lang"), r.getAs[Int]("sample_rank"), r.getAs[Long]("doc_id"))
+    val out = Dashboard.stratifiedSample(spark, sf, n).collect().map(key).toSet
+    // every language in the test corpus has > n docs -> exactly n each
+    val perLang = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ == n), s"per-lang counts $perLang")
+    // ranks are total: 1..n per language
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1 to n), s"ranks not total for $lang")
+    }
+
+    // the two-phase result must not depend on how the input happens to be
+    // split: recompute over aggressively repartitioned inputs and compare
+    // against the single-window definitional form
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        graft.expr.Exprs.serialOf(col("doc_id")).as("hkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+    val definitional = docs
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= n)
+      .collect().map(key).toSet
+    assert(out == definitional, "two-phase result differs from the definition")
+    for (parts <- Seq(1, 7, 64)) {
+      val reparted = graft.Tables.documents(spark, sf).repartition(parts)
+      val viaParts = Dashboard.stratifiedSample(spark, sf, n) // plan-identical
+      // rebuild the operator over the repartitioned frame by inlining its
+      // two phases (the registered form reads straight from parquet)
+      val pre = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), spark_partition_id())
+        .orderBy(col("hkey"), col("doc_id"))
+      val cand = reparted
+        .select(col("doc_id"), col("lang"),
+          graft.expr.Exprs.serialOf(col("doc_id")).as("hkey"))
+        .withColumn("prerank", row_number().over(pre))
+        .filter(col("prerank") <= n).drop("prerank")
+      val twoPhase = cand
+        .withColumn("sample_rank", row_number().over(w).cast("int"))
+        .filter(col("sample_rank") <= n)
+        .select("lang", "sample_rank", "doc_id", "hkey")
+        .collect().map(key).toSet
+      assert(twoPhase == definitional, s"result changed at $parts partitions")
+      assert(viaParts.collect().map(key).toSet == definitional)
+    }
+  }
 }
