@@ -144,6 +144,60 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("doc rarity matches a naive in-memory reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small vocabulary -> dense DF collisions; within-doc duplicates and
+    // singleton docs exercise the array_distinct and hapax paths
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield toks
+    val docs = (0 until 50).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(4242L + i)))
+      .zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val got = TextOps.docRarityOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_uniq"), r.getAs[Long]("n_hapax"),
+          r.getAs[Long]("df_sum"), r.getAs[Long]("hapax_milli"),
+          r.getAs[Long]("mean_df_milli")))).toMap
+    val pairs = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(id -> _) }
+    val dfTab = pairs.groupBy(_._2).map { case (t, occ) => t -> occ.size.toLong }
+    val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+      val dfs = ps.map(p => dfTab(p._2))
+      val (u, h, s) = (dfs.size.toLong, dfs.count(_ == 1L).toLong, dfs.sum)
+      id -> ((u, h, s, h * 1000 / u, s * 1000 / u))
+    }
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
+  test("gopher filter runs unchanged on a stream (stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // gopherQualityOf aggregates (the bigram mode), which a plain append
+    // stream can't do — the STREAMING form is the row-local rule subset,
+    // exactly what an ingest-time pre-filter applies before any shuffle
+    val streamed = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        size(filter(col("toks"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"))
+      .filter(col("n_words") >= 2 && col("n_alpha") * 1000 >= col("n_words") * 500)
+    val q = streamed.writeStream.format("memory").queryName("gq").outputMode("append").start()
+    in.addData((1L, "the quick fox"), (2L, "1 2 3"), (3L, "x"))
+    q.processAllAvailable()
+    val kept = spark.table("gq").collect().map(_.getAs[Long]("doc_id")).toSet
+    q.stop()
+    // doc 1 passes; doc 2 fails the alpha rule; doc 3 fails min length
+    assert(kept == Set(1L))
+  }
+
   test("gopher quality: repetition and shape rules fire on crafted docs") {
     import spark.implicits._
     val docs = Seq(
