@@ -299,8 +299,16 @@ object Similarity {
     * cosine arithmetic (dot>0 && 25·dot² > 4·|a|²·|b|²), so the
     * decision replays bit-for-bit in the DuckDB oracle, which shares
     * the trained quantizer's generated SQL via [[ivfListsPrefix]]. */
-  def semanticPrune(spark: SparkSession, dir: String): DataFrame = {
-    val v = graft.scale.Scale.spread(quantizedVectors(spark, dir)).persist()
+  def semanticPrune(spark: SparkSession, dir: String): DataFrame =
+    semanticPruneOf(Tables.embeddings(spark, dir))
+
+  /** Library surface: [[semanticPrune]] over any (vec_id, embedding)
+    * frame — SimilaritySpec plants near-identical vectors through this
+    * form and proves they are clustered together and pruned. */
+  def semanticPruneOf(vectors: DataFrame): DataFrame = {
+    val v = graft.scale.Scale.spread(
+      vectors.select(col("vec_id"), Dedup.quantized(col("embedding")).as("q")))
+      .persist()
     val cents = trainedCentroids(v).persist()
     val lists = assignTo(v, cents, probes = 1)
       .select(col("centroid_id"), col("vec_id"), col("q"),

@@ -103,4 +103,28 @@ class SimilaritySpec extends SparkSpec {
     // survivors: the lowest id of any within-cluster near-dup group is kept
     assert(!got.contains(ids.min))
   }
+
+  test("semantic prune: planted duplicates land in their original's cluster " +
+    "and are pruned (the SemDeDup claim)") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dups = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val out = Similarity.semanticPruneOf(base.unionByName(dups)).collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val planted = dups.collect().map(_.getAs[Long]("vec_id"))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val orig = byId(id - 1000000L)
+      val dup = byId(id)
+      // identical quantized vectors share the same argmax centroid (the
+      // tie-break is deterministic), so the dup can never escape into a
+      // cluster its original isn't in...
+      assert(dup.getAs[Long]("centroid_id") == orig.getAs[Long]("centroid_id"),
+        s"duplicate $id not in its original's cluster")
+      // ...and cos(orig, dup) = 1 > 0.4 with the higher id, so it's pruned
+      assert(dup.getAs[Boolean]("pruned"), s"planted duplicate $id not pruned")
+    }
+    spark.catalog.clearCache()
+  }
 }
