@@ -315,17 +315,28 @@ object TextOps {
     * multiplicity is bounded by the (HotVocab+1)-th DF. The effect of a
     * salted join, with zero replication of the fact side. TextOpsSpec
     * proves the split equals the naive single-join form. */
+  /** Skew-split fact-to-vocab join: join `facts` (many rows per token,
+    * stopword-skewed) against one-row-per-token `vocab`, with the `hotK`
+    * highest-`byCol` vocab rows going broadcast and their fact rows
+    * carved out of the shuffled cold arm by a broadcast anti-join — so
+    * no hot-key fact row enters any exchange. Shared by [[docRarityOf]]
+    * and [[importanceWeightsOf]]; ScaleSpec proves the task-metric cap. */
+  private def skewSplitJoinOnTok(facts: DataFrame, vocab: DataFrame,
+                                 byCol: String, hotK: Int): DataFrame = {
+    val hot = vocab.orderBy(col(byCol).desc, col("tok").asc).limit(hotK)
+    val coldFacts = facts
+      .join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
+    facts.join(broadcast(hot), Seq("tok"))
+      .unionByName(coldFacts.join(vocab, Seq("tok")))
+  }
+
   def docRarityOf(docs: DataFrame): DataFrame = {
     val pairs = docs
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .persist() // read by the DF aggregate and both join arms
     val dfTab = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
-    val hot = dfTab.orderBy(col("df").desc, col("tok").asc).limit(HotVocab)
-    val coldPairs = pairs
-      .join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
-    val joined = pairs.join(broadcast(hot), Seq("tok"))
-      .unionByName(coldPairs.join(dfTab, Seq("tok")))
+    val joined = skewSplitJoinOnTok(pairs, dfTab, "df", HotVocab)
     joined.groupBy("doc_id")
       .agg(count(lit(1)).as("n_uniq"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
@@ -419,6 +430,52 @@ object TextOps {
 
   def gopherQuality(spark: SparkSession, dir: String): DataFrame =
     gopherQualityOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
+  // DSIR-shaped importance weights (Xie et al. 2023, in linear space)
+  // -------------------------------------------------------------------
+
+  /** Importance weight of each document against a target slice — the
+    * data-selection stage that upsamples raw documents resembling a
+    * trusted corpus (DSIR, Xie et al. 2023; CCNet's LM filter is the
+    * same idea with a trained LM). The real method scores log-likelihood
+    * ratios of hashed n-gram LMs; logs are not engine-portable (libm low
+    * bits differ), so this computes the per-token likelihood ratio
+    * c_target/c_raw, normalized by corpus totals, in FIXED integral
+    * milli-arithmetic — the identical `div` chain replays in any SQL
+    * engine, and the ORDERING of documents (what selection actually
+    * consumes) is preserved. A doc of target-typical tokens scores near
+    * its slice's base rate; one of never-in-target tokens scores 0.
+    *
+    * Scale shape: one token-count shuffle produces BOTH corpora's counts
+    * (c_raw, c_target) in a single aggregate; totals ride the 1-row
+    * broadcast scalar-anchor; the ratio table joins back through the
+    * [[skewSplitJoinOnTok]] hot/cold split, then one per-doc aggregate.
+    * The target slice must be non-empty (n_t appears as a divisor). */
+  def importanceWeightsOf(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(tokens(col("text"))).as("tok"))
+      .persist() // read by the count aggregate and both join arms
+    val counts = toks.groupBy("tok").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("c_r"),
+        expr("(c_t * 1000 div c_r) * (n_r * 1000 div n_t) div 1000")
+          .as("lr_milli"))
+    skewSplitJoinOnTok(toks.select(col("doc_id"), col("tok")), lr,
+        "c_r", HotVocab)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_milli")).as("lr_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("lr_sum div n_tokens").as("importance_milli"))
+  }
+
+  /** Registered form: English documents as the target slice. */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeightsOf(Tables.documents(spark, dir), col("lang") === "en")
 
   // -------------------------------------------------------------------
   // U3 — markup/control-char text extraction
@@ -591,6 +648,7 @@ object TextOps {
     "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
     "text_doc_rarity" -> ((s, d) => docRarity(s, d)),
     "text_gopher_quality" -> ((s, d) => gopherQuality(s, d)),
+    "curation_importance" -> ((s, d) => importanceWeights(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -614,6 +672,29 @@ object TextOps {
         |SELECT doc_id, n_uniq, n_hapax, df_sum,
         |       n_hapax * 1000 // n_uniq AS hapax_milli,
         |       df_sum * 1000 // n_uniq AS mean_df_milli
+        |FROM a""".stripMargin,
+    // the div chain is spelled identically in both engines — order of
+    // integral divisions is part of the operator's definition
+    "curation_importance" ->
+      """WITH tk AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c_r,
+        |         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        |  FROM tk GROUP BY tok),
+        |t AS (
+        |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+        |         CAST(sum(c_t) AS BIGINT) AS n_t FROM c),
+        |lr AS (
+        |  SELECT tok, ((c_t * 1000 // c_r) * (n_r * 1000 // n_t)) // 1000 AS lr_milli
+        |  FROM c CROSS JOIN t),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(lr_milli) AS BIGINT) AS lr_sum
+        |  FROM tk JOIN lr USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, lr_sum // n_tokens AS importance_milli
         |FROM a""".stripMargin,
     "text_gopher_quality" ->
       """WITH t AS (

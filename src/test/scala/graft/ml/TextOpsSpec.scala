@@ -198,6 +198,29 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("importance weights: likelihood-ratio arithmetic on a crafted corpus") {
+    import spark.implicits._
+    // target = doc 1. aa/bb: c_t=1, c_r=2; zz: c_t=0, c_r=2; N_r=6, N_t=2
+    // lr(aa) = (1000 div 2) * (6000 div 2) div 1000 = 500*3000 div 1000 = 1500
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb"), (3L, "zz zz"))
+      .toDF("doc_id", "text")
+    val got = TextOps.importanceWeightsOf(docs, col("doc_id") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("importance_milli")))).toMap
+    assert(got(1L) == ((2L, 1500L)), s"$got")
+    // a doc drawn from the target distribution scores the same wherever
+    // it sits in the raw corpus...
+    assert(got(2L) == ((2L, 1500L)))
+    // ...and one with no target-attested token scores zero
+    assert(got(3L) == ((2L, 0L)))
+    // real corpus sanity: every doc weighted, weights non-negative
+    val corpus = TextOps.importanceWeights(spark, sf).collect()
+    assert(corpus.length == 500)
+    assert(corpus.forall(_.getAs[Long]("importance_milli") >= 0L))
+    spark.catalog.clearCache()
+  }
+
   test("gopher quality: repetition and shape rules fire on crafted docs") {
     import spark.implicits._
     val docs = Seq(
