@@ -290,6 +290,34 @@ object TextOps {
   /** Tokens whose DF join goes through the broadcast hot arm. */
   val HotVocab = 64
 
+  /** Skew-split fact-to-vocab join on `keyCols`: join `facts` (many rows
+    * per key, Zipf-skewed — natural-language tokens and n-grams) against
+    * one-row-per-key `vocab`, with the `hotK` highest-`byCol` vocab rows
+    * (a TakeOrdered — tiny) going broadcast and their fact rows carved
+    * out of the shuffled cold arm by a broadcast anti-join BEFORE it
+    * shuffles — without the carve-out the cold join would still drag
+    * every stopword row through its exchange and re-concentrate the
+    * exact skew the split exists to break (caught by ScaleSpec's
+    * task-metric test). Post-split no hot-key row enters any exchange,
+    * and the cold arm's per-key multiplicity is bounded by the
+    * (hotK+1)-th `byCol`. The effect of a salted join, with zero
+    * replication of the fact side.
+    *
+    * `joinType` applies to the cold arm; `"left"` yields exact
+    * left-join semantics overall because hot keys always match (hot is
+    * a subset of vocab). Shared by [[docRarityOf]],
+    * [[importanceWeightsOf]] and [[lmCrossEntropyOf]]. */
+  private def skewSplitJoin(facts: DataFrame, vocab: DataFrame,
+                            keyCols: Seq[String], byCol: String, hotK: Int,
+                            joinType: String = "inner"): DataFrame = {
+    val hot = vocab
+      .orderBy((col(byCol).desc +: keyCols.map(col(_).asc)): _*).limit(hotK)
+    val coldFacts = facts
+      .join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
+    facts.join(broadcast(hot), keyCols)
+      .unionByName(coldFacts.join(vocab, keyCols, joinType))
+  }
+
   /** Per-document rarity statistics against the corpus-wide token
     * document-frequency (DF) table — the deterministic analog of CCNet's
     * LM-perplexity quality signal (Wenzek et al. 2020): a document whose
@@ -304,39 +332,16 @@ object TextOps {
     * table is vocab-sized — NOT broadcastable at web scale — so the join
     * back to (doc, token) pairs shuffles on token, and natural-language
     * tokens are the canonical skewed key (every doc contains "the"; its
-    * reducer would receive ~|corpus| rows). The plan splits the join:
-    * the [[HotVocab]] highest-DF tokens (a TakeOrdered — tiny) join via
-    * broadcast, AND the hot pair rows are carved out of the cold arm by
-    * a broadcast anti-join BEFORE it shuffles — without the carve-out
-    * the cold join would still drag every stopword pair row through its
-    * exchange and re-concentrate the exact skew the split exists to
-    * break (caught by ScaleSpec's task-metric test). Post-split no
-    * hot-key row enters any shuffle, and the cold arm's per-key
-    * multiplicity is bounded by the (HotVocab+1)-th DF. The effect of a
-    * salted join, with zero replication of the fact side. TextOpsSpec
-    * proves the split equals the naive single-join form. */
-  /** Skew-split fact-to-vocab join: join `facts` (many rows per token,
-    * stopword-skewed) against one-row-per-token `vocab`, with the `hotK`
-    * highest-`byCol` vocab rows going broadcast and their fact rows
-    * carved out of the shuffled cold arm by a broadcast anti-join — so
-    * no hot-key fact row enters any exchange. Shared by [[docRarityOf]]
-    * and [[importanceWeightsOf]]; ScaleSpec proves the task-metric cap. */
-  private def skewSplitJoinOnTok(facts: DataFrame, vocab: DataFrame,
-                                 byCol: String, hotK: Int): DataFrame = {
-    val hot = vocab.orderBy(col(byCol).desc, col("tok").asc).limit(hotK)
-    val coldFacts = facts
-      .join(broadcast(hot.select("tok")), Seq("tok"), "left_anti")
-    facts.join(broadcast(hot), Seq("tok"))
-      .unionByName(coldFacts.join(vocab, Seq("tok")))
-  }
-
+    * reducer would receive ~|corpus| rows). The join goes through
+    * [[skewSplitJoin]]'s hot/cold split; TextOpsSpec proves the split
+    * equals the naive single-join form. */
   def docRarityOf(docs: DataFrame): DataFrame = {
     val pairs = docs
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .persist() // read by the DF aggregate and both join arms
     val dfTab = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
-    val joined = skewSplitJoinOnTok(pairs, dfTab, "df", HotVocab)
+    val joined = skewSplitJoin(pairs, dfTab, Seq("tok"), "df", HotVocab)
     joined.groupBy("doc_id")
       .agg(count(lit(1)).as("n_uniq"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
@@ -450,7 +455,7 @@ object TextOps {
     * Scale shape: one token-count shuffle produces BOTH corpora's counts
     * (c_raw, c_target) in a single aggregate; totals ride the 1-row
     * broadcast scalar-anchor; the ratio table joins back through the
-    * [[skewSplitJoinOnTok]] hot/cold split, then one per-doc aggregate.
+    * [[skewSplitJoin]] hot/cold split, then one per-doc aggregate.
     * The target slice must be non-empty (n_t appears as a divisor). */
   def importanceWeightsOf(docs: DataFrame, isTarget: Column): DataFrame = {
     val toks = docs
@@ -465,8 +470,8 @@ object TextOps {
       .select(col("tok"), col("c_r"),
         expr("(c_t * 1000 div c_r) * (n_r * 1000 div n_t) div 1000")
           .as("lr_milli"))
-    skewSplitJoinOnTok(toks.select(col("doc_id"), col("tok")), lr,
-        "c_r", HotVocab)
+    skewSplitJoin(toks.select(col("doc_id"), col("tok")), lr,
+        Seq("tok"), "c_r", HotVocab)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_milli")).as("lr_sum"))
       .select(col("doc_id"), col("n_tokens"),
@@ -476,6 +481,72 @@ object TextOps {
   /** Registered form: English documents as the target slice. */
   def importanceWeights(spark: SparkSession, dir: String): DataFrame =
     importanceWeightsOf(Tables.documents(spark, dir), col("lang") === "en")
+
+  // -------------------------------------------------------------------
+  // CCNet-shaped bigram-LM cross-entropy (Wenzek et al. 2020)
+  // -------------------------------------------------------------------
+
+  /** Per-document bigram-LM cross-entropy against a target slice — the
+    * model-based quality filter of CCNet-style pipelines: train a
+    * language model on trusted text, keep raw documents whose
+    * cross-entropy under it is low. The real pipelines score a 5-gram
+    * KenLM; the binary log is the only non-portable piece (libm low bits
+    * differ across engines), so this uses an integral fixed-point log2:
+    * floor(log2 x) from the length of the binary string (`bin` — unpadded
+    * in both Spark and DuckDB) plus a linear milli-interpolation between
+    * powers of two,
+    * {{{ log2m(x) = (bl-1)*1000 + x*1000 div 2^(bl-1) - 1000,  bl = len(bin(x)) }}}
+    * making the whole chain exact integer arithmetic that replays
+    * bit-for-bit in any SQL engine.
+    *
+    * LM: add-one-smoothed bigrams over the target slice,
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)` with V the target's distinct
+    * successor vocabulary; per-doc score is the mean `-log2 p` over its
+    * bigrams in milli-bits (`xent_milli` — the log2 of perplexity).
+    * `log2m` is monotone, and `den >= num` always (c_ctx >= c_bg, V >= 1),
+    * so scores are non-negative. Docs with fewer than 2 tokens have no
+    * bigram and are dropped.
+    *
+    * Scale shape: bigrams generate narrowly from each row's token array
+    * (sequence+transform+explode — no shuffle); the LM table is one
+    * count shuffle and the context table a re-aggregation of it; V rides
+    * the 1-row broadcast scalar anchor; both score joins go through
+    * [[skewSplitJoin]]'s hot/cold split on the Zipf-skewed bigram and
+    * context keys, with LEFT semantics so never-in-target n-grams fall
+    * through to the smoothing floor. */
+  def lmCrossEntropyOf(docs: DataFrame, isTarget: Column): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), isTarget.as("is_t"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("p"))
+      .select(col("doc_id"), col("is_t"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist() // read by the LM aggregate, V, and the score join
+    val lm = bg.where(col("is_t")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_bg"))
+    val ctx = lm.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
+    val v = bg.where(col("is_t")).agg(countDistinct(col("w2")).as("v"))
+    val scored = skewSplitJoin(
+      skewSplitJoin(bg.select("doc_id", "w1", "w2"), lm,
+        Seq("w1", "w2"), "c_bg", HotVocab, "left"),
+      ctx, Seq("w1"), "c_ctx", HotVocab, "left")
+    def log2m(x: String): String =
+      s"(length(bin($x)) - 1) * 1000" +
+        s" + $x * 1000 div CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 1000"
+    scored.crossJoin(broadcast(v))
+      .selectExpr("doc_id",
+        "coalesce(c_bg, 0L) + 1L AS num", "coalesce(c_ctx, 0L) + v AS den")
+      .selectExpr("doc_id", s"${log2m("den")} - (${log2m("num")}) AS bits_milli")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits_milli")).as("bits_sum"))
+      .selectExpr("doc_id", "n_bigrams", "bits_sum div n_bigrams AS xent_milli")
+  }
+
+  /** Registered form: English documents as the trusted LM slice. */
+  def lmCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    lmCrossEntropyOf(Tables.documents(spark, dir), col("lang") === "en")
 
   // -------------------------------------------------------------------
   // U3 — markup/control-char text extraction
@@ -649,6 +720,7 @@ object TextOps {
     "text_doc_rarity" -> ((s, d) => docRarity(s, d)),
     "text_gopher_quality" -> ((s, d) => gopherQuality(s, d)),
     "curation_importance" -> ((s, d) => importanceWeights(s, d)),
+    "text_lm_xent" -> ((s, d) => lmCrossEntropy(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -696,6 +768,41 @@ object TextOps {
         |  FROM tk JOIN lr USING (tok) GROUP BY doc_id)
         |SELECT doc_id, n_tokens, lr_sum // n_tokens AS importance_milli
         |FROM a""".stripMargin,
+    // the fixed-point log2 (len(bin) + milli-interpolation) is spelled
+    // identically in both engines — bin() is unpadded in both
+    "text_lm_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id, (lang = 'en') AS is_t,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, is_t, p.w1 AS w1, p.w2 AS w2 FROM (
+        |    SELECT doc_id, is_t,
+        |           unnest(list_transform(range(2, len(toks) + 1),
+        |                  i -> {'w1': toks[i-1], 'w2': toks[i]})) AS p
+        |    FROM d WHERE len(toks) >= 2)),
+        |lm AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+        |  FROM b WHERE is_t GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM lm GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM b WHERE is_t),
+        |j AS (
+        |  SELECT b.doc_id,
+        |         COALESCE(l.c_bg, 0) + 1 AS num,
+        |         COALESCE(c.c_ctx, 0) + v.v AS den
+        |  FROM b LEFT JOIN lm l USING (w1, w2)
+        |         LEFT JOIN ctx c USING (w1) CROSS JOIN v),
+        |bits AS (
+        |  SELECT doc_id,
+        |         ((length(bin(den))-1)*1000
+        |           + den*1000 // CAST(pow(2, length(bin(den))-1) AS BIGINT) - 1000)
+        |       - ((length(bin(num))-1)*1000
+        |           + num*1000 // CAST(pow(2, length(bin(num))-1) AS BIGINT) - 1000)
+        |         AS bits_milli
+        |  FROM j)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bits_milli) AS BIGINT) // count(*) AS xent_milli
+        |FROM bits GROUP BY doc_id""".stripMargin,
     "text_gopher_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -221,6 +221,38 @@ class TextOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("lm cross-entropy: fixed-point bigram arithmetic on a crafted corpus") {
+    import spark.implicits._
+    // target = doc 1 ("a b a b"): c(a,b)=2, c(b,a)=1; ctx a=2, b=1; V=2
+    // log2m: 1->0, 2->1000, 3->1500, 4->2000 (floor log2 + milli interp)
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmCrossEntropyOf(docs, col("doc_id") === 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("xent_milli")))).toMap
+    // doc1: (a,b)=log2m(4)-log2m(3)=500 twice, (b,a)=log2m(3)-log2m(2)=500
+    assert(got(1L) == ((3L, 500L)), s"$got")
+    // doc2: seen (a,b)=500; unseen bigram, seen ctx (b,c)=log2m(3)-0=1500
+    assert(got(2L) == ((2L, 1000L)))
+    // doc3: unseen ctx falls to the smoothing floor 1/V: log2m(2)-0=1000
+    assert(got(3L) == ((1L, 1000L)))
+    // doc4 has no bigram — dropped, not scored as zero
+    assert(!got.contains(4L) && got.size == 3)
+    // real corpus: every multi-token doc scored, and the target slice
+    // (en) scores lower mean cross-entropy than off-target docs
+    val lang = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = TextOps.lmCrossEntropy(spark, sf).collect()
+      .map(r => lang(r.getAs[Long]("doc_id")) -> r.getAs[Long]("xent_milli"))
+    assert(corpus.length == 500)
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    val (en, rest) = corpus.partition(_._1 == "en")
+    assert(mean(en.toSeq.map(_._2)) < mean(rest.toSeq.map(_._2)))
+    spark.catalog.clearCache()
+  }
+
   test("gopher quality: repetition and shape rules fire on crafted docs") {
     import spark.implicits._
     val docs = Seq(
