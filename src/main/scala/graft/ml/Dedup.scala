@@ -216,18 +216,22 @@ object Dedup {
   def minhashSignature(shingleArr: Column): Column =
     ArrayOps.minhash_sig(shingleArr, MinhashK, Prime)
 
-  /** LSH candidate pairs + signature-estimated Jaccard >= threshold.
-    * Banding: equal 4-row band => candidate; then the estimate is the
-    * fraction of equal signature components. The band key is a
-    * polynomial fold of the band's components (mod 1e9+7) rather than a
-    * JVM hash — 4 multiply-adds per band, and the oracle mirrors it. */
-  def minhashPairsOf(docTable: DataFrame,
-                     threshold: Double = 0.5): DataFrame = {
+  /** Banded LSH index rows for a document frame: one row per
+    * (doc_id, band) carrying the full signature and the band's
+    * polynomial fold `bh` — exactly what a production pipeline
+    * MATERIALIZES once (parquet partitioned/bucketed by (band, bh))
+    * and then appends to per ingest batch. Every admit/reject
+    * decision over a new batch is then an equi-join against this
+    * table instead of a corpus re-scan; see [[incrementalAdmitOf]].
+    * The band key is a polynomial fold of the band's components
+    * (mod 1e9+7) rather than a JVM hash — 4 multiply-adds per band,
+    * engine-portable, and the oracle mirrors it. */
+  def minhashIndexOf(docTable: DataFrame): DataFrame = {
     val docs = graft.scale.Scale.spread(docTable) // spread the sig kernel
       .select(col("doc_id"), ArrayOps.shingle_poly3(TextOps.tokens(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
-    val bands = docs.select(
+    docs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
         struct(b.as("band"),
@@ -236,6 +240,14 @@ object Dedup {
             lit(0L), (acc, v) => (acc * lit(1000003L) + v) % lit(PolyP)).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard >= threshold.
+    * Banding: equal 4-row band => candidate; then the estimate is the
+    * fraction of equal signature components. */
+  def minhashPairsOf(docTable: DataFrame,
+                     threshold: Double = 0.5): DataFrame = {
+    val bands = minhashIndexOf(docTable)
       // persisted: the candidate self-join reads both sides, and the
       // signature pipeline above is the expensive part
       .persist()
@@ -255,6 +267,56 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.5): DataFrame =
     minhashPairsOf(Tables.documents(spark, dir), threshold)
+
+  /** Incremental near-dup admission — the ingest-time form of MinHash
+    * dedup (reference runs dedup per sync batch, not per corpus rebuild:
+    * caseguard/sync/incremental.py's batch loop). A new batch document is
+    * REJECTED when its signature matches an already-indexed corpus
+    * document (any), or an earlier (smaller doc_id) document of its own
+    * batch — the keep-first-occurrence rule exactGroupsOf uses for exact
+    * dedup, applied to the near-dup graph. `dup_of` is the smallest
+    * matching neighbor; admitted docs carry NULL.
+    *
+    * Scale design: the corpus side is `corpusIndex` — the materialized
+    * (doc_id, sig, band, bh) table from [[minhashIndexOf]], built ONCE
+    * and appended to per batch, never recomputed. Each batch pays only
+    * its own signature kernel. The batch is small relative to the corpus
+    * by definition, so its banded rows are BROADCAST against the index:
+    * the 100 TB side is probed with zero shuffle and zero sort (a
+    * bucketed-by-(band,bh) index even keeps the probe partition-pruned).
+    * The batch-internal self-join shuffles only the batch. */
+  def incrementalAdmitOf(corpusIndex: DataFrame, batch: DataFrame,
+                         threshold: Double = 0.5): DataFrame = {
+    val probe = minhashIndexOf(batch).persist()
+    val crossCand = corpusIndex.as("a")
+      .join(broadcast(probe).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+    val selfCand = probe.as("a")
+      .join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+    def pairs(j: DataFrame): DataFrame =
+      j.select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("nbr"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val matches = pairs(crossCand).unionByName(pairs(selfCand))
+      .dropDuplicates("doc_id", "nbr")
+      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+        x === y), b => b)).cast("double") / MinhashK >= threshold)
+      .groupBy("doc_id").agg(min(col("nbr")).as("dup_of"))
+    batch.select("doc_id").join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, lit("admit"))
+          .otherwise(lit("reject")).as("status"))
+  }
+
+  /** Registered form: docs with doc_id % 10 >= 8 arrive as the new
+    * batch against the index of the other 80% (the corpus). */
+  def incrementalAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalAdmitOf(
+      minhashIndexOf(docs.filter(col("doc_id") % 10 < 8)),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
 
   // -------------------------------------------------------------------
   // SimHash (64-bit; ScalaTest-verified)
@@ -623,6 +685,7 @@ object Dedup {
     "dedup_exact_survivors" -> ((s, d) => exactSurvivors(s, d)),
     "dedup_ngram_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+    "dedup_incremental_admit" -> ((s, d) => incrementalAdmit(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
@@ -644,6 +707,38 @@ object Dedup {
       |  FROM t WHERE len(toks) >= 3),
       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
       |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
+  /** Shared signature chain for the minhash oracles — replays
+    * minhashIndexOf hash-for-hash: the char-polynomial shingle hash
+    * (ShinglePoly3), the affine permutation family of MinhashSig, and
+    * the polynomial band fold are all plain integer arithmetic. */
+  private val minhashSigCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |shs AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                               for i in range(1, len(toks) - 1)])) AS s
+      |  FROM t WHERE len(toks) >= 3),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
+      |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |  FROM shs),
+      |sigc AS (
+      |  SELECT doc_id, k,
+      |         min((h * (1 + 2*k) + 40503 * (k + 1)) % 2147483647) AS comp
+      |  FROM hs, range(0, 32) r(k)
+      |  GROUP BY doc_id, k),
+      |sigs AS (
+      |  SELECT doc_id, list(comp ORDER BY k) AS sig FROM sigc GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, b*4 + 1, b*4 + 4)),
+      |           (a, v) -> (a * 1000003 + v) % 1000000007) AS bh
+      |  FROM sigs, range(0, 8) rb(b))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "curation_span_dedup" ->
@@ -713,9 +808,6 @@ object Dedup {
          |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
          |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
          |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin,
-    // mirrors minhashPairsOf hash-for-hash: the char-polynomial shingle
-    // hash (ShinglePoly3), the affine permutation family of MinhashSig,
-    // and the polynomial band fold are all plain integer arithmetic
     "curation_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -816,42 +908,40 @@ object Dedup {
         |JOIN bits bb ON bb.doc_id = doc_b
         |WHERE len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) <= 6""".stripMargin,
     "dedup_minhash_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |shs AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |                               for i in range(1, len(toks) - 1)])) AS s
-        |  FROM t WHERE len(toks) >= 3),
-        |hs AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_prepend(0::BIGINT,
-        |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
-        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
-        |  FROM shs),
-        |sigc AS (
-        |  SELECT doc_id, k,
-        |         min((h * (1 + 2*k) + 40503 * (k + 1)) % 2147483647) AS comp
-        |  FROM hs, range(0, 32) r(k)
-        |  GROUP BY doc_id, k),
-        |sigs AS (
-        |  SELECT doc_id, list(comp ORDER BY k) AS sig FROM sigc GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |         list_reduce(list_prepend(0::BIGINT, list_slice(sig, b*4 + 1, b*4 + 4)),
-        |           (a, v) -> (a * 1000003 + v) % 1000000007) AS bh
-        |  FROM sigs, range(0, 8) rb(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |       CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
-        |FROM cand
-        |JOIN sigs sa ON sa.doc_id = doc_a
-        |JOIN sigs sb ON sb.doc_id = doc_b
-        |WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5::DOUBLE""".stripMargin,
+      s"""$minhashSigCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5::DOUBLE""".stripMargin,
+    // candidate arms mirror incrementalAdmitOf: corpus->batch (any
+    // direction) plus batch->batch keep-first; same signature CTE as
+    // the pair oracle, same 0.5 gate, min-neighbor as dup_of
+    "dedup_incremental_admit" ->
+      s"""$minhashSigCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh
+         |  WHERE b.doc_id % 10 >= 8
+         |    AND (a.doc_id % 10 < 8 OR a.doc_id < b.doc_id)
+         |    AND a.doc_id <> b.doc_id),
+         |m AS (
+         |  SELECT doc_b AS doc_id, min(doc_a) AS dup_of
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5::DOUBLE
+         |  GROUP BY doc_b)
+         |SELECT d.doc_id, m.dup_of,
+         |       CASE WHEN m.dup_of IS NULL THEN 'admit' ELSE 'reject' END AS status
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 10 >= 8""".stripMargin,
     "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle,
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     // string shingles in the oracle vs 64-bit hashed shingles in the

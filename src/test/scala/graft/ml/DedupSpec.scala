@@ -278,4 +278,70 @@ class DedupSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("incremental admit: corpus dup and batch-internal dup rejected, " +
+    "novelty admitted, corpus index probed by broadcast") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"other$i").mkString(" ")
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+    val corpus = docsDf(Seq(
+      (0L, base),
+      (3L, "completely different words here entirely spread over tokens"),
+      (4L, "another unrelated document body text with enough words")))
+    val batch = docsDf(Seq(
+      (10L, base),   // dup of corpus 0
+      (11L, novel),  // genuinely new
+      (12L, novel),  // batch-internal dup of 11
+      (13L, near)))  // near-dup of corpus 0 AND batch 10
+    val out = Dedup.incrementalAdmitOf(Dedup.minhashIndexOf(corpus), batch)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the corpus-index probe must be a broadcast join, never a corpus shuffle")
+    val rows = out.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))))
+    }.toMap
+    assert(rows(10L) == (("reject", Some(0L))))
+    assert(rows(11L) == (("admit", None)))
+    assert(rows(12L) == (("reject", Some(11L))))
+    assert(rows(13L) == (("reject", Some(0L)))) // min of matches {0, 10}
+    spark.catalog.clearCache()
+  }
+
+  test("incremental admit agrees with the pair query's keep-first " +
+    "projection on real data") {
+    val isBatch = (id: Long) => id % 10 >= 8
+    // derive the expected verdicts from the already-verified pair query
+    // over the union: reject a batch doc iff it pairs with a corpus doc
+    // (either direction) or an earlier batch doc; dup_of = min neighbor
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .foreach { case (a, b) =>
+        if (isBatch(b) && (!isBatch(a) || a < b))
+          expected(b) = math.min(expected.getOrElse(b, Long.MaxValue), a)
+        if (isBatch(a) && !isBatch(b))
+          expected(a) = math.min(expected.getOrElse(a, Long.MaxValue), b)
+      }
+    spark.catalog.clearCache()
+    val out = Dedup.incrementalAdmit(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      expected.get(id) match {
+        case Some(m) =>
+          assert(r.getAs[String]("status") == "reject", s"doc $id")
+          assert(r.getAs[Long]("dup_of") == m, s"doc $id dup_of")
+        case None =>
+          assert(r.getAs[String]("status") == "admit", s"doc $id")
+          assert(r.isNullAt(r.fieldIndex("dup_of")), s"doc $id dup_of")
+      }
+    }
+    val nBatch = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8).count()
+    assert(out.length.toLong == nBatch, "one verdict per batch doc")
+    spark.catalog.clearCache()
+  }
 }
