@@ -286,8 +286,20 @@ object Dedup {
     * bucketed-by-(band,bh) index even keeps the probe partition-pruned).
     * The batch-internal self-join shuffles only the batch. */
   def incrementalAdmitOf(corpusIndex: DataFrame, batch: DataFrame,
-                         threshold: Double = 0.5): DataFrame = {
-    val probe = minhashIndexOf(batch).persist()
+                         threshold: Double = 0.5): DataFrame =
+    incrementalVerdicts(corpusIndex, minhashIndexOf(batch).persist(),
+      batch.select("doc_id"), threshold)
+
+  /** [[incrementalAdmitOf]] with the batch's index rows precomputed —
+    * for callers that need the probe twice (the streaming pipeline
+    * appends the admitted docs' rows to the durable index, and must not
+    * pay the signature kernel again). `batchIds` supplies the verdict
+    * row set: docs too short to shingle have no probe rows but still
+    * get an 'admit'. */
+  private[graft] def incrementalVerdicts(corpusIndex: DataFrame,
+                                         probe: DataFrame,
+                                         batchIds: DataFrame,
+                                         threshold: Double): DataFrame = {
     val crossCand = corpusIndex.as("a")
       .join(broadcast(probe).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
@@ -303,7 +315,7 @@ object Dedup {
       .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
         x === y), b => b)).cast("double") / MinhashK >= threshold)
       .groupBy("doc_id").agg(min(col("nbr")).as("dup_of"))
-    batch.select("doc_id").join(matches, Seq("doc_id"), "left")
+    batchIds.join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         when(col("dup_of").isNull, lit("admit"))
           .otherwise(lit("reject")).as("status"))

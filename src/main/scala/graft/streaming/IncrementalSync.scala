@@ -357,6 +357,79 @@ object IncrementalSync {
       .parquet(path)
 
   // -------------------------------------------------------------------
+  // Streaming near-dup admission (the streaming twin of
+  // graft.ml.Dedup.incrementalAdmitOf)
+  // -------------------------------------------------------------------
+
+  /** Seed the durable MinHash admission index with an existing corpus.
+    * The index lives as a batch-partitioned parquet table
+    * (`$indexDir/batch=N`); the seed takes the pseudo-batch -1 so plain
+    * partition discovery reads seed + all micro-batch appends as one
+    * table. */
+  def seedAdmissionIndex(corpus: org.apache.spark.sql.DataFrame,
+                         indexDir: String): Unit =
+    graft.ml.Dedup.minhashIndexOf(corpus)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=-1")
+
+  /** The admission index as of (strictly before) `below` — a retried
+    * micro-batch must never read the possibly-partial output of its own
+    * failed attempt, the same rule as [[latestWatermarks]]'s `below`.
+    * The filter is on the partition column, so pruning keeps the read
+    * to the surviving batch directories. */
+  def admissionIndex(spark: SparkSession, indexDir: String,
+                     below: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(indexDir)
+      .filter(col("batch") < below).drop("batch")
+  }
+
+  /** Continuous ingest-time dedup: every micro-batch of (doc_id, text)
+    * is probed against the durable index, verdicts land in an
+    * append-only log, and the ADMITTED docs' index rows are appended as
+    * the batch's own partition — so batch N+1 rejects near-dups of what
+    * batch N admitted. Keep-first across batches is arrival order;
+    * within a batch it is doc_id order (the batch twin's rule).
+    *
+    * Idempotency: both writes are per-batch partition OVERWRITES keyed
+    * by batchId, and the index read excludes partitions >= batchId, so
+    * a replayed batch recomputes identical verdicts and replaces rather
+    * than double-appends — same contract as [[syncPipeline]]'s change
+    * log. Scale: the corpus-side index is never recomputed, only read
+    * (partition-pruned) and appended to; each batch pays its own
+    * signature kernel plus one broadcast probe (see incrementalAdmitOf's
+    * scale note). */
+  def admissionPipeline(docs: org.apache.spark.sql.DataFrame,
+                        indexDir: String, outDir: String,
+                        threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        // signatures are computed ONCE per batch: the same probe rows
+        // serve the verdict join and the index append
+        val probe = graft.ml.Dedup.minhashIndexOf(b.toDF()).persist()
+        val verdicts = graft.ml.Dedup.incrementalVerdicts(
+          admissionIndex(spark, indexDir, below = batchId), probe,
+          b.toDF().select("doc_id"), threshold)
+          .persist()
+        verdicts.write.mode("overwrite")
+          .parquet(s"$outDir/verdicts/batch=$batchId")
+        probe.join(
+          verdicts.filter(col("status") === "admit").select("doc_id"), "doc_id")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        verdicts.unpersist()
+        probe.unpersist()
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  // -------------------------------------------------------------------
   // ST1 in oracle-checkable batch form
   // -------------------------------------------------------------------
 

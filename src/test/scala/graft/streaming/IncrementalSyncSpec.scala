@@ -253,4 +253,45 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(rOk.succeeded == jobs)
     assert(!bClosed.isOpen(now = 606L) && bClosed.failures == 0)
   }
+
+  test("streaming admission: later batches reject near-dups of earlier " +
+    "admissions through the appended index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-admit").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"other$i").mkString(" ")
+    val third = (1 to 40).map(i => s"third$i").mkString(" ")
+    seedAdmissionIndex(
+      Seq((0L, base)).toDF("doc_id", "text"), s"$dir/index")
+    val input = MemoryStream[(Long, String)]
+    val q = admissionPipeline(
+      input.toDS().toDF("doc_id", "text"), s"$dir/index", s"$dir/out")
+    try {
+      input.addData((10L, base), (11L, novel)) // dup of seed; new
+      q.processAllAvailable()
+      // 20 duplicates batch-0's ADMITTED doc 11 — only the index append
+      // can reject it; 21 is new
+      input.addData((20L, novel), (21L, third))
+      q.processAllAvailable()
+
+      val verdicts = spark.read.parquet(s"$dir/out/verdicts")
+        .collect().map { r =>
+          r.getAs[Long]("doc_id") ->
+            ((r.getAs[String]("status"),
+              if (r.isNullAt(r.fieldIndex("dup_of"))) None
+              else Some(r.getAs[Long]("dup_of")),
+              r.getAs[Int]("batch")))
+        }.toMap
+      assert(verdicts(10L) == (("reject", Some(0L), 0)))
+      assert(verdicts(11L) == (("admit", None, 0)))
+      assert(verdicts(20L) == (("reject", Some(11L), 1)))
+      assert(verdicts(21L) == (("admit", None, 1)))
+      // the index carries exactly seed + admitted docs (8 band rows each)
+      val indexed = spark.read.parquet(s"$dir/index")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed == Set(0L, 11L, 21L))
+    } finally q.stop()
+  }
 }
