@@ -187,6 +187,70 @@ object TextOps {
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     vocabTopKOf(Tables.documents(spark, dir))
 
+  /** EXACT heavy hitters — every token with freq·k > N — at bounded
+    * memory. [[vocabTopKOf]] shuffles the whole distinct vocabulary to
+    * rank it; at a 100 TB corpus the vocabulary itself (URLs, hashes,
+    * typos) is shuffle-hostile. This is the classic two-phase fix:
+    *
+    * Phase 1 runs Misra–Gries with k counters INSIDE each input
+    * partition (`mapPartitions` — genuinely imperative per-partition
+    * state, the documented last-resort case). Each task emits at most k
+    * candidate tokens, so the only vocabulary-shaped state anywhere is k
+    * strings per task and the candidate shuffle is ≤ k·partitions rows.
+    *
+    * Phase 2 recounts ONLY the candidates exactly: the exploded token
+    * stream is pruned by a BROADCAST join with the tiny candidate set
+    * before the one counting shuffle, and the exact threshold
+    * freq·k > N filters the recount.
+    *
+    * Soundness (why the output is exact, not approximate): Misra–Gries
+    * with k counters retires k+1 token instances per decrement, so at
+    * most n_p/(k+1) decrements happen in a partition of n_p tokens and
+    * any token with local freq_p > n_p/(k+1) still holds a counter at
+    * the end. If freq(t)·k > N globally then some partition has
+    * freq_p(t)·k > n_p (else summing the per-partition negations
+    * contradicts the premise), and freq_p > n_p/k > n_p/(k+1) — so
+    * every true heavy hitter is a candidate in at least one partition.
+    * The candidate pass over-collects; the exact recount + threshold
+    * discards the excess. Result: exact answer, memory bounded by k
+    * regardless of vocabulary size. (Reference computes token frequency
+    * tables driver-side; see SURVEY §2.6 text-analysis family.) */
+  def heavyHittersOf(docs: DataFrame, k: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1L
+          case None if counters.size < k => counters(t) = 1L
+          case None =>
+            val keys = counters.keys.toArray
+            var i = 0
+            while (i < keys.length) {
+              val c = counters(keys(i)) - 1L
+              if (c == 0L) counters.remove(keys(i)) else counters(keys(i)) = c
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    // N without a second explode: token count == size of the token array
+    val total = docs.agg(
+      sum(size(tokens(col("text"))).cast("long")).as("n_total"))
+    toks.join(broadcast(candidates), "token")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(total))
+      .filter(col("freq") * k > col("n_total"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .select("token", "freq", "n_total")
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables.documents(spark, dir))
+
   /** Per-document distinctive keywords: rank terms by (tf desc, df asc,
     * token asc) — the TF-IDF ordering done entirely in integers (df
     * replaces the idf log monotonically), so the ranking is exact in any
@@ -714,6 +778,7 @@ object TextOps {
     "text_normalize" -> ((s, d) => normalize(s, d)),
     "text_pii_mask" -> ((s, d) => piiMask(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
+    "text_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "text_keywords" -> ((s, d) => keywords(s, d)),
     "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
@@ -969,6 +1034,19 @@ object TextOps {
         |SELECT token, CAST(sum(tf) AS BIGINT) AS freq, count(*) AS df
         |FROM tf GROUP BY token
         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    // exact-threshold set: the oracle counts the full vocabulary (fine
+    // at oracle scale); the Spark side must land on the same set via
+    // the Misra–Gries candidate pass + exact recount
+    "text_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1)
+        |SELECT c.token, c.freq, n.n_total
+        |FROM c CROSS JOIN n
+        |WHERE c.freq * 200 > n.n_total
+        |ORDER BY freq DESC, token ASC""".stripMargin,
     "text_keywords" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -283,4 +283,33 @@ class TextOpsSpec extends SparkSpec {
     assert(passFrac > 0.9, s"pass fraction $passFrac")
     spark.catalog.clearCache()
   }
+
+  test("heavy hitters: Misra–Gries candidate pass is exact vs a naive " +
+    "reference, even with tiny k forcing heavy eviction") {
+    val rng = new scala.util.Random(0xC0FFEE)
+    // Zipf-ish corpus: few hot tokens, long random tail, spread over
+    // many partitions so the per-partition candidate argument is live
+    val words = (1 to 4000).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 30) "hot" + rng.nextInt(3)
+      else if (r < 50) "warm" + rng.nextInt(20)
+      else "tail" + rng.nextInt(1500)
+    }
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    for (k <- Seq(5, 20, 100)) {
+      val got = TextOps.heavyHittersOf(docs, k).collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("freq")).toMap
+      val naive = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * k > words.size }
+      assert(got == naive, s"k=$k: got ${got.size}, expected ${naive.size}")
+    }
+    // exactness at the boundary: freq*k == N must be EXCLUDED
+    val edge = Seq((1L, Seq.fill(2)("x").mkString(" ")),
+      (2L, Seq.fill(6)("y").mkString(" ")))
+      .toDF("doc_id", "text") // N=8; x:2 (2*4==8, out), y:6 (in) at k=4
+    val e = TextOps.heavyHittersOf(edge, 4).collect().map(_.getString(0))
+    assert(e.toSeq == Seq("y"))
+  }
 }
