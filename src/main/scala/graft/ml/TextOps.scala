@@ -251,6 +251,60 @@ object TextOps {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersOf(Tables.documents(spark, dir))
 
+  /** BM25 keyword retrieval over the corpus — the ranking stage of a
+    * quality-classifier / eval-set curation loop ("find the documents
+    * most about X"). Okapi BM25 with Lucene's non-negative idf
+    * `log((N+1)/(df+0.5))` (never negative, so no clamp discontinuity
+    * when a term's df crosses N/2), k1 = 1.2, b = 0.75 — computed
+    * entirely in the module's fixed-point milli-arithmetic: the idf log
+    * is the same `log2m` chain as [[lmCrossEntropyOf]] over the integer
+    * forms 2N+2 and 2df+1, and the tf normalization is one integral
+    * `div` chain, so scores replay bit-for-bit in any SQL engine
+    * (ranking only needs monotonicity; bit-equality is what makes the
+    * oracle exact).
+    *
+    * Scale shape: the query terms are LITERALS, so the `isin` prune
+    * lands right after the explode and only matching (doc, term) rows —
+    * |q| per doc at most — ever reach a shuffle; tf is one small
+    * aggregate, df a re-aggregation of it, corpus stats ride the 1-row
+    * broadcast scalar anchor, and top-k is TakeOrdered with a doc_id
+    * tie-break. No inverted index needed: at any corpus size the
+    * post-prune volume is bounded by matches, not vocabulary. */
+  def bm25Of(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20): DataFrame = {
+    val terms = queryTerms.distinct
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
+      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
+    val tf = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    def log2m(x: String): String =
+      s"(length(bin($x)) - 1) * 1000" +
+        s" + ($x) * 1000 div CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 1000"
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "tf",
+        s"${log2m("2 * n_docs + 2")} - (${log2m("2 * df + 1")}) AS idf_milli",
+        "tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 div avgdl_milli) div 1000)" +
+          " div 1000 AS den_milli")
+      .selectExpr("doc_id",
+        "idf_milli * (tf * 2200 * 1000 div den_milli) div 1000 AS contrib_milli")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_milli")).as("bm25_milli"))
+      .orderBy(col("bm25_milli").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Registered form: one rare term ("dup", df ≈ 5% of docs) and two
+    * common ones — exercises both ends of the idf range. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(Tables.documents(spark, dir), Seq("dup", "vector", "window"))
+
   /** Per-document distinctive keywords: rank terms by (tf desc, df asc,
     * token asc) — the TF-IDF ordering done entirely in integers (df
     * replaces the idf log monotonically), so the ranking is exact in any
@@ -779,6 +833,7 @@ object TextOps {
     "text_pii_mask" -> ((s, d) => piiMask(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "text_bm25_topk" -> ((s, d) => bm25(s, d)),
     "text_keywords" -> ((s, d) => keywords(s, d)),
     "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
@@ -1047,6 +1102,43 @@ object TextOps {
         |FROM c CROSS JOIN n
         |WHERE c.freq * 200 > n.n_total
         |ORDER BY freq DESC, token ASC""".stripMargin,
+    // same fixed-point chain as the Spark side: Lucene idf in log2m
+    // milli-bits over integer forms, integral tf normalization
+    "text_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(toks)) AS BIGINT) * 1000
+        |           // CAST(count(*) AS BIGINT) AS avgdl_milli
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS token
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t WHERE token IN ('dup', 'vector', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT doc_id,
+        |         ((length(bin(2 * n_docs + 2)) - 1) * 1000
+        |            + (2 * n_docs + 2) * 1000
+        |              // CAST(pow(2, length(bin(2 * n_docs + 2)) - 1) AS BIGINT) - 1000)
+        |         - ((length(bin(2 * df + 1)) - 1) * 1000
+        |            + (2 * df + 1) * 1000
+        |              // CAST(pow(2, length(bin(2 * df + 1)) - 1) AS BIGINT) - 1000)
+        |           AS idf_milli,
+        |         tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 // avgdl_milli) // 1000)
+        |           // 1000 AS den_milli,
+        |         tf
+        |  FROM tf JOIN df USING (token) CROSS JOIN s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(idf_milli * (tf * 2200 * 1000 // den_milli) // 1000)
+        |         AS BIGINT) AS bm25_milli
+        |FROM c GROUP BY doc_id
+        |ORDER BY bm25_milli DESC, doc_id ASC LIMIT 20""".stripMargin,
     "text_keywords" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -312,4 +312,55 @@ class TextOpsSpec extends SparkSpec {
     val e = TextOps.heavyHittersOf(edge, 4).collect().map(_.getString(0))
     assert(e.toSeq == Seq("y"))
   }
+
+  test("bm25 matches a naive fixed-point reference on random corpora") {
+    val rng = new scala.util.Random(0xBEEF)
+    val vocab = (1 to 30).map("w" + _)
+    val docs = (1L to 120L).map { id =>
+      val n = 3 + rng.nextInt(40)
+      (id, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val terms = Seq("w1", "w7", "w23")
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+    def log2m(x: Long): Long = {
+      val bl = java.lang.Long.toBinaryString(x).length
+      (bl - 1) * 1000L + x * 1000L / (1L << (bl - 1)) - 1000L
+    }
+    val nDocs = docs.size.toLong
+    val avgdlMilli = docs.map(d => toks(d._2).size.toLong).sum * 1000L / nDocs
+    val tf = docs.flatMap { case (id, text) =>
+      val ts = toks(text)
+      ts.filter(terms.contains).groupBy(identity).map { case (t, g) =>
+        (id, ts.size.toLong, t, g.size.toLong)
+      }
+    }
+    val dfm = tf.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val naive = tf.groupBy(_._1).view.mapValues { rows =>
+      (rows.size.toLong, rows.map { case (_, dl, t, f) =>
+        val idf = log2m(2 * nDocs + 2) - log2m(2 * dfm(t) + 1)
+        val den = f * 1000 + 1200 * (250 + 750 * (dl * 1000000 / avgdlMilli) / 1000) / 1000
+        idf * (f * 2200 * 1000 / den) / 1000
+      }.sum)
+    }.toMap
+    val expect = naive.toSeq
+      .sortBy { case (id, (_, s)) => (-s, id) }.take(20)
+      .map { case (id, (n, s)) => (id, n, s) }
+    val got = TextOps.bm25Of(docs.toDF("doc_id", "text").repartition(6), terms)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("bm25_milli"))).toSeq
+    assert(got == expect)
+    // rare-term dominance on the real corpus: every doc containing the
+    // rare term must outrank every doc without it
+    val corpus = TextOps.bm25(spark, sf).collect()
+    assert(corpus.length == 20)
+    val hasDup = graft.Tables.documents(spark, sf)
+      .filter(array_contains(TextOps.tokens(col("text")), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scores = corpus.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_milli")))
+    val (inn, out) = scores.partition(s => hasDup(s._1))
+    assert(inn.nonEmpty)
+    if (out.nonEmpty) assert(inn.map(_._2).min > out.map(_._2).max)
+  }
 }
