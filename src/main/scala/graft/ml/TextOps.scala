@@ -215,11 +215,15 @@ object TextOps {
     * discards the excess. Result: exact answer, memory bounded by k
     * regardless of vocabulary size. (Reference computes token frequency
     * tables driver-side; see SURVEY §2.6 text-analysis family.) */
-  def heavyHittersOf(docs: DataFrame, k: Int = 200): DataFrame = {
-    val spark = docs.sparkSession
+  /** Per-partition Misra–Gries summaries over a token stream: each task
+    * runs MG with k counters and emits its surviving (token, est) pairs
+    * — at most k rows per task, the bounded-memory frequency sketch the
+    * heavy-hitter operators build on. Estimates are one-sided:
+    * c_p(t) − n_p/(k+1) ≤ est ≤ c_p(t) within the task's slice. */
+  def mgSummaryOf(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
     import spark.implicits._
-    val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    val candidates = toks.as[String].mapPartitions { it =>
+    toks.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { t =>
         counters.get(t) match {
@@ -235,8 +239,33 @@ object TextOps {
             }
         }
       }
-      counters.keysIterator
-    }.toDF("token").distinct()
+      counters.iterator
+    }.toDF("token", "est")
+  }
+
+  /** Merge a union of Misra–Gries summaries back to ≤ k counters — the
+    * mergeability rule of Agarwal et al. 2012 (Mergeable Summaries):
+    * sum estimates per token, then subtract the (k+1)-th largest merged
+    * value from every counter and drop the non-positive ones. At most k
+    * counters survive (only those strictly above the threshold), and
+    * the one-sided error bounds add across the merged inputs — so
+    * batch-wise merging over an unbounded stream keeps the global
+    * guarantee at constant state. Input is summary-sized (≤ k rows per
+    * contributing task), so every step here is tiny by construction:
+    * one small aggregate, a k+1-row TakeOrdered, a broadcast anchor. */
+  def mgMergeOf(summaries: DataFrame, k: Int): DataFrame = {
+    val merged = summaries.groupBy("token").agg(sum(col("est")).as("est"))
+    val sub = merged.orderBy(col("est").desc).limit(k + 1)
+      .agg(when(count(lit(1)) > k, min(col("est")))
+        .otherwise(lit(0L)).as("sub"))
+    merged.crossJoin(broadcast(sub))
+      .select(col("token"), (col("est") - col("sub")).as("est"))
+      .filter(col("est") > 0)
+  }
+
+  def heavyHittersOf(docs: DataFrame, k: Int = 200): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val candidates = mgSummaryOf(toks, k).select("token").distinct()
     // N without a second explode: token count == size of the token array
     val total = docs.agg(
       sum(size(tokens(col("text"))).cast("long")).as("n_total"))

@@ -429,6 +429,84 @@ object IncrementalSync {
       .start()
   }
 
+  /** The Misra–Gries state as of (strictly before) `below`, newest
+    * surviving batch partition only — same retry-safe read rule as
+    * [[admissionIndex]]: a replayed batch must not read its own failed
+    * attempt's output. Returns an empty 2-col frame before any batch. */
+  def mgState(spark: SparkSession, stateDir: String,
+              below: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = new java.io.File(s"$stateDir/summary")
+    if (!dir.exists()) return Seq.empty[(String, Long)].toDF("token", "est")
+    val all = spark.read.parquet(dir.toString).filter(col("batch") < below)
+    // partition discovery types small batch= values as INT
+    val latest = all.agg(max(col("batch")).cast("long")).collect().head
+    if (latest.isNullAt(0)) Seq.empty[(String, Long)].toDF("token", "est")
+    else all.filter(col("batch") === latest.getLong(0)).select("token", "est")
+  }
+
+  private def mgTotal(spark: SparkSession, stateDir: String,
+                      below: Long): Long = {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(s"$stateDir/totals")
+    if (!dir.exists()) return 0L
+    val rows = spark.read.parquet(dir.toString)
+      .filter(col("batch") < below)
+    val latest = rows.agg(max(col("batch")).cast("long")).collect().head
+    if (latest.isNullAt(0)) 0L
+    else rows.filter(col("batch") === latest.getLong(0))
+      .select("n_total").collect().head.getLong(0)
+  }
+
+  /** Streaming heavy hitters at constant state — the unbounded-stream
+    * twin of `TextOps.heavyHittersOf`. Each micro-batch of (doc_id,
+    * text) runs the per-partition Misra–Gries pass, merges the ≤ k-row
+    * batch summary into the ≤ k-row durable summary with the Agarwal
+    * et al. mergeability rule (`TextOps.mgMergeOf` — one-sided error
+    * bounds ADD across merges, so the global guarantee
+    * c(t) − N/(k+1) ≤ est(t) ≤ c(t) holds over the whole stream), and
+    * emits the current sketch with the cumulative token count. State is
+    * k counters plus one long — constant regardless of stream length or
+    * vocabulary size; no per-token keyed state anywhere (a
+    * `mapGroupsWithState` per token would BE vocabulary-scale state,
+    * the exact thing Misra–Gries exists to avoid).
+    *
+    * Idempotency: state and output are per-batch partition OVERWRITES
+    * and every read is strictly-below-batchId on the newest surviving
+    * partition — a replayed batch recomputes identical state, the same
+    * contract as [[admissionPipeline]]. */
+  def heavyHitterStream(docs: org.apache.spark.sql.DataFrame,
+                        stateDir: String, outDir: String, k: Int = 200)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val toks = batch.toDF()
+          .select(explode(graft.ml.TextOps.tokens(col("text"))).as("token"))
+          .persist()
+        val nTotal = mgTotal(spark, stateDir, below = batchId) + toks.count()
+        val merged = graft.ml.TextOps.mgMergeOf(
+          graft.ml.TextOps.mgSummaryOf(toks, k)
+            .unionByName(mgState(spark, stateDir, below = batchId)), k)
+          .persist()
+        merged.write.mode("overwrite")
+          .parquet(s"$stateDir/summary/batch=$batchId")
+        locally { import spark.implicits._
+          Seq(nTotal).toDF("n_total")
+            .write.mode("overwrite").parquet(s"$stateDir/totals/batch=$batchId") }
+        merged.withColumn("n_total", lit(nTotal))
+          .write.mode("overwrite").parquet(s"$outDir/sketch/batch=$batchId")
+        merged.unpersist()
+        toks.unpersist()
+        ()
+      }
+      .start()
+  }
+
   // -------------------------------------------------------------------
   // ST1 in oracle-checkable batch form
   // -------------------------------------------------------------------

@@ -294,4 +294,54 @@ class IncrementalSyncSpec extends SparkSpec {
       assert(indexed == Set(0L, 11L, 21L))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: merged Misra-Gries sketch keeps the " +
+    "one-sided error bound across batches at constant state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    val k = 10
+    val rng = new scala.util.Random(7)
+    // three skewed batches with shifting hot sets: the true global
+    // heavy hitters are only visible across batches — exactly what a
+    // per-batch (unmerged) sketch would get wrong
+    def mkBatch(hot: String, n: Int): Seq[(Long, String)] =
+      (1 to n).map { i =>
+        val ws = Seq.fill(8)(
+          if (rng.nextInt(10) < 4) hot + rng.nextInt(2)
+          else "tail" + rng.nextInt(400))
+        (i.toLong, ws.mkString(" "))
+      }
+    val batches = Seq(mkBatch("alpha", 60), mkBatch("alpha", 50), mkBatch("beta", 70))
+    val input = MemoryStream[(Long, String)]
+    val q = heavyHitterStream(
+      input.toDS().toDF("doc_id", "text"), s"$dir/state", s"$dir/out", k)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val exact = batches.flatten
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = exact.values.sum
+      val sketch = spark.read.parquet(s"$dir/out/sketch")
+        .filter(col("batch") === 2).collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("est")).toMap
+      assert(sketch.size <= k, s"state size ${sketch.size} > k")
+      val nTotal = spark.read.parquet(s"$dir/out/sketch")
+        .filter(col("batch") === 2).select("n_total").head().getLong(0)
+      assert(nTotal == n)
+      // one-sided bound: est never overcounts, undercounts by <= N/(k+1)
+      sketch.foreach { case (t, est) =>
+        val c = exact(t)
+        assert(est <= c, s"$t overcounted: $est > $c")
+        assert(c - est <= n / (k + 1), s"$t undercounted past bound")
+      }
+      // every true heavy hitter above N/(k+1) survives the merges
+      exact.filter { case (_, c) => c > n / (k + 1) }.keys.foreach { t =>
+        assert(sketch.contains(t), s"true heavy hitter $t lost")
+      }
+      // the hot tokens of EARLY batches are still present at the end
+      assert(sketch.keys.exists(_.startsWith("alpha")))
+    } finally q.stop()
+  }
 }
