@@ -70,6 +70,49 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-pruned decontamination — IDENTICAL result to
+    * [[contaminationOf]] (so it shares its oracle), with the train side
+    * pruned map-side before any shuffle: build a Bloom filter over the
+    * eval side's distinct shingle hashes (the SMALL side — benchmarks
+    * are thousands of docs, the corpus is billions), embed it in the
+    * plan as a binary literal, and gate the corpus-side shingle stream
+    * with Spark's own codegen'd `BloomFilterMightContain` predicate —
+    * the same expression Catalyst's runtime row-level filtering
+    * injects. Corpus shingles that cannot match any eval shingle never
+    * reach the distinct/join exchanges; the exact equi-join afterwards
+    * discards the filter's false positives, which is why the output is
+    * exact at any `fpp`. At 100 TB this turns the join's big-side
+    * shuffle from |corpus shingles| into |bloom survivors| ≈
+    * |eval ∩ corpus| + fpp·|corpus| — the standard semi-join-reduction
+    * a distributed engine wants here. */
+  def contaminationBloomOf(docs: DataFrame, minShared: Int = 3,
+                           dfCap: Int = 1000, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftops.ColumnBridge
+    val sh = shingleIndex(docs, dfCap)
+    val evalPost = sh.filter(col("doc_id") % 2 =!= 0)
+    val evalDistinct = evalPost.select("hs").distinct()
+    val bf = evalDistinct.stat.bloomFilter(
+      "hs", math.max(evalDistinct.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col("hs"))))
+    val trainShingles = sh.filter(col("doc_id") % 2 === 0)
+      .filter(mightContain) // map-side gate: prunes BEFORE the exchanges
+      .select("hs").distinct()
+    evalPost.join(trainShingles, "hs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    contaminationBloomOf(Tables.documents(spark, dir))
+
   /** Repeated-span detection — the exact-substring dedup of "Deduplicating
     * Training Data Makes Language Models Better" (Lee et al. 2021) at
     * k-token granularity, and C4's repeated-span removal rule: every
@@ -705,6 +748,7 @@ object Dedup {
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
     "curation_contamination" -> ((s, d) => contamination(s, d)),
+    "curation_contamination_bloom" -> ((s, d) => contaminationBloom(s, d)),
     "curation_span_dedup" -> ((s, d) => spanDedupStats(s, d)),
     "curation_pack_sequences" -> ((s, d) => packSequences(s, d)))
 
@@ -960,6 +1004,16 @@ object Dedup {
     // plan: identical counts barring a 2^-64 collision (the documented
     // dedup_ngram_pairs precedent)
     "curation_contamination" ->
+      s"""$shingleCte,
+         |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+         |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)
+         |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ev JOIN tr ON ev.s = tr.s
+         |GROUP BY ev.doc_id
+         |HAVING count(*) >= 3""".stripMargin,
+    // the bloom-pruned twin is EXACT (the final equi-join removes the
+    // filter's false positives), so its oracle is the same query
+    "curation_contamination_bloom" ->
       s"""$shingleCte,
          |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
          |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1)

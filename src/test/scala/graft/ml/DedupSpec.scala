@@ -344,4 +344,22 @@ class DedupSpec extends SparkSpec {
     assert(out.length.toLong == nBatch, "one verdict per batch doc")
     spark.catalog.clearCache()
   }
+
+  test("bloom-pruned contamination is exact: equal to the unpruned join, " +
+    "with the might_contain gate in the executed plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val exact = rows(Dedup.contamination(spark, sf))
+    spark.catalog.clearCache()
+    // a deliberately coarse filter (fpp 0.5) still yields the exact
+    // result — false positives die in the equi-join, by construction
+    val bloomDf = Dedup.contaminationBloomOf(
+      graft.Tables.documents(spark, sf), fpp = 0.5)
+    val bloom = rows(bloomDf)
+    assert(bloom == exact)
+    assert(exact.nonEmpty, "corpus should contain planted contamination")
+    assert(bloomDf.queryExecution.executedPlan.toString
+      .contains("might_contain"), "bloom gate missing from the plan")
+    spark.catalog.clearCache()
+  }
 }
