@@ -159,6 +159,61 @@ object Dedup {
   def spanDedupStats(spark: SparkSession, dir: String): DataFrame =
     spanDedupStatsOf(Tables.documents(spark, dir))
 
+  /** Repeated-span REMOVAL — the cleaning pass [[spanDedupStatsOf]]
+    * only reports: every token covered by at least one corpus-repeated
+    * k-gram is cut, and the document is re-emitted as its surviving
+    * token stream (single-space rejoined — token-level cleaning at the
+    * same granularity the stats operator measures). This is the
+    * destructive arm of Lee et al. 2021 / C4's repeated-span rule,
+    * with the deterministic all-occurrences policy (keeping exactly one
+    * global occurrence needs a cross-corpus arbitrary choice; removing
+    * all is order-free and reproducible anywhere).
+    *
+    * Scale shape: span hashes fold map-side exactly as in the stats
+    * operator (the k-token string never shuffles); covered positions
+    * explode only from REPEATED spans — rare in clean corpora, so the
+    * covered set is small; the token stream then pays exactly two
+    * narrow-row exchanges: one anti-join keyed (doc_id, tpos) against
+    * the covered set, one per-doc regroup to rebuild the text (per-doc
+    * partitions are bounded by document length, never corpus size). The
+    * array-native alternative (broadcast covered positions per doc,
+    * filter with array_contains) avoids the second exchange but is
+    * quadratic in pathological fully-repeated documents — linear
+    * exchanges beat quadratic CPU at 100 TB. */
+  def spanRemoveOf(docs: DataFrame, k: Int = 10, minCount: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val spans = toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => struct(i.as("pos"),
+            xxhash64(array_join(slice(col("toks"), i + 1, lit(k)), " ")).as("h"))))
+          .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val hot = spans.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("h")
+    val covered = spans.join(hot, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1)))
+        .as("tpos"))
+      .distinct()
+    val surviving = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "token")))
+      .join(covered, Seq("doc_id", "tpos"), "left_anti")
+    val rebuilt = surviving.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tpos"), col("token")))),
+          s => s.getField("token")), " ").as("clean_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def spanRemove(spark: SparkSession, dir: String): DataFrame =
+    spanRemoveOf(Tables.documents(spark, dir))
+
   /** Sequence packing for training batches: assign documents to
     * fixed-token-budget bins by contiguous fill — doc d joins bin
     * floor(cum_before(d) / budget) within its shard. The window is
@@ -750,6 +805,7 @@ object Dedup {
     "curation_contamination" -> ((s, d) => contamination(s, d)),
     "curation_contamination_bloom" -> ((s, d) => contaminationBloom(s, d)),
     "curation_span_dedup" -> ((s, d) => spanDedupStats(s, d)),
+    "curation_span_remove" -> ((s, d) => spanRemove(s, d)),
     "curation_pack_sequences" -> ((s, d) => packSequences(s, d)))
 
   private val shingleCte: String =
@@ -815,6 +871,40 @@ object Dedup {
         |SELECT doc_id, n_spans, n_repeated,
         |       CAST(n_repeated AS DOUBLE) / n_spans AS repeat_ratio
         |FROM per""".stripMargin,
+    // removal twin: same span CTE grouped by the literal string (the
+    // Spark side's 64-bit fold is itself under test, as in span_dedup);
+    // covered = union of [pos, pos+9] over repeated spans
+    "curation_span_remove" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks) - 9)) AS pos
+        |  FROM t WHERE len(toks) >= 10),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |         list_aggregate(list_slice(toks, pos + 1, pos + 10), 'string_agg', ' ') AS span
+        |  FROM p),
+        |hot AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(range(pos, pos + 10)) AS tpos
+        |  FROM sp WHERE span IN (SELECT span FROM hot)),
+        |cov AS (SELECT DISTINCT doc_id, tpos FROM cov0),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(0, len(toks))) AS tpos, toks FROM t),
+        |tok2 AS (SELECT doc_id, tpos, toks[tpos + 1] AS token FROM tok),
+        |surv AS (
+        |  SELECT tok2.doc_id, tok2.tpos, tok2.token FROM tok2
+        |  ANTI JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.tpos = cov.tpos),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(token, ' ' ORDER BY tpos) AS clean_text
+        |  FROM surv GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       coalesce(n_kept, 0) AS n_kept,
+        |       CAST(len(toks) AS BIGINT) - coalesce(n_kept, 0) AS n_removed,
+        |       coalesce(clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_docs

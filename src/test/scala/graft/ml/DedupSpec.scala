@@ -362,4 +362,36 @@ class DedupSpec extends SparkSpec {
       .contains("might_contain"), "bloom gate missing from the plan")
     spark.catalog.clearCache()
   }
+
+  test("span removal cuts exactly the tokens covered by repeated k-grams") {
+    import spark.implicits._
+    val boiler = (1 to 10).map("b" + _).mkString(" ") // the repeated 10-gram
+    val docs = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),              // boilerplate mid-doc
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8"),  // boilerplate at head
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),// unique, len >= k: untouched
+      (4L, "short doc under k tokens"),          // too short to span: untouched
+      (5L, "")                                   // empty: survives as empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemoveOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((14L, 4L, 10L, "u1 u2 u3 u4")))
+    assert(out(2L) == ((18L, 8L, 10L, "v1 v2 v3 v4 v5 v6 v7 v8")))
+    assert(out(3L) == ((11L, 11L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")))
+    assert(out(4L) == ((5L, 5L, 0L, "short doc under k tokens")))
+    assert(out(5L) == ((0L, 0L, 0L, "")))
+    // overlapping repeats: two hot 3-grams overlapping by one token cut
+    // the union of their covers, not double-count it
+    val ov = Seq(
+      (1L, "x1 x2 x3 x4 q1"), (2L, "x1 x2 x3 x4 q2"), (3L, "p1 p2 p3 p4 p5")
+    ).toDF("doc_id", "text")
+    val o = Dedup.spanRemoveOf(ov, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(o(1L) == ((4L, "q1")))
+    assert(o(2L) == ((4L, "q2")))
+    assert(o(3L) == ((0L, "p1 p2 p3 p4 p5")))
+  }
 }
