@@ -820,6 +820,42 @@ object TextOps {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOf(Tables.documents(spark, dir))
 
+  /** Tokenizer APPLICATION — encode a corpus with an already-trained
+    * merge table ([[bpeMergesOf]]'s output): apply each round's rule in
+    * training order via the same closed-form rewrite, and report
+    * whitespace vs encoded token counts per document (the sizing pass a
+    * packing/budgeting stage runs with a shipped tokenizer).
+    *
+    * Unlike training, application needs NO per-round counting: the
+    * whole encode is ONE lazy Catalyst plan — `rounds` broadcast joins
+    * of 1-row rule tables into `rounds` chained narrow array rewrites,
+    * zero corpus shuffles, zero driver materialization. Train on the
+    * trusted slice, encode anything — the table transfers. */
+  def bpeEncodeOf(docs: DataFrame, merges: DataFrame,
+                  rounds: Int = BpeRounds): DataFrame = {
+    var cur = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_tokens_ws", size(col("toks")).cast("long"))
+    (1 to rounds).foreach { r =>
+      cur = cur.crossJoin(broadcast(
+          merges.filter(col("round") === r).select("p1", "p2")))
+        .select(col("doc_id"), col("n_tokens_ws"),
+          mergeOnce(col("toks"), col("p1"), col("p2")).as("toks"))
+    }
+    cur.select(col("doc_id"), col("n_tokens_ws"),
+      size(col("toks")).cast("long").as("n_tokens_bpe"),
+      (col("n_tokens_ws") - size(col("toks"))).as("n_merged"))
+  }
+
+  /** Registered form: rules trained on the even-id slice, applied to
+    * the odd-id slice — the train/apply split the decontamination
+    * family already uses, proving the table transfers to unseen text. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bpeEncodeOf(docs.filter(col("doc_id") % 2 =!= 0),
+      bpeMergesOf(docs.filter(col("doc_id") % 2 === 0)))
+  }
+
   /** Oracle for [[bpeMergesOf]], one CTE block per round generated from
     * the same [[BpeRounds]] constant the trainer runs — identical count,
     * tie-break, and closed-form rewrite semantics. */
@@ -852,8 +888,59 @@ object TextOps {
           .mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** Oracle for [[bpeEncode]]: the training CTE chain restricted to
+    * even doc_ids (same per-round count/tie-break/rewrite as
+    * [[bpeOracle]]), plus an apply chain `a_r` rewriting the odd slice
+    * with each round's learned rule. */
+  private def bpeEncodeOracle: String = {
+    def trainRound(r: Int): String = {
+      val prev = s"t${r - 1}"
+      s"""pc_$r AS (
+         |  SELECT u.p1 AS p1, u.p2 AS p2, count(*) AS n FROM (
+         |    SELECT unnest([{'p1': toks[i], 'p2': toks[i+1]}
+         |                   for i in range(1, len(toks))]) AS u
+         |    FROM $prev WHERE len(toks) >= 2) s
+         |  WHERE p1 <> p2 GROUP BY 1, 2),
+         |b_$r AS (SELECT p1, p2 FROM pc_$r
+         |         ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 1),
+         |t$r AS (
+         |  SELECT doc_id, flatten([CASE
+         |      WHEN i < len(toks) AND toks[i] = b.p1 AND toks[i+1] = b.p2
+         |        THEN [b.p1 || '_' || b.p2]
+         |      WHEN i > 1 AND toks[i-1] = b.p1 AND toks[i] = b.p2
+         |        THEN CAST([] AS VARCHAR[])
+         |      ELSE [toks[i]] END for i in range(1, len(toks) + 1)]) AS toks
+         |  FROM $prev, b_$r b),
+         |a_$r AS (
+         |  SELECT doc_id, n_tokens_ws, flatten([CASE
+         |      WHEN i < len(toks) AND toks[i] = b.p1 AND toks[i+1] = b.p2
+         |        THEN [b.p1 || '_' || b.p2]
+         |      WHEN i > 1 AND toks[i-1] = b.p1 AND toks[i] = b.p2
+         |        THEN CAST([] AS VARCHAR[])
+         |      ELSE [toks[i]] END for i in range(1, len(toks) + 1)]) AS toks
+         |  FROM a_${r - 1}, b_$r b)""".stripMargin
+    }
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |  WHERE doc_id % 2 = 0
+       |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+       |a_0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+       |           AS n_tokens_ws
+       |  FROM documents
+       |  WHERE doc_id % 2 = 1
+       |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+       |${(1 to BpeRounds).map(trainRound).mkString(",\n")}
+       |SELECT doc_id, n_tokens_ws, CAST(len(toks) AS BIGINT) AS n_tokens_bpe,
+       |       n_tokens_ws - CAST(len(toks) AS BIGINT) AS n_merged
+       |FROM a_$BpeRounds""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
@@ -877,6 +964,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeOracle,
+    "text_bpe_encode" -> bpeEncodeOracle,
     // integral `div`/`//` on longs in both engines — no FP anywhere
     "text_doc_rarity" ->
       """WITH p AS (

@@ -363,4 +363,24 @@ class TextOpsSpec extends SparkSpec {
     assert(inn.nonEmpty)
     if (out.nonEmpty) assert(inn.map(_._2).min > out.map(_._2).max)
   }
+
+  test("bpe encode applies a trained merge table to unseen text in order") {
+    // train: (a,b) wins r1 (freq 3); (a_b,c) wins r2 (freq 2);
+    // r3 ties (a_b,a_b_c) vs (a_b_c,d) -> lexicographic p1 picks a_b
+    val train = Seq((2L, "a b a b c"), (4L, "a b c d")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMergesOf(train, rounds = 3)
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("p1"), r.getAs[String]("p2")))
+    assert(got.toSeq == Seq((1, "a", "b"), (2, "a_b", "c"), (3, "a_b", "a_b_c")))
+    // apply to unseen docs: r1 then r2 fire on doc 1; r3 finds no
+    // (a_b, a_b_c) adjacency post-r2; doc 3 only merges (a,b)
+    val apply = Seq((1L, "a b c a b x"), (3L, "b c a b")).toDF("doc_id", "text")
+    val enc = TextOps.bpeEncodeOf(apply, merges, rounds = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_ws"), r.getAs[Long]("n_tokens_bpe"),
+          r.getAs[Long]("n_merged")))).toMap
+    assert(enc(1L) == ((6L, 3L, 3L)))
+    assert(enc(3L) == ((4L, 3L, 1L)))
+    spark.catalog.clearCache() // bpeMergesOf persists its rule tables
+  }
 }
