@@ -339,6 +339,63 @@ object Temporal {
   }
 
   // -------------------------------------------------------------------
+  // Funnel
+  // -------------------------------------------------------------------
+
+  /** Ordered conversion funnel over the event stream: a user reaches
+    * stage i when the stages' event types occur at STRICTLY increasing
+    * timestamps in order (a same-microsecond next-stage event does not
+    * count — the rule needs no tie-break and is engine-portable).
+    * Output is one row per stage with the user count and milli
+    * conversion rate vs stage 1.
+    *
+    * Scale shape: filter to funnel event types at the scan, ONE shuffle
+    * grouping by user (per-user partitions bounded by per-user funnel
+    * activity, as in [[sessionizeOf]]), then the stage walk is a narrow
+    * per-row array fold: sort the user's events once and fold a
+    * (stage, stage_ts) accumulator over them — the earliest qualifying
+    * event advances the stage exactly like the min-chain definition,
+    * whatever the scan order of ties. The final stage histogram is a
+    * handful of rows. No window anywhere; a `lag`-window formulation
+    * would re-sort per user AND pay the window machinery for a single
+    * linear scan. */
+  def funnelOf(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val n = stages.size
+    val stageArr = array(stages.map(lit): _*)
+    val perUser = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"),
+        struct(epochUs(col("ts")).as("t"), col("event_id").as("eid"),
+          col("event_type").as("et")).as("e"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0).as("s"), lit(Long.MinValue).as("st")),
+          (acc, e) => when(
+            acc.getField("s") < n &&
+              e.getField("et") ===
+                element_at(stageArr, acc.getField("s") + 1) &&
+              e.getField("t") > acc.getField("st"),
+            struct((acc.getField("s") + 1).as("s"),
+              e.getField("t").as("st"))).otherwise(acc),
+          acc => acc.getField("s")).as("stage_reached"))
+    val hist = perUser.filter(col("stage_reached") >= 1)
+      .select(explode(sequence(lit(1), col("stage_reached"))).as("stage_idx"))
+      .groupBy("stage_idx").agg(count(lit(1)).as("n_users"))
+    val first = hist.filter(col("stage_idx") === 1)
+      .select(col("n_users").as("n_first"))
+    hist.crossJoin(broadcast(first))
+      .select(col("stage_idx"),
+        element_at(stageArr, col("stage_idx")).as("stage"),
+        col("n_users"),
+        expr("n_users * 1000 div n_first").as("conv_milli"))
+  }
+
+  def purchaseFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  // -------------------------------------------------------------------
   // Rollup
   // -------------------------------------------------------------------
 
@@ -380,7 +437,8 @@ object Temporal {
     "t3_user_sessions" -> ((s, d) => userSessions(s, d)),
     "t3b_sessions_salted" -> ((s, d) => userSessionsSalted(s, d)),
     "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
-    "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)))
+    "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)),
+    "t7_purchase_funnel" -> ((s, d) => purchaseFunnel(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     "t1_asof_purchase_browse" ->
@@ -487,5 +545,28 @@ object Temporal {
   val oracles: Map[String, String] = baseOracles ++ Map(
     "t1b_asof_salted" -> baseOracles("t1_asof_purchase_browse"),
     "t6b_asof_within_salted" -> baseOracles("t6_asof_within_30m"),
-    "t3b_sessions_salted" -> baseOracles("t3_user_sessions"))
+    "t3b_sessions_salted" -> baseOracles("t3_user_sessions"),
+    // min-chain formulation of the strictly-increasing stage rule — the
+    // Spark side's sorted fold picks the same earliest qualifying event
+    "t7_purchase_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type AS et
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE et = 'click' AND t > t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE et = 'purchase' AND t > t2 GROUP BY e.user_id),
+        |n AS (
+        |  SELECT (SELECT count(*) FROM s1) AS n1,
+        |         (SELECT count(*) FROM s2) AS n2,
+        |         (SELECT count(*) FROM s3) AS n3)
+        |SELECT stage_idx, stage, n_users, n_users * 1000 // n1 AS conv_milli
+        |FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users, n1 FROM n
+        |  UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), n1 FROM n
+        |  UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), n1 FROM n)
+        |WHERE n_users >= 1""".stripMargin)
 }

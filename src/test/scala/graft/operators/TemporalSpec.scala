@@ -148,4 +148,34 @@ class TemporalSpec extends SparkSpec {
       r.getAs[String]("priority") == "ALL").map(_.getAs[Long]("n")).sum
     assert(statusN == leafN)
   }
+
+  test("funnel: strictly-increasing stage walk on crafted timelines") {
+    val ev = Seq(
+      // u1 completes the funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "purchase"),
+      // u2: purchase BEFORE click -> reaches only stage 2
+      (2L, ts("2024-01-01 09:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 09:01:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 09:02:00"), 6L, "click"),
+      // u3: click at the SAME timestamp as view -> strict rule blocks it
+      (3L, ts("2024-01-01 08:00:00"), 7L, "view"),
+      (3L, ts("2024-01-01 08:00:00"), 8L, "click"),
+      // u4: click with no view -> reaches nothing
+      (4L, ts("2024-01-01 07:00:00"), 9L, "click"),
+      // u5: view only, with noise types ignored
+      (5L, ts("2024-01-01 06:00:00"), 10L, "view"),
+      (5L, ts("2024-01-01 06:30:00"), 11L, "error")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.funnelOf(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("stage_idx") ->
+        ((r.getAs[String]("stage"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("conv_milli")))).toMap
+    // stage 1: u1 u2 u3 u5; stage 2: u1 u2; stage 3: u1
+    assert(out(1) == (("view", 4L, 1000L)))
+    assert(out(2) == (("click", 2L, 500L)))
+    assert(out(3) == (("purchase", 1L, 250L)))
+    assert(out.size == 3)
+  }
 }
