@@ -372,6 +372,33 @@ object Similarity {
       .select("label", "rank", "vec_id", "score")
   }
 
+  /** Per-dimension profile of the quantized embedding space — the
+    * health check an index build runs before anything else: dead
+    * dimensions (min == max — contribute nothing to any distance and
+    * should be dropped before bucketing), integer moments for whitening
+    * decisions. All outputs are RAW integer sums plus a milli mean —
+    * exact at any corpus size the sums fit (sumsq grows as n·1e8, so
+    * longs hold ~9e10 vectors), and bit-identical in any engine.
+    *
+    * Scale shape: the posexplode multiplies rows by the dimension count
+    * but the per-dim aggregate combines MAP-SIDE — each task hands the
+    * exchange at most d partial rows, so the shuffle carries
+    * tasks × dims rows regardless of corpus size. */
+  def dimStatsOf(vectors: DataFrame): DataFrame =
+    vectors.select(Dedup.quantized(col("embedding")).as("q"))
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_q"),
+        sum(col("x") * col("x")).as("sumsq_q"),
+        min(col("x")).as("min_q"), max(col("x")).as("max_q"))
+      .select(col("dim"), col("n"), col("sum_q"), col("sumsq_q"),
+        col("min_q"), col("max_q"),
+        expr("sum_q * 1000 div n").as("mean_milli"),
+        (col("min_q") === col("max_q")).as("is_dead"))
+
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStatsOf(Tables.embeddings(spark, dir))
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -383,7 +410,8 @@ object Similarity {
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
-    "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)))
+    "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
+    "emb_dim_stats" -> ((s, d) => dimStats(s, d)))
 
   /** Oracle for the multi-table, multi-probe LSH ANN: the hyperplanes are
     * inlined as the SAME integer constants the Spark plan uses ([[plane]]),
@@ -580,6 +608,27 @@ object Similarity {
     "sim_topk_ann" -> annOracle,
     "sim_topk_ivf" -> ivfOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,
+    "emb_dim_stats" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(
+        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT unnest([{'dim': i - 1, 'x': qv[i]}
+        |                 for i in range(1, len(qv) + 1)]) AS u
+        |  FROM q),
+        |f AS (SELECT CAST(u.dim AS INT) AS dim, u.x AS x FROM e)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(x) AS BIGINT) AS sum_q,
+        |       CAST(sum(x * x) AS BIGINT) AS sumsq_q,
+        |       min(x) AS min_q, max(x) AS max_q,
+        |       CAST(sum(x) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+        |         AS mean_milli,
+        |       min(x) = max(x) AS is_dead
+        |FROM f GROUP BY dim""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -127,4 +127,26 @@ class SimilaritySpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("dim stats: exact integer moments and dead-dimension flag") {
+    import spark.implicits._
+    // quantized rows: [3,4]->[6000,8000], [4,3]->[8000,6000],
+    // [0,5]->[0,10000]; dim0 {6000,8000,0}, dim1 {8000,6000,10000}
+    val vecs = Seq(
+      (1L, Array(3f, 4f)), (2L, Array(4f, 3f)), (3L, Array(0f, 5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimStatsOf(vecs).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_q"), r.getAs[Long]("sumsq_q"),
+          r.getAs[Long]("min_q"), r.getAs[Long]("max_q"),
+          r.getAs[Long]("mean_milli"), r.getAs[Boolean]("is_dead")))).toMap
+    assert(out(0) == ((3L, 14000L, 100000000L, 0L, 8000L, 4666666L, false)))
+    assert(out(1) == ((3L, 24000L, 200000000L, 6000L, 10000L, 8000000L, false)))
+    // a genuinely dead dimension: constant zero across the corpus
+    val dead = Seq((1L, Array(0f, 1f)), (2L, Array(0f, 2f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.dimStatsOf(dead).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Boolean]("is_dead")).toMap
+    assert(d(0) && d(1)) // dim1 is constant 10000 after normalization
+  }
 }
