@@ -395,6 +395,47 @@ object Temporal {
   def purchaseFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir), Seq("view", "click", "purchase"))
 
+  /** Cohort retention matrix: users grouped by first-active day (epoch
+    * day index — integer throughout, so every cell replays exactly in
+    * any engine), each later active day counted at its day offset, and
+    * the cell normalized by cohort size in milli. The
+    * engagement-analysis twin of the funnel: same event stream, same
+    * one-shuffle discipline.
+    *
+    * Scale shape: ONE shuffle of (user, day) pairs builds both the
+    * cohort assignment and the active-day set per user
+    * (`collect_set(day)` — per-user state bounded by distinct active
+    * days, the same bound sessionization carries); offsets explode
+    * narrowly from that array, and the matrix/cohort-size aggregates
+    * are bounded by days × offsets, broadcast-joined at the end. The
+    * alternative (distinct + self-join on user) pays three exchanges of
+    * the event-day stream; this pays one. */
+  def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        expr(s"${unixMicrosSql("ts")} div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("ds"))
+    val offsets = perUser
+      .select(col("cohort_day"), explode(col("ds")).as("day"))
+      .select(col("cohort_day"),
+        (col("day") - col("cohort_day")).cast("int").as("day_offset"))
+    val sizes = perUser.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    offsets.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retention_milli"))
+  }
+
+  private def unixMicrosSql(tsCol: String): String =
+    s"unix_micros(CAST($tsCol AS TIMESTAMP))"
+
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, dir))
+
   // -------------------------------------------------------------------
   // Rollup
   // -------------------------------------------------------------------
@@ -438,7 +479,8 @@ object Temporal {
     "t3b_sessions_salted" -> ((s, d) => userSessionsSalted(s, d)),
     "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
     "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)),
-    "t7_purchase_funnel" -> ((s, d) => purchaseFunnel(s, d)))
+    "t7_purchase_funnel" -> ((s, d) => purchaseFunnel(s, d)),
+    "t8_cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     "t1_asof_purchase_browse" ->
@@ -568,5 +610,20 @@ object Temporal {
         |  SELECT 1 AS stage_idx, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users, n1 FROM n
         |  UNION ALL SELECT 2, 'click', CAST(n2 AS BIGINT), n1 FROM n
         |  UNION ALL SELECT 3, 'purchase', CAST(n3 AS BIGINT), n1 FROM n)
-        |WHERE n_users >= 1""".stripMargin)
+        |WHERE n_users >= 1""".stripMargin,
+    "t8_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+        |o AS (
+        |  SELECT c.cohort_day, CAST(d.day - c.cohort_day AS INT) AS day_offset
+        |  FROM d JOIN c USING (user_id)),
+        |s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |      FROM c GROUP BY 1),
+        |m AS (SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+        |      FROM o GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
+        |       m.n_active * 1000 // s.cohort_size AS retention_milli
+        |FROM m JOIN s USING (cohort_day)""".stripMargin)
 }

@@ -178,4 +178,29 @@ class TemporalSpec extends SparkSpec {
     assert(out(3) == (("purchase", 1L, 250L)))
     assert(out.size == 3)
   }
+
+  test("cohort retention: day-offset matrix normalized by cohort size") {
+    val ev = Seq(
+      // cohort day 0: u1 active days 0,1,3; u2 active day 0 only
+      (1L, ts("1970-01-01 08:00:00"), 1L, "view"),
+      (1L, ts("1970-01-02 09:00:00"), 2L, "view"),
+      (1L, ts("1970-01-04 10:00:00"), 3L, "click"),
+      (2L, ts("1970-01-01 23:59:59"), 4L, "view"),
+      // cohort day 2: u3 active days 2 and 3
+      (3L, ts("1970-01-03 00:00:00"), 5L, "view"),
+      (3L, ts("1970-01-04 12:00:00"), 6L, "view"),
+      // two events same user same day collapse to one active day
+      (2L, ts("1970-01-01 04:00:00"), 7L, "error")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.cohortRetentionOf(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Int]("day_offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Long]("retention_milli")))).toMap
+    assert(out((0L, 0)) == ((2L, 2L, 1000L)))
+    assert(out((0L, 1)) == ((1L, 2L, 500L)))
+    assert(out((0L, 3)) == ((1L, 2L, 500L)))
+    assert(out((2L, 0)) == ((1L, 1L, 1000L)))
+    assert(out((2L, 1)) == ((1L, 1L, 1000L)))
+    assert(out.size == 5)
+  }
 }
