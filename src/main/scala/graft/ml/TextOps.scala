@@ -32,6 +32,15 @@ object TextOps {
   /** Token/quality statistics per document: counts, average token length,
     * stopword ratio, and a 0-1 quality score (length + lexical density).
     * Library surface: any DataFrame with (doc_id, text). */
+  /** The shared 0-1 quality score: length saturation (100 tokens → 1.0)
+    * blended 50/50 with lexical density. One formula, used by the stats
+    * projection here and the per-source prune ([[qualityPruneOf]]). */
+  def qualityScore(nTokens: Column, nUniq: Column): Column =
+    Exprs.clamp01(
+      least(nTokens.cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+        + nUniq.cast("double") / greatest(nTokens, lit(1)).cast("double")
+          * lit(0.5))
+
   def textStatsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     docs
@@ -51,9 +60,8 @@ object TextOps {
           greatest(col("n_tokens"), lit(1)).cast("double")).as("stopword_ratio"),
         (col("n_uniq").cast("double") /
           greatest(col("n_tokens"), lit(1)).cast("double")).as("lexical_density"))
-      .withColumn("quality_score", Exprs.clamp01(
-        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
-          + col("lexical_density") * lit(0.5)))
+      .withColumn("quality_score",
+        qualityScore(col("n_tokens"), col("n_uniq")))
   }
 
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -938,6 +946,115 @@ object TextOps {
        |FROM a_$BpeRounds""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Model-shaped quality classifier (hashing trick, fastText-style)
+  // -------------------------------------------------------------------
+
+  /** Feature-hash buckets for the linear scorer. Small on purpose: the
+    * weight table must be a literal the optimizer constant-folds into
+    * the per-row expression — the 100 TB plan is a pure map stage. */
+  val ClassifierBuckets = 64
+
+  /** Per-document linear quality classifier over hashed token features —
+    * the fastText-supervised shape every production corpus filter uses
+    * (a trained model's weights would be broadcast the same way; here
+    * the weights are a deterministic function of the bucket id so the
+    * oracle can replay them). Token → bucket via the portable
+    * (len*256 + ascii) code and the multiplicative hash; bucket → a
+    * milli-weight in [0, 2000]; document score = mean token weight,
+    * keep = score above the 1000-milli midline.
+    *
+    * Scale shape: zero shuffle — tokenize, hash, and fold entirely
+    * inside one codegen'd projection; collisions are the hashing
+    * trick's accepted trade, not a bug. Integer-only arithmetic
+    * (`div` on non-negative longs) replays exactly in any engine. */
+  def qualityClassifierOf(docs: DataFrame): DataFrame = {
+    val w = (tok: Column) => {
+      val code = length(tok).cast("long") * 256 + ascii(tok).cast("long")
+      (code * lit(48271L) % lit(ClassifierBuckets.toLong)) *
+        lit(2654435761L) % lit(2001L)
+    }
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        isum(transform(col("toks"), w)).as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
+        expr("w_sum div greatest(n_tokens, 1)").as("mean_w_milli"),
+        (col("w_sum") > col("n_tokens").cast("long") * 1000L).as("keep"))
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
+  // Per-source quality pruning + mixture weighting (corpus curation)
+  // -------------------------------------------------------------------
+
+  /** Drop each source's worst quality quantile — per-domain pruning, the
+    * curation step after scoring (every web corpus prunes per-source, not
+    * globally, so a clean source doesn't crowd out a noisy one entirely).
+    *
+    * Scale shape: the score is quantized to the bounded 1e4 grid and the
+    * per-source cut points come from ONE grouped `percentile` aggregate
+    * (bounded value→count maps per group, map-side partials); the edges
+    * table has one row per source → broadcast back, and the keep test is
+    * a per-row comparison. No window, no global sort — the same plan as
+    * the decile binner, grouped. Spark's exact `percentile` interpolation
+    * matches DuckDB `quantile_cont`, so the cut replays bit-for-bit. */
+  def qualityPruneOf(docs: DataFrame, dropQuantile: Double = 0.3): DataFrame = {
+    val t = tokens(col("text"))
+    val stats = docs
+      .select(col("doc_id"), col("source"), t.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("n_tokens"), col("n_uniq")).as("quality_score"))
+      .withColumn("qbin", floor(col("quality_score") * 10000).cast("long"))
+    val edges = stats.groupBy("source")
+      .agg(percentile(col("qbin"), lit(dropQuantile)).as("edge"))
+    stats.join(broadcast(edges), "source")
+      .filter(col("qbin").cast("double") >= col("edge"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+  }
+
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame =
+    qualityPruneOf(Tables.documents(spark, dir))
+
+  /** Sampling weights per source for training-mixture construction —
+    * w_s ∝ sqrt(token count), the standard temperature-scaled reweighting
+    * (α = 1/2: multilingual/multi-domain training upsamples small
+    * domains relative to proportional sampling). The square root is the
+    * INTEGER isqrt (floor of the true root, computed as a float seed
+    * plus a two-step exact correction), so milli-weights replay exactly
+    * in any engine regardless of libm rounding.
+    *
+    * Scale shape: one map-side-combined sum per source (sources are
+    * few), then driver-free normalization through a 1-row broadcast
+    * total — the document table is scanned once, projected to two
+    * columns. */
+  def mixtureWeightsOf(docs: DataFrame): DataFrame = {
+    val bySource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+      // float sqrt seeds the integer root; the two corrections repair any
+      // libm off-by-one so the result is exactly floor(sqrt(n))
+      .withColumn("s0", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("s1",
+        col("s0") - when(col("s0") * col("s0") > col("n_tokens"), 1L).otherwise(0L))
+      .withColumn("sqrt_tokens",
+        col("s1") + when((col("s1") + 1) * (col("s1") + 1) <= col("n_tokens"), 1L)
+          .otherwise(0L))
+    val total = bySource.agg(sum(col("sqrt_tokens")).as("total_sqrt"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("sqrt_tokens"),
+        expr("sqrt_tokens * 1000 div total_sqrt").as("weight_milli"))
+  }
+
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOf(Tables.documents(spark, dir))
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
@@ -957,14 +1074,90 @@ object TextOps {
     "text_gopher_quality" -> ((s, d) => gopherQuality(s, d)),
     "curation_importance" -> ((s, d) => importanceWeights(s, d)),
     "text_lm_xent" -> ((s, d) => lmCrossEntropy(s, d)),
+    "text_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "curation_quality_prune" -> ((s, d) => qualityPrune(s, d)),
+    "curation_mixture_weights" -> ((s, d) => mixtureWeights(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Replays [[qualityClassifierOf]]'s hash → bucket → weight chain in
+    * integral arithmetic (the folded sum is order-independent, so
+    * list_reduce and Spark's aggregate agree exactly). */
+  private def classifierOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |         list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+       |           x -> ((len(x)::BIGINT * 256 + ascii(x)::BIGINT) * 48271
+       |                 % $ClassifierBuckets) * 2654435761 % 2001)),
+       |           (a, b) -> a + b) AS w_sum
+       |  FROM t)
+       |SELECT doc_id, n_tokens, w_sum,
+       |       w_sum // greatest(n_tokens, 1) AS mean_w_milli,
+       |       w_sum > CAST(n_tokens AS BIGINT) * 1000 AS keep
+       |FROM s""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> bpeOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
+    "text_quality_classifier" -> classifierOracle,
+    // same quality formula + quantized grid as the o8 decile oracle,
+    // grouped per source; quantile_cont == Spark exact percentile
+    "curation_quality_prune" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |         least(greatest(
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+        |           + (CAST(n_uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5::DOUBLE,
+        |           0.0::DOUBLE), 1.0::DOUBLE) AS quality_score
+        |  FROM s),
+        |qb AS (
+        |  SELECT doc_id, source, quality_score,
+        |         CAST(floor(quality_score * 10000.0::DOUBLE) AS BIGINT) AS qbin
+        |  FROM q),
+        |e AS (
+        |  SELECT source, quantile_cont(qbin, 0.3) AS edge
+        |  FROM qb GROUP BY source)
+        |SELECT doc_id, source, quality_score
+        |FROM qb JOIN e USING (source)
+        |WHERE CAST(qbin AS DOUBLE) >= edge""".stripMargin,
+    // integer isqrt: float seed + exact two-step correction, identical
+    // to the Spark chain; all divisions integral on non-negative longs
+    "curation_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |           x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r0 AS (
+        |  SELECT source, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM s),
+        |r1 AS (
+        |  SELECT source, n_tokens,
+        |         s0 - CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END AS s1
+        |  FROM r0),
+        |r2 AS (
+        |  SELECT source, n_tokens,
+        |         s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN 1 ELSE 0 END
+        |           AS sqrt_tokens
+        |  FROM r1),
+        |t AS (SELECT CAST(sum(sqrt_tokens) AS BIGINT) AS total_sqrt FROM r2)
+        |SELECT source, n_tokens, sqrt_tokens,
+        |       sqrt_tokens * 1000 // total_sqrt AS weight_milli
+        |FROM r2 CROSS JOIN t""".stripMargin,
     // integral `div`/`//` on longs in both engines — no FP anywhere
     "text_doc_rarity" ->
       """WITH p AS (

@@ -383,4 +383,47 @@ class TextOpsSpec extends SparkSpec {
     assert(enc(3L) == ((4L, 3L, 1L)))
     spark.catalog.clearCache() // bpeMergesOf persists its rule tables
   }
+
+  test("quality classifier: hashed weights fold to the reference sum") {
+    // replicate the hash -> bucket -> weight chain on the driver
+    def w(tok: String): Long = {
+      val code = tok.length.toLong * 256 + tok.head.toInt
+      (code * 48271L % TextOps.ClassifierBuckets) * 2654435761L % 2001L
+    }
+    val docs = Seq((1L, "aa b ccc aa"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.qualityClassifierOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Long]("w_sum"),
+          r.getAs[Long]("mean_w_milli"), r.getAs[Boolean]("keep")))).toMap
+    val sum1 = Seq("aa", "b", "ccc", "aa").map(w).sum
+    assert(out(1L) == ((4, sum1, sum1 / 4, sum1 > 4000L)))
+    assert(out(2L) == ((0, 0L, 0L, false))) // empty doc scores 0, dropped
+  }
+
+  test("quality prune cuts each source's bottom quantile independently") {
+    // source A: qualities strictly increase with token count (all-unique
+    // tokens keep lexical density at 1); B is a single always-kept doc
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = ((1 to 10).map(i => (i.toLong, "A", mk(i * 3))) :+
+      (99L, "B", mk(5))).toDF("doc_id", "source", "text")
+    val kept = TextOps.qualityPruneOf(docs, dropQuantile = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(kept.contains(99L))
+    val keptA = kept - 99L
+    // the A docs below the 30th percentile (ids 1..3 of 1..10) are gone
+    assert(keptA == (4 to 10).map(_.toLong).toSet)
+  }
+
+  test("mixture weights use the exact integer sqrt of token counts") {
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    // 15/16/17 tokens straddle the perfect square: isqrt = 3, 4, 4
+    val docs = Seq((1L, "p15", mk(15)), (2L, "p16", mk(16)),
+      (3L, "p17", mk(17))).toDF("doc_id", "source", "text")
+    val out = TextOps.mixtureWeightsOf(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("sqrt_tokens"), r.getAs[Long]("weight_milli")))).toMap
+    assert(out("p15") == ((3L, 3000L / 11)))
+    assert(out("p16") == ((4L, 4000L / 11)))
+    assert(out("p17") == ((4L, 4000L / 11)))
+  }
 }
