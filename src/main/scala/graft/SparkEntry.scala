@@ -22,7 +22,8 @@ object SparkEntry {
     ReconcileQueries.queries ++ DashboardQueries.queries ++
       graft.expr.ExprQueries.queries ++ graft.pipeline.CaseDocs.queries ++
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
-      graft.ml.Similarity.queries ++ graft.ml.Multimodal.queries ++
+      graft.ml.Similarity.queries ++ graft.ml.Retrieval.queries ++
+      graft.ml.Curation.queries ++ graft.ml.Multimodal.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
       graft.streaming.IncrementalSync.queries ++ graft.pipeline.Lineage.queries
 
@@ -32,7 +33,8 @@ object SparkEntry {
     ReconcileQueries.oracles ++ DashboardQueries.oracles ++
       graft.expr.ExprQueries.oracles ++ graft.pipeline.CaseDocs.oracles ++
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
-      graft.ml.Similarity.oracles ++ graft.ml.Multimodal.oracles ++
+      graft.ml.Similarity.oracles ++ graft.ml.Retrieval.oracles ++
+      graft.ml.Curation.oracles ++ graft.ml.Multimodal.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.pipeline.Lineage.oracles
 }

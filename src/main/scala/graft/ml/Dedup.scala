@@ -808,7 +808,7 @@ object Dedup {
     "curation_span_remove" -> ((s, d) => spanRemove(s, d)),
     "curation_pack_sequences" -> ((s, d) => packSequences(s, d)))
 
-  private val shingleCte: String =
+  private[ml] val shingleCte: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),

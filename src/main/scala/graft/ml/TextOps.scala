@@ -29,6 +29,15 @@ object TextOps {
   private def isum(arr: Column): Column =
     aggregate(arr, lit(0L), (a, b) => a + b)
 
+  /** Fixed-point milli-log2 as a selectExpr fragment over a positive
+    * integral expression `x`: `(bitlen-1)*1000 + x*1000 div 2^(bitlen-1)
+    * - 1000` — the linear-interpolated log2 used by the BM25 idf and the
+    * bigram-LM cross-entropy chains. Integral `div` throughout, so the
+    * same chain (with `//`) replays bit-for-bit in DuckDB oracles. */
+  private[ml] def log2mExpr(x: String): String =
+    s"(length(bin($x)) - 1) * 1000" +
+      s" + ($x) * 1000 div CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 1000"
+
   /** Token/quality statistics per document: counts, average token length,
     * stopword ratio, and a 0-1 quality score (length + lexical density).
     * Library surface: any DataFrame with (doc_id, text). */
@@ -320,13 +329,10 @@ object TextOps {
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
-    def log2m(x: String): String =
-      s"(length(bin($x)) - 1) * 1000" +
-        s" + ($x) * 1000 div CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 1000"
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(stats))
       .selectExpr("doc_id", "tf",
-        s"${log2m("2 * n_docs + 2")} - (${log2m("2 * df + 1")}) AS idf_milli",
+        s"${log2mExpr("2 * n_docs + 2")} - (${log2mExpr("2 * df + 1")}) AS idf_milli",
         "tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 div avgdl_milli) div 1000)" +
           " div 1000 AS den_milli")
       .selectExpr("doc_id",
@@ -687,13 +693,11 @@ object TextOps {
       skewSplitJoin(bg.select("doc_id", "w1", "w2"), lm,
         Seq("w1", "w2"), "c_bg", HotVocab, "left"),
       ctx, Seq("w1"), "c_ctx", HotVocab, "left")
-    def log2m(x: String): String =
-      s"(length(bin($x)) - 1) * 1000" +
-        s" + $x * 1000 div CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 1000"
     scored.crossJoin(broadcast(v))
       .selectExpr("doc_id",
         "coalesce(c_bg, 0L) + 1L AS num", "coalesce(c_ctx, 0L) + v AS den")
-      .selectExpr("doc_id", s"${log2m("den")} - (${log2m("num")}) AS bits_milli")
+      .selectExpr("doc_id",
+        s"${log2mExpr("den")} - (${log2mExpr("num")}) AS bits_milli")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits_milli")).as("bits_sum"))
       .selectExpr("doc_id", "n_bigrams", "bits_sum div n_bigrams AS xent_milli")

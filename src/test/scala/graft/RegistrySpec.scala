@@ -33,7 +33,8 @@ class RegistrySpec extends SparkSpec {
       graft.sync.ReconcileQueries.queries, graft.metrics.DashboardQueries.queries,
       graft.expr.ExprQueries.queries, graft.pipeline.CaseDocs.queries,
       graft.ml.TextOps.queries, graft.ml.Dedup.queries,
-      graft.ml.Similarity.queries, graft.ml.Multimodal.queries,
+      graft.ml.Similarity.queries, graft.ml.Retrieval.queries,
+      graft.ml.Curation.queries, graft.ml.Multimodal.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
       graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries)
     val names = all.flatMap(_.keys)
