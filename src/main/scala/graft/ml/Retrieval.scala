@@ -46,17 +46,27 @@ object Retrieval {
 
   /** Each query document's top-`n` distinctive keywords: rank its
     * non-stopword terms by (tf desc, df asc, token asc) — df is
-    * corpus-wide, the window ranks only the (tiny) query subset. */
+    * corpus-wide, the window ranks only the (tiny) query subset.
+    *
+    * Scale shape: corpus-wide df NEVER shuffles (doc, token) pairs —
+    * each doc's distinct non-stopword tokens explode map-side into a
+    * token-keyed count with full map-side combine, so the df shuffle is
+    * vocabulary-bounded, not corpus-bounded. Per-doc tf is computed
+    * only for the pre-filtered query docs (1/200 of the corpus), and
+    * that tiny side broadcasts into the df lookup. */
   def queryKeywordsOf(docs: DataFrame, n: Int = QueryTerms): DataFrame = {
-    val tf = docs
+    val notStop = !col("token").isin(TextOps.stopwords.map(lit): _*)
+    val dfreq = docs
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      .filter(notStop)
+      .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val tf = docs.filter(isQuery(col("doc_id")))
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .filter(!col("token").isin(TextOps.stopwords.map(lit): _*))
+      .filter(notStop)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.filter(isQuery(col("doc_id"))) // prune BEFORE the window: query docs only
-      .join(dfreq, "token")
+    dfreq.join(broadcast(tf), "token")
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= n)
       .select(col("doc_id").as("query_id"), col("token"))
@@ -100,7 +110,11 @@ object Retrieval {
     * document absent from one arm's top-[[ArmDepth]] contributes 0 from
     * that arm (standard RRF over truncated lists). */
   def hybridRrfOf(docs: DataFrame, embs: DataFrame, k: Int = 10): DataFrame = {
-    val lex = bm25PerQueryOf(docs, queryKeywordsOf(docs))
+    // keyword mining scans the corpus for df; persist the tiny result so
+    // its two consumers in the BM25 arm (distinct term set, scoring join)
+    // don't each recompute that scan
+    val qk = queryKeywordsOf(docs).persist()
+    val lex = bm25PerQueryOf(docs, qk)
     val wl = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_milli").desc, col("doc_id").asc)
     val lexTop = lex.withColumn("lex_rank", row_number().over(wl))
