@@ -14,25 +14,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (legacy conf) and rebuild a TIMESTAMP_NTZ column — the generator only
-    * populates microsecond precision, so `div 1000` is lossless.
+  /** events.parquet's `ts` has shipped as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) across driver revisions, so
+    * the reader adapts to the file's actual schema instead of assuming
+    * one: a NANOS column (readable only via the nanos-as-long legacy conf)
+    * arrives as LONG and is rebuilt into TIMESTAMP_NTZ (`div 1000` is
+    * lossless — the generator populates microsecond precision); a MICROS
+    * column arrives as TIMESTAMP_NTZ (or TIMESTAMP under old inference
+    * confs, then cast). Downstream, `ts` is always TIMESTAMP_NTZ — naive
+    * wall-clock time, matching DuckDB's naive timestamps in the oracles.
     *
-    * The conf must be set AT SESSION BUILD (as SparkSpec/Bench/Verify do):
-    * the parquet reader consults it both at schema inference and again at
-    * physical planning, so a set-and-restore around the read would still
-    * leak order dependence, and a reader that mutates session state flips
-    * a global toggle for every neighboring query. A reader asserts instead
-    * of mutating. */
+    * The nanos conf must be set AT SESSION BUILD (as SparkSpec/Bench/
+    * Verify do): the parquet reader consults it both at schema inference
+    * and at physical planning, so a set-and-restore around the read would
+    * leak order dependence. With a MICROS file the conf is simply inert. */
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get(NanosAsLongConf, "false") == "true",
-      s"Tables.events needs $NanosAsLongConf=true set at session build " +
-        "(events.parquet is TIMESTAMP(NANOS))")
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>            // NANOS file read under nanos-as-long
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => raw
+      case _ =>                   // TIMESTAMP (LTZ) under legacy inference
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

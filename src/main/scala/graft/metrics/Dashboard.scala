@@ -3,6 +3,7 @@ package graft.metrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.expr.Exprs
 
@@ -260,6 +261,68 @@ object Dashboard {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** W5 — sliding (hopping) event-time window: 1-hour windows every 15
+    * minutes, so each event lands in exactly 4 overlapping windows. The
+    * inverse surface of W4's tumbling bucket — trend dashboards want the
+    * smoothing, and Structured Streaming shares the same window() call.
+    *
+    * Scale design: window() expands each row to its 4 member windows
+    * BEFORE the aggregate, so partial aggregation still combines
+    * map-side; the shuffle carries one (window, partial) pair per
+    * populated window per task, never the raw events. Constant 4x
+    * expansion, no global state. */
+  def slidingQuarterHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), Exprs.moneySum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n"), col("total_value"))
+
+  /** A19 — unpivot (melt): the per-tenant wide metric row turned into
+    * (tenant, metric, value) long form — the inverse of A16's pivot, and
+    * the shape metric stores / plotting layers ingest. Uses the native
+    * Dataset.unpivot (Spark's UNPIVOT), which expands rows AFTER the
+    * 4-row aggregate, so the melt itself touches a constant-size input
+    * no matter the corpus. */
+  def tenantMetricsUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = withTenant(Tables.events(spark, dir), "user_id")
+      .groupBy("tenant_id")
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("user_id")).cast("double").as("n_users"),
+        Exprs.moneySum(col("value")).as("total_value"))
+    wide.unpivot(
+      Array(col("tenant_id")),
+      Array(col("n_events"), col("n_users"), col("total_value")),
+      "metric", "value")
+  }
+
+  /** A21 — Pearson correlation between event value and hour-of-day, in
+    * exact arithmetic: the five co-moment sums are decimal (associative,
+    * so Spark's parallel partials and DuckDB's sequential scan agree
+    * bit-for-bit), and only the final closed-form r is computed in
+    * double from those exact sums. The built-in corr() streams double
+    * co-moments whose low bits depend on partition order — fine for
+    * analytics, wrong for a cross-engine hash gate; this form keeps the
+    * one-pass map-side-combinable profile AND determinism. */
+  def valueHourCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.events(spark, dir).select(
+      col("value").cast(DecimalType(12, 2)).as("x"),
+      hour(col("ts")).cast(DecimalType(12, 2)).as("y"))
+    val sums = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    sums.select(col("n"),
+      ((col("sxy") * col("n") - col("sx") * col("sy")) /
+        (sqrt(col("sxx") * col("n") - col("sx") * col("sx")) *
+          sqrt(col("syy") * col("n") - col("sy") * col("sy"))))
+        .as("pearson_r"))
+  }
 
   /** A10 — embedding-table stats: counts and dimension per label group
     * (embedder.py:321-357's total/source_type/dimension rollup). */

@@ -53,6 +53,9 @@ object DashboardQueries {
     "o8_quality_deciles" -> ((s, d) => Dashboard.qualityDeciles(s, d)),
     "o9_balanced_sample" -> ((s, d) => Dashboard.balancedSample(s, d)),
     "o10_stratified_sample" -> ((s, d) => Dashboard.stratifiedSample(s, d)),
+    "w5_sliding_quarter_hourly" -> ((s, d) => Dashboard.slidingQuarterHourly(s, d)),
+    "a19_tenant_unpivot" -> ((s, d) => Dashboard.tenantMetricsUnpivot(s, d)),
+    "a21_value_hour_corr" -> ((s, d) => Dashboard.valueHourCorrelation(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
@@ -348,6 +351,45 @@ object DashboardQueries {
         |            WHEN (doc_id * 48271) % 100000 % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "w5_sliding_quarter_hourly" ->
+      """WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+        |member AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k.k * INTERVAL '15 minutes' AS win_start,
+        |         value
+        |  FROM events CROSS JOIN k)
+        |SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM member GROUP BY win_start""".stripMargin,
+    "a19_tenant_unpivot" ->
+      """WITH w AS (
+        |  SELECT user_id % 4 AS tenant_id,
+        |         CAST(count(*) AS DOUBLE) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1)
+        |SELECT tenant_id, 'n_events' AS metric, n_events AS value FROM w
+        |UNION ALL
+        |SELECT tenant_id, 'n_users' AS metric, n_users AS value FROM w
+        |UNION ALL
+        |SELECT tenant_id, 'total_value' AS metric, total_value AS value FROM w""".stripMargin,
+    "a21_value_hour_corr" ->
+      """WITH xy AS (
+        |  SELECT CAST(value AS DECIMAL(12,2)) AS x,
+        |         CAST(hour(ts) AS DECIMAL(12,2)) AS y
+        |  FROM events),
+        |sums AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM xy)
+        |SELECT n,
+        |       (sxy * n - sx * sy)
+        |         / (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)) AS pearson_r
+        |FROM sums""".stripMargin,
     "o8_quality_deciles" ->
       """WITH t AS (
         |  SELECT doc_id,

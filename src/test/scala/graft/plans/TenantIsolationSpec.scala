@@ -93,7 +93,11 @@ class TenantIsolationSpec extends SparkSpec {
     }
   }
 
+  // Holds SparkSpec.sessionLock for the entire default-session swap window:
+  // concurrently-starting suites would otherwise getOrCreate THIS bare
+  // session and fail on its missing static confs.
   test("v2 scan via session extensions: filter injected before pushdown prunes") {
+    graft.SparkSpec.sessionLock.synchronized {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -117,6 +121,7 @@ class TenantIsolationSpec extends SparkSpec {
       s2.conf.unset(TenantIsolationRule.TenantConfKey)
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
+    }
     }
   }
 
