@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
       graft.ml.Similarity.queries ++ graft.ml.Retrieval.queries ++
       graft.ml.Curation.queries ++ graft.ml.Multimodal.queries ++
+      graft.ml.EntityResolution.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
       graft.streaming.IncrementalSync.queries ++ graft.pipeline.Lineage.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
       graft.ml.Similarity.oracles ++ graft.ml.Retrieval.oracles ++
       graft.ml.Curation.oracles ++ graft.ml.Multimodal.oracles ++
+      graft.ml.EntityResolution.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.pipeline.Lineage.oracles
 }

@@ -1,0 +1,218 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Entity resolution (record linkage): match records that refer to the
+  * same real-world entity across two sources that share no key — the
+  * classic CRM problem behind the reference's case-reconciliation surface
+  * (the reference reconciles on exact case refs, `etl/flows/
+  * sync_daily.py:324-436`; this is the fuzzy arm for when refs are
+  * absent), and a core training-data curation step (cross-source identity
+  * dedup before mixing corpora).
+  *
+  * Shape: blocking -> candidate scoring -> best-match selection ->
+  * quality audit. All arithmetic is integer/fixed-point (trigram Jaccard
+  * in milli-units), so every stage replays bit-for-bit in the DuckDB
+  * oracles.
+  *
+  * The two "sources" are synthesized deterministically from `customer`:
+  * names are a 6-digit syllable encoding of the key (position-rotated so
+  * adjacent keys do not produce degenerate repetitive strings), and the
+  * B side carries realistic noise — one character doubled at a
+  * key-dependent position plus case noise — with 1-in-5 records missing.
+  * Ground truth (key equality) is never consulted by the matcher, only by
+  * the quality audit.
+  *
+  * Scale design: blocking is a plain equi-join on an 8-char name prefix —
+  * ONE hash shuffle, with per-block candidate volume bounded by the
+  * block-size cap guard ([[blockCap]]): oversized blocks (a skewed or
+  * degenerate blocking key at 100 TB) are counted first and EXCLUDED from
+  * the quadratic join rather than melting one reducer — the same df-cap
+  * pattern as Dedup's inverted indexes. Best-match is a window
+  * partitioned by the high-cardinality left id; the audit is one
+  * aggregate. Nothing global, nothing quadratic in the corpus.
+  */
+object EntityResolution {
+
+  /** Matcher threshold (milli-Jaccard) — measured on the synthetic noise
+    * model: true-pair scores floor at 700, false-pair p99 is 666. */
+  val MatchThreshold = 700
+
+  /** Blocks larger than this are excluded from the quadratic candidate
+    * join (inert on the test corpus — max block size is ~100 — but the
+    * guard is the 100 TB contract for degenerate blocking keys). */
+  val blockCap = 1000
+
+  private val syllables =
+    Seq("ba", "ni", "ro", "ka", "lu", "me", "to", "sa", "ve", "zu")
+
+  /** 6-digit key -> 12-char syllable name; position-rotated alphabet
+    * ((digit + position) mod 10) so runs of equal digits still produce
+    * varied trigrams. */
+  private def syllableName(key: Column): Column = {
+    val padded = lpad(key.cast("string"), 6, "0")
+    array_join(
+      transform(sequence(lit(1), lit(6)), i =>
+        elt((((substr(padded, i, lit(1)).cast("int") + i) % 10) + 1) +:
+          syllables.map(lit): _*)),
+      "")
+  }
+
+  /** Source A: clean syllable names. */
+  def sourceA(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("a_id"),
+        syllableName(col("c_custkey")).as("a_name"))
+
+  /** Source B: 4 of 5 records present; name carries one doubled character
+    * at a key-dependent suffix position (9..12) plus case noise. */
+  def sourceB(spark: SparkSession, dir: String): DataFrame = {
+    val p = (lit(9) + (col("c_custkey") % 4)).cast("int")
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 5 =!= 0)
+      .select(col("c_custkey").as("b_id"),
+        syllableName(col("c_custkey")).as("base"), p.as("p"))
+      .select(col("b_id"),
+        upper(concat(
+          substr(col("base"), lit(1), col("p")),
+          substr(col("base"), col("p"), lit(1)),
+          substr(col("base"), col("p") + 1, lit(20)))).as("b_name_raw"))
+  }
+
+  /** Distinct character trigrams of a (already normalized) name. */
+  private def trigrams(s: Column): Column =
+    array_distinct(transform(sequence(lit(0), length(s) - 3), i =>
+      substr(s, i + 1, lit(3))))
+
+  /** Blocked candidate pairs with milli-Jaccard trigram scores — the
+    * quadratic stage, bounded per block and capped by `cap`
+    * (default [[blockCap]]). */
+  def scoredPairsOf(a: DataFrame, b: DataFrame,
+      cap: Int = blockCap): DataFrame = {
+    val an = a.select(col("a_id"), col("a_name"),
+      substring(col("a_name"), 1, 8).as("block"))
+    val bn = b.select(col("b_id"), lower(col("b_name_raw")).as("b_name"))
+      .withColumn("block", substring(col("b_name"), 1, 8))
+    // block-size cap: count the heavier (A) side, broadcast the tiny
+    // over-cap list, and keep the quadratic join away from hot blocks
+    val okBlocks = an.groupBy("block").agg(count(lit(1)).as("n_block"))
+      .filter(col("n_block") <= cap)
+      .select("block")
+    val cand = an.join(broadcast(okBlocks), "block")
+      .join(bn, "block")
+      .select(col("a_id"), col("b_id"),
+        trigrams(col("a_name")).as("ga"), trigrams(col("b_name")).as("gb"))
+    cand.select(col("a_id"), col("b_id"),
+      floor(lit(1000) * size(array_intersect(col("ga"), col("gb")))
+        / size(array_union(col("ga"), col("gb")))).cast("long").as("jm"))
+  }
+
+  def scoredPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredPairsOf(sourceA(spark, dir), sourceB(spark, dir))
+
+  /** Best match per left record above the threshold: window over the
+    * high-cardinality a_id, score-desc with a total tie-break. */
+  def matchesOf(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("jm").desc, col("b_id").asc)
+    pairs.filter(col("jm") >= MatchThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("a_id", "b_id", "jm")
+  }
+
+  def matches(spark: SparkSession, dir: String): DataFrame =
+    matchesOf(scoredPairs(spark, dir))
+
+  /** Linkage quality vs ground truth (key equality — consulted here
+    * ONLY): precision over emitted matches, recall over linkable records
+    * (those with a surviving B row), in milli-units. One aggregate over
+    * the match table joined to nothing — truth is key arithmetic. */
+  def matchQuality(spark: SparkSession, dir: String): DataFrame = {
+    val linkable = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 5 =!= 0)
+      .agg(count(lit(1)).as("n_linkable"))
+    matches(spark, dir)
+      .agg(
+        count(lit(1)).as("n_matches"),
+        sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(linkable))
+      .select(col("n_matches"), col("n_correct"), col("n_linkable"),
+        expr("n_correct * 1000 div n_matches").as("precision_milli"),
+        expr("n_correct * 1000 div n_linkable").as("recall_milli"))
+  }
+
+  // -------------------------------------------------------------------
+  // Registration
+  // -------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "er_scored_pairs" -> ((s, d) => scoredPairs(s, d)),
+    "er_matches" -> ((s, d) => matches(s, d)),
+    "er_match_quality" -> ((s, d) => matchQuality(s, d)))
+
+  private val erCtes: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS a_id,
+      |         array_to_string(list_transform(range(1,7),
+      |           i -> (['ba','ni','ro','ka','lu','me','to','sa','ve','zu'])
+      |                [(CAST(substr(lpad(CAST(c_custkey AS VARCHAR),6,'0'), i, 1) AS INT) + i) % 10 + 1]), '') AS a_name
+      |  FROM customer),
+      |b0 AS (
+      |  SELECT c_custkey AS b_id,
+      |         array_to_string(list_transform(range(1,7),
+      |           i -> (['ba','ni','ro','ka','lu','me','to','sa','ve','zu'])
+      |                [(CAST(substr(lpad(CAST(c_custkey AS VARCHAR),6,'0'), i, 1) AS INT) + i) % 10 + 1]), '') AS base,
+      |         9 + CAST(c_custkey % 4 AS INT) AS p
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |b AS (
+      |  SELECT b_id,
+      |         upper(substr(base,1,p) || substr(base,p,1) || substr(base,p+1)) AS b_name_raw
+      |  FROM b0),
+      |bn AS (SELECT b_id, lower(b_name_raw) AS b_name FROM b),
+      |blocks AS (
+      |  SELECT substr(a_name,1,8) AS block FROM a
+      |  GROUP BY 1 HAVING count(*) <= 1000),
+      |cand AS (
+      |  SELECT a_id, b_id,
+      |         list_distinct(list_transform(range(0, length(a_name)-2),
+      |           i -> substr(a_name, i+1, 3))) AS ga,
+      |         list_distinct(list_transform(range(0, length(b_name)-2),
+      |           i -> substr(b_name, i+1, 3))) AS gb
+      |  FROM a
+      |  JOIN blocks ON substr(a_name,1,8) = blocks.block
+      |  JOIN bn ON substr(a_name,1,8) = substr(b_name,1,8)),
+      |scored AS (
+      |  SELECT a_id, b_id,
+      |         (1000 * len(list_intersect(ga,gb)))
+      |           // len(list_distinct(list_concat(ga,gb))) AS jm
+      |  FROM cand),
+      |best AS (
+      |  SELECT a_id, b_id, jm FROM (
+      |    SELECT a_id, b_id, jm,
+      |           row_number() OVER (PARTITION BY a_id
+      |                              ORDER BY jm DESC, b_id ASC) AS rn
+      |    FROM scored WHERE jm >= 700)
+      |  WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "er_scored_pairs" -> (erCtes + "\nSELECT a_id, b_id, jm FROM scored"),
+    "er_matches" -> (erCtes + "\nSELECT a_id, b_id, jm FROM best"),
+    "er_match_quality" -> (erCtes +
+      """,
+        |q AS (
+        |  SELECT count(*) AS n_matches,
+        |         CAST(sum(CASE WHEN a_id = b_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM best),
+        |l AS (
+        |  SELECT count(*) AS n_linkable FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT n_matches, n_correct, n_linkable,
+        |       n_correct * 1000 // n_matches AS precision_milli,
+        |       n_correct * 1000 // n_linkable AS recall_milli
+        |FROM q CROSS JOIN l""".stripMargin))
+}

@@ -35,6 +35,7 @@ class RegistrySpec extends SparkSpec {
       graft.ml.TextOps.queries, graft.ml.Dedup.queries,
       graft.ml.Similarity.queries, graft.ml.Retrieval.queries,
       graft.ml.Curation.queries, graft.ml.Multimodal.queries,
+      graft.ml.EntityResolution.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
       graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries)
     val names = all.flatMap(_.keys)

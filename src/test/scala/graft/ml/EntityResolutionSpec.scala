@@ -1,0 +1,49 @@
+package graft.ml
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Entity-resolution matcher: linkage quality floors on the synthetic
+  * noise model, and the block-size cap that keeps the quadratic candidate
+  * stage away from degenerate blocking keys. */
+class EntityResolutionSpec extends SparkSpec {
+
+  test("linkage quality: precision and recall floors at smoke scale") {
+    val q = EntityResolution.matchQuality(spark, sf).collect().head
+    val precision = q.getAs[Long]("precision_milli")
+    val recall = q.getAs[Long]("recall_milli")
+    // measured: threshold 700 separates true pairs (floor 700) from
+    // false-pair p99 (666); best-match keeps both metrics above 90%
+    assert(precision >= 900, s"precision $precision")
+    assert(recall >= 900, s"recall $recall")
+    assert(q.getAs[Long]("n_matches") > 0)
+  }
+
+  test("matches are at most one per left record, above threshold") {
+    val m = EntityResolution.matches(spark, sf)
+    val perLeft = m.groupBy("a_id").count().agg(max("count")).collect().head.getLong(0)
+    assert(perLeft == 1L)
+    assert(m.agg(min("jm")).collect().head.getLong(0) >=
+      EntityResolution.MatchThreshold)
+  }
+
+  test("block cap excludes oversized blocks from the quadratic join") {
+    import spark.implicits._
+    // one hot block ("aaaaaaaa", 5 rows) and one cold block (2 rows)
+    val a = Seq(
+      (1L, "aaaaaaaaaaaa"), (2L, "aaaaaaaaaaab"), (3L, "aaaaaaaaaaac"),
+      (4L, "aaaaaaaaaaad"), (5L, "aaaaaaaaaaae"),
+      (10L, "bbbbbbbbbbba"), (11L, "bbbbbbbbbbbc"))
+      .toDF("a_id", "a_name")
+    val b = a.select(col("a_id").as("b_id"),
+      upper(col("a_name")).as("b_name_raw"))
+    val capped = EntityResolution.scoredPairsOf(a, b, cap = 4)
+    // the 5-row "aaaaaaaa" block is over cap -> no pairs from it at all;
+    // the 2-row block contributes its full 2x2
+    val got = capped.select("a_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L), s"got $got")
+    assert(capped.count() == 4)
+  }
+}
