@@ -400,6 +400,165 @@ object Similarity {
     dimStatsOf(Tables.embeddings(spark, dir))
 
   // -------------------------------------------------------------------
+  // MMR diversified re-ranking
+  // -------------------------------------------------------------------
+
+  /** Input/output rows for the typed per-query MMR fold (public — the
+    * deserializer's generated code instantiates them). */
+  case class MmrCand(query_id: Long, vec_id: Long, rel: Long,
+      qv: Array[Long])
+  case class MmrPick(query_id: Long, sel_rank: Int, vec_id: Long,
+      rel: Long, mmr: Long)
+
+  val MmrPool = 30
+  val MmrK = 10
+  val MmrLambdaMilli = 700L
+
+  /** Maximal-marginal-relevance re-rank: from each query's brute-force
+    * top-[[MmrPool]] pool, greedily select [[MmrK]] results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)` — the standard
+    * redundancy-penalized retrieval diversifier (RAG context assembly
+    * wants coverage, not 10 near-copies of the same passage). λ is in
+    * milli-units and rel/sim are the exact integer dots of the quantized
+    * vectors, so every comparison replays bit-for-bit in the oracle's
+    * generated fixed-round SQL.
+    *
+    * Scale design: the greedy loop is inherently sequential PER QUERY but
+    * embarrassingly parallel ACROSS queries, so it runs as a typed
+    * flatMapGroups over query_id: per-group state is the bounded
+    * pool (≤ pool·64 longs), work is O(k·pool) integer dots, and groups
+    * spread over all executors — the idiomatic home for imperative
+    * per-key logic no Column expression expresses. The corpus-sized part
+    * (candidate generation) stays declarative in [[bruteForceTopKOf]]. */
+  def mmrTopK(spark: SparkSession, dir: String, pool: Int = MmrPool,
+      k: Int = MmrK, lambdaMilli: Long = MmrLambdaMilli): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mmrTopKOf(emb, emb.filter(isQuery(col("vec_id"))), pool, k, lambdaMilli)
+  }
+
+  /** Library surface: MMR over arbitrary (vec_id, embedding) corpus +
+    * query frames. */
+  def mmrTopKOf(corpus: DataFrame, queries: DataFrame, pool: Int = MmrPool,
+      k: Int = MmrK, lambdaMilli: Long = MmrLambdaMilli): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qcorpus = corpus
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+    val cands = bruteForceTopKOf(corpus, queries, pool)
+      .join(qcorpus, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("dot").as("rel"),
+        col("q").as("qv"))
+      .as[MmrCand]
+    cands.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(_.vec_id) // ascending scan = lowest-id tie-break
+      val n = cs.length
+      def dotLL(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val taken = new Array[Boolean](n)
+      val maxSim = new Array[Long](n) // valid from round 2 on
+      val out = Seq.newBuilder[MmrPick]
+      var t = 1
+      while (t <= math.min(k, n)) {
+        var bi = -1; var best = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val ms = if (t == 1) 0L else maxSim(i)
+            val sc = lambdaMilli * cs(i).rel - (1000L - lambdaMilli) * ms
+            if (sc > best) { best = sc; bi = i }
+          }
+          i += 1
+        }
+        taken(bi) = true
+        out += MmrPick(qid, t, cs(bi).vec_id, cs(bi).rel, best)
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val s = dotLL(cs(j).qv, cs(bi).qv)
+            if (t == 1 || s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        t += 1
+      }
+      out.result().iterator
+    }.toDF()
+  }
+
+  /** Generated fixed-round oracle for [[mmrTopK]]: round 1 is pure
+    * max-rel; each later round anti-joins the selected set out, computes
+    * max-sim-to-selected with one grouped join, scores
+    * `λ·rel − (1−λ)·maxsim`, and picks the window argmax with the same
+    * (score desc, vec_id asc) tie-break. All BIGINT arithmetic —
+    * identical to the Spark fold's. */
+  private def mmrOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(
+      |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qs.vec_id AS query_id, c.vec_id,
+      |         CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS rel
+      |  FROM q qs JOIN q c ON qs.vec_id % 200 = 0 AND c.vec_id <> qs.vec_id),
+      |cand AS MATERIALIZED (
+      |  SELECT query_id, r.vec_id, rel, q.qv FROM (
+      |    SELECT query_id, vec_id, rel,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY rel DESC, vec_id ASC) AS rank
+      |    FROM scored) r JOIN q ON q.vec_id = r.vec_id
+      |  WHERE r.rank <= $MmrPool),
+      |sims AS MATERIALIZED (
+      |  SELECT a.query_id, a.vec_id AS ai, b.vec_id AS bi,
+      |         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS sim
+      |  FROM cand a JOIN cand b
+      |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+      |sel1 AS MATERIALIZED (
+      |  SELECT query_id, vec_id, rel, $MmrLambdaMilli * rel AS mmr,
+      |         1 AS sel_rank
+      |  FROM (SELECT query_id, vec_id, rel,
+      |               row_number() OVER (PARTITION BY query_id
+      |                                  ORDER BY rel DESC, vec_id ASC) AS rn
+      |        FROM cand) WHERE rn = 1)""".stripMargin
+    val oneMinus = 1000L - MmrLambdaMilli
+    for (t <- 2 to MmrK) {
+      val prev = s"sel${t - 1}"
+      sb ++= s""",
+        |ms$t AS (
+        |  SELECT m.query_id, m.ai AS vec_id, max(m.sim) AS maxsim
+        |  FROM sims m JOIN $prev s
+        |    ON m.query_id = s.query_id AND m.bi = s.vec_id
+        |  GROUP BY 1, 2),
+        |pick$t AS (
+        |  SELECT query_id, vec_id, rel, mmr, $t AS sel_rank FROM (
+        |    SELECT c.query_id, c.vec_id, c.rel,
+        |           $MmrLambdaMilli * c.rel - $oneMinus * ms$t.maxsim AS mmr,
+        |           row_number() OVER (
+        |             PARTITION BY c.query_id
+        |             ORDER BY $MmrLambdaMilli * c.rel - $oneMinus * ms$t.maxsim DESC,
+        |                      c.vec_id ASC) AS rn
+        |    FROM cand c
+        |    JOIN ms$t ON ms$t.query_id = c.query_id AND ms$t.vec_id = c.vec_id
+        |    ANTI JOIN $prev s
+        |      ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
+        |  WHERE rn = 1),
+        |sel$t AS MATERIALIZED (
+        |  SELECT * FROM $prev UNION ALL
+        |  SELECT query_id, vec_id, rel, mmr, sel_rank FROM pick$t)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT query_id, CAST(sel_rank AS INT) AS sel_rank, vec_id, rel, mmr
+      |FROM sel$MmrK""".stripMargin
+    sb.toString
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -409,6 +568,7 @@ object Similarity {
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
     "emb_dim_stats" -> ((s, d) => dimStats(s, d)))
@@ -607,6 +767,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_topk_ann" -> annOracle,
     "sim_topk_ivf" -> ivfOracle,
+    "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,
     "emb_dim_stats" ->
       """WITH q AS (

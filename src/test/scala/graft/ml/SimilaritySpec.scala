@@ -1,5 +1,6 @@
 package graft.ml
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** ANN quality vs the brute-force baseline, and contract checks on the
@@ -148,5 +149,64 @@ class SimilaritySpec extends SparkSpec {
     val d = Similarity.dimStatsOf(dead).collect()
       .map(r => r.getAs[Int]("dim") -> r.getAs[Boolean]("is_dead")).toMap
     assert(d(0) && d(1)) // dim1 is constant 10000 after normalization
+  }
+
+  test("MMR re-rank agrees with a naive greedy replay on the real corpus") {
+    val mmr = Similarity.mmrTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val pool = Similarity.bruteForceTopK(spark, sf, Similarity.MmrPool)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("q").toArray).toMap
+    def sim(a: Long, b: Long): Long =
+      vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum
+    assert(mmr.keySet == pool.keySet && mmr.nonEmpty)
+    mmr.foreach { case (qid, rows) =>
+      // independent greedy reimplementation over the same candidate pool
+      val cands = pool(qid)
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dot"))
+        .sortBy(_._1)
+      var selected = Vector.empty[Long]
+      var remaining = cands
+      while (selected.size < Similarity.MmrK && remaining.nonEmpty) {
+        val pick = remaining.maxBy { case (id, rel) =>
+          val ms = if (selected.isEmpty) 0L else selected.map(sim(id, _)).max
+          // maxBy keeps the FIRST max; ascending id order = lowest-id tie-break
+          (700L * rel - 300L * ms, -id)
+        }
+        selected :+= pick._1
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      val got = rows.sortBy(_.getAs[Int]("sel_rank")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == selected, s"query $qid: $got vs naive $selected")
+    }
+  }
+
+  test("MMR diversifies: with a redundant near-cluster, picks span clusters") {
+    import spark.implicits._
+    // query (1,0,0); cluster A: 4 near-copies around an OFF-AXIS direction
+    // (cos ~ 0.9 to the query, ~1.0 to each other); cluster B: one vector
+    // at cos ~ 0.8 to the query but only ~ 0.46 to cluster A. Plain top-2
+    // takes two A copies. For MMR's round 2 at lambda = 0.7:
+    //   A2: 700*0.899e8 - 300*~1.0e8  ~ 3.3e10
+    //   B:  700*0.800e8 - 300*0.458e8 ~ 4.2e10  -> B wins (diversifies).
+    // (The off-axis cluster matters: if A sat ON the query axis, every
+    // candidate's sim-to-A1 would equal its relevance and no lambda < 1
+    // could ever flip.)
+    val corpus = Seq(
+      (1L, Array(0.900f, 0.436f, 0.000f)), (2L, Array(0.899f, 0.437f, 0.003f)),
+      (3L, Array(0.898f, 0.438f, 0.006f)), (4L, Array(0.897f, 0.439f, 0.009f)),
+      (5L, Array(0.800f, -0.600f, 0.000f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopKOf(corpus, queries, 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(plain == Set(1L, 2L)) // both from cluster A
+    val mmr = Similarity.mmrTopKOf(corpus, queries, pool = 5, k = 2)
+      .collect().sortBy(_.getAs[Int]("sel_rank")).map(_.getAs[Long]("vec_id"))
+    assert(mmr.head == 1L)       // relevance argmax first
+    assert(mmr(1) == 5L, s"second pick ${mmr(1)} should cross to cluster B")
   }
 }
