@@ -26,6 +26,7 @@ object SparkEntry {
       graft.ml.Curation.queries ++ graft.ml.Multimodal.queries ++
       graft.ml.EntityResolution.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
+      graft.operators.Graph.queries ++
       graft.streaming.IncrementalSync.queries ++ graft.pipeline.Lineage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.ml.Curation.oracles ++ graft.ml.Multimodal.oracles ++
       graft.ml.EntityResolution.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
+      graft.operators.Graph.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.pipeline.Lineage.oracles
 }

@@ -582,12 +582,73 @@ case class SimhashPolySig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of common elements between two SORTED int arrays — one merge
+  * pass per pair, no per-pair hash-set allocation (array_intersect
+  * builds one), which is the difference at millions of candidate pairs.
+  * Caller contract: both inputs sorted ascending and duplicate-free
+  * (sort_array ∘ array_distinct at record build); Jaccard follows as
+  * 1000·overlap div (|a| + |b| − overlap). */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_overlap expects (array<int>, array<int>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val vx = x.getInt(i); val vy = y.getInt(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  int $vx = $a.getInt($i); int $vy = $b.getInt($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
   import org.apache.spark.sql.graftops.ColumnBridge
 
   /** Column wrapper: integer dot product (codegen'd). */
   def dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: sorted-array overlap count (codegen'd). */
+  def sorted_overlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedOverlapCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column wrapper: one-pass MinHash signature (codegen'd). */

@@ -583,6 +583,24 @@ object Dashboard {
       .withColumn("decile", ntile(10).over(w))
   }
 
+  /** U10 — winsorization: clamp a numeric feature to its [p05, p95] band
+    * (robust-stats preprocessing before model features / mixture weights;
+    * the outlier-capping twin of U9's median imputation). Same scale plan
+    * as o8's deciles: quantize to cents, ONE bounded `percentile`
+    * aggregate for both edges, broadcast the 1-row edge pair, clamp per
+    * row. Interpolated exact percentiles over integer cents replay
+    * bit-for-bit in DuckDB's quantile_cont. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("value"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val edges = e.agg(
+      percentile(col("cents"), array(lit(0.05), lit(0.95))).as("pp"))
+    e.crossJoin(broadcast(edges))
+      .select(col("event_id"), col("value"),
+        (least(greatest(col("cents").cast("double"), col("pp")(0)),
+          col("pp")(1)) / 100.0).as("value_winsorized"))
+  }
+
   /** A18 — one-pass table profile (the data-quality snapshot an
     * onboarding/ingest pipeline runs first): row count, per-column null
     * counts, key ranges, exact distinct cardinalities. Single aggregate

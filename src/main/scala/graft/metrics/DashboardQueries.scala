@@ -56,6 +56,7 @@ object DashboardQueries {
     "w5_sliding_quarter_hourly" -> ((s, d) => Dashboard.slidingQuarterHourly(s, d)),
     "a19_tenant_unpivot" -> ((s, d) => Dashboard.tenantMetricsUnpivot(s, d)),
     "a21_value_hour_corr" -> ((s, d) => Dashboard.valueHourCorrelation(s, d)),
+    "u10_winsorize" -> ((s, d) => Dashboard.winsorize(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
@@ -390,6 +391,16 @@ object DashboardQueries {
         |       (sxy * n - sx * sy)
         |         / (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)) AS pearson_r
         |FROM sums""".stripMargin,
+    "u10_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |         CAST(floor(value * 100.0::DOUBLE) AS BIGINT) AS cents
+        |  FROM events),
+        |p AS (SELECT quantile_cont(cents, [0.05, 0.95]) AS pp FROM e)
+        |SELECT event_id, value,
+        |       least(greatest(CAST(cents AS DOUBLE), pp[1]), pp[2])
+        |         / 100.0::DOUBLE AS value_winsorized
+        |FROM e CROSS JOIN p""".stripMargin,
     "o8_quality_deciles" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -464,6 +464,38 @@ object Temporal {
         col("n"), col("total_spend"))
 
   // -------------------------------------------------------------------
+  // Gap filling / resampling
+  // -------------------------------------------------------------------
+
+  /** T10 — time-series gap fill: per-tenant hourly event counts with an
+    * EXPLICIT zero row for every empty hour between the corpus's first
+    * and last hour — the resample step every charting layer and
+    * forecasting model needs (sparse group-by output hides gaps; models
+    * read "missing" as "no data", not "zero").
+    *
+    * Scale design: the dense grid is tenants × hours — hours are bounded
+    * by calendar time (a constant per deployment), so the explode is
+    * linear in tenant count, never in events. Global [min, max] is one
+    * scan-and-reduce broadcast as a 1-row anchor (same pattern as the
+    * dashboard's max_ts); the fill join is one hash shuffle on
+    * (tenant, hour) against the already-aggregated (small) counts. */
+  def gapfillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select((col("user_id") % 4).as("tenant_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+    val counts = e.groupBy("tenant_id", "hour").agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = e.select("tenant_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("tenant_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(counts, Seq("tenant_id", "hour"), "left")
+      .select(col("tenant_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -480,7 +512,8 @@ object Temporal {
     "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
     "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)),
     "t7_purchase_funnel" -> ((s, d) => purchaseFunnel(s, d)),
-    "t8_cohort_retention" -> ((s, d) => cohortRetention(s, d)))
+    "t8_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
+    "t10_gapfill_hourly" -> ((s, d) => gapfillHourly(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     "t1_asof_purchase_browse" ->
@@ -625,5 +658,18 @@ object Temporal {
         |      FROM o GROUP BY 1, 2)
         |SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
         |       m.n_active * 1000 // s.cohort_size AS retention_milli
-        |FROM m JOIN s USING (cohort_day)""".stripMargin)
+        |FROM m JOIN s USING (cohort_day)""".stripMargin,
+    "t10_gapfill_hourly" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS tenant_id, date_trunc('hour', ts) AS hour
+        |  FROM events),
+        |c AS (SELECT tenant_id, hour, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        |t AS (SELECT DISTINCT tenant_id FROM e),
+        |g AS (
+        |  SELECT tenant_id,
+        |         unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+        |  FROM t CROSS JOIN b)
+        |SELECT g.tenant_id, g.hour, coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c ON c.tenant_id = g.tenant_id AND c.hour = g.hour""".stripMargin)
 }

@@ -37,6 +37,7 @@ class RegistrySpec extends SparkSpec {
       graft.ml.Curation.queries, graft.ml.Multimodal.queries,
       graft.ml.EntityResolution.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
+      graft.operators.Graph.queries,
       graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys

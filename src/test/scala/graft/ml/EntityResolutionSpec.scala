@@ -28,6 +28,23 @@ class EntityResolutionSpec extends SparkSpec {
       EntityResolution.MatchThreshold)
   }
 
+  test("sorted_overlap kernel agrees with array_intersect on edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      (Array(1, 3, 5), Array(2, 3, 5, 9)),  // partial overlap
+      (Array.empty[Int], Array(1, 2)),      // empty side
+      (Array(4, 7), Array(4, 7)),           // identical
+      (Array(1, 2), Array(3, 4)),           // disjoint
+      (Array(-5, 0, 2), Array(-5, 2, 8)))   // negatives
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      graft.functions.ArrayOps.sorted_overlap(col("a"), col("b")).as("ov"),
+      size(org.apache.spark.sql.functions.array_intersect(
+        col("a"), col("b"))).as("want"))
+      .collect()
+    got.foreach(r => assert(r.getAs[Int]("ov") == r.getAs[Int]("want")))
+  }
+
   test("block cap excludes oversized blocks from the quadratic join") {
     import spark.implicits._
     // one hot block ("aaaaaaaa", 5 rows) and one cold block (2 rows)
