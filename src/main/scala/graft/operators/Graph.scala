@@ -31,13 +31,21 @@ object Graph {
   /** Undirected purchase edges with node ids disambiguated by type:
     * customer c -> 10c, supplier s -> 10s+1. */
   private def edgesOf(spark: SparkSession, dir: String): DataFrame = {
+    // persist() the directed set: the undirected expansion and the degree
+    // aggregate both read it, and a union of two full plan copies would
+    // re-run the orders x lineitem join + distinct per branch. The
+    // expansion itself is a narrow explode, not a second pass.
     val directed = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 10).as("src"),
         (col("l_suppkey") * 10 + 1).as("dst"))
       .distinct()
-    directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    directed.select(explode(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** (src, dst, outdeg) — the per-round join input, built once. */

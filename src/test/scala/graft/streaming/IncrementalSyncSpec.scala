@@ -82,6 +82,32 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding streaming aggregation with watermark (W5 streaming form)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    // the same window(ts, 1h, 15m) call as the batch w5 query
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:31:00"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .select(col("window.start").cast("string"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // one event -> exactly its 4 overlapping hopping windows
+      assert(rows == Set(
+        ("2024-01-01 09:45:00", 1L), ("2024-01-01 10:00:00", 1L),
+        ("2024-01-01 10:15:00", 1L), ("2024-01-01 10:30:00", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows: gap merge, finalize after watermark passes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
