@@ -496,6 +496,65 @@ object Temporal {
   }
 
   // -------------------------------------------------------------------
+  // Dimension versioning (SCD type 2)
+  // -------------------------------------------------------------------
+
+  /** T11 — SCD-2 history build: collapse each user's event stream into
+    * versioned rows with [valid_from, valid_to) intervals — a new version
+    * opens whenever event_type changes; the open version has NULL
+    * valid_to and is_current = true. The standard slowly-changing-
+    * dimension shape every warehouse mirror keeps (the reference keeps
+    * only latest state + high watermark; this is the full history twin).
+    *
+    * Scale design: two windows, both partitioned by the high-cardinality
+    * user_id — the change-flag pass sorts each user's events once, the
+    * interval pass runs over the (much smaller) version rows only.
+    * (ts, event_id) makes the order total, so versions are deterministic
+    * under ties. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val versions = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    versions
+      .withColumn("valid_to", lead(col("ts"), 1).over(wv))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** T12 — EWMA smoothing of the per-tenant daily value series in exact
+    * integer arithmetic: e_1 = x_1; e_t = (300·x_t + 700·e_{t-1}) div
+    * 1000 over cents (α = 0.3). The recursion is inherently sequential
+    * along each series, so it runs as ONE ordered aggregate() fold over
+    * the tenant's collected daily array — no self-join chain, no
+    * per-step shuffle — and series length is calendar-bounded, so the
+    * collected array is a constant per tenant regardless of corpus size.
+    * The DuckDB oracle replays the recursion as a RECURSIVE CTE over the
+    * day index; both sides are pure integers, so the hash matches. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 4).as("tenant_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        * 100).cast("long").as("cents"))
+    val packed = daily.groupBy("tenant_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents")))).as("xs"))
+    packed
+      .select(col("tenant_id"), explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, cents: BIGINT, ewma: BIGINT>>),
+          |  (acc, x) -> array_append(acc, struct(x.day AS day, x.cents AS cents,
+          |    CASE WHEN size(acc) = 0 THEN x.cents
+          |         ELSE (300 * x.cents + 700 * element_at(acc, -1).ewma) div 1000
+          |    END AS ewma)))""".stripMargin)).as("y"))
+      .select(col("tenant_id"), col("y.day").as("day"),
+        col("y.cents").as("cents"), col("y.ewma").as("ewma"))
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -513,7 +572,9 @@ object Temporal {
     "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)),
     "t7_purchase_funnel" -> ((s, d) => purchaseFunnel(s, d)),
     "t8_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
-    "t10_gapfill_hourly" -> ((s, d) => gapfillHourly(s, d)))
+    "t10_gapfill_hourly" -> ((s, d) => gapfillHourly(s, d)),
+    "t11_scd2_history" -> ((s, d) => scd2History(s, d)),
+    "t12_ewma_daily" -> ((s, d) => ewmaDaily(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     "t1_asof_purchase_browse" ->
@@ -671,5 +732,38 @@ object Temporal {
         |         unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
         |  FROM t CROSS JOIN b)
         |SELECT g.tenant_id, g.hour, coalesce(c.n, 0) AS n
-        |FROM g LEFT JOIN c ON c.tenant_id = g.tenant_id AND c.hour = g.hour""".stripMargin)
+        |FROM g LEFT JOIN c ON c.tenant_id = g.tenant_id AND c.hour = g.hour""".stripMargin,
+    "t11_scd2_history" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, ts, event_id, event_type FROM m
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id
+        |                      ORDER BY ts, event_id) AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id
+        |                      ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM v""".stripMargin,
+    "t12_ewma_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id % 4 AS tenant_id,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT tenant_id, day, cents,
+        |         row_number() OVER (PARTITION BY tenant_id ORDER BY day) AS i
+        |  FROM daily),
+        |r AS (
+        |  SELECT tenant_id, day, cents, i, cents AS ewma
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.tenant_id, d.day, d.cents, d.i,
+        |         (300 * d.cents + 700 * r.ewma) // 1000 AS ewma
+        |  FROM d JOIN r ON d.tenant_id = r.tenant_id AND d.i = r.i + 1)
+        |SELECT tenant_id, day, cents, ewma FROM r""".stripMargin)
 }
