@@ -203,4 +203,47 @@ class TemporalSpec extends SparkSpec {
     assert(out((2L, 1)) == ((1L, 1L, 1000L)))
     assert(out.size == 5)
   }
+
+  test("SCD-2 history: versions tile each user's timeline, one open version") {
+    val hist = Temporal.scd2History(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(hist.nonEmpty)
+    hist.foreach { case (uid, rows) =>
+      // ts is TIMESTAMP_NTZ -> collects as java.time.LocalDateTime
+      def t(r: org.apache.spark.sql.Row, c: String) =
+        r.getAs[java.time.LocalDateTime](c)
+      val vs = rows.sortBy(r => t(r, "valid_from"))(
+        Ordering.fromLessThan(_ isBefore _))
+      // exactly the last version is open (NULL valid_to, is_current)
+      vs.dropRight(1).foreach { r =>
+        assert(t(r, "valid_to") != null)
+        assert(!r.getAs[Boolean]("is_current"))
+      }
+      assert(t(vs.last, "valid_to") == null)
+      assert(vs.last.getAs[Boolean]("is_current"))
+      // intervals tile: each version's valid_to == next version's valid_from
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(t(a, "valid_to") == t(b, "valid_from"), s"gap for user $uid")
+          // consecutive versions must actually differ in type
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ =>
+      }
+    }
+  }
+
+  test("EWMA daily agrees with a naive sequential fold") {
+    val got = Temporal.ewmaDaily(spark, sf).collect()
+      .groupBy(_.getAs[Long]("tenant_id"))
+    assert(got.nonEmpty)
+    got.foreach { case (_, rows) =>
+      val byDay = rows.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      var e = byDay.head.getAs[Long]("cents")
+      assert(byDay.head.getAs[Long]("ewma") == e)
+      byDay.tail.foreach { r =>
+        e = (300L * r.getAs[Long]("cents") + 700L * e) / 1000L
+        assert(r.getAs[Long]("ewma") == e)
+      }
+    }
+  }
 }

@@ -22,7 +22,10 @@ class LiveFetchSpec extends SparkSpec {
   private val hits = new AtomicInteger(0)
   private val firstHitNanos = new AtomicLong(0L)
   private val lastHitNanos = new AtomicLong(0L)
-  private val flakySeen = new ConcurrentHashMap[String, Boolean]()
+  // boxed value type: putIfAbsent's null "was absent" contract needs a
+  // reference type — with scala.Boolean the null comparison trips the
+  // "comparing Boolean and Null" lint and leans on boxing coincidences
+  private val flakySeen = new ConcurrentHashMap[String, java.lang.Boolean]()
   private lazy val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/api/case/", new HttpHandler {
@@ -33,7 +36,8 @@ class LiveFetchSpec extends SparkSpec {
         hits.incrementAndGet()
         val ref = x.getRequestURI.getPath.split('/').last
         val fail = ref.startsWith("DOWN") ||
-          (ref.startsWith("FLAKY") && flakySeen.putIfAbsent(ref, true) == null)
+          (ref.startsWith("FLAKY") &&
+            (flakySeen.putIfAbsent(ref, java.lang.Boolean.TRUE) eq null))
         val body =
           if (fail) """{"error":"boom"}"""
           else if (ref.startsWith("FULL"))
