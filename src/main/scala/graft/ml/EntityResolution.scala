@@ -148,6 +148,24 @@ object EntityResolution {
     * ONLY): precision over emitted matches, recall over linkable records
     * (those with a surviving B row), in milli-units. One aggregate over
     * the match table joined to nothing — truth is key arithmetic. */
+  /** Edit-distance rescoring of the accepted matches: Levenshtein between
+    * the normalized names — the classic second-opinion fuzzy metric
+    * (trigram Jaccard is positional-noise-tolerant; edit distance counts
+    * the literal repairs). Runs ONLY over the already-matched pairs (a
+    * per-match projection, never the candidate volume), joining the two
+    * name tables back by id — broadcast-sized joins at any corpus scale
+    * where matches fit the usual dimension budget, hash joins otherwise. */
+  def editDistanceRescore(spark: SparkSession, dir: String): DataFrame = {
+    val a = sourceA(spark, dir)
+    val b = sourceB(spark, dir)
+      .select(col("b_id"), lower(col("b_name_raw")).as("b_name"))
+    matches(spark, dir)
+      .join(a, "a_id")
+      .join(b, "b_id")
+      .select(col("a_id"), col("b_id"), col("jm"),
+        levenshtein(col("a_name"), col("b_name")).as("edit_dist"))
+  }
+
   def matchQuality(spark: SparkSession, dir: String): DataFrame = {
     val linkable = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 5 =!= 0)
@@ -171,7 +189,8 @@ object EntityResolution {
   val queries: Map[String, Q] = Map(
     "er_scored_pairs" -> ((s, d) => scoredPairs(s, d)),
     "er_matches" -> ((s, d) => matches(s, d)),
-    "er_match_quality" -> ((s, d) => matchQuality(s, d)))
+    "er_match_quality" -> ((s, d) => matchQuality(s, d)),
+    "er_edit_distance" -> ((s, d) => editDistanceRescore(s, d)))
 
   private val erCtes: String =
     """WITH a AS (
@@ -224,6 +243,13 @@ object EntityResolution {
   val oracles: Map[String, String] = Map(
     "er_scored_pairs" -> (erCtes + "\nSELECT a_id, b_id, jm FROM scored"),
     "er_matches" -> (erCtes + "\nSELECT a_id, b_id, jm FROM best"),
+    "er_edit_distance" -> (erCtes +
+      """
+        |SELECT best.a_id, best.b_id, best.jm,
+        |       CAST(levenshtein(a.a_name, bn.b_name) AS INT) AS edit_dist
+        |FROM best
+        |JOIN a ON a.a_id = best.a_id
+        |JOIN bn ON bn.b_id = best.b_id""".stripMargin),
     "er_match_quality" -> (erCtes +
       """,
         |q AS (

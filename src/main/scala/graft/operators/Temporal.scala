@@ -463,6 +463,25 @@ object Temporal {
           .otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("total_spend"))
 
+  /** T5b — the CUBE twin of [[statusPriorityRollup]]: all four grouping
+    * levels in one pass, adding the (priority-only) subtotals ROLLUP's
+    * hierarchy omits. Same single-aggregate plan; the level expansion is
+    * map-side like the rollup's. */
+  def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        count(lit(1)).as("n"),
+        Exprs.moneySum(col("o_totalprice")).as("total_spend"))
+      .select(
+        when(col("g_status") === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_priority") === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        col("n"), col("total_spend"))
+
   // -------------------------------------------------------------------
   // Gap filling / resampling
   // -------------------------------------------------------------------
@@ -570,6 +589,7 @@ object Temporal {
     "t3b_sessions_salted" -> ((s, d) => userSessionsSalted(s, d)),
     "t4_running_spend" -> ((s, d) => customerRunningSpend(s, d)),
     "t5_status_rollup" -> ((s, d) => statusPriorityRollup(s, d)),
+    "t5b_status_cube" -> ((s, d) => statusPriorityCube(s, d)),
     "t7_purchase_funnel" -> ((s, d) => purchaseFunnel(s, d)),
     "t8_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "t10_gapfill_hourly" -> ((s, d) => gapfillHourly(s, d)),
@@ -673,7 +693,17 @@ object Temporal {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS total_spend
         |FROM orders
-        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "t5b_status_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE o_orderstatus END AS status,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE o_orderpriority END AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_spend
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
 
   /** The salted twins must produce bit-identical results to their plain
     * forms, so they share the oracle — the correctness gate then proves
