@@ -324,6 +324,30 @@ object Dashboard {
         .as("pearson_r"))
   }
 
+  /** W6 — ranking-function family in one windowed pass: rank,
+    * dense_rank, percent_rank, and cume_dist over each tenant's order
+    * values — the full SQL ranking surface beyond W1-W3's row_number.
+    * The window is partitioned by tenant with a TOTAL order
+    * (o_totalprice, o_orderkey), so every function is deterministic;
+    * rank/dense_rank stay integers and the two fractional functions are
+    * closed-form ratios of integer positions, identical in any engine.
+    * Bounded to the top-50 per tenant by the same row_number so output
+    * stays small while every function still sees full-partition frames
+    * (rank functions are computed BEFORE the slice). */
+  def tenantValueRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    withTenant(Tables.orders(spark, dir), "o_custkey")
+      .select(col("tenant_id"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .drop("rn")
+  }
+
   /** A10 — embedding-table stats: counts and dimension per label group
     * (embedder.py:321-357's total/source_type/dimension rollup). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,7 @@ object DashboardQueries {
     "a19_tenant_unpivot" -> ((s, d) => Dashboard.tenantMetricsUnpivot(s, d)),
     "a21_value_hour_corr" -> ((s, d) => Dashboard.valueHourCorrelation(s, d)),
     "u10_winsorize" -> ((s, d) => Dashboard.winsorize(s, d)),
+    "w6_tenant_value_ranks" -> ((s, d) => Dashboard.tenantValueRanks(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
@@ -391,6 +392,19 @@ object DashboardQueries {
         |       (sxy * n - sx * sy)
         |         / (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)) AS pearson_r
         |FROM sums""".stripMargin,
+    "w6_tenant_value_ranks" ->
+      """SELECT tenant_id, o_orderkey, o_totalprice, rnk, drnk, prank, cdist
+        |FROM (
+        |  SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_totalprice,
+        |         rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk,
+        |         percent_rank() OVER w AS prank,
+        |         cume_dist() OVER w AS cdist,
+        |         row_number() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey % 4
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 50""".stripMargin,
     "u10_winsorize" ->
       """WITH e AS (
         |  SELECT event_id, value,
