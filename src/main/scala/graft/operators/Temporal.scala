@@ -514,6 +514,26 @@ object Temporal {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** T13 — trailing-30-day spend per customer: a RANGE frame (value-based
+    * bounds over integer epoch days), the complement of T4's ROWS frame —
+    * RANGE windows include ALL rows whose key falls in the interval, so
+    * same-day orders aggregate together and sparse histories weight by
+    * calendar distance, not row position. Exact decimal cents keep the
+    * frame sums engine-portable. One shuffle on the customer key. */
+  def trailing30dSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr(s"${unixMicrosSql("o_orderdate")} div 86400000000").as("day"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long").as("cents"))
+      .withColumn("trailing_30d_cents", sum(col("cents")).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "cents",
+        "trailing_30d_cents")
+  }
+
   // -------------------------------------------------------------------
   // Dimension versioning (SCD type 2)
   // -------------------------------------------------------------------
@@ -594,7 +614,8 @@ object Temporal {
     "t8_cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "t10_gapfill_hourly" -> ((s, d) => gapfillHourly(s, d)),
     "t11_scd2_history" -> ((s, d) => scd2History(s, d)),
-    "t12_ewma_daily" -> ((s, d) => ewmaDaily(s, d)))
+    "t12_ewma_daily" -> ((s, d) => ewmaDaily(s, d)),
+    "t13_trailing_30d_spend" -> ((s, d) => trailing30dSpend(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     "t1_asof_purchase_browse" ->
@@ -795,5 +816,17 @@ object Temporal {
         |  SELECT d.tenant_id, d.day, d.cents, d.i,
         |         (300 * d.cents + 700 * r.ewma) // 1000 AS ewma
         |  FROM d JOIN r ON d.tenant_id = r.tenant_id AND d.i = r.i + 1)
-        |SELECT tenant_id, day, cents, ewma FROM r""".stripMargin)
+        |SELECT tenant_id, day, cents, ewma FROM r""".stripMargin,
+    "t13_trailing_30d_spend" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate, cents,
+        |       CAST(sum(cents) OVER (
+        |         PARTITION BY o_custkey ORDER BY day
+        |         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS trailing_30d_cents
+        |FROM o""".stripMargin)
 }
