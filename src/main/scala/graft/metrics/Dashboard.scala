@@ -324,6 +324,19 @@ object Dashboard {
         .as("pearson_r"))
   }
 
+  /** A22 — string aggregation (LISTAGG/string_agg): the distinct order
+    * priorities seen per status, sorted and comma-joined — the report
+    * surface every BI export needs. Deterministic by construction
+    * (collect_set is unordered, so the sort happens before the join);
+    * map-side partial collect_set keeps the shuffle bounded by the
+    * distinct-value count per group, not the row count. */
+  def statusPriorityListagg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+
   /** W6 — ranking-function family in one windowed pass: rank,
     * dense_rank, percent_rank, and cume_dist over each tenant's order
     * values — the full SQL ranking surface beyond W1-W3's row_number.

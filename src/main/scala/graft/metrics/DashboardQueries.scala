@@ -58,6 +58,7 @@ object DashboardQueries {
     "a21_value_hour_corr" -> ((s, d) => Dashboard.valueHourCorrelation(s, d)),
     "u10_winsorize" -> ((s, d) => Dashboard.winsorize(s, d)),
     "w6_tenant_value_ranks" -> ((s, d) => Dashboard.tenantValueRanks(s, d)),
+    "a22_status_priority_listagg" -> ((s, d) => Dashboard.statusPriorityListagg(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
@@ -392,6 +393,12 @@ object DashboardQueries {
         |       (sxy * n - sx * sy)
         |         / (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)) AS pearson_r
         |FROM sums""".stripMargin,
+    "a22_status_priority_listagg" ->
+      """SELECT o_orderstatus,
+        |       string_agg(DISTINCT o_orderpriority, ','
+        |                  ORDER BY o_orderpriority) AS priorities,
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "w6_tenant_value_ranks" ->
       """SELECT tenant_id, o_orderkey, o_totalprice, rnk, drnk, prank, cdist
         |FROM (
