@@ -635,6 +635,23 @@ object Dedup {
   def ngramClusters(spark: SparkSession, dir: String): DataFrame =
     clustersOf(ngramJaccardPairs(spark, dir))
 
+  /** O11 — leakage-safe dataset split: near-duplicate CLUSTERS (not
+    * documents) are the unit of assignment, so two near-copies can never
+    * straddle train and test — the contamination channel a plain per-doc
+    * hash split (o7) leaves open. Unclustered docs are their own
+    * singleton cluster; the split arithmetic is o7's portable hash
+    * applied to the canonical cluster id. One left join against the
+    * (small) cluster table on top of the cluster pipeline's cost. */
+  def dedupAwareSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cid = coalesce(col("cluster_id"), col("doc_id"))
+    val bucket = (cid * 48271) % 100000 % 100
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(ngramClusters(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), cid.as("cid"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
   // -------------------------------------------------------------------
@@ -802,6 +819,7 @@ object Dedup {
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
+    "o11_dedup_aware_split" -> ((s, d) => dedupAwareSplit(s, d)),
     "curation_contamination" -> ((s, d) => contamination(s, d)),
     "curation_contamination_bloom" -> ((s, d) => contaminationBloom(s, d)),
     "curation_span_dedup" -> ((s, d) => spanDedupStats(s, d)),
@@ -819,6 +837,33 @@ object Dedup {
       |  FROM t WHERE len(toks) >= 3),
       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
       |sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
+  /** Shared transitive-closure chain for the n-gram cluster oracles:
+    * shingle inverted-index pairs at jaccard >= 0.7, undirected edges,
+    * recursive reachability, min-reachable-id labels (`cl`). Used by
+    * both the cluster dump and the dedup-aware split. */
+  private val ngramClusterCtes: String =
+    s"""${shingleCte.replace("WITH t", "WITH RECURSIVE t")},
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p0 AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |np AS (
+       |  SELECT doc_a, doc_b FROM p0
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM np
+       |  UNION ALL SELECT doc_b, doc_a FROM np),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |cl AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
 
   /** Shared signature chain for the minhash oracles — replays
     * minhashIndexOf hash-for-hash: the char-polynomial shingle hash
@@ -925,26 +970,16 @@ object Dedup {
          |JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE""".stripMargin,
     "dedup_ngram_clusters" ->
-      s"""${shingleCte.replace("WITH t", "WITH RECURSIVE t")},
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |p0 AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |np AS (
-         |  SELECT doc_a, doc_b FROM p0
-         |  JOIN sz sa ON sa.doc_id = doc_a
-         |  JOIN sz sb ON sb.doc_id = doc_b
-         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE),
-         |e AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM np
-         |  UNION ALL SELECT doc_b, doc_a FROM np),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM e
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin,
+      s"""$ngramClusterCtes
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    "o11_dedup_aware_split" ->
+      s"""$ngramClusterCtes
+         |SELECT d.doc_id,
+         |       coalesce(cl.cluster_id, d.doc_id) AS cid,
+         |       CASE WHEN (coalesce(cl.cluster_id, d.doc_id) * 48271) % 100000 % 100 < 80 THEN 'train'
+         |            WHEN (coalesce(cl.cluster_id, d.doc_id) * 48271) % 100000 % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
     "dedup_embedding_pairs" ->
       s"""$embQuantCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -394,4 +394,18 @@ class DedupSpec extends SparkSpec {
     assert(o(2L) == ((4L, "q2")))
     assert(o(3L) == ((0L, "p1 p2 p3 p4 p5")))
   }
+
+  test("dedup-aware split: every doc assigned once, clusters never straddle splits") {
+    val rows = Dedup.dedupAwareSplit(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    // the leakage guarantee: one split per cluster
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[String]("split")).distinct.length == 1,
+        s"cluster $cid straddles splits")
+    }
+    // clustered near-dups actually exist at smoke scale (else the test
+    // proves nothing) — some cluster has >1 member
+    assert(rows.groupBy(_.getAs[Long]("cid")).exists(_._2.length > 1))
+  }
 }
