@@ -78,9 +78,21 @@ object Bench {
       .mkString("{", ",", "}")
     val fullQs = sorted.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
+    // every pass's raw time per query (not just the min): run-to-run
+    // variance is then recorded data, and tools/bench_drift.py can tell
+    // host contention (passes far apart / driver time >> committed time)
+    // from a real plan regression (both passes slow)
+    val passesJs = sorted.map { case (k, _) =>
+      def f(o: Option[Double]) = o.map(r2).getOrElse("null")
+      "\"" + k + "\":[" + f(pass1(k)) + "," + f(pass2(k)) + "]"
+    }.mkString("{", ",", "}")
     val head = s""""metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","errs":${failed.size},"n_queries":${results.size}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{$head,"queries":$fullQs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    // BENCH_FULL.json is the committed idle-host anchor — only a FULL
+    // registry run may overwrite it (a SPARK_GRAFT_ONLY profiling loop
+    // would otherwise clobber the snapshot with a partial map)
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{$head,"queries":$fullQs,"passes":$passesJs,"sf":"$sfDir"}""".getBytes("UTF-8"))
     println(s"""{$head,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,6 +39,12 @@ object Tables {
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case TimestampNTZType => raw
       case _ =>                   // TIMESTAMP (LTZ) under legacy inference
+        // LTZ -> NTZ renders the instant in the session time zone; anything
+        // but UTC would silently shift every event's wall-clock relative to
+        // DuckDB's naive timestamps, so fail loudly on misconfiguration.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_LTZ; casting to NTZ requires a UTC session time zone, got $tz")
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }

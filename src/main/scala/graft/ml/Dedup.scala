@@ -589,26 +589,31 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
+      // FUSED pass: neighbor-min and pointer-jump both probe the SAME
+      // label table, so resolve both in one union + grouped min instead
+      // of two probe joins feeding a 3-way reassembly join (the round-8
+      // shape — ~2x the jobs/round of this one). The pointer arm is the
+      // label table joined to itself (my label's current label); its rows
+      // also carry the OLD label, so change detection falls out of the
+      // same aggregate with no compare-with-old join. Labels obey
+      // cluster_id <= doc_id (init equal, updates are mins), so the
+      // pointer arm covers every doc and the grouped output is total.
+      val nbrHit = edges
         .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      // pointer jump: my label's current label (labels are member doc
-      // ids, so the lookup is a self-join on the same label table)
-      val jump = labels.as("a")
+        .select(edges("src").as("src"), col("cluster_id").as("cand"),
+          lit(null).cast("long").as("old"))
+      val ptrHit = labels.as("a")
         .join(labels.as("b"), col("a.cluster_id") === col("b.doc_id"))
-        .select(col("a.doc_id").as("jdoc"), col("b.cluster_id").as("jump_min"))
-      // change detection rides along in the same pass — one action per
-      // iteration, not a propagate job plus a compare-with-old join
-      val next = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left_outer")
-        .join(jump, col("l.doc_id") === col("jdoc"), "left_outer")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.cluster_id"),
-            least(coalesce(col("nbr_min"), col("l.cluster_id")),
-              coalesce(col("jump_min"), col("l.cluster_id")))).as("cluster_id"),
-          (least(coalesce(col("nbr_min"), col("l.cluster_id")),
-            coalesce(col("jump_min"), col("l.cluster_id"))) < col("l.cluster_id"))
-            .as("_changed"))
+        .select(col("a.doc_id").as("src"), col("b.cluster_id").as("cand"),
+          col("a.cluster_id").as("old"))
+      // min(cand) <= old always (the pointer arm's cand is <= the old
+      // label), so the grouped min IS the new label; min(old) ignores the
+      // neighbor arm's nulls and recovers the unique old label per doc
+      val next = nbrHit.unionByName(ptrHit)
+        .groupBy(col("src"))
+        .agg(min(col("cand")).as("cluster_id"), min(col("old")).as("old_cid"))
+        .select(col("src").as("doc_id"), col("cluster_id"),
+          (col("cluster_id") < col("old_cid")).as("_changed"))
       beforeCkpt = persistedIds
       val nextCkpt = next.localCheckpoint() // eager: materializes and cuts lineage
       val nextBlocks = persistedIds -- beforeCkpt
@@ -642,11 +647,18 @@ object Dedup {
     * singleton cluster; the split arithmetic is o7's portable hash
     * applied to the canonical cluster id. One left join against the
     * (small) cluster table on top of the cluster pipeline's cost. */
-  def dedupAwareSplit(spark: SparkSession, dir: String): DataFrame = {
+  def dedupAwareSplit(spark: SparkSession, dir: String): DataFrame =
+    dedupAwareSplitOf(Tables.documents(spark, dir), ngramClusters(spark, dir))
+
+  /** Library form over a PRECOMPUTED cluster table — a real pipeline
+    * materializes clusters once (they feed survivor selection, stats,
+    * and the split), so the split must not re-run the whole pair+cluster
+    * pipeline the way the self-contained registered query does. */
+  def dedupAwareSplitOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val cid = coalesce(col("cluster_id"), col("doc_id"))
     val bucket = (cid * 48271) % 100000 % 100
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(ngramClusters(spark, dir), Seq("doc_id"), "left")
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), cid.as("cid"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))

@@ -111,10 +111,14 @@ object EntityResolution {
       .select(col("b_id"), substring(col("b_name"), 1, 8).as("block"),
         trigrams(col("b_name")).as("gb"))
       .persist()
-    // block-size cap: count the heavier (A) side, broadcast the tiny
-    // over-cap list, and keep the quadratic join away from hot blocks
-    val okBlocks = an.groupBy("block").agg(count(lit(1)).as("n_block"))
-      .filter(col("n_block") <= cap)
+    // block-size cap on BOTH sides: per-block candidate volume is
+    // |A_block| x |B_block|, and a degenerate blocking key can be hot on
+    // either side, so a block is admitted only if neither side exceeds
+    // the cap. Blocks present on one side only produce no candidates, so
+    // the inner join loses nothing. The ok-list stays tiny -> broadcast.
+    val okBlocks = an.groupBy("block").agg(count(lit(1)).as("na"))
+      .join(bn.groupBy("block").agg(count(lit(1)).as("nb")), "block")
+      .filter(col("na") <= cap && col("nb") <= cap)
       .select("block")
     // per-pair scoring is a single codegen'd merge pass over the two
     // sorted code arrays (SortedOverlapCount) — no per-pair set building
@@ -212,8 +216,12 @@ object EntityResolution {
       |  FROM b0),
       |bn AS (SELECT b_id, lower(b_name_raw) AS b_name FROM b),
       |blocks AS (
-      |  SELECT substr(a_name,1,8) AS block FROM a
-      |  GROUP BY 1 HAVING count(*) <= 1000),
+      |  SELECT ca.block FROM
+      |    (SELECT substr(a_name,1,8) AS block, count(*) AS na
+      |     FROM a GROUP BY 1) ca
+      |  JOIN (SELECT substr(b_name,1,8) AS block, count(*) AS nb
+      |        FROM bn GROUP BY 1) cb USING (block)
+      |  WHERE na <= 1000 AND nb <= 1000),
       |cand AS (
       |  SELECT a_id, b_id,
       |         list_distinct(list_transform(range(0, length(a_name)-2),
@@ -259,7 +267,7 @@ object EntityResolution {
         |l AS (
         |  SELECT count(*) AS n_linkable FROM customer WHERE c_custkey % 5 <> 0)
         |SELECT n_matches, n_correct, n_linkable,
-        |       n_correct * 1000 // n_matches AS precision_milli,
+        |       n_correct * 1000 // NULLIF(n_matches, 0) AS precision_milli,
         |       n_correct * 1000 // n_linkable AS recall_milli
         |FROM q CROSS JOIN l""".stripMargin))
 }

@@ -127,13 +127,86 @@ object Multimodal {
         (col("frame_idx").cast("double") * col("duration_s") / k).as("offset_s"))
   }
 
+  // -------------------------------------------------------------------
+  // Second arm: a bit-packed stub image codec with REAL byte-level work
+  // -------------------------------------------------------------------
+
+  /** Encode: quantize each payload byte to its high nibble (a 16-level
+    * grayscale "pixel") and pack two 4-bit pixels per output byte — the
+    * classic bit-packed raster layout. Genuine per-byte work (masking,
+    * shifting, re-packing), unlike [[decodeStub]]'s pass-over-the-bytes
+    * statistics. */
+  def packNibbles(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    val out = new Array[Byte]((n + 1) / 2)
+    var i = 0
+    while (i < n) {
+      val hi = (bytes(i) & 0xff) >> 4
+      val lo = if (i + 1 < n) (bytes(i + 1) & 0xff) >> 4 else 0
+      out(i / 2) = ((hi << 4) | lo).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** Decode: unpack `n` 4-bit pixels back out of the packed raster. */
+  def unpackNibbles(packed: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val b = packed(i / 2) & 0xff
+      out(i) = if (i % 2 == 0) b >> 4 else b & 0x0f
+      i += 1
+    }
+    out
+  }
+
+  /** Decoded-raster statistics: moments + a 16-bin pixel histogram (the
+    * corpus is ASCII, so only bins 0-7 are populated; all 8 are emitted
+    * as scalar columns for the driver's pandas compare). */
+  final case class CodecStats(
+      doc_id: Long, mime: String, n_raw: Int, n_encoded: Int,
+      px_sum: Long, px_sumsq: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long,
+      h4: Long, h5: Long, h6: Long, h7: Long)
+
+  /** The codec pipeline: encode -> decode -> per-pixel statistics, all
+    * inside one partition-batched typed map (narrow, no shuffle — the
+    * exact stage shape a libjpeg/libpng call would occupy). The
+    * quantize+pack+unpack is deterministic integer arithmetic, so the
+    * DuckDB oracle replays the decoded pixels as codepoint >> 4 and the
+    * encoded length as ceil(n/2) — while the Spark side genuinely
+    * round-trips every byte through the packed raster. */
+  def codecFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val packed = packNibbles(r.content)
+        val px = unpackNibbles(packed, r.content.length)
+        var s = 0L; var s2 = 0L
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          s += v; s2 += v.toLong * v
+          hist(v) += 1
+          i += 1
+        }
+        CodecStats(r.doc_id, r.mime, r.content.length, packed.length, s, s2,
+          hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+      })
+      .toDF()
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> ((s, d) => extractFeaturesFlat(s, d)),
     "multimodal_meta" -> ((s, d) => mediaMeta(s, d)),
     "multimodal_resize" -> ((s, d) => resizePlan(s, d)),
-    "multimodal_frames" -> ((s, d) => frameSamples(s, d)))
+    "multimodal_frames" -> ((s, d) => frameSamples(s, d)),
+    "multimodal_codec" -> ((s, d) => codecFeatures(s, d)))
 
   // multimodal_features: the stub decode is integer arithmetic over the
   // UTF-8 payload bytes, and the corpus is ASCII (verified across all SFs),
@@ -202,6 +275,32 @@ object Multimodal {
         |       CAST(floor(CAST(height AS DOUBLE) *
         |         (224.0::DOUBLE / CAST(greatest(width, height) AS DOUBLE))) AS INT) AS out_h
         |FROM d""".stripMargin,
+    "multimodal_codec" ->
+      """WITH cps AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+        |              ELSE list_transform(string_split(text, ''),
+        |                                  c -> unicode(c)::BIGINT // 16)
+        |         END AS px
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |       CAST(len(px) AS INT) AS n_raw,
+        |       CAST((len(px) + 1) // 2 AS INT) AS n_encoded,
+        |       coalesce(list_aggregate(px, 'sum'), 0)::BIGINT AS px_sum,
+        |       coalesce(list_aggregate(list_transform(px, x -> x * x), 'sum'),
+        |                0)::BIGINT AS px_sumsq,
+        |       CAST(len(list_filter(px, x -> x = 0)) AS BIGINT) AS h0,
+        |       CAST(len(list_filter(px, x -> x = 1)) AS BIGINT) AS h1,
+        |       CAST(len(list_filter(px, x -> x = 2)) AS BIGINT) AS h2,
+        |       CAST(len(list_filter(px, x -> x = 3)) AS BIGINT) AS h3,
+        |       CAST(len(list_filter(px, x -> x = 4)) AS BIGINT) AS h4,
+        |       CAST(len(list_filter(px, x -> x = 5)) AS BIGINT) AS h5,
+        |       CAST(len(list_filter(px, x -> x = 6)) AS BIGINT) AS h6,
+        |       CAST(len(list_filter(px, x -> x = 7)) AS BIGINT) AS h7
+        |FROM cps""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id,

@@ -44,9 +44,21 @@ object Retrieval {
   /** Keywords per query document forming its lexical query. */
   val QueryTerms = 3
 
+  /** Tokenized corpus projection `(doc_id, toks, dl)` shared by every
+    * lexical stage. Tokenizing is the dominant per-row cost of the
+    * lexical arm, and without this barrier the df mine, the tf pass, and
+    * the doc-length column each re-run `TextOps.tokens` over the full
+    * corpus (CollapseProject re-inlines the transform through the plan —
+    * the round-8 bench showed the 3x). Callers persist() the result so
+    * the corpus is tokenized exactly once. */
+  def tokenizedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
   /** Each query document's top-`n` distinctive keywords: rank its
     * non-stopword terms by (tf desc, df asc, token asc) — df is
     * corpus-wide, the window ranks only the (tiny) query subset.
+    * `tdocs` is a [[tokenizedOf]] projection.
     *
     * Scale shape: corpus-wide df NEVER shuffles (doc, token) pairs —
     * each doc's distinct non-stopword tokens explode map-side into a
@@ -54,14 +66,14 @@ object Retrieval {
     * vocabulary-bounded, not corpus-bounded. Per-doc tf is computed
     * only for the pre-filtered query docs (1/200 of the corpus), and
     * that tiny side broadcasts into the df lookup. */
-  def queryKeywordsOf(docs: DataFrame, n: Int = QueryTerms): DataFrame = {
+  def queryKeywordsOf(tdocs: DataFrame, n: Int = QueryTerms): DataFrame = {
     val notStop = !col("token").isin(TextOps.stopwords.map(lit): _*)
-    val dfreq = docs
-      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val dfreq = tdocs
+      .select(explode(array_distinct(col("toks"))).as("token"))
       .filter(notStop)
       .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
-    val tf = docs.filter(isQuery(col("doc_id")))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tdocs.filter(isQuery(col("doc_id")))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
       .filter(notStop)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("doc_id"))
@@ -77,16 +89,14 @@ object Retrieval {
     * literal `isin` prune generalized to a broadcast semi-join because
     * the term set is data-derived). The query document itself is
     * excluded from its own candidates. */
-  def bm25PerQueryOf(docs: DataFrame, qterms: DataFrame): DataFrame = {
-    val stats = docs.agg(
+  def bm25PerQueryOf(tdocs: DataFrame, qterms: DataFrame): DataFrame = {
+    val stats = tdocs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_toks"))
+      sum(col("dl")).as("n_toks"))
       .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
     val termSet = qterms.select("token").distinct()
-    val tf = docs
-      .select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("dl"),
-        explode(TextOps.tokens(col("text"))).as("token"))
+    val tf = tdocs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .join(broadcast(termSet), "token")
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
@@ -110,11 +120,13 @@ object Retrieval {
     * document absent from one arm's top-[[ArmDepth]] contributes 0 from
     * that arm (standard RRF over truncated lists). */
   def hybridRrfOf(docs: DataFrame, embs: DataFrame, k: Int = 10): DataFrame = {
+    // tokenize the corpus ONCE; both lexical stages read this projection
+    val tdocs = tokenizedOf(docs).persist()
     // keyword mining scans the corpus for df; persist the tiny result so
     // its two consumers in the BM25 arm (distinct term set, scoring join)
     // don't each recompute that scan
-    val qk = queryKeywordsOf(docs).persist()
-    val lex = bm25PerQueryOf(docs, qk)
+    val qk = queryKeywordsOf(tdocs).persist()
+    val lex = bm25PerQueryOf(tdocs, qk)
     val wl = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_milli").desc, col("doc_id").asc)
     val lexTop = lex.withColumn("lex_rank", row_number().over(wl))

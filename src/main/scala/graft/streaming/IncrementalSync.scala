@@ -535,10 +535,119 @@ object IncrementalSync {
     detectChanges(updates).toDF()
   }
 
+  // -------------------------------------------------------------------
+  // ST5 — sync cadence selection (the scheduling decision itself)
+  // -------------------------------------------------------------------
+
+  /** The per-day sync decision (configs/tenants/fdm_solicitors.json:90-97:
+    * daily_sync_enabled / full_sync_frequency_days: 7 /
+    * dry_run_before_sync): a daily incremental sync when enabled, promoted
+    * to a FULL rebuild every `fullSyncFrequencyDays`-th day (day 0 — the
+    * onboarding backfill — is full), with every real sync gated behind a
+    * dry run when configured. Pure function of the day index (days since
+    * onboarding), so the cadence is deterministic and clock-free — the
+    * actual firing time belongs to the orchestrator (SURVEY.md §2.8), but
+    * WHICH sync runs on a given day is pipeline semantics and lives here. */
+  final case class SyncPlan(
+      runSync: Boolean, fullSync: Boolean, dryRunFirst: Boolean)
+
+  def syncPlanFor(dayIndex: Long, dailyEnabled: Boolean = true,
+                  fullSyncFrequencyDays: Int = 7,
+                  dryRunBeforeSync: Boolean = true): SyncPlan = {
+    require(fullSyncFrequencyDays > 0, "full-sync frequency must be positive")
+    if (!dailyEnabled) SyncPlan(runSync = false, fullSync = false, dryRunFirst = false)
+    else SyncPlan(runSync = true,
+      fullSync = dayIndex % fullSyncFrequencyDays == 0,
+      dryRunFirst = dryRunBeforeSync)
+  }
+
+  // -------------------------------------------------------------------
+  // ST3 + A12 in oracle-checkable batch form
+  // -------------------------------------------------------------------
+
+  /** Deterministic job table for the worker batch twins: one job per
+    * order, priority 1..3 (worker.py:63-68's priority classes). */
+  private def jobTable(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("job_id"),
+      (col("o_custkey") % 4).as("tenant_id"),
+      (col("o_orderkey") % 3 + 1).cast("int").as("priority"))
+  }
+
+  /** Attempt `a` of a job fails on a residue test against a per-attempt
+    * modulus. The moduli are pairwise coprime, so by CRT the three
+    * outcomes are genuinely independent over the key space (an affine
+    * hash mod ONE prime makes attempt outcomes a constant shift of each
+    * other — all-or-nothing ladders, no dead letters) and the dead rate
+    * is exactly (1/5)(2/7)(2/11) = 4/385 ≈ 1%. Pure integer arithmetic,
+    * so the DuckDB oracle replays the exact outcome. */
+  private def failsAt(a: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    a match {
+      case 1 => col("job_id") % 5 === 0 // 20% fail
+      case 2 => col("job_id") % 7 < 2   // ~29% fail
+      case 3 => col("job_id") % 11 < 2  // ~18% fail
+    }
+  }
+
+  /** First attempt (1-based) at which a job succeeds; null = all three
+    * attempts fail (the dead-letter path). */
+  private def firstSuccess: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(!failsAt(1), 1).when(!failsAt(2), 2).when(!failsAt(3), 3)
+  }
+
+  /** ST3 registered as an oracle query — the retry ladder's final state
+    * per job (etl/worker.py:208-250: failure under maxAttempts re-queues
+    * at priority 3; the third failure dead-letters; [[step]] is the same
+    * policy as a per-batch function, and IncrementalSyncSpec proves this
+    * closed form equals iterating [[step]] to a fixpoint). `attempts`
+    * counts FAILED tries, matching the Job model (database/models.py:
+    * 86-101): success at attempt k leaves attempts = k-1; a dead job
+    * carries attempts = 3. */
+  def retryLadderBatch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    jobTable(spark, dir)
+      .withColumn("fs", firstSuccess)
+      .select(col("job_id"), col("tenant_id"),
+        when(col("fs").isNotNull, "succeeded").otherwise("dead").as("status"),
+        coalesce(col("fs") - 1, lit(3)).cast("int").as("attempts"),
+        when(col("fs") === 1, col("priority")).otherwise(lit(3))
+          .cast("int").as("priority_final"))
+  }
+
+  /** A12 — worker performance metrics (etl/worker.py:30-39,179-205):
+    * every processing attempt increments jobs_processed; a success
+    * increments jobs_successful, a failed attempt jobs_failed; average
+    * duration is total/processed. Batch twin over the same deterministic
+    * job table, with a fixed per-attempt duration in ms so the average
+    * is exact integer arithmetic. */
+  def workerMetricsBatch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def dur(a: Int) = (col("job_id") * 37L + lit(a * 101L)) % 900 + 100
+    jobTable(spark, dir)
+      .withColumn("fs", firstSuccess)
+      .withColumn("am", coalesce(col("fs"), lit(3))) // attempts actually run
+      .select(col("fs"), col("am"),
+        (dur(1)
+          + when(col("am") >= 2, dur(2)).otherwise(lit(0L))
+          + when(col("am") >= 3, dur(3)).otherwise(lit(0L))).as("ms"))
+      .agg(
+        sum(col("am")).cast("long").as("n_processed"),
+        count(col("fs")).as("n_success"),
+        (sum(col("am")) - count(col("fs"))).cast("long").as("n_failed"),
+        sum(col("ms")).cast("long").as("total_ms"))
+      .select(col("n_processed"), col("n_success"), col("n_failed"),
+        col("total_ms"), expr("total_ms div n_processed").as("avg_ms"))
+  }
+
   type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
   val queries: Map[String, Q] = Map(
-    "st1_change_events" -> ((s, d) => changeEventsBatch(s, d)))
+    "st1_change_events" -> ((s, d) => changeEventsBatch(s, d)),
+    "st3_retry_ladder" -> ((s, d) => retryLadderBatch(s, d)),
+    "a12_worker_metrics" -> ((s, d) => workerMetricsBatch(s, d)))
 
   val oracles: Map[String, String] = Map(
     "st1_change_events" ->
@@ -550,5 +659,42 @@ object IncrementalSync {
         |SELECT tenant_id, case_ref, serialno,
         |       coalesce(lag(serialno) OVER (
         |         PARTITION BY tenant_id, case_ref ORDER BY serialno), 0) AS prev_serialno
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+    "st3_retry_ladder" ->
+      """WITH j AS (
+        |  SELECT o_orderkey AS job_id, o_custkey % 4 AS tenant_id,
+        |         CAST(o_orderkey % 3 + 1 AS INT) AS priority
+        |  FROM orders),
+        |f AS (
+        |  SELECT job_id, tenant_id, priority,
+        |         CASE WHEN job_id % 5 <> 0 THEN 1
+        |              WHEN job_id % 7 >= 2 THEN 2
+        |              WHEN job_id % 11 >= 2 THEN 3 END AS fs
+        |  FROM j)
+        |SELECT job_id, tenant_id,
+        |       CASE WHEN fs IS NOT NULL THEN 'succeeded' ELSE 'dead' END AS status,
+        |       CAST(coalesce(fs - 1, 3) AS INT) AS attempts,
+        |       CAST(CASE WHEN fs = 1 THEN priority ELSE 3 END AS INT) AS priority_final
+        |FROM f""".stripMargin,
+    "a12_worker_metrics" ->
+      """WITH f AS (
+        |  SELECT o_orderkey AS job_id,
+        |         CASE WHEN o_orderkey % 5 <> 0 THEN 1
+        |              WHEN o_orderkey % 7 >= 2 THEN 2
+        |              WHEN o_orderkey % 11 >= 2 THEN 3 END AS fs
+        |  FROM orders),
+        |m AS (
+        |  SELECT fs, coalesce(fs, 3) AS am,
+        |         ((job_id * 37 + 101) % 900 + 100)
+        |         + CASE WHEN coalesce(fs, 3) >= 2
+        |                THEN (job_id * 37 + 202) % 900 + 100 ELSE 0 END
+        |         + CASE WHEN coalesce(fs, 3) >= 3
+        |                THEN (job_id * 37 + 303) % 900 + 100 ELSE 0 END AS ms
+        |  FROM f)
+        |SELECT CAST(sum(am) AS BIGINT) AS n_processed,
+        |       CAST(count(fs) AS BIGINT) AS n_success,
+        |       CAST(sum(am) - count(fs) AS BIGINT) AS n_failed,
+        |       CAST(sum(ms) AS BIGINT) AS total_ms,
+        |       CAST(sum(ms) // sum(am) AS BIGINT) AS avg_ms
+        |FROM m""".stripMargin)
 }

@@ -141,6 +141,17 @@ object Reconcile {
           .otherwise(lit(0L)).as("n_batches"),
         col("category").isin("new", "needs_update").as("would_enqueue"))
 
+  /** A11 — CSV load statistics: after every S1 load the reference reports
+    * total/active/complete counts (crm/discovery.py:227-228 — "complete"
+    * there is literally NOT is_active). One aggregate over the unfiltered
+    * snapshot scan; at 100 TB this is a metadata-cheap count with full
+    * map-side partial aggregation. */
+  def loadStats(spark: SparkSession, dir: String): DataFrame =
+    crmSnapshot(spark, dir).agg(
+      count(lit(1)).as("n_loaded"),
+      sum(when(col("is_active"), 1L).otherwise(0L)).as("n_active"),
+      sum(when(!col("is_active"), 1L).otherwise(0L)).as("n_complete"))
+
   /** J1 — new cases via left-anti join (sync_daily.py:171-175). */
   def newCases(spark: SparkSession, dir: String): DataFrame =
     activeOnly(crmSnapshot(spark, dir)).select("tenant_id", "case_ref", "serialno")

@@ -43,7 +43,8 @@ object ReconcileQueries {
     "recon_needs_update" -> ((s, d) => Reconcile.needsUpdate(s, d)),
     "recon_advance_watermarks" -> ((s, d) => Reconcile.advanceWatermarks(s, d)),
     "recon_quality" -> ((s, d) => Reconcile.qualityValidation(s, d)),
-    "recon_dry_run" -> ((s, d) => Reconcile.dryRunPlan(s, d)))
+    "recon_dry_run" -> ((s, d) => Reconcile.dryRunPlan(s, d)),
+    "a11_load_stats" -> ((s, d) => Reconcile.loadStats(s, d)))
 
   val oracles: Map[String, String] = Map(
     "recon_categories" ->
@@ -111,5 +112,12 @@ object ReconcileQueries {
          |         - CASE WHEN (CAST(abs(crm_count - db_count) AS DOUBLE) / CAST(greatest(crm_count, 1) AS DOUBLE)) > 0.1
          |                THEN (CAST(abs(crm_count - db_count) AS DOUBLE) / CAST(greatest(crm_count, 1) AS DOUBLE)) - 0.1 ELSE 0.0 END * 2.0,
          |         0.0), 1.0) AS quality_score
-         |FROM c0, crmn, dbn""".stripMargin)
+         |FROM c0, crmn, dbn""".stripMargin,
+    // the crm CTE above filters to active cases; A11 counts the UNFILTERED
+    // load (active vs complete), so it states the S1 scan inline
+    "a11_load_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_loaded,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin)
 }

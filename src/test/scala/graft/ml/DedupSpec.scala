@@ -408,4 +408,16 @@ class DedupSpec extends SparkSpec {
     // proves nothing) — some cluster has >1 member
     assert(rows.groupBy(_.getAs[Long]("cid")).exists(_._2.length > 1))
   }
+
+  test("dedupAwareSplitOf over a precomputed cluster table equals the " +
+      "self-contained split") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cid"),
+        r.getAs[String]("split"))).toSet
+    val clusters = Dedup.ngramClusters(spark, sf).persist()
+    val viaPrecomputed =
+      Dedup.dedupAwareSplitOf(graft.Tables.documents(spark, sf), clusters)
+    assert(rows(viaPrecomputed) == rows(Dedup.dedupAwareSplit(spark, sf)))
+    clusters.unpersist()
+  }
 }

@@ -37,4 +37,30 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     joined.foreach(r => assert(r.getAs[Int]("n_bytes") == r.getAs[Int]("expected")))
   }
+
+  test("nibble codec: pack halves the bytes, unpack restores every " +
+      "quantized pixel, odd lengths pad") {
+    for (s <- Seq("", "a", "ab", "abc", "hello world", " test")) {
+      val bytes = s.getBytes("UTF-8")
+      val packed = Multimodal.packNibbles(bytes)
+      assert(packed.length == (bytes.length + 1) / 2)
+      val px = Multimodal.unpackNibbles(packed, bytes.length)
+      assert(px.toSeq == bytes.toSeq.map(b => (b & 0xff) >> 4))
+    }
+  }
+
+  test("codec stats: histogram totals the pixels, moments match a direct pass") {
+    val rows = Multimodal.codecFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_raw")
+      assert(r.getAs[Int]("n_encoded") == (n + 1) / 2)
+      val histSum = (0 to 7).map(k => r.getAs[Long](s"h$k")).sum
+      assert(histSum == n) // ASCII corpus: every pixel lands in bins 0-7
+      // moments are consistent with the histogram
+      val s = (0 to 7).map(k => k.toLong * r.getAs[Long](s"h$k")).sum
+      val s2 = (0 to 7).map(k => k.toLong * k * r.getAs[Long](s"h$k")).sum
+      assert(r.getAs[Long]("px_sum") == s && r.getAs[Long]("px_sumsq") == s2)
+    }
+  }
 }

@@ -22,7 +22,7 @@ class RetrievalSpec extends SparkSpec {
     (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
 
   test("query keywords: tf desc / df asc / token asc, stopwords out") {
-    val kw = Retrieval.queryKeywordsOf(docs)
+    val kw = Retrieval.queryKeywordsOf(Retrieval.tokenizedOf(docs))
       .orderBy("token").as[(Long, String)].collect()
     // all tf=1; df: alpha=3, beta=2, gamma=2 -> beta, gamma, alpha all kept
     assert(kw.toSeq == Seq((0L, "alpha"), (0L, "beta"), (0L, "gamma")))

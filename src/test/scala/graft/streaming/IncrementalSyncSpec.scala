@@ -247,6 +247,47 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(r.dead.map(_.job_id) == Seq(3))
   }
 
+  test("ST3 batch twin: the declared retry ladder equals iterating step to a fixpoint") {
+    import org.apache.spark.sql.functions._
+    // the same per-attempt failure model the declared query states
+    def failsScala(id: Long, a: Int): Boolean = a match {
+      case 1 => id % 5 == 0
+      case 2 => id % 7 < 2
+      case 3 => id % 11 < 2
+    }
+    val jobs = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        Job(id, r.getLong(1) % 4, id, priority = (id % 3 + 1).toInt, attempts = 0)
+      }
+    // a job's next attempt number is its failure count + 1
+    val r = drain(jobs, j => !failsScala(j.job_id, j.attempts + 1))
+    // step re-queues every failure at priority 3, so a job's final
+    // priority is simply whatever it carried out of the drain
+    val simulated =
+      (r.succeeded.map(j => j.job_id -> (("succeeded", j.attempts, j.priority)))
+        ++ r.dead.map(j => j.job_id -> (("dead", j.attempts, j.priority)))).toMap
+    val declared = retryLadderBatch(spark, sf).collect()
+      .map(row => row.getAs[Long]("job_id") ->
+        ((row.getAs[String]("status"), row.getAs[Int]("attempts"),
+          row.getAs[Int]("priority_final")))).toMap
+    assert(declared == simulated)
+    assert(declared.values.exists(_._1 == "dead")) // ladder tail is exercised
+  }
+
+  test("ST5 cadence: full sync every 7th day, incremental otherwise, dry-run gate") {
+    (0L to 13L).foreach { d =>
+      val p = syncPlanFor(d)
+      assert(p.runSync && p.dryRunFirst)
+      assert(p.fullSync == (d % 7 == 0), s"day $d")
+    }
+    assert(syncPlanFor(3, dailyEnabled = false) ==
+      SyncPlan(runSync = false, fullSync = false, dryRunFirst = false))
+    assert(syncPlanFor(10, fullSyncFrequencyDays = 5).fullSync)
+    assert(!syncPlanFor(10, dryRunBeforeSync = false).dryRunFirst)
+  }
+
   test("drain: transient failures eventually succeed, permanent ones dead-letter") {
     val jobs = (1L to 10L).map(i => Job(i, 0, i, priority = (i % 3).toInt + 1, attempts = 0))
     // job succeeds once attempts >= 1 (transient), except job 7 (permanent)
