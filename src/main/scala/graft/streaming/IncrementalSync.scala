@@ -149,6 +149,91 @@ object IncrementalSync {
     StepResult(ok.toSeq, Seq.empty, dead.toSeq)
   }
 
+  /** The durable retry backlog as of (strictly before) `below`, newest
+    * surviving batch partition only — the same retry-safe read rule as
+    * [[admissionIndex]]/[[mgState]]: a replayed batch must never read
+    * its own failed attempt's output.
+    *
+    * The latest batch comes from a separate always-one-row MANIFEST
+    * partition, not from the backlog files themselves: an empty retry
+    * set writes zero parquet files, so partition discovery cannot see
+    * it, and "newest visible backlog partition" would silently re-read
+    * the STALE pre-resolution backlog — re-dead-lettering every
+    * resolved job on each subsequent batch. The explicit read schema
+    * makes the empty partition readable. */
+  def retryBacklog(spark: SparkSession, stateDir: String,
+                   below: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[Job].toDF()
+    val mdir = new java.io.File(s"$stateDir/manifest")
+    if (!mdir.exists()) return empty
+    val m = spark.read.parquet(mdir.toString).filter(col("batch") < below)
+    // partition discovery types small batch= values as INT
+    val latest = m.agg(max(col("batch")).cast("long")).collect().head
+    if (latest.isNullAt(0)) return empty
+    val schema = org.apache.spark.sql.Encoders.product[Job].schema
+      .add("batch", org.apache.spark.sql.types.LongType)
+    spark.read.schema(schema).parquet(s"$stateDir/backlog")
+      .filter(col("batch") === latest.getLong(0))
+      .select("job_id", "tenant_id", "case_ref", "priority", "attempts")
+  }
+
+  /** ST3 made continuous: the retry/dead-letter queue as a streaming
+    * pipeline. Each micro-batch unions its arrivals with the durable
+    * backlog, applies the SAME policy as [[step]] — success passes
+    * through, a failure under `maxAttempts` re-queues at priority 3
+    * with attempts+1, the `maxAttempts`-th failure dead-letters — and
+    * persists the next backlog. The retry set crosses micro-batch
+    * boundaries through the backlog TABLE, not executor memory, so a
+    * worker restart resumes mid-ladder; per-batch partition overwrites
+    * plus strictly-below reads make a replayed batch idempotent (the
+    * [[admissionPipeline]] contract).
+    *
+    * `succeeds` is a Column predicate over (job_id, tenant_id,
+    * case_ref, priority, attempts) — the policy stays fully
+    * distributed (no driver-side job loop, unlike the reference's
+    * single-process worker). A quiet stream leaves the backlog parked:
+    * foreachBatch only fires on arrivals, so drains ride on traffic
+    * (or a heartbeat tick row, as the spec does). */
+  def retryPipeline(jobs: org.apache.spark.sql.DataFrame,
+                    stateDir: String, outDir: String,
+                    succeeds: org.apache.spark.sql.Column,
+                    maxAttempts: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    jobs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val all = batch.toDF()
+          .select("job_id", "tenant_id", "case_ref", "priority", "attempts")
+          .unionByName(retryBacklog(spark, stateDir, below = batchId))
+          .persist()
+        val failed = all.filter(!succeeds)
+        val retry = failed.filter(col("attempts") + 1 < maxAttempts)
+          .withColumn("attempts", (col("attempts") + 1).cast("int"))
+          .withColumn("priority", lit(3))
+        val dead = failed.filter(col("attempts") + 1 >= maxAttempts)
+          .withColumn("attempts", (col("attempts") + 1).cast("int"))
+        all.filter(succeeds).write.mode("overwrite")
+          .parquet(s"$outDir/succeeded/batch=$batchId")
+        dead.write.mode("overwrite").parquet(s"$outDir/dead/batch=$batchId")
+        retry.write.mode("overwrite").parquet(s"$stateDir/backlog/batch=$batchId")
+        // the manifest row is written LAST and is never empty — it only
+        // marks a batch's backlog as current once that backlog is fully
+        // on disk (see retryBacklog's scaladoc for why file presence
+        // alone cannot carry this signal)
+        locally { import spark.implicits._
+          Seq(batchId).toDF("done")
+            .write.mode("overwrite").parquet(s"$stateDir/manifest/batch=$batchId") }
+        all.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming gap-sessionization over (user_id, ts) — Spark's native
     * session_window with an event-time watermark; the streaming twin of
     * graft.operators.Temporal.sessionizeOf (same gap semantics; the

@@ -298,6 +298,48 @@ class IncrementalSyncSpec extends SparkSpec {
     assert(r.dead.head.attempts == 3)
   }
 
+  test("streaming retry queue: failures requeue across micro-batches, " +
+      "permanent ones dead-letter at max attempts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-retry-st").toString
+    val input = MemoryStream[Job]
+    // even jobs succeed at once; odd jobs fail once then succeed
+    // (transient); job 7 always fails (permanent). Heartbeat jobs 100+
+    // exist to fire the drain batches and succeed trivially.
+    val succeeds = when(col("job_id") === 7, lit(false))
+      .otherwise(col("job_id") % 2 === 0 || col("attempts") >= 1)
+    val q = retryPipeline(input.toDS().toDF(), stateDir, outDir, succeeds)
+    try {
+      input.addData((1L to 10L).map(i =>
+        Job(i, 0, i, priority = (i % 3).toInt + 1, attempts = 0)): _*)
+      q.processAllAvailable() // batch 0: evens succeed, odds+7 requeue
+      input.addData(Job(100, 0, 100, priority = 1, attempts = 0))
+      q.processAllAvailable() // batch 1: odds succeed at attempts=1, 7 fails again
+      input.addData(Job(102, 0, 102, priority = 1, attempts = 0))
+      q.processAllAvailable() // batch 2: 7's third failure dead-letters
+
+      val ok = spark.read.parquet(s"$outDir/succeeded")
+      val okIds = ok.select("job_id").as[Long].collect().toSet
+      assert(okIds == ((1L to 10L).toSet - 7L) ++ Set(100L, 102L))
+      // transient jobs carry the failure count they accumulated
+      val attempts = ok.collect()
+        .map(r => r.getAs[Long]("job_id") -> r.getAs[Int]("attempts")).toMap
+      assert(attempts(2L) == 0 && attempts(1L) == 1 && attempts(9L) == 1)
+      // requeued jobs were demoted to priority 3 on their way back
+      val prio = ok.collect()
+        .map(r => r.getAs[Long]("job_id") -> r.getAs[Int]("priority")).toMap
+      assert(prio(1L) == 3 && prio(2L) == ((2 % 3) + 1))
+      val dead = spark.read.parquet(s"$outDir/dead").collect()
+      assert(dead.map(_.getAs[Long]("job_id")).toSeq == Seq(7L))
+      assert(dead.head.getAs[Int]("attempts") == 3)
+      // the ladder resolved: the surviving backlog partition is empty
+      assert(retryBacklog(spark, stateDir, below = Long.MaxValue).count() == 0)
+    } finally q.stop()
+  }
+
   test("circuit breaker: opens at threshold, sheds while open, half-open probe decides") {
     val jobs = Seq(Job(1, 0, 1, 1, 0))
     var b = Breaker(failureThreshold = 3, timeoutSeconds = 300L)
