@@ -194,6 +194,26 @@ object Dashboard {
         ((col("rn") - 1) / 25).cast("long").as("batch_id"))
   }
 
+  /** Processing recommendations summary (status_detector.py:311-384):
+    * per priority class, the case count, the number of max-25 batches
+    * (ceiling division), and the estimated processing minutes — the
+    * reference charges 30 min per critical/high case, 15 per medium, 6
+    * per low. One map-side-combined aggregate over the prioritized
+    * queue; the per-case batch ASSIGNMENT stays in o5_priority_batches. */
+  def processingRecommendations(spark: SparkSession, dir: String): DataFrame = {
+    val prio = when(col("event_type") === "error", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .otherwise(4)
+    Tables.events(spark, dir)
+      .withColumn("priority", prio)
+      .groupBy("priority").agg(count(lit(1)).as("n_cases"))
+      .select(col("priority"), col("n_cases"),
+        expr("(n_cases + 24) div 25").as("n_batches"),
+        (col("n_cases") * when(col("priority") <= 2, 30)
+          .when(col("priority") === 3, 15).otherwise(6)).as("est_minutes"))
+  }
+
   /** Q1-style aggregate over lineitem (the canonical group-by; exact
     * decimal arithmetic cast to double at the end). */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =

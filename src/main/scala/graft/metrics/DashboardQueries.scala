@@ -31,6 +31,8 @@ object DashboardQueries {
     "w3_first5_per_order" -> ((s, d) => Dashboard.first5PerOrder(s, d)),
     "o2_recent_events" -> ((s, d) => Dashboard.recentEvents(s, d)),
     "o5_priority_batches" -> ((s, d) => Dashboard.priorityBatches(s, d)),
+    "o5b_processing_recommendations" ->
+      ((s, d) => Dashboard.processingRecommendations(s, d)),
     "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
     "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
     "p8_meaningful_docs" -> ((s, d) => Dashboard.meaningfulDocs(s, d)),
@@ -169,6 +171,21 @@ object DashboardQueries {
         |      FROM p)
         |SELECT event_id, priority, CAST((rn - 1) // 25 AS BIGINT) AS batch_id
         |FROM r""".stripMargin,
+    "o5b_processing_recommendations" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN event_type = 'error' THEN 1
+        |              WHEN event_type = 'purchase' THEN 2
+        |              WHEN event_type = 'signup' THEN 3
+        |              ELSE 4 END AS priority
+        |  FROM events),
+        |c AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_cases
+        |      FROM p GROUP BY 1)
+        |SELECT priority, n_cases,
+        |       CAST((n_cases + 24) // 25 AS BIGINT) AS n_batches,
+        |       CAST(n_cases * CASE WHEN priority <= 2 THEN 30
+        |                           WHEN priority = 3 THEN 15
+        |                           ELSE 6 END AS BIGINT) AS est_minutes
+        |FROM c""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
