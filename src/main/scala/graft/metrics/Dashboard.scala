@@ -41,6 +41,32 @@ object Dashboard {
         Exprs.moneyAvg(col("value")).as("avg_value"),
         max(col("value")).as("max_value"))
 
+  /** A1's roll-up — the performance summary (dashboard.py:882-901):
+    * total jobs, success rate in percent, and the reference's
+    * avg-OF-GROUP-AVGS duration (not the global average — it weights
+    * every (status, tenant) group equally). Group averages are carried
+    * as exact micro-unit integers (decimal sum ×1e6 then floor-div) so
+    * the two-level averaging replays bit-for-bit in DuckDB; 'purchase'
+    * stands in for COMPLETED in the event-type status vocabulary. */
+  def performanceSummary(spark: SparkSession, dir: String): DataFrame =
+    eventsWithAnchor(spark, dir)
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy("event_type", "tenant_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_v"))
+      .select(col("event_type"), col("n"),
+        expr("CAST(sum_v * 1000000 AS BIGINT) div n").as("avg_micro"))
+      .agg(
+        sum(col("n")).as("total_jobs"),
+        sum(when(col("event_type") === "purchase", col("n")).otherwise(0L))
+          .as("n_success"),
+        sum(col("avg_micro")).as("sum_avg_micro"),
+        count(lit(1)).as("n_groups"))
+      .select(col("total_jobs"), col("n_success"),
+        (col("n_success").cast("double") * 100.0 /
+          col("total_jobs").cast("double")).as("success_rate"),
+        expr("sum_avg_micro div n_groups").as("avg_of_avgs_micro"))
+
   /** A2/W4 — hourly throughput: date_trunc('hour') tumbling bucket —
     * dashboard.py:264-273. */
   def hourlyThroughput(spark: SparkSession, dir: String): DataFrame =

@@ -19,6 +19,7 @@ object DashboardQueries {
 
   val queries: Map[String, Q] = Map(
     "a1_job_stats" -> ((s, d) => Dashboard.jobStats(s, d)),
+    "a1b_performance_summary" -> ((s, d) => Dashboard.performanceSummary(s, d)),
     "a2_hourly_throughput" -> ((s, d) => Dashboard.hourlyThroughput(s, d)),
     "a3_top_errors" -> ((s, d) => Dashboard.topErrors(s, d)),
     "a4_status_summary" -> ((s, d) => Dashboard.statusSummary(s, d)),
@@ -74,6 +75,27 @@ object DashboardQueries {
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
         |GROUP BY event_type, user_id % 4""".stripMargin,
+    "a1b_performance_summary" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 4 AS tenant_id,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) * 1000000 AS BIGINT)
+        |           // count(*) AS avg_micro
+        |  FROM events
+        |  WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total_jobs,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN n ELSE 0 END)
+        |           AS BIGINT) AS n_success,
+        |         CAST(sum(avg_micro) AS BIGINT) AS sum_avg_micro,
+        |         CAST(count(*) AS BIGINT) AS n_groups
+        |  FROM g)
+        |SELECT total_jobs, n_success,
+        |       CAST(n_success AS DOUBLE) * 100.0 / CAST(total_jobs AS DOUBLE)
+        |         AS success_rate,
+        |       sum_avg_micro // n_groups AS avg_of_avgs_micro
+        |FROM s""".stripMargin,
     "a2_hourly_throughput" ->
       """SELECT date_trunc('hour', ts) AS hour, user_id % 4 AS tenant_id,
         |       count(*) AS n
