@@ -664,6 +664,29 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
+  /** Quality-aware survivor selection: within each near-dup cluster keep
+    * the LONGEST member (tie-break min doc_id) instead of the min-id
+    * canonical — the standard curation policy (near-dups are usually
+    * truncations/extractions of one another, so length is the cheap
+    * quality proxy; swap the order column for a model score without
+    * changing the shape). A window over cluster_id — cluster tables are
+    * tiny relative to the corpus, so the exchange is negligible. */
+  def qualitySurvivorsOf(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_chars"))
+  }
+
+  /** Registered self-contained form (the oracle re-runs the cluster
+    * pipeline; a real pipeline feeds [[qualitySurvivorsOf]] the
+    * materialized cluster table). */
+  def qualitySurvivors(spark: SparkSession, dir: String): DataFrame =
+    qualitySurvivorsOf(ngramClusters(spark, dir), Tables.documents(spark, dir))
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
   // -------------------------------------------------------------------
@@ -831,6 +854,7 @@ object Dedup {
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
+    "dedup_quality_survivors" -> ((s, d) => qualitySurvivors(s, d)),
     "o11_dedup_aware_split" -> ((s, d) => dedupAwareSplit(s, d)),
     "curation_contamination" -> ((s, d) => contamination(s, d)),
     "curation_contamination_bloom" -> ((s, d) => contaminationBloom(s, d)),
@@ -984,6 +1008,14 @@ object Dedup {
     "dedup_ngram_clusters" ->
       s"""$ngramClusterCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    "dedup_quality_survivors" ->
+      s"""$ngramClusterCtes
+         |SELECT cluster_id, doc_id AS keep_id, n_chars FROM (
+         |  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |           ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |WHERE rn = 1""".stripMargin,
     "o11_dedup_aware_split" ->
       s"""$ngramClusterCtes
          |SELECT d.doc_id,

@@ -409,6 +409,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.groupBy(_.getAs[Long]("cid")).exists(_._2.length > 1))
   }
 
+  test("quality survivors: longest cluster member wins, ties break to min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.qualitySurvivorsOf(clusters, docs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_chars")))).toMap
+    // cluster 1: docs 2 and 3 tie at 50 chars -> min id 2 (never 1, the
+    // min-id canonical, which is shorter); cluster 7: tie -> 7
+    assert(got == Map(1L -> ((2L, 50L)), 7L -> ((7L, 5L))))
+  }
+
   test("dedupAwareSplitOf over a precomputed cluster table equals the " +
       "self-contained split") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
