@@ -63,4 +63,25 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got == Set(10L, 11L), s"got $got")
     assert(capped.count() == 4)
   }
+
+  test("block cap bounds BOTH sides: a B-side-only hot block is excluded") {
+    import spark.implicits._
+    // block "cccccccc": ONE A row but 5 B rows — per-block candidate
+    // volume is |A|x|B|, so a one-sided (A-only) cap would admit this
+    // block and melt a reducer on a degenerate B-side key
+    val a = Seq((1L, "cccccccccccc"), (10L, "ddddddddddda"), (11L, "dddddddddddb"))
+      .toDF("a_id", "a_name")
+    val b = Seq(
+      (21L, "CCCCCCCCCCCA"), (22L, "CCCCCCCCCCCB"), (23L, "CCCCCCCCCCCC"),
+      (24L, "CCCCCCCCCCCD"), (25L, "CCCCCCCCCCCE"),
+      (30L, "DDDDDDDDDDDA"), (31L, "DDDDDDDDDDDB"))
+      .toDF("b_id", "b_name_raw")
+    val capped = EntityResolution.scoredPairsOf(a, b, cap = 4)
+    val blocksSeen = capped.select("a_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // only the d-block survives (1 or 2 rows per side); the c-block's
+    // B side exceeds the cap and contributes nothing
+    assert(blocksSeen == Set(10L, 11L), s"got $blocksSeen")
+    assert(capped.count() == 4)
+  }
 }
