@@ -90,6 +90,37 @@ object TextOps {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     tokenCountsOf(Tables.documents(spark, dir))
 
+  /** Tokenizer fertility + lexical diversity per language — the
+    * cost-model metrics a multilingual corpus is profiled by before
+    * mixing: fertility (subword pieces per whitespace word; high-
+    * fertility languages cost more tokens per word) and type-token
+    * ratio (corpus-level lexical diversity). Two map-side-combined
+    * aggregates, one language-keyed join — the type count explodes
+    * doc-DISTINCT tokens only, so the shuffle is vocabulary-bounded per
+    * doc, never corpus-bounded (the queryKeywordsOf df shape). Integer
+    * milli-units throughout. */
+  def fertilityByLangOf(docs: DataFrame): DataFrame = {
+    val perLang = docs.select(col("lang"),
+      size(tokens(col("text"))).cast("long").as("w"),
+      size(regexp_extract_all(col("text"),
+        lit("\\p{L}+|\\d+|[^\\p{L}\\d\\s]"), lit(0))).cast("long").as("p"),
+      length(col("text")).cast("long").as("c"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("p")).as("n_pieces"), sum(col("c")).as("n_chars"))
+    val types = docs
+      .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("lang").agg(countDistinct(col("tok")).as("n_types"))
+    perLang.join(types, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"),
+        col("n_chars"), coalesce(col("n_types"), lit(0L)).as("n_types"),
+        expr("1000 * n_pieces div greatest(n_words, 1)").as("fertility_milli"),
+        expr("1000 * n_types div greatest(n_words, 1)").as("ttr_milli"))
+  }
+
+  def fertilityByLang(spark: SparkSession, dir: String): DataFrame =
+    fertilityByLangOf(Tables.documents(spark, dir))
+
   /** Language-ID by stopword-set scoring with a CJK-codepoint fast path —
     * the classic n-gram/wordlist heuristic. Tie-breaks follow a fixed
     * precedence (en > de > fr > es) so the argmax is total. */
@@ -1066,6 +1097,7 @@ object TextOps {
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "text_fertility_by_lang" -> ((s, d) => fertilityByLang(s, d)),
     "text_normalize" -> ((s, d) => normalize(s, d)),
     "text_pii_mask" -> ((s, d) => piiMask(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
@@ -1313,6 +1345,28 @@ object TextOps {
         |       CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]')) AS INT) AS n_bpe_pieces,
         |       CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0::DOUBLE) AS BIGINT) AS n_chars_div4
         |FROM documents""".stripMargin,
+    "text_fertility_by_lang" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+        |         CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\p{L}\d\s]')) AS BIGINT) AS p,
+        |         CAST(length(text) AS BIGINT) AS c,
+        |         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS dt
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(w) AS BIGINT) AS n_words,
+        |         CAST(sum(p) AS BIGINT) AS n_pieces,
+        |         CAST(sum(c) AS BIGINT) AS n_chars
+        |  FROM d GROUP BY 1),
+        |ty AS (
+        |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+        |  FROM (SELECT lang, unnest(dt) AS tok FROM d) GROUP BY 1)
+        |SELECT g.lang, n_docs, n_words, n_pieces, n_chars,
+        |       coalesce(n_types, 0) AS n_types,
+        |       1000 * n_pieces // greatest(n_words, 1) AS fertility_milli,
+        |       1000 * n_types // greatest(n_words, 1) AS ttr_milli
+        |FROM g LEFT JOIN ty ON g.lang = ty.lang""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,
