@@ -116,8 +116,14 @@ object EntityResolution {
     // either side, so a block is admitted only if neither side exceeds
     // the cap. Blocks present on one side only produce no candidates, so
     // the inner join loses nothing. The ok-list stays tiny -> broadcast.
+    // The B-side count reads the RAW names (same block rows as bn), not
+    // the persisted trigram projection — the cap scan then runs without
+    // waiting on bn's (much heavier) trigram materialization.
+    val bCounts = b
+      .select(substring(lower(col("b_name_raw")), 1, 8).as("block"))
+      .groupBy("block").agg(count(lit(1)).as("nb"))
     val okBlocks = an.groupBy("block").agg(count(lit(1)).as("na"))
-      .join(bn.groupBy("block").agg(count(lit(1)).as("nb")), "block")
+      .join(bCounts, "block")
       .filter(col("na") <= cap && col("nb") <= cap)
       .select("block")
     // per-pair scoring is a single codegen'd merge pass over the two

@@ -200,38 +200,49 @@ object IncrementalSync {
                     stateDir: String, outDir: String,
                     succeeds: org.apache.spark.sql.Column,
                     maxAttempts: Int = 3)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions._
+      : org.apache.spark.sql.streaming.StreamingQuery =
     jobs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", s"$outDir/checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val all = batch.toDF()
-          .select("job_id", "tenant_id", "case_ref", "priority", "attempts")
-          .unionByName(retryBacklog(spark, stateDir, below = batchId))
-          .persist()
-        val failed = all.filter(!succeeds)
-        val retry = failed.filter(col("attempts") + 1 < maxAttempts)
-          .withColumn("attempts", (col("attempts") + 1).cast("int"))
-          .withColumn("priority", lit(3))
-        val dead = failed.filter(col("attempts") + 1 >= maxAttempts)
-          .withColumn("attempts", (col("attempts") + 1).cast("int"))
-        all.filter(succeeds).write.mode("overwrite")
-          .parquet(s"$outDir/succeeded/batch=$batchId")
-        dead.write.mode("overwrite").parquet(s"$outDir/dead/batch=$batchId")
-        retry.write.mode("overwrite").parquet(s"$stateDir/backlog/batch=$batchId")
-        // the manifest row is written LAST and is never empty — it only
-        // marks a batch's backlog as current once that backlog is fully
-        // on disk (see retryBacklog's scaladoc for why file presence
-        // alone cannot carry this signal)
-        locally { import spark.implicits._
-          Seq(batchId).toDF("done")
-            .write.mode("overwrite").parquet(s"$stateDir/manifest/batch=$batchId") }
-        all.unpersist()
-        ()
+        retryBatch(batch.toDF(), batchId, stateDir, outDir, succeeds, maxAttempts)
       }
       .start()
+
+  /** One retry-queue micro-batch, exposed so the idempotency contract is
+    * directly testable: replaying a batchId reads the SAME strictly-below
+    * backlog and overwrites the SAME partitions, so a crashed-and-replayed
+    * batch converges to identical outputs (IncrementalSyncSpec proves a
+    * literal double-run). */
+  def retryBatch(arrivals: org.apache.spark.sql.DataFrame, batchId: Long,
+                 stateDir: String, outDir: String,
+                 succeeds: org.apache.spark.sql.Column,
+                 maxAttempts: Int = 3): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = arrivals.sparkSession
+    val all = arrivals
+      .select("job_id", "tenant_id", "case_ref", "priority", "attempts")
+      .unionByName(retryBacklog(spark, stateDir, below = batchId))
+      .persist()
+    val failed = all.filter(!succeeds)
+    val retry = failed.filter(col("attempts") + 1 < maxAttempts)
+      .withColumn("attempts", (col("attempts") + 1).cast("int"))
+      .withColumn("priority", lit(3))
+    val dead = failed.filter(col("attempts") + 1 >= maxAttempts)
+      .withColumn("attempts", (col("attempts") + 1).cast("int"))
+    all.filter(succeeds).write.mode("overwrite")
+      .parquet(s"$outDir/succeeded/batch=$batchId")
+    dead.write.mode("overwrite").parquet(s"$outDir/dead/batch=$batchId")
+    retry.write.mode("overwrite").parquet(s"$stateDir/backlog/batch=$batchId")
+    // the manifest row is written LAST and is never empty — it only
+    // marks a batch's backlog as current once that backlog is fully
+    // on disk (see retryBacklog's scaladoc for why file presence
+    // alone cannot carry this signal)
+    locally { import spark.implicits._
+      Seq(batchId).toDF("done")
+        .write.mode("overwrite").parquet(s"$stateDir/manifest/batch=$batchId") }
+    all.unpersist()
+    ()
   }
 
   /** Streaming gap-sessionization over (user_id, ts) — Spark's native

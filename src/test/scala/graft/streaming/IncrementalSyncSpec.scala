@@ -340,6 +340,38 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retry batch replay is idempotent: same batchId, same inputs, same outputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-replay-st").toString
+    val succeeds = col("job_id") % 2 === 0
+    def snapshot() = {
+      val ok = spark.read.parquet(s"$outDir/succeeded").collect()
+        .map(_.getAs[Long]("job_id")).sorted.toSeq
+      val backlog = retryBacklog(spark, stateDir, below = Long.MaxValue)
+        .collect().map(r => (r.getAs[Long]("job_id"), r.getAs[Int]("attempts"),
+          r.getAs[Int]("priority"))).sorted.toSeq
+      (ok, backlog)
+    }
+    val b0 = (1L to 6L).map(i => Job(i, 0, i, priority = 1, attempts = 0)).toDF()
+    retryBatch(b0, 0L, stateDir, outDir, succeeds)
+    val first = snapshot()
+    // a crash after batch 0 commits its sink but before the engine
+    // records the offset replays the SAME batch: the strictly-below
+    // backlog read (below=0 -> empty) and partition overwrites must
+    // converge to identical state, not double-increment attempts
+    retryBatch(b0, 0L, stateDir, outDir, succeeds)
+    assert(snapshot() == first)
+    // and the NEXT batch still sees exactly one round of failures
+    retryBatch(spark.emptyDataset[Job].toDF(), 1L, stateDir, outDir, succeeds)
+    val dead1 = spark.read.parquet(s"$outDir/dead")
+    assert(dead1.count() == 0) // attempts=1 < 3, still retrying
+    val bl = retryBacklog(spark, stateDir, below = Long.MaxValue).collect()
+      .map(r => r.getAs[Long]("job_id") -> r.getAs[Int]("attempts")).toMap
+    assert(bl == Map(1L -> 2, 3L -> 2, 5L -> 2))
+  }
+
   test("circuit breaker: opens at threshold, sheds while open, half-open probe decides") {
     val jobs = Seq(Job(1, 0, 1, 1, 0))
     var b = Breaker(failureThreshold = 3, timeoutSeconds = 300L)
