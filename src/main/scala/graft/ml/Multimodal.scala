@@ -199,6 +199,43 @@ object Multimodal {
       .toDF()
   }
 
+  // -------------------------------------------------------------------
+  // Third arm: audio-shaped frame features over the stub signal
+  // -------------------------------------------------------------------
+
+  /** Audio feature extraction over the stub signal: the payload's
+    * centered sample stream (codepoint - 64) framed into win=64 / hop=32
+    * windows, emitting per-frame ENERGY (sum of squares) and
+    * ZERO-CROSSING counts — the two classic cheap audio descriptors
+    * (silence/voicing detection) and exactly the stage shape an
+    * STFT/MFCC stage occupies. Work per doc is frames x win = 2n — the
+    * linear framed-DSP budget — and the whole pipeline is a narrow
+    * explode + builtin slice/aggregate (codegen'd, no UDF, no shuffle).
+    * Integer arithmetic end to end, so DuckDB replays every frame. */
+  def audioFramesOf(docs: DataFrame, win: Int = 64, hop: Int = 32): DataFrame = {
+    val sig = transform(
+      filter(split(col("text"), ""), x => x =!= ""),
+      c => (ascii(c) - lit(64)).cast("long"))
+    docs.filter(col("doc_id") % 3 === 1) // the audio/wav rows of mediaTable
+      .select(col("doc_id"), sig.as("s"))
+      .withColumn("n", size(col("s")))
+      .filter(col("n") >= win)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), expr(s"CAST((n - $win) div $hop AS INT)"))))
+      .withColumn("start", col("frame_idx") * hop)
+      .select(col("doc_id"), col("frame_idx"),
+        aggregate(slice(col("s"), col("start") + 1, lit(win)), lit(0L),
+          (acc, x) => acc + x * x).as("energy"),
+        aggregate(zip_with(
+          slice(col("s"), col("start") + 1, lit(win - 1)),
+          slice(col("s"), col("start") + 2, lit(win - 1)),
+          (a, b) => when(a * b < 0, 1L).otherwise(0L)), lit(0L),
+          (acc, x) => acc + x).as("zero_crossings"))
+  }
+
+  def audioFrames(spark: SparkSession, dir: String): DataFrame =
+    audioFramesOf(Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -206,7 +243,8 @@ object Multimodal {
     "multimodal_meta" -> ((s, d) => mediaMeta(s, d)),
     "multimodal_resize" -> ((s, d) => resizePlan(s, d)),
     "multimodal_frames" -> ((s, d) => frameSamples(s, d)),
-    "multimodal_codec" -> ((s, d) => codecFeatures(s, d)))
+    "multimodal_codec" -> ((s, d) => codecFeatures(s, d)),
+    "multimodal_audio_frames" -> ((s, d) => audioFrames(s, d)))
 
   // multimodal_features: the stub decode is integer arithmetic over the
   // UTF-8 payload bytes, and the corpus is ASCII (verified across all SFs),
@@ -301,6 +339,26 @@ object Multimodal {
         |       CAST(len(list_filter(px, x -> x = 6)) AS BIGINT) AS h6,
         |       CAST(len(list_filter(px, x -> x = 7)) AS BIGINT) AS h7
         |FROM cps""".stripMargin,
+    "multimodal_audio_frames" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+        |              ELSE list_transform(string_split(text, ''),
+        |                                  c -> unicode(c)::BIGINT - 64) END AS s
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT doc_id, s,
+        |         unnest(range(0, (len(s) - 64) // 32 + 1)) AS frame_idx
+        |  FROM sig WHERE len(s) >= 64)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(list_slice(s, frame_idx*32 + 1, frame_idx*32 + 64),
+        |                        x -> x * x)), (a, b) -> a + b) AS BIGINT) AS energy,
+        |       CAST(list_reduce(list_prepend(0::BIGINT,
+        |         [CASE WHEN s[j] * s[j + 1] < 0 THEN 1::BIGINT ELSE 0::BIGINT END
+        |          for j in range(frame_idx*32 + 1, frame_idx*32 + 64)]),
+        |         (a, b) -> a + b) AS BIGINT) AS zero_crossings
+        |FROM f""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id,

@@ -49,6 +49,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio frames: frame arithmetic, energy and zero-crossings on " +
+      "crafted signals") {
+    import spark.implicits._
+    val sAlt = "A?" * 32   // 'A'=65 -> +1, '?'=63 -> -1: alternating signal
+    val sFlat = "@" * 96   // '@'=64 -> 0: silence
+    val docs = Seq((1L, sAlt), (4L, sFlat), (7L, "short"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.audioFramesOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")) ->
+        ((r.getAs[Long]("energy"), r.getAs[Long]("zero_crossings")))).toMap
+    // 64-sample alternating frame: energy 64x1, every adjacent pair crosses
+    assert(out((1L, 0)) == ((64L, 63L)))
+    // 96 zero samples -> exactly two hop-32 frames of silence
+    assert(out((4L, 0)) == ((0L, 0L)) && out((4L, 1)) == ((0L, 0L)))
+    // sub-window doc contributes no frames; nothing else leaks in
+    assert(out.size == 3)
+  }
+
   test("codec stats: histogram totals the pixels, moments match a direct pass") {
     val rows = Multimodal.codecFeatures(spark, sf).collect()
     assert(rows.nonEmpty)
