@@ -236,6 +236,32 @@ object Multimodal {
   def audioFrames(spark: SparkSession, dir: String): DataFrame =
     audioFramesOf(Tables.documents(spark, dir))
 
+  /** Video-shaped motion detection over the stub signal: consecutive
+    * non-overlapping 64-sample "frames" compared samplewise; per frame
+    * pair, the summed absolute difference (the frame-difference motion
+    * metric scene-cut detection thresholds on). Same narrow explode +
+    * zip_with/aggregate shape as [[audioFramesOf]] — a real frame-delta
+    * kernel would swap in behind the identical plumbing. */
+  def motionDeltasOf(docs: DataFrame, win: Int = 64): DataFrame = {
+    val sig = transform(
+      filter(split(col("text"), ""), x => x =!= ""),
+      c => (ascii(c) - lit(64)).cast("long"))
+    docs.filter(col("doc_id") % 3 === 2) // the video/mp4 rows of mediaTable
+      .select(col("doc_id"), sig.as("s"))
+      .withColumn("n", size(col("s")))
+      .filter(col("n") >= 2 * win) // need at least two full frames
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), expr(s"CAST(n div $win - 2 AS INT)"))))
+      .select(col("doc_id"), col("frame_idx"),
+        aggregate(zip_with(
+          slice(col("s"), col("frame_idx") * win + 1, lit(win)),
+          slice(col("s"), (col("frame_idx") + 1) * win + 1, lit(win)),
+          (a, b) => abs(b - a)), lit(0L), (acc, x) => acc + x).as("motion"))
+  }
+
+  def motionDeltas(spark: SparkSession, dir: String): DataFrame =
+    motionDeltasOf(Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -244,7 +270,8 @@ object Multimodal {
     "multimodal_resize" -> ((s, d) => resizePlan(s, d)),
     "multimodal_frames" -> ((s, d) => frameSamples(s, d)),
     "multimodal_codec" -> ((s, d) => codecFeatures(s, d)),
-    "multimodal_audio_frames" -> ((s, d) => audioFrames(s, d)))
+    "multimodal_audio_frames" -> ((s, d) => audioFrames(s, d)),
+    "multimodal_motion" -> ((s, d) => motionDeltas(s, d)))
 
   // multimodal_features: the stub decode is integer arithmetic over the
   // UTF-8 payload bytes, and the corpus is ASCII (verified across all SFs),
@@ -358,6 +385,23 @@ object Multimodal {
         |         [CASE WHEN s[j] * s[j + 1] < 0 THEN 1::BIGINT ELSE 0::BIGINT END
         |          for j in range(frame_idx*32 + 1, frame_idx*32 + 64)]),
         |         (a, b) -> a + b) AS BIGINT) AS zero_crossings
+        |FROM f""".stripMargin,
+    "multimodal_motion" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+        |              ELSE list_transform(string_split(text, ''),
+        |                                  c -> unicode(c)::BIGINT - 64) END AS s
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, s,
+        |         unnest(range(0, len(s) // 64 - 1)) AS frame_idx
+        |  FROM sig WHERE len(s) >= 128)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(list_reduce(list_prepend(0::BIGINT,
+        |         [abs(s[j + 64] - s[j])
+        |          for j in range(frame_idx*64 + 1, frame_idx*64 + 65)]),
+        |         (a, b) -> a + b) AS BIGINT) AS motion
         |FROM f""".stripMargin,
     "multimodal_frames" ->
       """WITH v AS (

@@ -67,6 +67,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("motion deltas: zero between identical frames, exact sum on a " +
+      "crafted cut") {
+    import spark.implicits._
+    // doc 2 (video): frame0 = 64x'@' (zeros), frame1 = 64x'A' (ones),
+    // frame2 = 64x'A' -> motion(0)=64, motion(1)=0
+    val cut = "@" * 64 + "A" * 64 + "A" * 64
+    val docs = Seq((2L, cut), (5L, "@" * 100), (8L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.motionDeltasOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[Long]("motion")).toMap
+    assert(out == Map((2L, 0) -> 64L, (2L, 1) -> 0L)) // <2 frames -> no rows
+  }
+
   test("codec stats: histogram totals the pixels, moments match a direct pass") {
     val rows = Multimodal.codecFeatures(spark, sf).collect()
     assert(rows.nonEmpty)
