@@ -240,6 +240,37 @@ object Dashboard {
           .when(col("priority") === 3, 15).otherwise(6)).as("est_minutes"))
   }
 
+  /** Incremental aggregate maintenance — the 100 TB rollup story: a
+    * materialized (tenant, event_type) rollup is not recomputed from the
+    * full corpus on every sync; the delta batch's PARTIAL rollup merges
+    * into the base via a full-outer join over summed mergeable state
+    * (counts and exact decimal sums — avg derives at read time, never
+    * merged directly). Here the corpus splits deterministically into a
+    * "base" (event_id % 10 < 7) and a "delta"; the registered output is
+    * the MERGE of the two partial rollups while the DuckDB oracle
+    * computes the direct full-corpus rollup — the hash gate therefore
+    * PROVES merge(partial, partial) == full, which is the entire
+    * correctness claim of incremental maintenance. */
+  def incrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy("tenant_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_v"))
+    val e = withTenant(Tables.events(spark, dir), "user_id")
+    val base = rollup(e.filter(col("event_id") % 10 < 7))
+    val delta = rollup(e.filter(col("event_id") % 10 >= 7))
+    base.select(col("tenant_id"), col("event_type"),
+      col("n").as("bn"), col("sum_v").as("bs"))
+      .join(delta.select(col("tenant_id"), col("event_type"),
+        col("n").as("dn"), col("sum_v").as("ds")),
+        Seq("tenant_id", "event_type"), "full_outer")
+      .select(col("tenant_id"), col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("bs"), lit(0).cast("decimal(12,2)")) +
+          coalesce(col("ds"), lit(0).cast("decimal(12,2)")))
+          .cast("double").as("sum_value"))
+  }
+
   /** Q1-style aggregate over lineitem (the canonical group-by; exact
     * decimal arithmetic cast to double at the end). */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =

@@ -34,6 +34,7 @@ object DashboardQueries {
     "o5_priority_batches" -> ((s, d) => Dashboard.priorityBatches(s, d)),
     "o5b_processing_recommendations" ->
       ((s, d) => Dashboard.processingRecommendations(s, d)),
+    "inc_rollup_merge" -> ((s, d) => Dashboard.incrementalRollup(s, d)),
     "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
     "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
     "p8_meaningful_docs" -> ((s, d) => Dashboard.meaningfulDocs(s, d)),
@@ -96,6 +97,12 @@ object DashboardQueries {
         |         AS success_rate,
         |       sum_avg_micro // n_groups AS avg_of_avgs_micro
         |FROM s""".stripMargin,
+    // the oracle is the DIRECT full-corpus rollup: hash equality with the
+    // Spark side's merge-of-partials PROVES incremental maintenance
+    "inc_rollup_merge" ->
+      """SELECT user_id % 4 AS tenant_id, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "a2_hourly_throughput" ->
       """SELECT date_trunc('hour', ts) AS hour, user_id % 4 AS tenant_id,
         |       count(*) AS n
