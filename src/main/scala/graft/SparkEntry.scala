@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ml.EntityResolution.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
       graft.operators.Graph.queries ++
-      graft.streaming.IncrementalSync.queries ++ graft.pipeline.Lineage.queries
+      graft.streaming.IncrementalSync.queries ++
+      graft.pipeline.Lineage.queries ++ graft.plans.DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.ml.EntityResolution.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
       graft.operators.Graph.oracles ++
-      graft.streaming.IncrementalSync.oracles ++ graft.pipeline.Lineage.oracles
+      graft.streaming.IncrementalSync.oracles ++
+      graft.pipeline.Lineage.oracles ++ graft.plans.DataQuality.oracles
 }

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level data-quality constraints (Deequ-style), the validation
+  * layer the reference runs informally (pydantic models at ingest,
+  * database/models.py:25-146; reconciliation gates at sync time,
+  * etl/reconciliation.py:324-405) made a first-class, declarative
+  * suite: each constraint is one aggregate expression over the frame,
+  * so an entire suite is ONE map-side-combined pass per table — at
+  * 100 TB you pay a single scan per table for any number of
+  * constraints, never a scan per check.
+  *
+  * Violation COUNTS (not booleans) are the output: they grade severity,
+  * diff across runs, and stay exact integers for the oracle.
+  */
+object DataQuality {
+
+  /** One constraint: a name and a violation-counting aggregate. */
+  final case class Check(name: String, violations: Column)
+
+  /** Count of rows where `pred` holds (the violation predicate). */
+  def countWhere(pred: Column): Column =
+    sum(when(pred, 1L).otherwise(0L))
+
+  /** Run a suite over one frame in a single aggregation pass; emits one
+    * row per check: (constraint, n_violations, n_checked, pass). */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggs = count(lit(1)).as("n_checked") +:
+      checks.map(c => coalesce(c.violations, lit(0L)).as(c.name))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = checks.flatMap(c => Seq(lit(c.name), col(c.name)))
+    one.select(col("n_checked"), map(pairs: _*).as("m"))
+      .select(explode(col("m")).as(Seq("constraint", "n_violations")),
+        col("n_checked"))
+      .select(col("constraint"), col("n_violations"), col("n_checked"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  /** The registered suite over the driver's star schema: primary-key
+    * uniqueness, domain/range rules, null rules, and cross-table
+    * referential integrity — one pass over orders, one anti-join for
+    * the foreign key. */
+  def constraintReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+    val ordersChecks = validate(o, Seq(
+      Check("orders_no_null_key",
+        countWhere(col("o_orderkey").isNull || col("o_custkey").isNull)),
+      Check("orders_price_nonneg", countWhere(col("o_totalprice") < 0)),
+      Check("orders_status_vocab",
+        countWhere(!col("o_orderstatus").isin("O", "F", "P"))),
+      Check("orders_priority_nonempty",
+        countWhere(col("o_orderpriority").isNull ||
+          col("o_orderpriority") === ""))))
+    // uniqueness needs a distinct, not just an aggregate — count vs
+    // count(distinct) in the same single pass
+    val pk = o.agg(count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+      .select(lit("orders_pk_unique").as("constraint"), col("n_violations"),
+        col("n_checked"), (col("n_violations") === 0L).as("pass"))
+    // referential integrity: lineitem rows whose order does not exist
+    val l = graft.Tables.lineitem(spark, dir)
+    val orphans = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(l.agg(count(lit(1)).as("n_checked"))))
+      .select(lit("lineitem_fk_orders").as("constraint"), col("n_violations"),
+        col("n_checked"), (col("n_violations") === 0L).as("pass"))
+    ordersChecks.unionByName(pk).unionByName(orphans)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "dq_constraints" -> ((s, d) => constraintReport(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "dq_constraints" ->
+      """WITH o AS (SELECT * FROM orders),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_nullkey,
+        |         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS v_price,
+        |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |         CAST(sum(CASE WHEN o_orderpriority IS NULL
+        |                         OR o_orderpriority = ''
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_pk
+        |  FROM o),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS v_fk
+        |  FROM lineitem l LEFT JOIN o ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'orders_no_null_key' AS constraint, v_nullkey AS n_violations,
+        |         n_checked, v_nullkey = 0 AS pass FROM base
+        |  UNION ALL
+        |  SELECT 'orders_price_nonneg', v_price, n_checked, v_price = 0 FROM base
+        |  UNION ALL
+        |  SELECT 'orders_status_vocab', v_status, n_checked, v_status = 0 FROM base
+        |  UNION ALL
+        |  SELECT 'orders_priority_nonempty', v_prio, n_checked, v_prio = 0 FROM base
+        |  UNION ALL
+        |  SELECT 'orders_pk_unique', v_pk, n_checked, v_pk = 0 FROM base
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders', v_fk, n_checked, v_fk = 0 FROM fk)""".stripMargin)
+}

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The declarative constraint suite counts violations exactly and runs
+  * as one aggregation pass. */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+  import DataQuality._
+
+  test("planted violations are counted per constraint; clean checks pass") {
+    val df = Seq(
+      (Some(1L), 10.0, "O"), (Some(2L), -5.0, "F"),
+      (None, 3.0, "O"), (Some(4L), -1.0, "X"))
+      .toDF("k", "price", "status")
+    val out = validate(df, Seq(
+      Check("no_null_k", countWhere(col("k").isNull)),
+      Check("price_nonneg", countWhere(col("price") < 0)),
+      Check("status_vocab", countWhere(!col("status").isin("O", "F", "P"))),
+      Check("never_fails", countWhere(lit(false)))))
+      .collect()
+      .map(r => r.getAs[String]("constraint") ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Long]("n_checked"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(out("no_null_k") == ((1L, 4L, false)))
+    assert(out("price_nonneg") == ((2L, 4L, false)))
+    assert(out("status_vocab") == ((1L, 4L, false)))
+    assert(out("never_fails") == ((0L, 4L, true)))
+  }
+
+  test("empty input: zero violations, zero checked, all pass") {
+    val df = Seq.empty[(Long, Double)].toDF("k", "price")
+    val out = validate(df, Seq(
+      Check("no_null_k", countWhere(col("k").isNull)))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_violations") == 0L)
+    assert(out.head.getAs[Long]("n_checked") == 0L)
+    assert(out.head.getAs[Boolean]("pass"))
+  }
+
+  test("the registered star-schema suite is clean on the driver's data") {
+    val rows = DataQuality.constraintReport(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getAs[Boolean]("pass"),
+      s"constraint ${r.getAs[String]("constraint")} has " +
+        s"${r.getAs[Long]("n_violations")} violations"))
+  }
+}
