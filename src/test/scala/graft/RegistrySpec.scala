@@ -38,7 +38,8 @@ class RegistrySpec extends SparkSpec {
       graft.ml.EntityResolution.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
       graft.operators.Graph.queries,
-      graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries)
+      graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries,
+      graft.plans.DataQuality.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
