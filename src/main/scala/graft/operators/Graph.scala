@@ -88,6 +88,97 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
   // -------------------------------------------------------------------
+  // Triangle counting (market-basket co-purchase graph)
+  // -------------------------------------------------------------------
+
+  /** Minimum co-occurrence support for a co-purchase edge. */
+  val TriMinSupport = 2
+
+  /** Co-purchase edges over PARTS: u—v iff parts u and v appear in the
+    * same order at least [[TriMinSupport]] times. Nodes are parts (not
+    * the bipartite customer/supplier graph, which is triangle-free by
+    * construction). The per-order pair fan-out is bounded by the order
+    * size (≤ C(7,2) = 21 pairs per order in TPC-H-shaped data), so the
+    * self-join on l_orderkey is a bounded equi-join — linear in
+    * |lineitem| at any scale — and the support count is a map-side-
+    * combinable aggregate that also acts as the sparsity guard (the
+    * support-1 graph is ~30× denser). */
+  def copurchaseEdgesOf(lineitem: DataFrame,
+      minSupport: Int = TriMinSupport): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("u", "v")
+  }
+
+  /** Oriented edge list (src → dst by ascending (degree, id)) from an
+    * undirected (u < v) edge table. Orienting every edge from the
+    * lower-(degree, id) endpoint makes each triangle {x, y, z} appear
+    * exactly once as the edge triple x→y, x→z, y→z, and bounds the
+    * oriented out-degree by O(√|E|) for ANY degree distribution — the
+    * compact-forward / MapReduce triangle bound (Suri & Vassilvitskii,
+    * WWW'11), which is what keeps the wedge join below from exploding on
+    * power-law hubs: a hub's edges all point INTO it, so it contributes
+    * no wedges of its own. */
+  private def orient(e0: DataFrame): DataFrame = {
+    val und = e0.select(explode(array(
+      struct(col("u"), col("v")),
+      struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("n"), col("e.v"))
+    val deg = und.groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val aFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e0.join(du, "u").join(dv, "v")
+      .select(when(aFirst, col("u")).otherwise(col("v")).as("s"),
+        when(aFirst, col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** All triangles (a, b, c) of the undirected graph `e0` (u < v edge
+    * list), each exactly once, ordered by the (degree, id) orientation:
+    * wedge join (a→b)⋈(b→c) on the shared middle, closed by the (a→c)
+    * edge — three equi-joins, cost Σ_v outdeg(v)² ≤ O(|E|^{3/2}). */
+  def trianglesOf(e0: DataFrame): DataFrame = {
+    val o = e0.transform(orient)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = o.select(col("s").as("a"), col("t").as("b"))
+    val y = o.select(col("s").as("b"), col("t").as("c"))
+    val z = o.select(col("s").as("a"), col("t").as("c"))
+    x.join(y, "b").join(z, Seq("a", "c")).select("a", "b", "c")
+  }
+
+  /** Per-part triangle participation: how many "frequently bought
+    * together" triples each part belongs to — the local-density signal a
+    * basket-analysis pipeline ranks bundle candidates by. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(copurchaseEdgesOf(Tables.lineitem(spark, dir)))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+
+  /** Global graph-shape summary: node/edge/wedge/triangle counts and the
+    * global clustering coefficient 3·T/wedges in milli-units — the one-
+    * row "how clique-ish is co-purchase behaviour" health metric. */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = copurchaseEdgesOf(Tables.lineitem(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    val tri = trianglesOf(e0).agg(count(lit(1)).as("n_triangles"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(shape)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("3 * n_triangles * 1000 div n_wedges").as("global_cc_milli"))
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
@@ -95,7 +186,31 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
-    "graph_degree_histogram" -> ((s, d) => degreeHistogram(s, d)))
+    "graph_degree_histogram" -> ((s, d) => degreeHistogram(s, d)),
+    "graph_triangles" -> ((s, d) => triangleCounts(s, d)),
+    "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)))
+
+  /** Shared oracle prefix: the support-filtered co-purchase edge list
+    * and its (degree, id) orientation — mirrors copurchaseEdgesOf +
+    * orient exactly. */
+  private val triOraclePrefix: String =
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS MATERIALIZED (
+      |  SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b
+      |  ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS MATERIALIZED (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
+      |o AS MATERIALIZED (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |              THEN e0.u ELSE e0.v END AS s,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+      |              THEN e0.v ELSE e0.u END AS t
+      |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+      |tri AS MATERIALIZED (
+      |  SELECT x.s AS a, x.t AS b, y.t AS c
+      |  FROM o x JOIN o y ON x.t = y.s
+      |  JOIN o z ON z.s = x.s AND z.t = y.t)""".stripMargin
 
   /** Generated fixed-round PageRank oracle — MATERIALIZED per round (the
     * default CTE inlining would expand the chain exponentially). */
@@ -133,6 +248,18 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" -> s"""$triOraclePrefix,
+      |nodes AS (SELECT a AS part_id FROM tri UNION ALL
+      |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |SELECT part_id, count(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin,
+    "graph_clustering_coeff" -> s"""$triOraclePrefix
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |       (SELECT count(*) FROM e0) AS n_edges,
+      |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |       (SELECT count(*) FROM tri) AS n_triangles,
+      |       CAST(3 * (SELECT count(*) FROM tri) * 1000
+      |         // (SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+      |         AS global_cc_milli""".stripMargin,
     "graph_pagerank" -> prOracle,
     "graph_degree_histogram" ->
       """WITH e0 AS (

@@ -23,6 +23,34 @@ class GraphSpec extends SparkSpec {
     assert(pr.forall(_.getAs[Long]("pr") >= Graph.RankUnit - Graph.DampingMilli * 1000L))
   }
 
+  test("triangles: each counted once on a known graph") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles), disjoint triangle {8,9,10},
+    // disjoint path 5-6-7 (0 triangles)
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (8L, 9L), (8L, 10L), (9L, 10L), (5L, 6L), (6L, 7L))
+      .toDF("u", "v")
+    val tri = Graph.trianglesOf(e0).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.length == 5, "4 clique triangles + 1 standalone")
+    assert(tri.distinct.length == 5, "orientation must count each once")
+    assert(tri.count(_.subsetOf(Set(1L, 2L, 3L, 4L))) == 4)
+    assert(tri.contains(Set(8L, 9L, 10L)))
+    assert(tri.forall(s => !s.exists(Set(5L, 6L, 7L))))
+  }
+
+  test("clustering coefficient: internally consistent on real data") {
+    val row = Graph.clusteringCoefficient(spark, sf).collect().head
+    val (nodes, edges, wedges, tris, cc) = (row.getAs[Long]("n_nodes"),
+      row.getAs[Long]("n_edges"), row.getAs[Long]("n_wedges"),
+      row.getAs[Long]("n_triangles"), row.getAs[Long]("global_cc_milli"))
+    assert(nodes > 0 && edges > 0 && wedges >= edges)
+    assert(cc == 3 * tris * 1000 / wedges)
+    // per-node participation sums to 3 per triangle
+    val perNode = Graph.triangleCounts(spark, sf).collect()
+    assert(perNode.map(_.getAs[Long]("n_tri")).sum == 3 * tris)
+  }
+
   test("degree histogram masses sum to the node count") {
     val hist = Graph.degreeHistogram(spark, sf).collect()
     val nodes = Graph.pageRank(spark, sf, iters = 1).count()
