@@ -26,7 +26,7 @@ object SparkEntry {
       graft.ml.Curation.queries ++ graft.ml.Multimodal.queries ++
       graft.ml.EntityResolution.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
-      graft.operators.Graph.queries ++
+      graft.operators.Graph.queries ++ graft.operators.Layout.queries ++
       graft.streaming.IncrementalSync.queries ++
       graft.pipeline.Lineage.queries ++ graft.plans.DataQuality.queries
 
@@ -40,7 +40,7 @@ object SparkEntry {
       graft.ml.Curation.oracles ++ graft.ml.Multimodal.oracles ++
       graft.ml.EntityResolution.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
-      graft.operators.Graph.oracles ++
+      graft.operators.Graph.oracles ++ graft.operators.Layout.oracles ++
       graft.streaming.IncrementalSync.oracles ++
       graft.pipeline.Lineage.oracles ++ graft.plans.DataQuality.oracles
 }
