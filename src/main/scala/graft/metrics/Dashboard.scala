@@ -585,6 +585,43 @@ object Dashboard {
         percentile(col("cents"), lit(0.5)).as("p50"),
         percentile(col("cents"), lit(0.75)).as("p75"))
 
+  /** Histogram bin width for [[histQuantiles]], in cents. */
+  val HistBinCents = 500L
+
+  /** A17b — MERGEABLE fixed-bin histogram quantiles: the sketch form of
+    * [[valuePercentiles]] for the 100 TB path, with an exact oracle.
+    * Exact percentile sorts every group; this sketch is two map-side-
+    * combinable aggregates over bounded state (≤ range/width bins per
+    * type — ~100 here), so partial histograms merge associatively across
+    * executors exactly like a t-digest but with a deterministic,
+    * engine-portable answer: the estimate is the LOWER EDGE of the first
+    * bin whose cumulative count reaches ceil(q·n), i.e. the true
+    * quantile rounded down to bin resolution — error bounded by the bin
+    * width by construction, and bit-identical in DuckDB. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = HistBinCents
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"CAST(round(value * 100) AS BIGINT) div $w").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val typeW = Window.partitionBy("event_type")
+    val cumW = typeW.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def thresh(qMilli: Long): Column =
+      expr(s"(n * $qMilli + 999) div 1000")
+    def est(qMilli: Long): Column =
+      min(when(col("cum") >= thresh(qMilli), col("bin") * w))
+    hist
+      .withColumn("n", sum("c").over(typeW))
+      .withColumn("cum", sum("c").over(cumW))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), count(lit(1)).as("n_bins"),
+        est(500).as("p50_est"), est(900).as("p90_est"),
+        est(990).as("p99_est"))
+      .select(col("event_type"), col("n"), col("n_bins"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+  }
+
   /** O6+ — deterministic stratified sampling: a fixed arithmetic-hash
     * threshold on the key keeps the exact same 10% of rows in any
     * engine, any run, any cluster size — no RNG, no seed coordination,

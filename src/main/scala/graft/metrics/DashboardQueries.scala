@@ -50,6 +50,7 @@ object DashboardQueries {
     "a14_queue_depths" -> ((s, d) => Dashboard.queueDepths(s, d)),
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
+    "a17b_hist_quantiles" -> ((s, d) => Dashboard.histQuantiles(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
     "o7_dataset_split" -> ((s, d) => Dashboard.datasetSplit(s, d)),
     "a18_profile_orders" -> ((s, d) => Dashboard.profileOrders(s, d)),
@@ -354,6 +355,26 @@ object DashboardQueries {
         |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
         |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
+    "a17b_hist_quantiles" ->
+      s"""WITH hist AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100) AS BIGINT) // ${Dashboard.HistBinCents}
+        |           AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, bin, c,
+        |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hist)
+        |SELECT event_type, max(n) AS n, count(*) AS n_bins,
+        |  min(CASE WHEN cum >= (n * 500 + 999) // 1000
+        |    THEN bin * ${Dashboard.HistBinCents} END) AS p50_est,
+        |  min(CASE WHEN cum >= (n * 900 + 999) // 1000
+        |    THEN bin * ${Dashboard.HistBinCents} END) AS p90_est,
+        |  min(CASE WHEN cum >= (n * 990 + 999) // 1000
+        |    THEN bin * ${Dashboard.HistBinCents} END) AS p99_est
+        |FROM x GROUP BY event_type""".stripMargin,
     "o6_hash_sample" ->
       """SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_orderstatus
         |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin,

@@ -12,6 +12,25 @@ import graft.SparkSpec
 class DashboardSpec extends SparkSpec {
   import spark.implicits._
 
+  test("histogram sketch quantiles land within one bin of the exact answer") {
+    val exact = Dashboard.valuePercentiles(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val sketch = Dashboard.histQuantiles(spark, sf).collect()
+    assert(sketch.map(_.getAs[String]("event_type")).toSet == exact.keySet)
+    sketch.foreach { s =>
+      val e = exact(s.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == e.getAs[Long]("n"))
+      // bounded state: bins ≤ value range / width
+      assert(s.getAs[Long]("n_bins") <= 49500 / Dashboard.HistBinCents + 1)
+      // p50 estimate is the true median's bin lower edge: within one
+      // bin width below the exact interpolated median
+      val p50 = s.getAs[Long]("p50_est").toDouble
+      val exact50 = e.getAs[Double]("p50")
+      assert(p50 <= exact50 && exact50 - p50 <= Dashboard.HistBinCents,
+        s"p50_est $p50 vs exact $exact50")
+    }
+  }
+
   test("quantized deciles match ntile(10) away from edges, within 1 at them") {
     val stats = graft.ml.TextOps.textStats(spark, sf)
     val quant = Dashboard.qualityDeciles(spark, sf)
