@@ -582,12 +582,12 @@ case class SimhashPolySig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Count of common elements between two SORTED int arrays — one merge
-  * pass per pair, no per-pair hash-set allocation (array_intersect
-  * builds one), which is the difference at millions of candidate pairs.
-  * Caller contract: both inputs sorted ascending and duplicate-free
-  * (sort_array ∘ array_distinct at record build); Jaccard follows as
-  * 1000·overlap div (|a| + |b| − overlap). */
+/** Count of common elements between two SORTED arrays (both int or both
+  * long) — one merge pass per pair, no per-pair hash-set allocation
+  * (array_intersect builds one), which is the difference at millions of
+  * candidate pairs. Caller contract: both inputs sorted ascending and
+  * duplicate-free (sort_array ∘ array_distinct at record build); Jaccard
+  * follows as 1000·overlap div (|a| + |b| − overlap). */
 case class SortedOverlapCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -595,28 +595,43 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"sorted_overlap expects (array<int>, array<int>), got " +
-          s"(${left.dataType.sql}, ${right.dataType.sql})")
+        s"sorted_overlap expects matching (array<int>) or (array<long>) " +
+          s"operands, got (${left.dataType.sql}, ${right.dataType.sql})")
     }
   override def dataType: DataType = IntegerType
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
-      val vx = x.getInt(i); val vy = y.getInt(j)
-      if (vx == vy) { c += 1; i += 1; j += 1 }
-      else if (vx < vy) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < nx && j < ny) {
+        val vx = x.getLong(i); val vy = y.getLong(j)
+        if (vx == vy) { c += 1; i += 1; j += 1 }
+        else if (vx < vy) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val vx = x.getInt(i); val vy = y.getInt(j)
+        if (vx == vy) { c += 1; i += 1; j += 1 }
+        else if (vx < vy) i += 1
+        else j += 1
+      }
     }
     c
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (jt, get) = if (isLong) ("long", "getLong") else ("int", "getInt")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
@@ -625,7 +640,7 @@ case class SortedOverlapCount(left: Expression, right: Expression)
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $vx = $a.getInt($i); int $vy = $b.getInt($j);
+         |  $jt $vx = $a.$get($i); $jt $vy = $b.$get($j);
          |  if ($vx == $vy) { $c++; $i++; $j++; }
          |  else if ($vx < $vy) { $i++; } else { $j++; }
          |}

@@ -295,6 +295,72 @@ object Dedup {
     ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap)
 
   // -------------------------------------------------------------------
+  // Prefix filtering (AllPairs / PPJoin family) — the LOSSLESS
+  // subquadratic similarity join
+  // -------------------------------------------------------------------
+
+  /** Milli-Jaccard threshold for [[prefixFilterPairsOf]]. */
+  val PrefixThresholdMilli = 800L
+
+  /** Exact Jaccard-similarity self-join at threshold t = 0.8 via PREFIX
+    * FILTERING (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06): sort
+    * every document's shingles by one GLOBAL total order — ascending
+    * document frequency, rarest first — and index only each document's
+    * first |x| − ceil(t·|x|) + 1 shingles. Any pair with J ≥ t must
+    * share a prefix token under that order (its suffix has only
+    * ceil(t·|x|) − 1 elements, fewer than the required overlap), so the
+    * candidate set is a SUPERSET of the answer and the exact
+    * sorted-merge verification makes the whole join LOSSLESS — unlike
+    * the df-cap heuristic of [[ngramJaccardPairsOf]] or the
+    * probabilistic recall of MinHash LSH.
+    *
+    * Scale: hot (stop-phrase) shingles have maximal df, sort LAST, and
+    * almost never enter a prefix — skew protection falls out of the
+    * algorithm instead of a tuning knob. Candidate volume is the index
+    * join on rare tokens only (~(1−t)·|x| postings per doc); the only
+    * per-doc state is one row_number window over the high-cardinality
+    * doc_id. Verification is one codegen'd merge pass per candidate on
+    * the persisted sorted-hash arrays. */
+  def prefixFilterPairsOf(docs: DataFrame,
+      thresholdMilli: Long = PrefixThresholdMilli): DataFrame = {
+    val spread = graft.scale.Scale.spread(docs)
+    // full per-doc sorted shingle-hash sets: the verification operand,
+    // persisted so the shingle kernel runs once per doc, not per use
+    val base = spread
+      .select(col("doc_id"), sort_array(hashedShingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .persist()
+    val ex = base.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("h"))
+    val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // global order = (df asc, hash asc); prefix keeps the rarest
+    // len - ceil(t*len) + 1 tokens (integer: ceil(0.8*len) = (8len+9)/10)
+    val rk = Window.partitionBy("doc_id").orderBy("df", "h")
+    val prefix = ex.join(dfCounts, "h")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= col("len") - expr("(len * 8 + 9) div 10") + 1)
+      .select("doc_id", "h")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        ArrayOps.sorted_overlap(col("sha"), col("shb")).as("ov"),
+        size(col("sha")).cast("long").as("sa"),
+        size(col("shb")).cast("long").as("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("1000 * ov div (sa + sb - ov)").as("jm"))
+      .filter(col("jm") >= thresholdMilli)
+  }
+
+  def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame =
+    prefixFilterPairsOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
   // MinHash + LSH — every hash ENGINE-PORTABLE (char-level polynomial
   // shingle hash, affine permutations mod 2^31-1, polynomial band fold),
   // so the DuckDB oracle reproduces the signatures bit-for-bit and the
@@ -846,6 +912,7 @@ object Dedup {
     "dedup_exact_groups" -> ((s, d) => exactGroups(s, d)),
     "dedup_exact_survivors" -> ((s, d) => exactSurvivors(s, d)),
     "dedup_ngram_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "dedup_prefix_pairs" -> ((s, d) => prefixFilterPairs(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "dedup_incremental_admit" -> ((s, d) => incrementalAdmit(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
@@ -1005,6 +1072,29 @@ object Dedup {
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE""".stripMargin,
+    // prefix filtering is LOSSLESS, so the oracle is the plain
+    // UNCAPPED inverted-index join — the naive-but-correct answer the
+    // subquadratic plan must reproduce exactly (integer milli-Jaccard)
+    "dedup_prefix_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                               for i in range(1, len(toks) - 1)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(1000 * inter // (sa.n + sb.n - inter) AS BIGINT) AS jm
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE 1000 * inter // (sa.n + sb.n - inter) >= $PrefixThresholdMilli""".stripMargin,
     "dedup_ngram_clusters" ->
       s"""$ngramClusterCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,

@@ -44,6 +44,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix filtering is LOSSLESS: equals the uncapped brute-force " +
+      "index join at the threshold, on real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Dedup.prefixFilterPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jm"))).toSet
+    // naive yardstick: full inverted index, no prefix, no df cap
+    val sh = docs
+      .select(col("doc_id"), explode(Dedup.hashedShingles(col("text"))).as("h"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("1000 * inter div (na + nb - inter)").as("jm"))
+      .filter(col("jm") >= Dedup.PrefixThresholdMilli)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jm"))).toSet
+    assert(got == naive, s"prefix filter must be exact: got ${got.size}, " +
+      s"naive ${naive.size}")
+    assert(naive.nonEmpty, "fixture should contain near-dups at 0.8")
+  }
+
   test("minhash LSH recovers the exact-Jaccard pairs (recall) without " +
     "flooding (precision) on real data") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.7)
