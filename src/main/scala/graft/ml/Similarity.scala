@@ -559,12 +559,56 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Scalar quantization (SQ8) — 8-bit compressed corpus, asymmetric
+  // distance
+  // -------------------------------------------------------------------
+
+  /** SQ8 asymmetric top-k: the corpus is compressed to PER-DIMENSION
+    * 8-bit codes (linear [min, max] grid learned from the corpus — the
+    * standard scalar-quantization index layout, 4 bytes → 1 byte per
+    * dim) and queries stay full precision; scoring dequantizes the code
+    * back to the grid point and takes the exact integer dot product. At
+    * 100 TB the codes table is what fits in memory/SSD — this operator
+    * IS the memory-budget story for the ANN family, and the one-off
+    * code-build (a narrow pass + a dims-sized broadcast join + one
+    * per-vector reassembly shuffle) amortizes like IVF training.
+    *
+    * Every step is integer floor arithmetic on the already-quantized
+    * fixed-point vectors, so the DuckDB oracle replays the codes, the
+    * dequantization and the ranking bit-for-bit. Recall vs the exact
+    * arm is spec-checked ([[bruteForceTopK]] as yardstick). */
+  def sq8TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = quantizedVectors(spark, dir).persist()
+    val ex = v.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "x")))
+    val dims = ex.groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+    val recon = ex.join(broadcast(dims), "pos")
+      .select(col("vec_id"), col("pos"),
+        expr("lo + ((x - lo) * 255 div greatest(hi - lo, 1))" +
+          " * (hi - lo) div 255").as("recon"))
+    val ra = recon.groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("recon")))),
+        s => s.getField("recon")).as("rq"))
+    val qs = v.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val scored = ra.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("qv"), col("rq")).as("sq_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sq_dot", "rank")
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -765,6 +809,38 @@ object Similarity {
        |FROM lists l LEFT JOIN pr ON l.vec_id = pr.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_topk_sq8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(
+        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, unnest([{'pos': i - 1, 'x': qv[i]}
+        |                         for i in range(1, len(qv) + 1)]) AS u
+        |  FROM q),
+        |f AS (SELECT vec_id, CAST(u.pos AS INT) AS pos, u.x AS x FROM e),
+        |dims AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM f GROUP BY 1),
+        |recon AS (
+        |  SELECT vec_id, f.pos,
+        |         lo + ((x - lo) * 255 // greatest(hi - lo, 1))
+        |           * (hi - lo) // 255 AS recon
+        |  FROM f JOIN dims USING (pos)),
+        |qs AS (SELECT vec_id AS query_id, pos, x FROM f WHERE vec_id % 200 = 0),
+        |scored AS (
+        |  SELECT qs.query_id, r.vec_id,
+        |         CAST(sum(qs.x * r.recon) AS BIGINT) AS sq_dot
+        |  FROM qs JOIN recon r ON qs.pos = r.pos AND r.vec_id <> qs.query_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, vec_id, sq_dot,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sq_dot DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, sq_dot, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 10""".stripMargin,
     "sim_topk_ann" -> annOracle,
     "sim_topk_ivf" -> ivfOracle,
     "sim_topk_mmr" -> mmrOracle,

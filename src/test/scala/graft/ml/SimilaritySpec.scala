@@ -21,6 +21,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: 8-bit grid loses almost no recall vs the exact arm") {
+    val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val sq8rows = Similarity.sq8TopK(spark, sf, k = 10).collect()
+    val sq8 = sq8rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // full scoring structure: k per query, ranks total, self excluded
+    sq8rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length == 10 && !rs.exists(_.getAs[Long]("vec_id") == q))
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    }
+    // a 255-level grid on a 10k-scale fixed-point corpus quantizes far
+    // inside the ranking margin: near-lossless recall (vs 0.2/0.5
+    // floors for the bucketed ANN arms)
+    val recall = exact.count(sq8.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+  }
+
   test("IVF ANN beats the LSH recall floor and never returns non-corpus rows") {
     val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
