@@ -622,6 +622,36 @@ object Dashboard {
         col("p50_est"), col("p90_est"), col("p99_est"))
   }
 
+  /** A23 — robust outlier detection via median/MAD (the
+    * mean/stddev-free rule that survives the heavy tails it is supposed
+    * to find): flag x where |x − median| > 3σ-equivalent
+    * (3·1.4826 ≈ 4.4478) times the median absolute deviation. All
+    * integer: medians over integral cents interpolate on halves, so
+    * carrying them ×2 (half-cents) and the MAD ×2 again (quarter-cents)
+    * keeps every comparison exact (the a17 exact-interpolation trick,
+    * applied twice). Three aggregate passes (median, MAD, flag count) —
+    * the per-type median state is the same percentile aggregate a17
+    * uses; at 100 TB swap approx_percentile in, same shape. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val med = base.groupBy("event_type")
+      .agg((percentile(col("c"), lit(0.5)) * 2).cast("long").as("m2"))
+    val dev = base.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("m2"),
+        abs(col("c") * 2 - col("m2")).as("dev2"))
+    val mad = dev.groupBy("event_type")
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("m2")).as("med_half_cents"),
+        max(col("mad4")).as("mad_quarter_cents"),
+        sum(when(col("dev2") * 10000 > col("mad4") * 22239, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** O6+ — deterministic stratified sampling: a fixed arithmetic-hash
     * threshold on the key keeps the exact same 10% of rows in any
     * engine, any run, any cluster size — no RNG, no seed coordination,

@@ -51,6 +51,7 @@ object DashboardQueries {
     "a16_event_type_pivot" -> ((s, d) => Dashboard.eventTypePivot(s, d)),
     "a17_value_percentiles" -> ((s, d) => Dashboard.valuePercentiles(s, d)),
     "a17b_hist_quantiles" -> ((s, d) => Dashboard.histQuantiles(s, d)),
+    "a23_mad_outliers" -> ((s, d) => Dashboard.madOutliers(s, d)),
     "o6_hash_sample" -> ((s, d) => Dashboard.hashSample(s, d)),
     "o7_dataset_split" -> ((s, d) => Dashboard.datasetSplit(s, d)),
     "a18_profile_orders" -> ((s, d) => Dashboard.profileOrders(s, d)),
@@ -375,6 +376,28 @@ object DashboardQueries {
         |  min(CASE WHEN cum >= (n * 990 + 999) // 1000
         |    THEN bin * ${Dashboard.HistBinCents} END) AS p99_est
         |FROM x GROUP BY event_type""".stripMargin,
+    "a23_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |         CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS m2
+        |  FROM base GROUP BY 1),
+        |dev AS (
+        |  SELECT base.event_type, m2, abs(c * 2 - m2) AS dev2
+        |  FROM base JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |         CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, count(*) AS n,
+        |       max(m2) AS med_half_cents,
+        |       max(mad4) AS mad_quarter_cents,
+        |       CAST(sum(CASE WHEN dev2 * 10000 > mad4 * 22239
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "o6_hash_sample" ->
       """SELECT o_custkey % 4 AS tenant_id, o_orderkey, o_orderstatus
         |FROM orders WHERE (o_orderkey * 48271) % 100000 < 10000""".stripMargin,

@@ -152,6 +152,44 @@ object Graph {
     x.join(y, "b").join(z, Seq("a", "c")).select("a", "b", "c")
   }
 
+  /** Association rules over the co-purchase pairs: for every frequent
+    * pair (support ≥ [[TriMinSupport]]) emit both directed rules
+    * u ⇒ v with integer-milli confidence = P(v|u) and lift·1000 =
+    * conf·N / n(v) — the market-basket ranking a bundle recommender
+    * sorts by. One extra aggregate (per-part order frequency) and one
+    * broadcast-sized scalar anchor (total order count) on top of the
+    * bounded-fan-out pair build; confidence/lift are exact integer
+    * ratios so the oracle replays them. */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (order, part) basis: confidence is then a true
+    // conditional probability over baskets, not a multiplicity ratio
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairSupport = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriMinSupport)
+    val itemFreq = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val totals = li.agg(countDistinct(col("ok")).as("n_orders"))
+    // both directions of every frequent pair: u=>v and v=>u
+    val directed = pairSupport.select(
+      explode(array(
+        struct(col("u").as("lhs"), col("v").as("rhs"), col("support")),
+        struct(col("v").as("lhs"), col("u").as("rhs"), col("support"))))
+        .as("r"))
+      .select(col("r.lhs"), col("r.rhs"), col("r.support"))
+    directed
+      .join(itemFreq.select(col("pk").as("lhs"), col("n_item").as("n_lhs")), "lhs")
+      .join(itemFreq.select(col("pk").as("rhs"), col("n_item").as("n_rhs")), "rhs")
+      .crossJoin(broadcast(totals))
+      .select(col("lhs"), col("rhs"), col("support"),
+        expr("support * 1000 div n_lhs").as("conf_milli"),
+        expr("support * 1000 * n_orders div (n_lhs * n_rhs)").as("lift_milli"))
+  }
+
   /** Per-part triangle participation: how many "frequently bought
     * together" triples each part belongs to — the local-density signal a
     * basket-analysis pipeline ranks bundle candidates by. */
@@ -188,7 +226,8 @@ object Graph {
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_degree_histogram" -> ((s, d) => degreeHistogram(s, d)),
     "graph_triangles" -> ((s, d) => triangleCounts(s, d)),
-    "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)))
+    "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)),
+    "basket_rules" -> ((s, d) => associationRules(s, d)))
 
   /** Shared oracle prefix: the support-filtered co-purchase edge list
     * and its (degree, id) orientation — mirrors copurchaseEdgesOf +
@@ -248,6 +287,25 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "basket_rules" -> s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ps AS (
+      |  SELECT a.pk AS u, b.pk AS v, count(*) AS support
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+      |freq AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+      |directed AS (
+      |  SELECT u AS lhs, v AS rhs, support FROM ps
+      |  UNION ALL SELECT v, u, support FROM ps)
+      |SELECT lhs, rhs, support,
+      |       support * 1000 // fl.n_item AS conf_milli,
+      |       support * 1000 * n_orders // (fl.n_item * fr.n_item)
+      |         AS lift_milli
+      |FROM directed
+      |JOIN freq fl ON fl.pk = lhs
+      |JOIN freq fr ON fr.pk = rhs
+      |CROSS JOIN tot""".stripMargin,
     "graph_triangles" -> s"""$triOraclePrefix,
       |nodes AS (SELECT a AS part_id FROM tri UNION ALL
       |          SELECT b FROM tri UNION ALL SELECT c FROM tri)

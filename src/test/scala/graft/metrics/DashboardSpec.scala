@@ -31,6 +31,32 @@ class DashboardSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers agree with a local median/MAD recomputation") {
+    val got = Dashboard.madOutliers(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val cents = graft.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def med2(xs: Seq[Long]): Long = { // 2x the interpolated median
+      val n = xs.length
+      if (n % 2 == 1) 2 * xs(n / 2) else xs(n / 2 - 1) + xs(n / 2)
+    }
+    assert(got.keySet == cents.keySet)
+    cents.foreach { case (t, xs) =>
+      val r = got(t)
+      val m2 = med2(xs)
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(r.getAs[Long]("med_half_cents") == m2)
+      val dev2 = xs.map(x => math.abs(2 * x - m2)).sorted
+      val mad4 = med2(dev2)
+      assert(r.getAs[Long]("mad_quarter_cents") == mad4)
+      val expected = dev2.count(d => d * 10000 > mad4 * 22239).toLong
+      assert(r.getAs[Long]("n_outliers") == expected)
+      assert(expected < xs.length / 2, "a robust rule flags a minority")
+    }
+  }
+
   test("quantized deciles match ntile(10) away from edges, within 1 at them") {
     val stats = graft.ml.TextOps.textStats(spark, sf)
     val quant = Dashboard.qualityDeciles(spark, sf)

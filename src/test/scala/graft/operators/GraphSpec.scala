@@ -51,6 +51,22 @@ class GraphSpec extends SparkSpec {
     assert(perNode.map(_.getAs[Long]("n_tri")).sum == 3 * tris)
   }
 
+  test("association rules: mirrored pairs, symmetric lift, sane confidence") {
+    val rules = Graph.associationRules(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lhs"), r.getAs[Long]("rhs")) ->
+        (r.getAs[Long]("support"), r.getAs[Long]("conf_milli"),
+          r.getAs[Long]("lift_milli"))).toMap
+    assert(rules.nonEmpty)
+    rules.foreach { case ((lhs, rhs), (support, conf, lift)) =>
+      assert(lhs != rhs && support >= Graph.TriMinSupport)
+      assert(conf >= 0 && conf <= 1000, s"confidence must be a probability")
+      // the mirrored rule exists with the same support and lift
+      // (lift is symmetric by definition; confidence is not)
+      val (s2, _, l2) = rules((rhs, lhs))
+      assert(s2 == support && l2 == lift)
+    }
+  }
+
   test("degree histogram masses sum to the node count") {
     val hist = Graph.degreeHistogram(spark, sf).collect()
     val nodes = Graph.pageRank(spark, sf, iters = 1).count()
