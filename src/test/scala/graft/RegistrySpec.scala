@@ -37,7 +37,7 @@ class RegistrySpec extends SparkSpec {
       graft.ml.Curation.queries, graft.ml.Multimodal.queries,
       graft.ml.EntityResolution.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
-      graft.operators.Graph.queries,
+      graft.operators.Graph.queries, graft.operators.Layout.queries,
       graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries,
       graft.plans.DataQuality.queries)
     val names = all.flatMap(_.keys)
