@@ -602,12 +602,136 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Product quantization (PQ) — per-subspace codebooks, ADC scoring
+  // -------------------------------------------------------------------
+
+  /** The 64-dim space splits into `PqSubs` subspaces of `PqSubDim` dims;
+    * each subspace gets a `PqCodebook`-entry codebook (seeded from the
+    * first codewords at a fixed id step, then `PqIters` Lloyd rounds on
+    * a 1-in-`PqTrainStride` sample). A corpus vector is stored as
+    * `PqSubs` small codes — the Jégou et al. 2011 (TPAMI, "Product
+    * Quantization for Nearest Neighbor Search") index layout. */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqCodebook = 64
+  val PqSeedStep = 7
+  val PqTrainStride = 3
+  val PqIters = 1
+
+  /** ADC short-list size per query, exact-reranked down to k — the
+    * standard PQ serving split (codes select, originals confirm). */
+  val PqPool = 50
+
+  /** (vec_id, sub, sq): the corpus split into per-subspace slices — one
+    * narrow row per (vector, subspace). */
+  private def subVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(array((0 until PqSubs).map(m =>
+      struct(lit(m).as("sub"),
+        slice(col("q"), m * PqSubDim + 1, PqSubDim).as("sq"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sq").as("sq"))
+
+  /** Nearest codeword per (vector, subspace) by scaled squared L2
+    * ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ — three integer dots, no FP — with the
+    * (distance asc, code asc) tie-break. Broadcast join + max_by argmin:
+    * no shuffle of the corpus side. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sq"), col("code"),
+        (dot(col("sq"), col("sq")) - lit(2L) * dot(col("sq"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(struct(col("code"), col("sq")),
+        struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"),
+        col("best.sq").as("sq"))
+
+  /** Codebooks after `iters` Lloyd rounds: assignment on the sample, then
+    * each codeword becomes the rounded integer mean of its members
+    * (per-(sub,code,dim) SUM + COUNT — map-side combined, exact longs;
+    * the single rounding division replays in any engine). A codeword
+    * with no sample members keeps its previous value, so the codebook
+    * size never shrinks. */
+  private def pqCodebooks(v: DataFrame, iters: Int = PqIters): DataFrame = {
+    val subs = subVectors(v)
+    var cents = subs
+      .filter(col("vec_id") % PqSeedStep === 0 &&
+        col("vec_id") < PqSeedStep * PqCodebook)
+      .select(col("sub"), col("vec_id").as("code"), col("sq").as("cv"))
+    val sample = subs.filter(col("vec_id") % PqTrainStride === 0)
+    for (_ <- 0 until iters) {
+      val members = pqAssign(sample, cents)
+      val dimSums = members
+        .select(col("sub"), col("code"), posexplode(col("sq")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      val refined = dimSums
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("dim"),
+          round(col("s").cast("double") / col("n")).cast("long").as("m")))).as("dm"))
+        .select(col("sub"), col("code"),
+          transform(col("dm"), e => e.getField("m")).as("rcv"))
+      cents = cents
+        .join(refined, Seq("sub", "code"), "left_outer")
+        .select(col("sub"), col("code"), coalesce(col("rcv"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** ANN via PQ + asymmetric distance computation (ADC): the corpus is
+    * stored as `PqSubs` codebook codes per vector (64 ints → 8 codes —
+    * the byte-budget layout that keeps a 100 TB corpus's index in
+    * memory); queries stay full precision. The candidate scan never
+    * touches the original corpus vectors: a per-query lookup table
+    * (query × sub × codeword partial dots — `queries·PqSubs·PqCodebook`
+    * rows, broadcast) joins the code table on (sub, code) and the ADC
+    * score is the SUM of partial dots — a map-side-combinable aggregate,
+    * so the shuffle carries one row per (query, candidate). The ADC
+    * top-`PqPool` short-list is then reranked by the EXACT integer dot
+    * (the original vectors are fetched for `queries·PqPool` rows only —
+    * the standard serving split: codes select, originals confirm).
+    * Every step is deterministic integer arithmetic; the DuckDB oracle
+    * ([[pqOracle]]) replays seeds, Lloyd rounds, encode, ADC and the
+    * rerank bit-for-bit. Recall vs [[bruteForceTopK]] is spec-checked. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = graft.scale.Scale.spread(quantizedVectors(spark, dir)).persist()
+    val cents = pqCodebooks(v).persist()
+    val codes = pqAssign(subVectors(v), cents)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val qs = v.filter(isQuery(col("vec_id")))
+    val lut = subVectors(qs)
+      .join(cents, Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        dot(col("sq"), col("cv")).as("pdot"))
+    val adc = codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adc_dot"))
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("vec_id").asc)
+    val pool = adc.withColumn("arank", row_number().over(wPool))
+      .filter(col("arank") <= PqPool)
+      .select("query_id", "vec_id")
+    val scored = pool
+      .join(v, "vec_id")
+      .join(broadcast(qs.select(col("vec_id").as("query_id"),
+        col("q").as("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"), dot(col("qv"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dot", "rank")
+  }
+
+  // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "sim_topk_pq" -> ((s, d) => pqTopK(s, d)),
     "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
@@ -808,7 +932,99 @@ object Similarity {
        |SELECT l.vec_id, l.centroid_id, (pr.vec_id IS NOT NULL) AS pruned
        |FROM lists l LEFT JOIN pr ON l.vec_id = pr.vec_id""".stripMargin
 
+  /** Final codebook CTE name after `PqIters` generated Lloyd rounds. */
+  private def pqCentsCte: String =
+    if (PqIters == 0) "seeds" else s"pcents_$PqIters"
+
+  /** Oracle for [[pqTopK]]: subspace slicing, seed codebooks, `PqIters`
+    * generated Lloyd rounds (integer SUM/COUNT; the one rounded mean
+    * division replays with the same half-away-from-zero rule), encode,
+    * the per-query LUT and the ADC sum — all deterministic arithmetic,
+    * generated from the SAME constants the Spark side trains with. */
+  private def pqOracle: String = {
+    val subSelects = (0 until PqSubs).map { m =>
+      s"  SELECT vec_id, $m AS sub, list_slice(qv, ${m * PqSubDim + 1}, " +
+        s"${(m + 1) * PqSubDim}) AS sq FROM q"
+    }.mkString("\n  UNION ALL\n")
+    def d2(v: String, c: String) =
+      s"CAST(list_dot_product($v.sq, $v.sq) - 2 * list_dot_product($v.sq, $c.cv)" +
+        s" + list_dot_product($c.cv, $c.cv) AS BIGINT)"
+    def round(i: Int): String = {
+      val prev = if (i == 1) "seeds" else s"pcents_${i - 1}"
+      s"""passign_$i AS (
+         |  SELECT vec_id, sub, code, sq FROM (
+         |    SELECT s.vec_id, s.sub, c.code, s.sq,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |             ORDER BY ${d2("s", "c")} ASC, c.code ASC) AS rn
+         |    FROM psamp s JOIN $prev c ON s.sub = c.sub) WHERE rn = 1),
+         |pdsum_$i AS (
+         |  SELECT sub, code, i, CAST(sum(sq[i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM passign_$i CROSS JOIN range(1, ${PqSubDim + 1}) t(i)
+         |  GROUP BY sub, code, i),
+         |prefined_$i AS (
+         |  SELECT sub, code,
+         |         list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS rcv
+         |  FROM pdsum_$i GROUP BY sub, code),
+         |pcents_$i AS (
+         |  SELECT c.sub, c.code, COALESCE(r.rcv, c.cv) AS cv
+         |  FROM $prev c LEFT JOIN prefined_$i r
+         |    ON c.sub = r.sub AND c.code = r.code)""".stripMargin
+    }
+    val refineChain = if (PqIters == 0) "" else
+      (1 to PqIters).map(round).mkString("", ",\n", ",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(
+       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |subs AS (
+       |$subSelects),
+       |seeds AS (
+       |  SELECT sub, vec_id AS code, sq AS cv FROM subs
+       |  WHERE vec_id % $PqSeedStep = 0 AND vec_id < ${PqSeedStep * PqCodebook}),
+       |psamp AS (SELECT vec_id, sub, sq FROM subs WHERE vec_id % $PqTrainStride = 0),
+       |$refineChain""".stripMargin +
+    s"""codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT s.vec_id, s.sub, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |             ORDER BY ${d2("s", "c")} ASC, c.code ASC) AS rn
+       |    FROM subs s JOIN $pqCentsCte c ON s.sub = c.sub) WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.sub, c.code,
+       |         CAST(list_dot_product(s.sq, c.cv) AS BIGINT) AS pdot
+       |  FROM subs s JOIN $pqCentsCte c ON s.sub = c.sub
+       |  WHERE s.vec_id % 200 = 0),
+       |adc AS (
+       |  SELECT l.query_id, k.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |pool AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY adc_dot DESC, vec_id ASC) AS arank
+       |    FROM adc) WHERE arank <= $PqPool),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id,
+       |         CAST(list_dot_product(qq.qv, cc.qv) AS BIGINT) AS dot
+       |  FROM pool p
+       |  JOIN q qq ON qq.vec_id = p.query_id
+       |  JOIN q cc ON cc.vec_id = p.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY dot DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_pq" -> pqOracle,
     "sim_topk_sq8" ->
       """WITH q AS (
         |  SELECT vec_id,

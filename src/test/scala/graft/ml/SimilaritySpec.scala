@@ -39,6 +39,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall")
   }
 
+  test("PQ: 8-codes-per-vector ADC keeps a real recall floor") {
+    val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val pqRows = Similarity.pqTopK(spark, sf, k = 10).collect()
+    pqRows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length == 10 && !rs.exists(_.getAs[Long]("vec_id") == q))
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      // exact-reranked scores ranked non-increasing
+      val dots = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+    }
+    val pq = pqRows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // deterministic pipeline -> a real floor, not a statistical one.
+    // The 8-codes-per-vector ADC scan is coarse on this near-random
+    // corpus (raw ADC recall ~0.37); the exact rerank of the top-PqPool
+    // short-list recovers what the code scan surfaces.
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+  }
+
   test("IVF ANN beats the LSH recall floor and never returns non-corpus rows") {
     val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
