@@ -515,6 +515,43 @@ object Dashboard {
           .as("n_users_kmv"))
   }
 
+  /** A15d — Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    * estimates: per-user event counts read back from a `CmsDepth` ×
+    * `CmsWidth` counter grid instead of a per-user aggregate. Each event
+    * increments one bucket per depth (independent affine hashes mod a
+    * large prime, folded to the width); a user's estimate is the MIN of
+    * its buckets — ≥ the true count always, with bounded expected
+    * overestimate (spec-checked). Like the KMV sketch (a15c) and unlike
+    * HLL (a15b), every step is portable integer arithmetic, so the
+    * sketch itself replays bit-for-bit in the oracle.
+    *
+    * Scale shape: the grid is 192 cells REGARDLESS of corpus size — the
+    * build is a map-side-combined aggregate whose shuffle carries at
+    * most tasks × cells rows, and the probe side joins the broadcast
+    * grid. This is the bounded-state frequency summary for streams and
+    * 100 TB scans where a per-key groupBy's state is the bottleneck;
+    * the exact twin (a15-style per-user count) is what it trades away. */
+  val CmsDepth = 3
+  val CmsWidth = 64
+
+  def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val A = Seq(1315423911L, 2654435761L, 97787L)
+    val B = Seq(31L, 151L, 997L)
+    val g = ((col("user_id") % P) + P) % P // non-negative residue
+    def bucket(d: Int): Column = ((g * A(d)) % P + B(d)) % P % CmsWidth
+    val withBuckets = Tables.events(spark, dir)
+      .select(col("user_id"), explode(array((0 until CmsDepth).map(d =>
+        struct(lit(d).as("depth"), bucket(d).as("bucket"))): _*)).as("e"))
+      .select(col("user_id"), col("e.depth").as("depth"),
+        col("e.bucket").as("bucket"))
+    val cells = withBuckets
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+    val probes = withBuckets.distinct() // one row per (user, depth)
+    probes.join(broadcast(cells), Seq("depth", "bucket"))
+      .groupBy("user_id").agg(min(col("cnt")).as("est_events"))
+  }
+
   /** A13 — error statistics by severity with resolution rate
     * (core/error_handling.py:368-412): severity derived from the error
     * magnitude, resolution synthesized deterministically from the id. */

@@ -68,7 +68,8 @@ object DashboardQueries {
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
-    "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)))
+    "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)),
+    "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -301,6 +302,28 @@ object DashboardQueries {
         |       CASE WHEN nmin < 64 THEN nmin
         |            ELSE 63::BIGINT * 1000000007 // hk END AS n_users_kmv
         |FROM top""".stripMargin,
+    // the Count-Min grid replayed exactly: same affine hashes mod 1e9+7
+    // folded to width 64, same min-over-depths estimator
+    "a15d_cms_user_counts" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         ((user_id % 1000000007) + 1000000007) % 1000000007 AS gv
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, d.d AS depth,
+        |         CASE d.d
+        |           WHEN 0 THEN (gv * 1315423911 % 1000000007 + 31)
+        |                       % 1000000007 % 64
+        |           WHEN 1 THEN (gv * 2654435761 % 1000000007 + 151)
+        |                       % 1000000007 % 64
+        |           ELSE (gv * 97787 % 1000000007 + 997) % 1000000007 % 64
+        |         END AS bucket
+        |  FROM g CROSS JOIN (VALUES (0), (1), (2)) d(d)),
+        |cells AS (SELECT depth, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id, depth, bucket FROM b)
+        |SELECT p.user_id, CAST(min(c.cnt) AS BIGINT) AS est_events
+        |FROM probes p JOIN cells c USING (depth, bucket)
+        |GROUP BY 1""".stripMargin,
     "set_only_in_crm" ->
       s"""$snapCtes SELECT tenant_id, case_ref FROM crm
          |EXCEPT SELECT tenant_id, case_ref FROM db""".stripMargin,

@@ -31,6 +31,26 @@ class DashboardSpec extends SparkSpec {
     }
   }
 
+  test("Count-Min estimates never undercount and the grid stays bounded") {
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val est = Dashboard.cmsUserCounts(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("est_events")).toMap
+    // one estimate per observed user, each >= the true count (the CMS
+    // one-sided error guarantee — min over depths of colliding sums)
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (u, e) =>
+      assert(e >= exact(u), s"user $u est $e < exact ${exact(u)}")
+    }
+    // the expected overestimate is N/width per depth; min-over-3-depths
+    // lands well under one grid row's average load in aggregate
+    val n = exact.values.sum.toDouble
+    val meanOver = est.map { case (u, e) => (e - exact(u)).toDouble }.sum / est.size
+    assert(meanOver <= n / Dashboard.CmsWidth,
+      s"mean overestimate $meanOver vs N/width ${n / Dashboard.CmsWidth}")
+  }
+
   test("MAD outliers agree with a local median/MAD recomputation") {
     val got = Dashboard.madOutliers(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
