@@ -438,6 +438,27 @@ object Dashboard {
       .drop("rn")
   }
 
+  /** W7 — grouped top-k WITHOUT a window: each customer's k most
+    * valuable orders via the bounded-heap aggregate
+    * ([[graft.functions.TopK.top_k]], a TypedImperativeAggregate). Same
+    * ranking semantics as a row_number window (the struct embeds the
+    * (price desc, orderkey asc) tie-break as (price, −orderkey)), but
+    * the plan is ObjectHashAggregate with a PARTIAL stage: k rows of
+    * state per group, combined map-side — no per-group full sort, and
+    * the exchange carries ≤ groups × k rows per task instead of the
+    * whole orders table. This is the shape the a15c Scaladoc promises
+    * for windowed top-k at 100 TB; TopKSpec asserts the plan and the
+    * window-equality. */
+  def topOrdersHeap(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopK.top_k(
+        struct(col("o_totalprice").as("p"), (-col("o_orderkey")).as("nk")),
+        k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        (-col("t.nk")).as("o_orderkey"), col("t.p").as("o_totalprice"))
+
   /** A10 — embedding-table stats: counts and dimension per label group
     * (embedder.py:321-357's total/source_type/dimension rollup). */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =

@@ -64,6 +64,7 @@ object DashboardQueries {
     "a21_value_hour_corr" -> ((s, d) => Dashboard.valueHourCorrelation(s, d)),
     "u10_winsorize" -> ((s, d) => Dashboard.winsorize(s, d)),
     "w6_tenant_value_ranks" -> ((s, d) => Dashboard.tenantValueRanks(s, d)),
+    "w7_top_orders_heap" -> ((s, d) => Dashboard.topOrdersHeap(s, d)),
     "a22_status_priority_listagg" -> ((s, d) => Dashboard.statusPriorityListagg(s, d)),
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
@@ -525,6 +526,16 @@ object DashboardQueries {
         |  WINDOW w AS (PARTITION BY o_custkey % 4
         |               ORDER BY o_totalprice DESC, o_orderkey ASC))
         |WHERE rn <= 50""".stripMargin,
+    // the heap aggregate's ranking contract stated declaratively: the
+    // window form it replaces
+    "w7_top_orders_heap" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
     "u10_winsorize" ->
       """WITH e AS (
         |  SELECT event_id, value,
