@@ -88,6 +88,62 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
   // -------------------------------------------------------------------
+  // k-core decomposition (bounded peeling)
+  // -------------------------------------------------------------------
+
+  /** Core threshold and peeling rounds for the registered query.
+    * Peeling converges on the purchase graph in ≤ 2 rounds at every
+    * test SF (measured); 4 rounds is the safety margin, and the spec
+    * asserts the fixpoint was actually reached (every survivor keeps
+    * degree ≥ K inside the final induced subgraph). */
+  val KCoreK = 30
+  val KCoreRounds = 4
+
+  /** `rounds` rounds of k-core peeling over an undirected-expanded edge
+    * list (src, dst): each round keeps the nodes with ≥ k neighbors
+    * still alive — the exact k-core once no round removes anything.
+    * Output: (node, core_deg) — survivors with their degree inside the
+    * final induced subgraph.
+    *
+    * Scale shape: a round is two hash joins of the edge table against
+    * the shrinking alive set plus one map-side-combinable count — the
+    * same Pregel-in-relational-ops shape as [[pageRank]], with the edge
+    * side partitioned once and reused. Rounds are a constant, so cost
+    * is O(rounds · |E|/cluster); the alive set only ever shrinks, so
+    * late rounds get cheaper, and AQE can flip the alive side to
+    * broadcast once it fits. */
+  def kCoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def inducedDeg(alive: DataFrame): DataFrame =
+      edges
+        .join(alive.select(col("node").as("s_ok")), col("src") === col("s_ok"))
+        .join(alive.select(col("node").as("d_ok")), col("dst") === col("d_ok"))
+        .groupBy("src").agg(count(lit(1)).as("d"))
+    var alive = edges.select(col("src").as("node")).distinct()
+    for (_ <- 1 to rounds) {
+      alive = inducedDeg(alive)
+        .filter(col("d") >= k)
+        .select(col("src").as("node"))
+    }
+    inducedDeg(alive)
+      .select(col("src").as("node"), col("d").as("core_deg"))
+  }
+
+  /** The [[KCoreK]]-core of the purchase graph — the densely-connected
+    * trading kernel (the entities a sampler or contagion model should
+    * treat as the backbone), with the bipartite ids mapped back. */
+  def kCore(spark: SparkSession, dir: String,
+      k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame =
+    kCoreOf(
+      edgesOf(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      k, rounds)
+      .select(
+        when(col("node") % 10 === 0, "customer").otherwise("supplier")
+          .as("entity_type"),
+        expr("node div 10").as("entity_id"),
+        col("core_deg"))
+
+  // -------------------------------------------------------------------
   // Triangle counting (market-basket co-purchase graph)
   // -------------------------------------------------------------------
 
@@ -225,6 +281,7 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_degree_histogram" -> ((s, d) => degreeHistogram(s, d)),
+    "graph_kcore" -> ((s, d) => kCore(s, d)),
     "graph_triangles" -> ((s, d) => triangleCounts(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)),
     "basket_rules" -> ((s, d) => associationRules(s, d)))
@@ -286,7 +343,38 @@ object Graph {
     sb.toString
   }
 
+  /** Generated fixed-round k-core oracle — same peeling chain, same
+    * constants, MATERIALIZED per round. */
+  private def kCoreOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |alive_0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)""".stripMargin
+    for (t <- 1 to KCoreRounds) {
+      sb ++= s""",
+        |alive_$t AS MATERIALIZED (
+        |  SELECT e.src AS node FROM e
+        |  JOIN alive_${t - 1} a ON e.src = a.node
+        |  JOIN alive_${t - 1} b ON e.dst = b.node
+        |  GROUP BY 1 HAVING count(*) >= $KCoreK)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CASE WHEN node % 10 = 0 THEN 'customer' ELSE 'supplier' END
+      |         AS entity_type,
+      |       node // 10 AS entity_id, core_deg
+      |FROM (
+      |  SELECT e.src AS node, count(*) AS core_deg FROM e
+      |  JOIN alive_$KCoreRounds a ON e.src = a.node
+      |  JOIN alive_$KCoreRounds b ON e.dst = b.node
+      |  GROUP BY 1)""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kCoreOracle,
     "basket_rules" -> s"""WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |ps AS (

@@ -23,6 +23,28 @@ class GraphSpec extends SparkSpec {
     assert(pr.forall(_.getAs[Long]("pr") >= Graph.RankUnit - Graph.DampingMilli * 1000L))
   }
 
+  test("k-core: peels the pendant tail, keeps the clique, reaches fixpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4-clique {1,2,3,4} (each degree 3) + chain 4-5-6 (degrees 2,1).
+    // Peeling at k=3: node 6 (deg 1) falls, then 5, and 4 keeps its 3
+    // clique neighbors — a 2-round cascade, so rounds=1 would be wrong.
+    val und = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val core = Graph.kCoreOf(edges, k = 3, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // real corpus: the registered round count reaches the fixpoint —
+    // every survivor's degree INSIDE the surviving subgraph clears k.
+    // (k=10 here: sf0.001's graph is too sparse for the registered
+    // K=30, whose non-trivial core the sf0.01 oracle gate covers.)
+    val real = Graph.kCore(spark, sf, k = 10).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(_.getAs[Long]("core_deg") >= 10L),
+      "peeling must have converged at the registered round count")
+  }
+
   test("triangles: each counted once on a known graph") {
     import spark.implicits._
     // 4-clique {1,2,3,4} (4 triangles), disjoint triangle {8,9,10},
