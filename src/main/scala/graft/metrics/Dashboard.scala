@@ -299,6 +299,98 @@ object Dashboard {
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** J9 — shipping-priority flagship (TPC-H Q3 shape on the driver's
+    * star schema): revenue of not-yet-shipped lines for BUILDING-segment
+    * customers — customer ⋈ orders ⋈ lineitem with filters on all three
+    * inputs, grouped per order, top 10 by revenue.
+    *
+    * Scale plan: both date filters and the segment filter push to the
+    * parquet scans (PushedFilters); customer prunes to 2 columns and,
+    * filtered to one segment, broadcasts — orders never shuffles for
+    * that join. The only shuffle is orders⋈lineitem on the join key +
+    * the final grouped aggregate; top-10 is a TakeOrderedAndProject
+    * (per-partition heap + driver merge of 10 rows), never a global
+    * sort. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15 00:00:00").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(Exprs.revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** O12 — Pareto frontier (skyline) over the part catalog: the parts
+    * not dominated on (cheaper-or-equal price, larger-or-equal size,
+    * strictly better in one) — the classic multi-objective shortlist
+    * query (Börzsönyi et al., ICDE 2001).
+    *
+    * The naive form is an all-pairs anti-join (the oracle states it that
+    * way — quadratic but exact at oracle scale). The distributed plan
+    * exploits that a 2-D skyline is the running maximum of size over
+    * increasing price, computed WITHOUT a global sort or window:
+    *  1. groupBy(price).max(size) collapses the corpus to one row per
+    *     distinct price with full map-side combine;
+    *  2. prices hash into coarse bands; the cumulative max runs as a
+    *     window PARTITIONED by band (each task sees one band's prices);
+    *  3. what a band needs from cheaper bands is only a scalar — the
+    *     exclusive prefix max of per-band maxima — computed by one
+    *     ordered aggregate() fold over the bounded band list and
+    *     broadcast back.
+    * Surviving (price, best-size) pairs broadcast-join back to recover
+    * full rows. No pair join ever forms; comparisons stay on the raw
+    * doubles (no arithmetic), so both engines agree bit-for-bit. */
+  def paretoParts(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val best = pts
+      .groupBy(floor(col("p_retailprice") / 16.0).cast("long").as("band"),
+        col("p_retailprice"))
+      .agg(max(col("p_size")).as("best_size"))
+    // exclusive prefix max across bands: one fold over the sorted band
+    // list (cardinality = price domain / band width, a constant)
+    val prefix = best.groupBy("band").agg(max(col("best_size")).as("band_max"))
+      .agg(sort_array(collect_list(struct(col("band"), col("band_max")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<band: BIGINT, band_max: INT, prev_max: INT>>),
+          |  (acc, x) -> array_append(acc, struct(x.band AS band,
+          |    x.band_max AS band_max,
+          |    CASE WHEN size(acc) = 0 THEN CAST(NULL AS INT)
+          |         WHEN element_at(acc, -1).prev_max IS NULL
+          |           THEN element_at(acc, -1).band_max
+          |         ELSE greatest(element_at(acc, -1).prev_max,
+          |                       element_at(acc, -1).band_max)
+          |    END AS prev_max)))""".stripMargin)).as("y"))
+      .select(col("y.band").as("band"), col("y.prev_max").as("band_prev"))
+    val w = Window.partitionBy(col("band")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best.join(broadcast(prefix), "band")
+      .withColumn("in_band_prev", max(col("best_size")).over(w))
+      .withColumn("prev_best",
+        when(col("in_band_prev").isNull, col("band_prev"))
+          .when(col("band_prev").isNull, col("in_band_prev"))
+          .otherwise(greatest(col("in_band_prev"), col("band_prev"))))
+      .filter(col("prev_best").isNull || col("best_size") > col("prev_best"))
+      .select(col("p_retailprice").as("f_price"), col("best_size").as("f_size"))
+    pts.join(broadcast(frontier),
+        col("p_retailprice") === col("f_price") &&
+          col("p_size") === col("f_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
   /** Set ops (§2.7): key-level difference/intersection between the two
     * reconciliation snapshots, in EXCEPT/INTERSECT form. */
   def keysOnlyInCrm(spark: SparkSession, dir: String): DataFrame =

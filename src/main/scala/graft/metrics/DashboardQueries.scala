@@ -37,6 +37,8 @@ object DashboardQueries {
     "inc_rollup_merge" -> ((s, d) => Dashboard.incrementalRollup(s, d)),
     "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
     "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
+    "j9_shipping_priority" -> ((s, d) => Dashboard.shippingPriority(s, d)),
+    "o12_pareto_front" -> ((s, d) => Dashboard.paretoParts(s, d)),
     "p8_meaningful_docs" -> ((s, d) => Dashboard.meaningfulDocs(s, d)),
     "w4_tumbling_hourly" -> ((s, d) => Dashboard.tumblingHourly(s, d)),
     "a10_embedding_stats" -> ((s, d) => Dashboard.embeddingStats(s, d)),
@@ -238,6 +240,30 @@ object DashboardQueries {
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "j9_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |         AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) DESC,
+        |         o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "o12_pareto_front" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
     "p8_meaningful_docs" ->
       """SELECT lang, doc_id, n_chars, rn FROM (
         |  SELECT lang, doc_id, n_chars,

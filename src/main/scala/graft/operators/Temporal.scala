@@ -276,6 +276,66 @@ object Temporal {
       .select("suppkey", "n_overlaps")
   }
 
+  /** T15 — interval coalescing (gaps-and-islands): merge each supplier's
+    * overlapping/touching shipment windows (the same [s, e] intervals as
+    * t14) into maximal busy islands. The dual of t14's pair count: t14
+    * measures HOW MUCH overlap, t15 reduces the book to its disjoint
+    * span cover — the canonical warehouse question "when was this
+    * supplier continuously busy, and how many shipments piled into each
+    * stretch".
+    *
+    * Plan: one shuffle on the interval key, then two windows over the
+    * per-key sorted intervals — (1) an island-open flag where the
+    * interval's start clears the running max end of all earlier
+    * intervals, (2) a running sum of flags numbering the islands —
+    * followed by one map-side-combined groupBy. Per-key row counts are
+    * bounded (a supplier's shipment count), so window state never
+    * exceeds one key's intervals; no global sort, no cross product —
+    * this is the shape that holds at 100 TB where t14's pair join is
+    * quadratic in the worst island. */
+  def supplierBusyIslands(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("l_shipdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"), day.as("s"),
+        (day + lit(3L) + (col("l_quantity").cast("long") % 14L)).as("e"))
+      .distinct()
+    val ord = Window.partitionBy(col("suppkey")).orderBy(col("s"), col("e"))
+    val prevMaxE = max(col("e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("opens",
+        when(prevMaxE.isNull || col("s") > prevMaxE, 1L).otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(ord))
+      .groupBy(col("suppkey"), col("island"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** T16 — first-order transition mining over each user's event
+    * sequence: the Markov matrix (from_type, to_type, n, p_mille) of
+    * consecutive event-type pairs, ordered by (ts, event_id) within
+    * user. The sequence-analytics primitive behind funnel discovery and
+    * next-action models, and the reference's status-progression question
+    * (proclaim/status_detector.py's ordered status history) asked of the
+    * whole corpus at once.
+    *
+    * Plan: one window (lead) partitioned by the high-cardinality
+    * user_id, then a groupBy over the tiny (type x type) domain with
+    * map-side combine; the per-mille normalization is a window over the
+    * aggregated matrix only (|types|^2 rows), never over the events.
+    * Integer fixed-point throughout so the oracle replays exactly. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val m = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("p_mille",
+      expr("n * 1000 div sum(n) OVER (PARTITION BY from_type)"))
+  }
+
   // -------------------------------------------------------------------
   // Sessionization
   // -------------------------------------------------------------------
@@ -674,7 +734,9 @@ object Temporal {
     "t11_scd2_history" -> ((s, d) => scd2History(s, d)),
     "t12_ewma_daily" -> ((s, d) => ewmaDaily(s, d)),
     "t13_trailing_30d_spend" -> ((s, d) => trailing30dSpend(s, d)),
-    "t14_shipment_overlaps" -> ((s, d) => supplierShipmentOverlaps(s, d)))
+    "t14_shipment_overlaps" -> ((s, d) => supplierShipmentOverlaps(s, d)),
+    "t15_busy_islands" -> ((s, d) => supplierBusyIslands(s, d)),
+    "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     // the oracle states the SEMANTICS (direct overlap-predicate join);
@@ -890,6 +952,47 @@ object Temporal {
         |         (300 * d.cents + 700 * r.ewma) // 1000 AS ewma
         |  FROM d JOIN r ON d.tenant_id = r.tenant_id AND d.i = r.i + 1)
         |SELECT tenant_id, day, cents, ewma FROM r""".stripMargin,
+    "t15_busy_islands" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT l_suppkey AS suppkey,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |           + 3 + CAST(l_quantity AS BIGINT) % 14 AS e
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT suppkey, s, e,
+        |         CASE WHEN max(e) OVER (
+        |                PARTITION BY suppkey ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              IS NULL
+        |           OR s > max(e) OVER (
+        |                PARTITION BY suppkey ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM iv),
+        |g AS (
+        |  SELECT suppkey, s, e,
+        |         CAST(sum(opens) OVER (
+        |           PARTITION BY suppkey ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS island
+        |  FROM f)
+        |SELECT suppkey, island, min(s) AS island_start, max(e) AS island_end,
+        |       count(*) AS n_intervals
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "t16_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type)
+        |         AS BIGINT) AS p_mille
+        |FROM m""".stripMargin,
     "t13_trailing_30d_spend" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

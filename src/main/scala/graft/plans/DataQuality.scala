@@ -71,12 +71,106 @@ object DataQuality {
     ordersChecks.unionByName(pk).unionByName(orphans)
   }
 
+  /** Column profiling (ANALYZE-style statistics) over the orders table:
+    * per column, the row/null/distinct counts, lexicographic min/max and
+    * total rendered length — the stats layer an optimizer or a data
+    * catalog keeps, and the first thing a pipeline owner asks of a new
+    * 100 TB drop ("how null, how skewed, how wide").
+    *
+    * ONE aggregation pass: all columns' statistics are aggregate
+    * expressions in a single agg (the multi-count-distinct runs via
+    * Catalyst's expand — k distinct columns cost a k-way row expansion
+    * in the map stage, still one shuffle, no per-column scans), then the
+    * 1-row result unpivots driver-free via stack(). Values are rendered
+    * to strings so the output schema is uniform; min/max on the string
+    * rendering is deliberate (portable across engines, and the profile
+    * is diagnostic, not arithmetic). */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(spark, dir)
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(s).as(s"${c}_min"), max(s).as(s"${c}_max"),
+        sum(length(s)).as(s"${c}_len"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_len").mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_val, max_val, sum_len)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"), col("sum_len"))
+  }
+
+  /** Benford first-digit audit over order totals: the distribution of
+    * the leading digit of o_totalprice (in exact cents) against
+    * Benford's law — the classic large-corpus anomaly screen for
+    * fabricated or truncated numeric feeds. Digits are extracted from
+    * the decimal rendering of an exact integer, counts normalize in
+    * integer per-mille against a broadcast scalar total, and the
+    * expected distribution is a shared literal table — every value
+    * replays bit-for-bit in the oracle. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val benford = array(Seq(301, 176, 124, 96, 79, 66, 57, 51, 45).map(lit): _*)
+    val d = graft.Tables.orders(spark, dir)
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div total").as("p_mille"),
+        element_at(benford, col("digit")).as("expected_mille"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "dq_constraints" -> ((s, d) => constraintReport(s, d)))
+    "dq_constraints" -> ((s, d) => constraintReport(s, d)),
+    "dq_column_profile" -> ((s, d) => columnProfile(s, d)),
+    "dq_benford" -> ((s, d) => benfordDigits(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dq_column_profile" ->
+      """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT o_orderstatus) AS n_distinct,
+        |       min(CAST(o_orderstatus AS VARCHAR)) AS min_val,
+        |       max(CAST(o_orderstatus AS VARCHAR)) AS max_val,
+        |       CAST(sum(length(CAST(o_orderstatus AS VARCHAR))) AS BIGINT) AS sum_len
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_orderpriority),
+        |       min(CAST(o_orderpriority AS VARCHAR)),
+        |       max(CAST(o_orderpriority AS VARCHAR)),
+        |       CAST(sum(length(CAST(o_orderpriority AS VARCHAR))) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_custkey),
+        |       min(CAST(o_custkey AS VARCHAR)),
+        |       max(CAST(o_custkey AS VARCHAR)),
+        |       CAST(sum(length(CAST(o_custkey AS VARCHAR))) AS BIGINT)
+        |FROM orders""".stripMargin,
+    "dq_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM d)
+        |SELECT digit, n, CAST(n * 1000 // total AS BIGINT) AS p_mille,
+        |       [301,176,124,96,79,66,57,51,45][digit] AS expected_mille
+        |FROM d CROSS JOIN t""".stripMargin,
     "dq_constraints" ->
       """WITH o AS (SELECT * FROM orders),
         |base AS (

@@ -165,4 +165,32 @@ class DashboardSpec extends SparkSpec {
       assert(viaParts.collect().map(key).toSet == definitional)
     }
   }
+
+  test("Pareto frontier equals the definitional all-pairs skyline") {
+    val pts = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val a = pts.select(col("p_partkey").as("k"),
+      col("p_retailprice").as("pr"), col("p_size").as("sz"))
+    val b = pts.select(col("p_retailprice").as("bpr"), col("p_size").as("bsz"))
+    // definitional: keep rows with no dominator (test-only pair join)
+    val dominated = a.join(b,
+        col("bpr") <= col("pr") && col("bsz") >= col("sz") &&
+          (col("bpr") < col("pr") || col("bsz") > col("sz")), "left_semi")
+      .select(col("k"))
+    val expected = a.join(dominated, Seq("k"), "left_anti")
+      .collect().map(_.getAs[Long]("k")).toSet
+    val got = Dashboard.paretoParts(spark, sf)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("shipping priority: 10 rows, descending revenue, all pre-cutoff orders") {
+    val rows = Dashboard.shippingPriority(spark, sf).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (x, y) => x >= y })
+    val cutoff = java.time.LocalDateTime.parse("1995-03-15T00:00:00")
+    assert(rows.forall(
+      _.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff)))
+  }
 }

@@ -275,4 +275,39 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("busy islands tile each supplier's intervals: disjoint, ordered, complete") {
+    val day = datediff(col("l_shipdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val nIv = graft.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), day.as("s"),
+        (day + lit(3L) + (col("l_quantity").cast("long") % 14L)).as("e"))
+      .distinct().count()
+    val islands = Temporal.supplierBusyIslands(spark, sf)
+    // complete: every distinct interval lands in exactly one island
+    assert(islands.agg(sum("n_intervals")).head.getLong(0) == nIv)
+    // islands are internally consistent and strictly separated in order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("suppkey").orderBy("island")
+    val bad = islands
+      .withColumn("prev_end", lag(col("island_end"), 1).over(w))
+      .filter(col("island_start") > col("island_end") ||
+        (col("prev_end").isNotNull && col("island_start") <= col("prev_end")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("event transitions: per-from rows sum to a proper distribution") {
+    val m = Temporal.eventTransitions(spark, sf)
+    // every user with k events contributes k-1 transitions
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(m.agg(sum("n")).head.getLong(0) == expected)
+    // integer per-mille: each from-row <= 1000, each from-group sums into
+    // (1000 - |group|, 1000] (floor division loses < 1 per row)
+    val grp = m.groupBy("from_type")
+      .agg(sum("p_mille").as("pm"), count(lit(1)).as("k"))
+      .filter(col("pm") > 1000 || col("pm") <= lit(1000) - col("k"))
+    assert(grp.count() == 0L)
+  }
 }

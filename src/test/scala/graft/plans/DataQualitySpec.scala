@@ -46,4 +46,31 @@ class DataQualitySpec extends SparkSpec {
       s"constraint ${r.getAs[String]("constraint")} has " +
         s"${r.getAs[Long]("n_violations")} violations"))
   }
+
+  test("column profile: one row per column, counts consistent in one pass") {
+    val rows = DataQuality.columnProfile(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSet ==
+      Set("o_orderstatus", "o_orderpriority", "o_custkey"))
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nOrders)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Long]("n_distinct") > 0L &&
+        r.getAs[Long]("n_distinct") <= nOrders)
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+      assert(r.getAs[Long]("sum_len") >= nOrders) // every value >= 1 char
+    }
+  }
+
+  test("Benford audit: digits 1-9 partition the corpus, per-mille sane") {
+    val rows = DataQuality.benfordDigits(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.orders(spark, sf).count())
+    val pm = rows.map(_.getAs[Long]("p_mille")).sum
+    assert(pm > 1000L - rows.length && pm <= 1000L)
+    // the literal expectation table is the Benford distribution
+    assert(rows.forall(r => r.getAs[Int]("expected_mille") ==
+      math.floor(1000 * math.log10(1.0 + 1.0 / r.getAs[Int]("digit"))).toInt))
+  }
 }
