@@ -628,6 +628,78 @@ object Dashboard {
           .as("n_users_kmv"))
   }
 
+  /** A15e — KMV sketch ALGEBRA: audience-overlap estimates |A ∩ B| for
+    * every pair of event-type user sets, computed entirely from the
+    * per-type KMV sketches (Beyer et al., SIGMOD 2007) — the corpus is
+    * scanned once to build the sketches; every pairwise estimate then
+    * runs over k-row summaries. This is the property that matters at
+    * 100 TB: t event types yield t·(t-1)/2 overlap questions, and the
+    * sketch algebra answers all of them without ever joining the raw
+    * corpus against itself.
+    *
+    * Estimator: for pair (A, B), pool both sketches, let τ = k-th
+    * smallest pooled hash; k∩ = pooled hashes ≤ τ present in BOTH;
+    * |A∪B| ≈ (k-1)·P/τ and |A∩B| ≈ k∩/k · |A∪B|. When the pooled
+    * sketch holds fewer than k hashes both sketches were exhaustive and
+    * k∩ IS the exact intersection. Same portable integer hash as a15c,
+    * so the estimates replay bit-for-bit in the oracle. */
+  def kmvUserOverlap(spark: SparkSession, dir: String,
+                     k: Int = 64): DataFrame = {
+    val P = 1000000007L
+    val g = ((col("user_id") % P) + P) % P
+    val gg = (g * g) % P
+    val h = ((gg * 1315423911L) % P + (g * 2654435761L) % P + 97L) % P
+    val hashes = Tables.events(spark, dir)
+      .select(col("event_type"), h.as("hv")).distinct()
+    val wk = Window.partitionBy("event_type").orderBy(col("hv").asc)
+    val sk = hashes.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k).select("event_type", "hv")
+    val types = sk.select(col("event_type").as("ta")).distinct()
+    val pairs = types.crossJoin(
+        broadcast(sk.select(col("event_type").as("tb")).distinct()))
+      .filter(col("ta") < col("tb"))
+    // pooled sketch per pair: tag membership, dedup shared hashes
+    val ua = pairs.join(sk, col("ta") === col("event_type"))
+      .select(col("ta"), col("tb"), col("hv"), lit(1).as("a"), lit(0).as("b"))
+    val ub = pairs.join(sk, col("tb") === col("event_type"))
+      .select(col("ta"), col("tb"), col("hv"), lit(0).as("a"), lit(1).as("b"))
+    val pooled = ua.union(ub).groupBy("ta", "tb", "hv")
+      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
+    val wp = Window.partitionBy("ta", "tb").orderBy(col("hv").asc)
+    pooled.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("ku"),
+        max(when(col("rn") === k, col("hv"))).as("tau"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("kint"))
+      .select(col("ta"), col("tb"),
+        when(col("ku") < k, col("kint"))
+          .otherwise(expr(s"kint * (${(k - 1).toLong * P}L div tau) div $k"))
+          .as("est_overlap"))
+  }
+
+  /** O13 — purged temporal holdout (the leakage-safe time split of
+    * López de Prado 2018, §7): train = events up to 14 days before the
+    * corpus end, test = the final 7 days, and the 7-day EMBARGO between
+    * them is dropped entirely so no label horizon can straddle the
+    * boundary. The temporal complement of o11's cluster-level split —
+    * o11 guards against near-duplicate leakage, o13 against look-ahead
+    * leakage; a training pipeline needs both. The cutoffs derive from
+    * max(ts) as a broadcast 1-row scalar; the labeling is then a pure
+    * per-row projection — no shuffle at any scale. */
+  def purgedTimeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hi = ev.agg(max(col("ts")).as("max_ts"))
+    ev.select(col("event_id"), col("ts"))
+      .crossJoin(broadcast(hi))
+      .withColumn("split",
+        when(col("ts") <= col("max_ts") - expr("INTERVAL 14 DAYS"), "train")
+          .when(col("ts") > col("max_ts") - expr("INTERVAL 7 DAYS"), "test"))
+      .filter(col("split").isNotNull)
+      .select("event_id", "split")
+  }
+
   /** A15d — Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
     * estimates: per-user event counts read back from a `CmsDepth` ×
     * `CmsWidth` counter grid instead of a per-user aggregate. Each event

@@ -72,7 +72,9 @@ object DashboardQueries {
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
     "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)),
-    "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)))
+    "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)),
+    "a15e_kmv_overlap" -> ((s, d) => Dashboard.kmvUserOverlap(s, d)),
+    "o13_purged_time_split" -> ((s, d) => Dashboard.purgedTimeSplit(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -306,6 +308,54 @@ object DashboardQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     // the KMV sketch replayed exactly: same quadratic congruential hash,
     // same k smallest distinct values, same integer-division estimator
+    "a15e_kmv_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT event_type,
+        |         ((user_id % 1000000007) + 1000000007) % 1000000007 AS gv
+        |  FROM events),
+        |h AS (
+        |  SELECT DISTINCT event_type,
+        |         ((gv * gv % 1000000007) * 1315423911 % 1000000007
+        |          + gv * 2654435761 % 1000000007 + 97) % 1000000007 AS hv
+        |  FROM g),
+        |r AS (
+        |  SELECT event_type, hv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |sk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+        |t AS (SELECT DISTINCT event_type FROM sk),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |u AS (
+        |  SELECT p.ta, p.tb, sk.hv,
+        |         max(CASE WHEN sk.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN sk.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        |  FROM p JOIN sk ON sk.event_type IN (p.ta, p.tb)
+        |  GROUP BY 1, 2, 3),
+        |rr AS (
+        |  SELECT ta, tb, hv, in_a, in_b,
+        |         row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        |  FROM u),
+        |s AS (
+        |  SELECT ta, tb, count(*) AS ku,
+        |         max(CASE WHEN rn = 64 THEN hv END) AS tau,
+        |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS kint
+        |  FROM rr WHERE rn <= 64 GROUP BY 1, 2)
+        |SELECT ta, tb,
+        |       CASE WHEN ku < 64 THEN kint
+        |            ELSE CAST(kint * (63::BIGINT * 1000000007 // tau) // 64
+        |                   AS BIGINT) END AS est_overlap
+        |FROM s""".stripMargin,
+    "o13_purged_time_split" ->
+      """WITH m AS (SELECT max(ts) AS max_ts FROM events)
+        |SELECT event_id,
+        |       CASE WHEN ts <= max_ts - INTERVAL 14 DAY THEN 'train'
+        |            WHEN ts > max_ts - INTERVAL 7 DAY THEN 'test' END AS split
+        |FROM events CROSS JOIN m
+        |WHERE ts <= max_ts - INTERVAL 14 DAY
+        |   OR ts > max_ts - INTERVAL 7 DAY""".stripMargin,
     "a15c_kmv_distinct_users" ->
       """WITH g AS (
         |  SELECT DISTINCT event_type,

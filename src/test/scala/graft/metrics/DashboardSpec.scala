@@ -193,4 +193,38 @@ class DashboardSpec extends SparkSpec {
     assert(rows.forall(
       _.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff)))
   }
+
+  test("KMV overlap estimates track the exact pairwise intersections") {
+    val ev = graft.Tables.events(spark, sf)
+    val exact = ev.select(col("event_type").as("ta"), col("user_id"))
+      .distinct()
+      .join(ev.select(col("event_type").as("tb"), col("user_id")).distinct(),
+        "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_exact"))
+    val got = Dashboard.kmvUserOverlap(spark, sf)
+    val joined = got.join(exact, Seq("ta", "tb"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("est_overlap")
+      val ex = Option(r.getAs[Any]("n_exact")).fold(0L)(_.asInstanceOf[Long])
+      // k=64 sketches: generous multiplicative band plus small-count slack
+      assert(est <= 2 * ex + 20 && ex <= 2 * est + 20,
+        s"(${r.getAs[String]("ta")}, ${r.getAs[String]("tb")}): est=$est exact=$ex")
+    }
+  }
+
+  test("purged split: 7-day embargo strictly separates train from test") {
+    val ev = graft.Tables.events(spark, sf).select("event_id", "ts")
+    val labeled = Dashboard.purgedTimeSplit(spark, sf).join(ev, "event_id")
+    val bounds = labeled.groupBy("split")
+      .agg(max(col("ts")).as("hi"), min(col("ts")).as("lo"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("split") -> r).toMap
+    assert(bounds.keySet == Set("train", "test"))
+    val trainHi = bounds("train").getAs[java.time.LocalDateTime]("hi")
+    val testLo = bounds("test").getAs[java.time.LocalDateTime]("lo")
+    assert(java.time.Duration.between(trainHi, testLo).toDays >= 7)
+    // the embargo really removed rows: labeled < all events
+    assert(labeled.count() < ev.count())
+  }
 }
