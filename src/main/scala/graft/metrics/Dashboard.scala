@@ -355,10 +355,13 @@ object Dashboard {
   def paretoParts(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // persist: both the per-band prefix fold and the in-band window read
+    // this frame — without the barrier each consumer re-scans the corpus
     val best = pts
       .groupBy(floor(col("p_retailprice") / 16.0).cast("long").as("band"),
         col("p_retailprice"))
       .agg(max(col("p_size")).as("best_size"))
+      .persist()
     // exclusive prefix max across bands: one fold over the sorted band
     // list (cardinality = price domain / band width, a constant)
     val prefix = best.groupBy("band").agg(max(col("best_size")).as("band_max"))
