@@ -352,9 +352,13 @@ object Dashboard {
     * Surviving (price, best-size) pairs broadcast-join back to recover
     * full rows. No pair join ever forms; comparisons stay on the raw
     * doubles (no arithmetic), so both engines agree bit-for-bit. */
-  def paretoParts(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  def paretoParts(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontierOf(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+
+  /** DataFrame form of o12: rows of (p_partkey, p_retailprice, p_size)
+    * on the (min price, max size) Pareto frontier. */
+  def paretoFrontierOf(pts: DataFrame): DataFrame = {
     // persist: both the per-band prefix fold and the in-band window read
     // this frame — without the barrier each consumer re-scans the corpus
     val best = pts

@@ -297,16 +297,24 @@ object Temporal {
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")
     val iv = Tables.lineitem(spark, dir)
-      .select(col("l_suppkey").as("suppkey"), day.as("s"),
+      .select(col("l_suppkey").as("key"), day.as("s"),
         (day + lit(3L) + (col("l_quantity").cast("long") % 14L)).as("e"))
       .distinct()
-    val ord = Window.partitionBy(col("suppkey")).orderBy(col("s"), col("e"))
+    busyIslandsOf(iv).withColumnRenamed("key", "suppkey")
+  }
+
+  /** DataFrame form of t15: coalesce (key, s, e) integer intervals into
+    * maximal islands (touching endpoints merge — the interval model is
+    * closed). Input must be pre-deduplicated if duplicate intervals
+    * should count once. */
+  def busyIslandsOf(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("key")).orderBy(col("s"), col("e"))
     val prevMaxE = max(col("e"))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1))
     iv.withColumn("opens",
         when(prevMaxE.isNull || col("s") > prevMaxE, 1L).otherwise(0L))
       .withColumn("island", sum(col("opens")).over(ord))
-      .groupBy(col("suppkey"), col("island"))
+      .groupBy(col("key"), col("island"))
       .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
         count(lit(1)).as("n_intervals"))
   }

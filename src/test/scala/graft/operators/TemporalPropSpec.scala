@@ -109,4 +109,56 @@ class TemporalPropSpec extends SparkSpec {
     }.toSet
     assert(got == expected)
   }
+
+  test("island coalescing matches a naive sequential sweep on random intervals") {
+    val ivGen: Gen[(Long, Long, Long)] = for {
+      key <- Gen.choose(1L, 4L)
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(0L, 15L)
+    } yield (key, s, s + len)
+    val rows = samples(ivGen, 300).distinct
+    val got = Temporal.busyIslandsOf(rows.toDF("key", "s", "e"))
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("island_start"),
+        r.getAs[Long]("island_end"), r.getAs[Long]("n_intervals")))
+      .toSet
+    // reference: per key, sweep sorted intervals, open a new island when
+    // s exceeds the running max end seen so far
+    val expected = rows.groupBy(_._1).flatMap { case (k, ivs) =>
+      val sorted = ivs.map(iv => (iv._2, iv._3)).sorted
+      val islands = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long)] // (start, maxEnd, count)
+      var cur: Option[(Long, Long, Long)] = None
+      sorted.foreach { case (s, e) =>
+        cur = cur match {
+          case Some((st, en, n)) if s <= en => Some((st, math.max(en, e), n + 1))
+          case Some(done) => islands += done; Some((s, e, 1L))
+          case None => Some((s, e, 1L))
+        }
+      }
+      cur.foreach(islands += _)
+      islands.map { case (st, en, n) => (k, st, en, n) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("banded skyline matches the naive dominance filter on random points") {
+    val ptGen: Gen[(Double, Int)] = for {
+      // price grid with fractional cents; sizes small so ties occur
+      cents <- Gen.choose(0L, 4000L)
+      size <- Gen.choose(1, 40)
+    } yield (cents / 100.0, size)
+    val pts = samples(ptGen, 400).zipWithIndex
+      .map { case ((pr, sz), i) => (i.toLong, pr, sz) }
+    val got = graft.metrics.Dashboard.paretoFrontierOf(
+        pts.toDF("p_partkey", "p_retailprice", "p_size"))
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val expected = pts.filter { case (_, pr, sz) =>
+      !pts.exists { case (_, bpr, bsz) =>
+        bpr <= pr && bsz >= sz && (bpr < pr || bsz > sz)
+      }
+    }.map(_._1).toSet
+    assert(got == expected && got.nonEmpty)
+    spark.catalog.clearCache() // paretoFrontierOf persists its aggregate
+  }
 }
