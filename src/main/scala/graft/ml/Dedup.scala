@@ -862,6 +862,20 @@ object Dedup {
     * side here; at corpus scale it is a co-partitioned shuffle join). */
   def embeddingLshPairsOf(vectors: DataFrame): DataFrame = {
     val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
+    val scored = lshCandidatesOf(sq)
+      .join(sq.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nsq").as("na")), "vec_a")
+      .join(sq.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nsq").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+    gated(scored)
+  }
+
+  /** Distinct colliding id pairs (vec_a < vec_b) of the OR-amplified
+    * sign-LSH blocking — the candidate miner shared by the pair, cluster
+    * and k-NN-graph forms. `sq` must be the quantizedWithNorm projection
+    * (persisted by the caller — both explode sides re-read it). */
+  private def lshCandidatesOf(sq: DataFrame): DataFrame = {
     // persisted: the self-join below would otherwise evaluate the 16x8
     // plane dots once per side; the bucket table is 3 longs/row
     val bucketed = sq.select(col("vec_id"),
@@ -870,20 +884,44 @@ object Dedup {
           Similarity.lshBucket(col("q"), t, EmbLshPlanes).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .persist()
-    val cand = bucketed.as("a")
+    bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val scored = cand
-      .join(sq.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nsq").as("na")), "vec_a")
-      .join(sq.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nsq").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
-        col("na"), col("nb"))
-    gated(scored)
   }
+
+  /** k-NN graph over the corpus embeddings (sim family — completes the
+    * similarity surface with the all-documents neighbor structure that
+    * SemDeDup pruning and graph clustering consume): for EVERY vector,
+    * its top-k nearest candidates by exact integer cosine rank (vectors
+    * are L2-normalized and quantized, so the raw dot IS the cosine
+    * order), candidates mined by the same OR-amplified sign-LSH blocking
+    * as the near-dup pairs — never an n² scan. Rank ties break on
+    * neighbor id, so the graph is fully deterministic.
+    *
+    * Scale: candidate mining is the subquadratic LSH equi-join; the
+    * per-source top-k is a window over each source's bounded candidate
+    * list. Degree-k output: |V|·k rows regardless of corpus size. */
+  def embeddingKnnGraphOf(vectors: DataFrame, k: Int = 5): DataFrame = {
+    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
+    val cand = lshCandidatesOf(sq)
+    val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val scored = sym
+      .join(sq.select(col("vec_id").as("src"), col("q").as("qs")), "src")
+      .join(sq.select(col("vec_id").as("dst"), col("q").as("qd")), "dst")
+      .select(col("src"), col("dst"),
+        ArrayOps.dot_long(col("qs"), col("qd")).as("dot"))
+    val w = Window.partitionBy(col("src")).orderBy(col("dot").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "dot", "rank")
+  }
+
+  def embeddingKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    embeddingKnnGraphOf(Tables.embeddings(spark, dir))
 
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame =
     embeddingPairsOf(Tables.embeddings(spark, dir))
@@ -919,6 +957,7 @@ object Dedup {
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
+    "sim_knn_graph" -> ((s, d) => embeddingKnnGraph(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
     "dedup_quality_survivors" -> ((s, d) => qualitySurvivors(s, d)),
@@ -1258,6 +1297,7 @@ object Dedup {
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |WHERE d.doc_id % 10 >= 8""".stripMargin,
     "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle,
+    "sim_knn_graph" -> knnGraphOracle,
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     // string shingles in the oracle vs 64-bit hashed shingles in the
     // plan: identical counts barring a 2^-64 collision (the documented
@@ -1319,6 +1359,28 @@ object Dedup {
        |  FROM bk a JOIN bk b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
   }
+
+  /** DuckDB twin of [[embeddingKnnGraphOf]]: same blocking CTE, pairs
+    * symmetrized, per-source row_number over (dot DESC, dst ASC). */
+  private def knnGraphOracle: String =
+    s"""$embLshCandCte,
+       |sym AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM cand
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM cand),
+       |sc AS (
+       |  SELECT sym.src, sym.dst,
+       |         CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) AS dot
+       |  FROM sym
+       |  JOIN s sa ON sa.vec_id = sym.src
+       |  JOIN s sb ON sb.vec_id = sym.dst),
+       |r AS (
+       |  SELECT src, dst, dot,
+       |         row_number() OVER (PARTITION BY src
+       |                            ORDER BY dot DESC, dst ASC) AS rank
+       |  FROM sc)
+       |SELECT src, dst, dot, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   private def embeddingLshPairsOracle: String =
     s"""$embLshCandCte

@@ -305,6 +305,42 @@ class DedupSpec extends SparkSpec {
         s"planted near-dup pair ($g) escaped the LSH blocker")
     }
     spark.catalog.clearCache()
+
+  }
+
+  test("k-NN graph: twin is rank-1 inside well-separated clusters; " +
+    "ranks dense, dots monotone") {
+    // ten mutually-dissimilar group bases (phase-shifted sines: pairwise
+    // cosine ~ cos(phase delta), and 2.4·g stays >= 0.35 rad from any
+    // multiple of 2pi for g <= 9, capping cross-group cos at ~0.94) with
+    // two tight twins each (jitter 2% of magnitude, cos ~0.999): the
+    // twin MUST be every member's nearest neighbor
+    def gbase(g: Int): Array[Double] =
+      (0 until 64).map(i => math.sin(i * 0.7 + g * 2.4) * 10).toArray
+    def gjitter(g: Int, seed: Int): Array[Double] =
+      gbase(g).zipWithIndex.map { case (x, i) => x + math.sin(seed * 131 + i) * 0.2 }
+    val rows = (0 until 10).flatMap { g =>
+      Seq((g * 2L, gjitter(g, g)), (g * 2L + 1L, gjitter(g, g + 77)))
+    } ++ (1000L until 1050L).map(i =>
+      (i, (0 until 64).map(d => math.sin(i * 997.0 + d * 13.7) * 10).toArray))
+    val corpus = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val knn = Dedup.embeddingKnnGraphOf(corpus).collect()
+    val bySrc = knn.groupBy(_.getAs[Long]("src"))
+    (0 until 10).foreach { g =>
+      Seq((g * 2L, g * 2L + 1L), (g * 2L + 1L, g * 2L)).foreach { case (a, b) =>
+        val top = bySrc(a).minBy(_.getAs[Int]("rank"))
+        assert(top.getAs[Long]("dst") == b,
+          s"vec $a: rank-1 neighbor is ${top.getAs[Long]("dst")}, want twin $b")
+      }
+    }
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val dots = sorted.map(_.getAs[Long]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+    }
+    spark.catalog.clearCache()
   }
 
   test("incremental admit: corpus dup and batch-internal dup rejected, " +
