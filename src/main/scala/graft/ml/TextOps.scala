@@ -1090,6 +1090,29 @@ object TextOps {
   def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
     mixtureWeightsOf(Tables.documents(spark, dir))
 
+  /** Tokens drawn per source per epoch in the registered plan. */
+  val EpochTokenBudget = 100000L
+
+  /** Epoch sampling plan: turn the temperature-scaled mixture weights
+    * into per-source token draws for a fixed epoch budget — the planning
+    * step between "weights computed" and "sampler runs" in a training
+    * pipeline. planned = budget·weight (integer milli), capped by what
+    * the source actually holds; epochs_until_exhausted = how many epochs
+    * the source survives before repeating data (the Muennighoff et al.
+    * 2023 repetition question, asked per source). Pure projection over
+    * [[mixtureWeightsOf]] — no additional scan or shuffle. */
+  def epochPlanOf(docs: DataFrame, budget: Long = EpochTokenBudget): DataFrame =
+    mixtureWeightsOf(docs)
+      .withColumn("planned_tokens",
+        least(expr(s"$budget * weight_milli div 1000"), col("n_tokens")))
+      .withColumn("epochs_until_exhausted",
+        expr("n_tokens div greatest(planned_tokens, 1)"))
+      .select("source", "n_tokens", "weight_milli", "planned_tokens",
+        "epochs_until_exhausted")
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlanOf(Tables.documents(spark, dir))
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
@@ -1113,6 +1136,7 @@ object TextOps {
     "text_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "curation_quality_prune" -> ((s, d) => qualityPrune(s, d)),
     "curation_mixture_weights" -> ((s, d) => mixtureWeights(s, d)),
+    "curation_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -1194,6 +1218,39 @@ object TextOps {
         |SELECT source, n_tokens, sqrt_tokens,
         |       sqrt_tokens * 1000 // total_sqrt AS weight_milli
         |FROM r2 CROSS JOIN t""".stripMargin,
+    "curation_epoch_plan" ->
+      s"""WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |           x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r0 AS (
+        |  SELECT source, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM s),
+        |r1 AS (
+        |  SELECT source, n_tokens,
+        |         s0 - CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END AS s1
+        |  FROM r0),
+        |r2 AS (
+        |  SELECT source, n_tokens,
+        |         s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN 1 ELSE 0 END
+        |           AS sqrt_tokens
+        |  FROM r1),
+        |t AS (SELECT CAST(sum(sqrt_tokens) AS BIGINT) AS total_sqrt FROM r2),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |         sqrt_tokens * 1000 // total_sqrt AS weight_milli
+        |  FROM r2 CROSS JOIN t),
+        |p AS (
+        |  SELECT source, n_tokens, weight_milli,
+        |         least(${EpochTokenBudget} * weight_milli // 1000, n_tokens)
+        |           AS planned_tokens
+        |  FROM w)
+        |SELECT source, n_tokens, weight_milli, planned_tokens,
+        |       n_tokens // greatest(planned_tokens, 1)
+        |         AS epochs_until_exhausted
+        |FROM p""".stripMargin,
     // integral `div`/`//` on longs in both engines — no FP anywhere
     "text_doc_rarity" ->
       """WITH p AS (

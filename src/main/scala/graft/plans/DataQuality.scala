@@ -127,14 +127,52 @@ object DataQuality {
         element_at(benford, col("digit")).as("expected_mille"))
   }
 
+  /** Join-key skew diagnostics: the one-row profile a planner needs
+    * before shuffling 100 TB on a key — row/key counts, the hottest
+    * key's share, and the collision probability (the chance two random
+    * rows share a key, sum n_i(n_i-1)/N(N-1) — the quantity that
+    * predicts reducer blow-up under a hash shuffle). Exact integers:
+    * share in per-mille, collision in per-million. One groupBy plus one
+    * scalar aggregate; at extreme corpus sizes the products upgrade to
+    * DECIMAL(38,0) — the shape is unchanged. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    perKey.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_key_rows"),
+        sum(col("n") * (col("n") - 1)).as("coll_num"))
+      .select(lit("o_custkey").as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        expr("max_key_rows * 1000 div n_rows").as("top_share_mille"),
+        expr("coll_num * 1000000 div (n_rows * (n_rows - 1))")
+          .as("collision_micro"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "dq_constraints" -> ((s, d) => constraintReport(s, d)),
     "dq_column_profile" -> ((s, d) => columnProfile(s, d)),
-    "dq_benford" -> ((s, d) => benfordDigits(s, d)))
+    "dq_benford" -> ((s, d) => benfordDigits(s, d)),
+    "dq_key_skew" -> ((s, d) => keySkew(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dq_key_skew" ->
+      """WITH k AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |         count(*) AS n_keys,
+        |         CAST(max(n) AS BIGINT) AS max_key_rows,
+        |         CAST(sum(n * (n - 1)) AS BIGINT) AS coll_num
+        |  FROM k)
+        |SELECT 'o_custkey' AS key_col, n_rows, n_keys, max_key_rows,
+        |       CAST(max_key_rows * 1000 // n_rows AS BIGINT) AS top_share_mille,
+        |       CAST(coll_num * 1000000 // (n_rows * (n_rows - 1)) AS BIGINT)
+        |         AS collision_micro
+        |FROM s""".stripMargin,
     "dq_column_profile" ->
       """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
         |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

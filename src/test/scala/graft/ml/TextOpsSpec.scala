@@ -426,4 +426,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out("p16") == ((4L, 4000L / 11)))
     assert(out("p17") == ((4L, 4000L / 11)))
   }
+
+  test("epoch plan: draws capped by availability and budget share, " +
+    "exhaustion horizon consistent") {
+    val rows = TextOps.epochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avail = r.getAs[Long]("n_tokens")
+      val wm = r.getAs[Long]("weight_milli")
+      val planned = r.getAs[Long]("planned_tokens")
+      val epochs = r.getAs[Long]("epochs_until_exhausted")
+      assert(planned <= avail)
+      assert(planned <= TextOps.EpochTokenBudget * wm / 1000)
+      assert(epochs == avail / math.max(planned, 1L))
+      // an uncapped source is exhausted only after >= 1 full epoch
+      assert(epochs >= 1L || planned == avail)
+    }
+    // total draw never exceeds the budget (weights sum to <= 1000 milli)
+    assert(rows.map(_.getAs[Long]("planned_tokens")).sum <=
+      TextOps.EpochTokenBudget)
+  }
 }

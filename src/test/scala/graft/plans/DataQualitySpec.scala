@@ -73,4 +73,17 @@ class DataQualitySpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Int]("expected_mille") ==
       math.floor(1000 * math.log10(1.0 + 1.0 / r.getAs[Int]("digit"))).toInt))
   }
+
+  test("key-skew profile matches a direct recomputation") {
+    val row = DataQuality.keySkew(spark, sf).collect().head
+    val counts = graft.Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().collect().map(_.getAs[Long]("count"))
+    val n = counts.sum
+    assert(row.getAs[Long]("n_rows") == n)
+    assert(row.getAs[Long]("n_keys") == counts.length.toLong)
+    assert(row.getAs[Long]("max_key_rows") == counts.max)
+    assert(row.getAs[Long]("top_share_mille") == counts.max * 1000 / n)
+    assert(row.getAs[Long]("collision_micro") ==
+      counts.map(c => c * (c - 1)).sum * 1000000 / (n * (n - 1)))
+  }
 }
