@@ -190,6 +190,40 @@ object EntityResolution {
         expr("n_correct * 1000 div n_linkable").as("recall_milli"))
   }
 
+  /** Threshold sweep — the evaluation curve behind [[MatchThreshold]]:
+    * precision/recall at each candidate gate, so an operator can pick
+    * the threshold from data instead of folklore. Computed WITHOUT
+    * re-running the linkage per threshold: under jm-desc ranking a
+    * threshold filter keeps a PREFIX of each record's ranked list, so
+    * the overall rank-1 row is the match at every threshold it clears —
+    * one window pass, then a 5-way conditional count over the tiny
+    * best-match table. NULLIF guards the empty-match thresholds in both
+    * engines. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("jm").desc, col("b_id").asc)
+    val best = scoredPairs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("a_id", "b_id", "jm")
+    val linkable = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 5 =!= 0)
+      .agg(count(lit(1)).as("n_linkable"))
+    best
+      .select(explode(array(Seq(500, 600, 700, 800, 900).map(lit): _*))
+        .as("threshold"), col("a_id"), col("b_id"), col("jm"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("jm") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_matches"),
+        sum(when(col("jm") >= col("threshold") && col("a_id") === col("b_id"),
+          1L).otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(linkable))
+      .select(col("threshold"), col("n_matches"), col("n_correct"),
+        expr("n_correct * 1000 div nullif(n_matches, 0)").as("precision_milli"),
+        expr("n_correct * 1000 div n_linkable").as("recall_milli"))
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -200,7 +234,8 @@ object EntityResolution {
     "er_scored_pairs" -> ((s, d) => scoredPairs(s, d)),
     "er_matches" -> ((s, d) => matches(s, d)),
     "er_match_quality" -> ((s, d) => matchQuality(s, d)),
-    "er_edit_distance" -> ((s, d) => editDistanceRescore(s, d)))
+    "er_edit_distance" -> ((s, d) => editDistanceRescore(s, d)),
+    "er_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)))
 
   private val erCtes: String =
     """WITH a AS (
@@ -275,5 +310,29 @@ object EntityResolution {
         |SELECT n_matches, n_correct, n_linkable,
         |       n_correct * 1000 // NULLIF(n_matches, 0) AS precision_milli,
         |       n_correct * 1000 // n_linkable AS recall_milli
+        |FROM q CROSS JOIN l""".stripMargin),
+    "er_threshold_sweep" -> (erCtes +
+      """,
+        |ball AS (
+        |  SELECT a_id, b_id, jm FROM (
+        |    SELECT a_id, b_id, jm,
+        |           row_number() OVER (PARTITION BY a_id
+        |                              ORDER BY jm DESC, b_id ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |thr AS (SELECT unnest([500, 600, 700, 800, 900]) AS threshold),
+        |l AS (
+        |  SELECT count(*) AS n_linkable FROM customer WHERE c_custkey % 5 <> 0),
+        |q AS (
+        |  SELECT threshold,
+        |         CAST(sum(CASE WHEN jm >= threshold THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_matches,
+        |         CAST(sum(CASE WHEN jm >= threshold AND a_id = b_id
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM thr CROSS JOIN ball GROUP BY 1)
+        |SELECT threshold, n_matches, n_correct,
+        |       CAST(n_correct * 1000 // NULLIF(n_matches, 0) AS BIGINT)
+        |         AS precision_milli,
+        |       CAST(n_correct * 1000 // n_linkable AS BIGINT) AS recall_milli
         |FROM q CROSS JOIN l""".stripMargin))
 }

@@ -84,4 +84,20 @@ class EntityResolutionSpec extends SparkSpec {
     assert(blocksSeen == Set(10L, 11L), s"got $blocksSeen")
     assert(capped.count() == 4)
   }
+
+  test("threshold sweep: counts shrink as the gate rises; the 700 point " +
+    "reproduces er_match_quality") {
+    val sweep = EntityResolution.thresholdSweep(spark, sf)
+      .collect().map(r => r.getAs[Int]("threshold") -> r).toMap
+    assert(sweep.keySet == Set(500, 600, 700, 800, 900))
+    val byThr = Seq(500, 600, 700, 800, 900).map(sweep)
+    val nm = byThr.map(_.getAs[Long]("n_matches"))
+    val nc = byThr.map(_.getAs[Long]("n_correct"))
+    assert(nm.zip(nm.tail).forall { case (a, b) => a >= b })
+    assert(nc.zip(nc.tail).forall { case (a, b) => a >= b })
+    val q = EntityResolution.matchQuality(spark, sf).collect().head
+    assert(sweep(700).getAs[Long]("n_matches") == q.getAs[Long]("n_matches"))
+    assert(sweep(700).getAs[Long]("n_correct") == q.getAs[Long]("n_correct"))
+    assert(sweep(700).getAs[Long]("recall_milli") == q.getAs[Long]("recall_milli"))
+  }
 }
