@@ -135,11 +135,27 @@ object ExprQueries {
           .otherwise("low"))
   }
 
+  /** F23 query form: a synthetic credential column over the document
+    * corpus — every third row a resolvable `${SOURCE_BUCKET}` reference,
+    * every third an unresolvable `${MISSING_SECRET}` (kept verbatim, the
+    * reference's warn-and-keep), the rest plain values passed through. */
+  def envInterpolation(spark: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 3 === 0, lit("${SOURCE_BUCKET}"))
+      .when(col("doc_id") % 3 === 1, lit("${MISSING_SECRET}"))
+      .otherwise(concat(lit("plain-"), col("source")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), raw.as("raw_value"))
+      .withColumn("resolved", Exprs.interpolate(col("raw_value"),
+        Map("SOURCE_BUCKET" -> "s3://tenant-artifacts",
+          "OTHER_VAR" -> "unused")))
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "f23_env_interpolation" -> ((s, d) => envInterpolation(s, d)),
     "f7_multiformat_dates" -> ((s, d) => multiformatDates(s, d)),
     "f8_currency_parse" -> ((s, d) => currencyParse(s, d)),
     "f5_extract_money" -> ((s, d) => extractMoney(s, d)),
@@ -159,6 +175,18 @@ object ExprQueries {
       |     ELSE 'th' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "f23_env_interpolation" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN '${SOURCE_BUCKET}'
+        |              WHEN doc_id % 3 = 1 THEN '${MISSING_SECRET}'
+        |              ELSE 'plain-' || source END AS raw_value
+        |  FROM documents)
+        |SELECT doc_id, raw_value,
+        |       CASE WHEN raw_value = '${SOURCE_BUCKET}'
+        |              THEN 's3://tenant-artifacts'
+        |            ELSE raw_value END AS resolved
+        |FROM r""".stripMargin,
     "f7_multiformat_dates" ->
       s"""WITH s AS (
          |  SELECT o_orderkey,

@@ -153,6 +153,24 @@ object Exprs {
   // the identical IEEE value in both engines.
 
   /** Exact sum of a money-ish double column, returned as double. */
+  /** F23 — credential/config variable interpolation
+    * (core/tenant_manager.py:428-456): a value that IS a `${VAR}`
+    * reference (full-string match, nothing else counts) resolves
+    * through the supplied variable map; an unresolvable reference keeps
+    * the ORIGINAL `${VAR}` string — the reference's warn-and-keep
+    * behavior. The map is a config-layer literal folded into the
+    * expression (broadcast by construction, codegen'd `element_at` —
+    * never a join, never an executor env read: executors must not need
+    * driver-only secrets in their environment). */
+  def interpolate(value: Column, vars: Map[String, String]): Column = {
+    val name = regexp_extract(value, "^\\$\\{([A-Za-z0-9_]+)\\}$", 1)
+    if (vars.isEmpty) value
+    else {
+      val m = map(vars.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      when(name =!= "", coalesce(element_at(m, name), value)).otherwise(value)
+    }
+  }
+
   def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(12, 2))).cast("double")
 

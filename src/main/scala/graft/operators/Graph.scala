@@ -123,6 +123,12 @@ object Graph {
       alive = inducedDeg(alive)
         .filter(col("d") >= k)
         .select(col("src").as("node"))
+        // barrier: inducedDeg consumes `alive` TWICE (src and dst side);
+        // without it each round's plan embeds the previous round's
+        // subtree in both join arms — 2^rounds duplicated work (measured
+        // 24 s vs ~6 s at sf0.1). The alive list is a shrinking node
+        // set, so the cached frame is small and AQE broadcasts it.
+        .persist()
     }
     inducedDeg(alive)
       .select(col("src").as("node"), col("d").as("core_deg"))

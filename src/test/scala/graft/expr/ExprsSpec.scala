@@ -108,4 +108,22 @@ class ExprsSpec extends SparkSpec {
       c => Exprs.containsAny(c, Seq("join", "filter")))
     assert(got == Seq(true, false))
   }
+
+  test("interpolate: full-string refs resolve, everything else kept verbatim") {
+    val vars = Map("API_KEY" -> "sk-123", "HOST" -> "db.internal")
+    val got = evalStr(Seq(
+      "${API_KEY}",        // resolves
+      "${HOST}",           // resolves
+      "${MISSING}",        // unresolvable -> kept (warn-and-keep)
+      "plain value",       // not a reference
+      "${API_KEY}suffix",  // partial match is NOT a reference
+      "pre${API_KEY}",     // ditto
+      ""),                 // empty string untouched
+      c => Exprs.interpolate(c, vars))
+    assert(got == Seq("sk-123", "db.internal", "${MISSING}", "plain value",
+      "${API_KEY}suffix", "pre${API_KEY}", ""))
+    // empty map: identity
+    val id = evalStr(Seq("${API_KEY}", "x"), c => Exprs.interpolate(c, Map.empty))
+    assert(id == Seq("${API_KEY}", "x"))
+  }
 }
