@@ -294,6 +294,38 @@ object Dedup {
                         threshold: Double = 0.7, dfCap: Int = 1000): DataFrame =
     ngramJaccardPairsOf(Tables.documents(spark, dir), threshold, dfCap)
 
+  /** Shingle-CONTAINMENT pairs — the near-superset detector Jaccard
+    * structurally misses: a short document quoted inside a long one has
+    * |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so the 0.7 gate never
+    * fires. Emits both directions in integer milli (containment of the
+    * smaller side in the larger and vice versa) for pairs where either
+    * clears the gate. Same df-capped inverted index and plan shape as
+    * [[ngramJaccardPairsOf]] — one extra projection, no new scan
+    * pattern; containment is measured over the capped shingle sets
+    * (identical caveat to the Jaccard form, mirrored in the oracle). */
+  def containmentPairsOf(docs: DataFrame,
+                         thresholdMilli: Long = 900L,
+                         dfCap: Int = 1000): DataFrame = {
+    val sh = shingleIndex(docs, dfCap)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000 div na").as("cont_a_in_b_milli"),
+        expr("inter * 1000 div nb").as("cont_b_in_a_milli"))
+      .filter(col("cont_a_in_b_milli") >= thresholdMilli ||
+        col("cont_b_in_a_milli") >= thresholdMilli)
+  }
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir))
+
   // -------------------------------------------------------------------
   // Prefix filtering (AllPairs / PPJoin family) — the LOSSLESS
   // subquadratic similarity join
@@ -950,6 +982,7 @@ object Dedup {
     "dedup_exact_groups" -> ((s, d) => exactGroups(s, d)),
     "dedup_exact_survivors" -> ((s, d) => exactSurvivors(s, d)),
     "dedup_ngram_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "dedup_containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "dedup_prefix_pairs" -> ((s, d) => prefixFilterPairs(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
     "dedup_incremental_admit" -> ((s, d) => incrementalAdmit(s, d)),
@@ -1111,6 +1144,20 @@ object Dedup {
          |JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.7::DOUBLE""".stripMargin,
+    "dedup_containment_pairs" ->
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(inter * 1000 // sa.n AS BIGINT) AS cont_a_in_b_milli,
+         |       CAST(inter * 1000 // sb.n AS BIGINT) AS cont_b_in_a_milli
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE inter * 1000 // sa.n >= 900 OR inter * 1000 // sb.n >= 900""".stripMargin,
     // prefix filtering is LOSSLESS, so the oracle is the plain
     // UNCAPPED inverted-index join — the naive-but-correct answer the
     // subquadratic plan must reproduce exactly (integer milli-Jaccard)

@@ -72,6 +72,25 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture should contain near-dups at 0.8")
   }
 
+  test("containment pairs catch a quoted subset that Jaccard misses") {
+    val big = (1 to 200).map(i => s"w$i").mkString(" ")
+    val small = (1 to 22).map(i => s"w$i").mkString(" ") // prefix quote of big
+    val other = (1 to 200).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsOf(docs).collect()
+    assert(cont.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L &&
+      r.getAs[Long]("cont_a_in_b_milli") == 1000L),
+      s"subset pair not found in ${cont.mkString(",")}")
+    // the unrelated doc pairs with nothing
+    assert(!cont.exists(r => r.getAs[Long]("doc_a") == 3L ||
+      r.getAs[Long]("doc_b") == 3L))
+    // Jaccard at 0.7 structurally misses it (similarity ~ |A|/|B|)
+    val jac = Dedup.ngramJaccardPairsOf(docs).collect()
+    assert(!jac.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L))
+  }
+
   test("minhash LSH recovers the exact-Jaccard pairs (recall) without " +
     "flooding (precision) on real data") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.7)
