@@ -262,9 +262,68 @@ object Multimodal {
   def motionDeltas(spark: SparkSession, dir: String): DataFrame =
     motionDeltasOf(Tables.documents(spark, dir))
 
+  /** Max hamming distance for a perceptual near-dup pair. With 4 chunk
+    * blocks, pigeonhole makes the blocking LOSSLESS at this gate: ≤ 3
+    * differing bits cannot touch all 4 chunks, so every qualifying pair
+    * collides on at least one unchanged chunk. */
+  val PhashMaxHamming = 3L
+
+  /** Image near-dup pairs via a perceptual average-hash (aHash) — the
+    * multimodal twin of the text SimHash dedup: each image-typed
+    * payload's 4-bit raster downsamples into 64 stride cells, each cell
+    * votes against the global mean for one hash bit, and pairs are
+    * mined by 16-bit chunk blocking + an exact popcount filter at
+    * hamming ≤ [[PhashMaxHamming]] (lossless by pigeonhole). The whole
+    * pipeline is builtin higher-order functions — no UDF — and integer
+    * floor arithmetic end to end, so the oracle replays every bit.
+    *
+    * Scale: hashing is one narrow pass; the only join carries (chunk id,
+    * 16-bit value) postings, and the final rescore touches candidates
+    * only — the same subquadratic shape as every other blocked
+    * dedup arm. */
+  def phashPairsOf(images: DataFrame): DataFrame = {
+    val hashed = images
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT) div 16)")
+          .as("px"))
+      .withColumn("stride", expr("CAST(size(px) div 64 AS INT)"))
+      .withColumn("cells", expr(
+        """transform(sequence(0, 63), j ->
+          |  aggregate(slice(px, j * stride + 1, stride), 0L, (a, x) -> a + x)
+          |    div stride)""".stripMargin))
+      .withColumn("gmean", expr("aggregate(cells, 0L, (a, x) -> a + x) div 64"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 3), k ->
+          |  aggregate(sequence(0, 15), 0L, (acc, j) ->
+          |    acc + IF(element_at(cells, 16 * k + j + 1) > gmean,
+          |             shiftleft(1L, j), 0L)))""".stripMargin).as("chunks"))
+      .persist() // blocking reads it twice, rescore twice more
+    val bk = hashed.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("k", "chunk")))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("chunks").as("ca")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("chunks").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> bit_count(x ^ y)), 0L, (a, x) -> a + x)")
+        .as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairsOf(graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0)) // the image-typed payloads
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "multimodal_phash_pairs" -> ((s, d) => phashPairs(s, d)),
     "multimodal_features" -> ((s, d) => extractFeaturesFlat(s, d)),
     "multimodal_meta" -> ((s, d) => mediaMeta(s, d)),
     "multimodal_resize" -> ((s, d) => resizePlan(s, d)),
@@ -280,6 +339,45 @@ object Multimodal {
   // double-precision mean is computed once and reused for the variance
   // before the final float32 narrowing, mirroring decodeStub exactly.
   val oracles: Map[String, String] = Map(
+    "multimodal_phash_pairs" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ''),
+        |                        c -> unicode(c)::BIGINT // 16) AS px
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 64),
+        |p AS (SELECT doc_id, px, CAST(len(px) // 64 AS INT) AS stride FROM img),
+        |c AS (
+        |  SELECT doc_id,
+        |         [list_aggregate(px[j*stride+1 : (j+1)*stride], 'sum') // stride
+        |          for j in range(0, 64)] AS cells
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, cells,
+        |         list_aggregate(cells, 'sum') // 64 AS gmean
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id,
+        |         [list_aggregate([CASE WHEN cells[16*k+j+1] > gmean
+        |                               THEN (1::BIGINT << j) ELSE 0::BIGINT END
+        |                          for j in range(0, 16)], 'sum')
+        |          for k in range(0, 4)] AS chunks
+        |  FROM g),
+        |bk AS (
+        |  SELECT doc_id, k, chunks[k+1] AS chunk
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b
+        |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |sc AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(list_aggregate(
+        |           [bit_count(xor(ha.chunks[i+1], hb.chunks[i+1]))::BIGINT
+        |            for i in range(0, 4)], 'sum') AS BIGINT) AS hamming
+        |  FROM cand
+        |  JOIN h ha ON ha.doc_id = doc_a
+        |  JOIN h hb ON hb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, hamming FROM sc WHERE hamming <= 3""".stripMargin,
     "multimodal_features" ->
       """WITH cps AS (
         |  SELECT doc_id,

@@ -94,4 +94,22 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("px_sum") == s && r.getAs[Long]("px_sumsq") == s2)
     }
   }
+
+  test("perceptual hash: perturbed raster pairs found, distinct rasters not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 256-pixel "images": A and B differ in ONE pixel (hamming 0 or 1
+    // after 4:1 downsampling); C is structurally different
+    val a = (0 until 256).map(i => if ((i / 8) % 2 == 0) 'x' else ' ').mkString
+    val b = a.updated(3, 'y')
+    val c = (0 until 256).map(i => if ((i / 3) % 5 == 0) 'x' else ' ').mkString
+    val docs = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.exists { case (x, y, h) =>
+      x == 10L && y == 11L && h <= Multimodal.PhashMaxHamming })
+    assert(!pairs.exists { case (x, y, _) => x == 12L || y == 12L })
+    spark.catalog.clearCache() // phashPairsOf persists the hash table
+  }
 }
