@@ -276,6 +276,31 @@ object Temporal {
       .select("suppkey", "n_overlaps")
   }
 
+  /** T17 — last-touch channel attribution: every purchase's value is
+    * credited to the channel (event type) of the as-of preceding browse
+    * event; purchases with no preceding browse are 'direct'. The
+    * composed form of the as-of join — the marketing/causal question
+    * the reference's timeline retriever answers per case
+    * (smart_field_retriever.py's latest-event-before lookups), asked of
+    * the whole corpus and rolled up.
+    *
+    * Plan: the as-of join is t1's union-window pass (one shuffle on
+    * user_id); the channel lookup joins back on the attributed event id
+    * (hash join on a unique key); values sum in exact integer cents.
+    * The rollup output is |channels|+1 rows regardless of scale. */
+  def channelAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val asof = purchaseAsofBrowse(spark, dir)
+    val purchaseValue = ev.select(col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+    val channel = ev.select(col("event_id").as("asof_id"),
+      col("event_type").as("ch"))
+    asof.join(purchaseValue, "event_id")
+      .join(channel, Seq("asof_id"), "left")
+      .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+  }
+
   /** T15 — interval coalescing (gaps-and-islands): merge each supplier's
     * overlapping/touching shipment windows (the same [s, e] intervals as
     * t14) into maximal busy islands. The dual of t14's pair count: t14
@@ -744,7 +769,8 @@ object Temporal {
     "t13_trailing_30d_spend" -> ((s, d) => trailing30dSpend(s, d)),
     "t14_shipment_overlaps" -> ((s, d) => supplierShipmentOverlaps(s, d)),
     "t15_busy_islands" -> ((s, d) => supplierBusyIslands(s, d)),
-    "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)))
+    "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)),
+    "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     // the oracle states the SEMANTICS (direct overlap-predicate join);
@@ -960,6 +986,33 @@ object Temporal {
         |         (300 * d.cents + 700 * r.ewma) // 1000 AS ewma
         |  FROM d JOIN r ON d.tenant_id = r.tenant_id AND d.i = r.i + 1)
         |SELECT tenant_id, day, cents, ewma FROM r""".stripMargin,
+    "t17_channel_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS is_probe,
+        |         event_id AS build_id
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, NULL
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_probe,
+        |         last_value(build_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id
+        |  FROM u),
+        |p AS (SELECT event_id, asof_id FROM w WHERE is_probe = 1),
+        |v AS (
+        |  SELECT event_id,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT event_id AS asof_id, event_type AS ch FROM events)
+        |SELECT coalesce(c.ch, 'direct') AS channel,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(v.cents) AS BIGINT) AS cents
+        |FROM p
+        |JOIN v USING (event_id)
+        |LEFT JOIN c USING (asof_id)
+        |GROUP BY 1""".stripMargin,
     "t15_busy_islands" ->
       """WITH iv AS (
         |  SELECT DISTINCT l_suppkey AS suppkey,

@@ -276,6 +276,19 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("channel attribution conserves purchase count and value") {
+    val ev = graft.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val totalCents = purchases
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")))
+      .head.getLong(0)
+    val rows = Temporal.channelAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("view", "click", "direct")))
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases.count())
+    assert(rows.map(_.getAs[Long]("cents")).sum == totalCents)
+  }
+
   test("busy islands tile each supplier's intervals: disjoint, ordered, complete") {
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")
