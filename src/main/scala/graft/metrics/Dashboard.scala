@@ -398,6 +398,23 @@ object Dashboard {
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
   }
 
+  /** W8 — relative-standing windows: percent_rank and cume_dist of each
+    * order's value within its tenant — the "where does this case sit in
+    * its tenant's book" question (dashboard.py's per-tenant ranking
+    * views) as pure window functions. Both are exact rationals of tied
+    * ranks over integer cents, so the doubles agree bit-for-bit across
+    * engines; one shuffle on the tenant key. */
+  def tenantValueDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      (col("o_custkey") % 4).as("tenant_id"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val w = Window.partitionBy(col("tenant_id")).orderBy(col("cents"))
+    o.select(col("o_orderkey"), col("tenant_id"), col("cents"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   /** Set ops (§2.7): key-level difference/intersection between the two
     * reconciliation snapshots, in EXCEPT/INTERSECT form. */
   def keysOnlyInCrm(spark: SparkSession, dir: String): DataFrame =

@@ -38,6 +38,7 @@ object DashboardQueries {
     "q1_pricing_summary" -> ((s, d) => Dashboard.pricingSummary(s, d)),
     "j5_revenue_by_supplier" -> ((s, d) => Dashboard.revenueBySupplier(s, d)),
     "j9_shipping_priority" -> ((s, d) => Dashboard.shippingPriority(s, d)),
+    "w8_percent_rank" -> ((s, d) => Dashboard.tenantValueDistribution(s, d)),
     "o12_pareto_front" -> ((s, d) => Dashboard.paretoParts(s, d)),
     "p8_meaningful_docs" -> ((s, d) => Dashboard.meaningfulDocs(s, d)),
     "w4_tumbling_hourly" -> ((s, d) => Dashboard.tumblingHourly(s, d)),
@@ -242,6 +243,18 @@ object DashboardQueries {
         |       count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "w8_percent_rank" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 4 AS tenant_id,
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, tenant_id, cents,
+        |       percent_rank() OVER (PARTITION BY tenant_id ORDER BY cents)
+        |         AS pct_rank,
+        |       cume_dist() OVER (PARTITION BY tenant_id ORDER BY cents)
+        |         AS cume
+        |FROM o""".stripMargin,
     "j9_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -276,6 +276,28 @@ object Temporal {
       .select("suppkey", "n_overlaps")
   }
 
+  /** A24 — hourly anomaly screen over the gap-filled per-tenant series
+    * (composes t10): each hour compares against the sum of its trailing
+    * 24 FULL hours — gap-filling first is what makes a 24-ROW frame
+    * mean 24 HOURS, and what lets a silent hour (n = 0 after an outage)
+    * register as a drop at all. Flags in exact integer cross-products
+    * (spike: n > 2× trailing mean; drop: n < half): the monitoring
+    * operator behind the reference dashboard's stall detection
+    * (monitoring/dashboard.py's stalled-job queries), made windowed.
+    * One extra bounded window over the already-shuffled hourly frame. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = gapfillHourly(spark, dir)
+    val w = Window.partitionBy(col("tenant_id")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("prev_sum", sum(col("n")).over(w))
+      .withColumn("prev_cnt", count(col("n")).over(w))
+      .filter(col("prev_cnt") === 24)
+      .select(col("tenant_id"), col("hour"), col("n"), col("prev_sum"),
+        (col("n") * 24 > col("prev_sum") * 2).as("is_spike"),
+        (col("n") * 48 < col("prev_sum")).as("is_drop"))
+  }
+
   /** T17 — last-touch channel attribution: every purchase's value is
     * credited to the channel (event type) of the as-of preceding browse
     * event; purchases with no preceding browse are 'direct'. The
@@ -770,7 +792,8 @@ object Temporal {
     "t14_shipment_overlaps" -> ((s, d) => supplierShipmentOverlaps(s, d)),
     "t15_busy_islands" -> ((s, d) => supplierBusyIslands(s, d)),
     "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)),
-    "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)))
+    "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)),
+    "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     // the oracle states the SEMANTICS (direct overlap-predicate join);
@@ -940,6 +963,32 @@ object Temporal {
         |SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
         |       m.n_active * 1000 // s.cohort_size AS retention_milli
         |FROM m JOIN s USING (cohort_day)""".stripMargin,
+    "a24_hourly_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS tenant_id, date_trunc('hour', ts) AS hour
+        |  FROM events),
+        |c AS (SELECT tenant_id, hour, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+        |t AS (SELECT DISTINCT tenant_id FROM e),
+        |g AS (
+        |  SELECT tenant_id,
+        |         unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+        |  FROM t CROSS JOIN b),
+        |h AS (
+        |  SELECT g.tenant_id, g.hour, coalesce(c.n, 0) AS n
+        |  FROM g LEFT JOIN c ON c.tenant_id = g.tenant_id AND c.hour = g.hour),
+        |w AS (
+        |  SELECT tenant_id, hour, n,
+        |         CAST(sum(n) OVER (PARTITION BY tenant_id ORDER BY hour
+        |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |           AS prev_sum,
+        |         count(n) OVER (PARTITION BY tenant_id ORDER BY hour
+        |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_cnt
+        |  FROM h)
+        |SELECT tenant_id, hour, n, prev_sum,
+        |       n * 24 > prev_sum * 2 AS is_spike,
+        |       n * 48 < prev_sum AS is_drop
+        |FROM w WHERE prev_cnt = 24""".stripMargin,
     "t10_gapfill_hourly" ->
       """WITH e AS (
         |  SELECT user_id % 4 AS tenant_id, date_trunc('hour', ts) AS hour

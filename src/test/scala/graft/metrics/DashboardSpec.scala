@@ -194,6 +194,21 @@ class DashboardSpec extends SparkSpec {
       _.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff)))
   }
 
+  test("percent_rank/cume_dist: proper distributions within each tenant") {
+    val rows = Dashboard.tenantValueDistribution(spark, sf).collect()
+    val byTenant = rows.groupBy(_.getAs[Long]("tenant_id"))
+    assert(byTenant.size > 1)
+    byTenant.values.foreach { rs =>
+      val pr = rs.map(_.getAs[Double]("pct_rank"))
+      val cd = rs.map(_.getAs[Double]("cume"))
+      assert(pr.min == 0.0 && pr.max <= 1.0)
+      assert(cd.min > 0.0 && cd.max == 1.0)
+      // cume_dist dominates percent_rank pointwise (ties count for cume)
+      assert(rs.forall(r =>
+        r.getAs[Double]("cume") >= r.getAs[Double]("pct_rank")))
+    }
+  }
+
   test("KMV overlap estimates track the exact pairwise intersections") {
     val ev = graft.Tables.events(spark, sf)
     val exact = ev.select(col("event_type").as("ta"), col("user_id"))

@@ -276,6 +276,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("hourly anomalies: full-window rows only, flags mutually exclusive") {
+    val hourly = Temporal.gapfillHourly(spark, sf)
+    val tenants = hourly.select("tenant_id").distinct().count()
+    val out = Temporal.hourlyAnomalies(spark, sf)
+    // exactly the first 24 hours of each tenant's dense series are skipped
+    assert(out.count() == hourly.count() - 24 * tenants)
+    assert(out.filter(col("is_spike") && col("is_drop")).count() == 0)
+    // flags recompute from the emitted columns
+    val bad = out.filter(
+      (col("is_spike") =!= (col("n") * 24 > col("prev_sum") * 2)) ||
+        (col("is_drop") =!= (col("n") * 48 < col("prev_sum")))).count()
+    assert(bad == 0)
+  }
+
   test("channel attribution conserves purchase count and value") {
     val ev = graft.Tables.events(spark, sf)
     val purchases = ev.filter(col("event_type") === "purchase")
