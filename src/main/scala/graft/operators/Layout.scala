@@ -117,6 +117,32 @@ object Layout {
         date_format(col("max_day"), "yyyy-MM-dd").as("max_day"))
   }
 
+  /** Range splits for [[rangeBoundaries]]. */
+  val RangeSplits = 16
+
+  /** Equi-depth range-partition plan over the customer join key — the
+    * boundary table a sorted/range-bucketed write (or a range-shuffle
+    * planner) needs so every output partition holds ~1/N of the rows
+    * regardless of key skew. ONE bounded `percentile` aggregate
+    * computes all interior boundaries; rows then assign to splits by a
+    * broadcast edge-array scan (the o8 decile idiom) and one groupBy
+    * emits the plan manifest: per split, its exact row count and key
+    * range. At 100 TB the percentile aggregate is the only full-data
+    * pass and it is map-side combinable. */
+  def rangeBoundaries(spark: SparkSession, dir: String,
+                      splits: Int = RangeSplits): DataFrame = {
+    val keys = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val edges = keys.agg(percentile(col("k"),
+      array((1 until splits).map(i => lit(i.toDouble / splits)): _*)).as("edges"))
+    keys.crossJoin(broadcast(edges))
+      .select(col("k"),
+        size(filter(col("edges"), e => col("k").cast("double") > e))
+          .cast("int").as("split_id"))
+      .groupBy("split_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -125,9 +151,26 @@ object Layout {
 
   val queries: Map[String, Q] = Map(
     "layout_zorder_stats" -> ((s, d) => zorderStats(s, d)),
-    "layout_compaction_bins" -> ((s, d) => compactionBins(s, d)))
+    "layout_compaction_bins" -> ((s, d) => compactionBins(s, d)),
+    "layout_range_boundaries" -> ((s, d) => rangeBoundaries(s, d)))
+
+  private def rangeBoundariesOracle: String = {
+    val qs = (1 until RangeSplits)
+      .map(i => s"quantile_cont(k, $i.0/$RangeSplits)").mkString(", ")
+    s"""WITH kk AS (SELECT o_custkey AS k FROM orders),
+       |e AS (SELECT [$qs] AS edges FROM kk),
+       |a AS (
+       |  SELECT kk.k,
+       |         CAST(len(list_filter(e.edges, b -> CAST(kk.k AS DOUBLE) > b))
+       |           AS INT) AS split_id
+       |  FROM kk CROSS JOIN e)
+       |SELECT split_id, count(*) AS n_rows,
+       |       min(k) AS min_key, max(k) AS max_key
+       |FROM a GROUP BY 1""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "layout_range_boundaries" -> rangeBoundariesOracle,
     "layout_zorder_stats" -> s"""WITH li AS (
       |  SELECT l_partkey AS pk, l_suppkey AS sp,
       |         ${zExprSql("l_partkey", "l_suppkey", "//")} AS z

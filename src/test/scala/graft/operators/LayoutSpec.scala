@@ -60,6 +60,26 @@ class LayoutSpec extends SparkSpec {
   test("layout queries audit clean of scale-killers") {
     PlanAudit.assertScaleSafe(Layout.zorderStats(spark, sf))
     PlanAudit.assertScaleSafe(Layout.compactionBins(spark, sf))
+    PlanAudit.assertScaleSafe(Layout.rangeBoundaries(spark, sf))
+    spark.catalog.clearCache()
+  }
+
+  test("range boundaries: splits tile the key space with balanced depth") {
+    val rows = Layout.rangeBoundaries(spark, sf).collect()
+      .sortBy(_.getAs[Int]("split_id"))
+    val n = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == n)
+    // key ranges are ordered and non-overlapping across splits
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_key") <= b.getAs[Long]("min_key"))
+      case _ =>
+    }
+    // equi-depth within a generous band (ties on the key grid distort)
+    val target = n / Layout.RangeSplits
+    rows.foreach(r => assert(r.getAs[Long]("n_rows") <= 3 * target &&
+      r.getAs[Long]("n_rows") >= target / 3,
+      s"split ${r.getAs[Int]("split_id")} holds ${r.getAs[Long]("n_rows")}"))
     spark.catalog.clearCache()
   }
 }
