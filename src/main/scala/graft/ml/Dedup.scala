@@ -955,6 +955,26 @@ object Dedup {
   def embeddingKnnGraph(spark: SparkSession, dir: String): DataFrame =
     embeddingKnnGraphOf(Tables.embeddings(spark, dir))
 
+  /** Reverse-k-NN counts over the [[embeddingKnnGraphOf]] edges: how
+    * many vectors list each vector among their top-k — the hub/medoid
+    * signal (a vector many others point at is a cluster center; one
+    * nobody points at is an outlier) that SemDeDup-style pruning and
+    * coreset selection rank by. One map-side-combined groupBy over the
+    * |V|·k-row graph; emitted for every corpus vector (zero for
+    * never-referenced ones) so the distribution is complete. */
+  def reverseKnnCountsOf(vectors: DataFrame): DataFrame = {
+    val in = embeddingKnnGraphOf(vectors)
+      .groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("n_referrers"))
+    vectors.select(col("vec_id"))
+      .join(in, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_referrers"), lit(0L)).as("n_referrers"))
+  }
+
+  def reverseKnnCounts(spark: SparkSession, dir: String): DataFrame =
+    reverseKnnCountsOf(Tables.embeddings(spark, dir))
+
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame =
     embeddingPairsOf(Tables.embeddings(spark, dir))
 
@@ -991,6 +1011,7 @@ object Dedup {
     "dedup_embedding_pairs" -> ((s, d) => embeddingPairs(s, d)),
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => embeddingKnnGraph(s, d)),
+    "sim_rknn_counts" -> ((s, d) => reverseKnnCounts(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
     "dedup_quality_survivors" -> ((s, d) => qualitySurvivors(s, d)),
@@ -1345,6 +1366,28 @@ object Dedup {
          |WHERE d.doc_id % 10 >= 8""".stripMargin,
     "dedup_embedding_lsh_pairs" -> embeddingLshPairsOracle,
     "sim_knn_graph" -> knnGraphOracle,
+    "sim_rknn_counts" -> (
+      s"""$embLshCandCte,
+         |sym AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM cand
+         |  UNION ALL
+         |  SELECT vec_b, vec_a FROM cand),
+         |sc AS (
+         |  SELECT sym.src, sym.dst,
+         |         CAST(list_dot_product(sa.qv, sb.qv) AS BIGINT) AS dot
+         |  FROM sym
+         |  JOIN s sa ON sa.vec_id = sym.src
+         |  JOIN s sb ON sb.vec_id = sym.dst),
+         |r AS (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src
+         |                            ORDER BY dot DESC, dst ASC) AS rank
+         |  FROM sc),
+         |cnt AS (
+         |  SELECT dst AS vec_id, count(*) AS n_referrers
+         |  FROM r WHERE rank <= 5 GROUP BY 1)
+         |SELECT e.vec_id, coalesce(cnt.n_referrers, 0) AS n_referrers
+         |FROM embeddings e LEFT JOIN cnt ON cnt.vec_id = e.vec_id""".stripMargin),
     "dedup_embedding_clusters" -> embeddingClustersOracle,
     // string shingles in the oracle vs 64-bit hashed shingles in the
     // plan: identical counts barring a 2^-64 collision (the documented

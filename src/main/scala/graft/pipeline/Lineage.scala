@@ -64,10 +64,49 @@ object Lineage {
         col("n_new")) ++ buckets: _*)
   }
 
+  /** The SECOND flagship: the training-corpus build end to end as ONE
+    * declarative plan — the ML-family twin of [[flagship]]'s case
+    * pipeline. Tokenize → quality-gate (Gopher-style length and
+    * mean-token-length rules in pure integers) → exact-dedup to
+    * content survivors (md5 group, min-id winner) → hash-split
+    * assignment → per-(source, split) corpus manifest. Real corpus
+    * builds run these as separate orchestrated jobs with materialized
+    * intermediates; composed declaratively, Catalyst pipelines the
+    * gate into the scan, the dedup window and the rollup share one
+    * shuffle each, and the output is the bounded manifest
+    * (|sources|·|splits| rows) a sampler consumes.
+    *
+    * Tokenization runs ONCE and feeds both the gate and the token
+    * totals — the shared-projection discipline from sim_hybrid_rrf. */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val stats = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.ml.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_len"))
+    val gated = stats.filter(col("n_toks") >= 10 &&
+      col("sum_len") >= col("n_toks") * 3 &&
+      col("sum_len") <= col("n_toks") * 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val survivors = gated
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val bucket = graft.expr.Exprs.serialOf(col("doc_id")) % 100
+    survivors
+      .select(col("source"), col("n_toks"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "e2e_flagship_lineage" -> ((s, d) => flagship(s, d)))
+    "e2e_flagship_lineage" -> ((s, d) => flagship(s, d)),
+    "e2e_training_corpus" -> ((s, d) => trainingCorpus(s, d)))
 
   /** The five stages replayed in SQL: recon CTEs (shared with the recon_*
     * oracles), the U1 summary arithmetic, a GROUP BY dedup, the portable
@@ -121,5 +160,35 @@ object Lineage {
   }
 
   val oracles: Map[String, String] = Map(
-    "e2e_flagship_lineage" -> flagshipOracle)
+    "e2e_flagship_lineage" -> flagshipOracle,
+    "e2e_training_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(coalesce(list_aggregate(
+        |           list_transform(toks, x -> len(x)), 'sum'), 0)
+        |           AS BIGINT) AS sum_len
+        |  FROM t),
+        |q AS (
+        |  SELECT * FROM s
+        |  WHERE n_toks >= 10 AND sum_len >= 3 * n_toks
+        |    AND sum_len <= 10 * n_toks),
+        |d AS (
+        |  SELECT doc_id, source, n_toks,
+        |         row_number() OVER (PARTITION BY md5(text)
+        |                            ORDER BY doc_id) AS rn
+        |  FROM q),
+        |sv AS (
+        |  SELECT source, n_toks,
+        |         CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'
+        |              WHEN (doc_id * 48271) % 100000 % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM d WHERE rn = 1)
+        |SELECT source, split, count(*) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM sv GROUP BY 1, 2""".stripMargin)
 }
