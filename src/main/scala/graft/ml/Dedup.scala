@@ -975,6 +975,20 @@ object Dedup {
   def reverseKnnCounts(spark: SparkSession, dir: String): DataFrame =
     reverseKnnCountsOf(Tables.embeddings(spark, dir))
 
+  /** Duplicate-family size distribution — the reporting view of the
+    * n-gram cluster pipeline: how many families of each size the corpus
+    * holds (size 1 = unique documents). The number every dedup run
+    * reports first ("X% of the corpus sits in families of ≥ 2"), and a
+    * drift signal across ingests. Two map-side-combined aggregates over
+    * the cluster table; output is bounded by the largest family size. */
+  def clusterSizeHistogramOf(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    clusterSizeHistogramOf(ngramClusters(spark, dir))
+
   def embeddingPairs(spark: SparkSession, dir: String): DataFrame =
     embeddingPairsOf(Tables.embeddings(spark, dir))
 
@@ -1012,6 +1026,7 @@ object Dedup {
     "dedup_embedding_lsh_pairs" -> ((s, d) => embeddingLshPairs(s, d)),
     "sim_knn_graph" -> ((s, d) => embeddingKnnGraph(s, d)),
     "sim_rknn_counts" -> ((s, d) => reverseKnnCounts(s, d)),
+    "dedup_cluster_size_hist" -> ((s, d) => clusterSizeHistogram(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
     "dedup_quality_survivors" -> ((s, d) => qualitySurvivors(s, d)),
@@ -1205,6 +1220,13 @@ object Dedup {
     "dedup_ngram_clusters" ->
       s"""$ngramClusterCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    "dedup_cluster_size_hist" ->
+      s"""$ngramClusterCtes,
+         |fam AS (
+         |  SELECT cluster_id, count(*) AS family_size
+         |  FROM cl GROUP BY 1)
+         |SELECT family_size, count(*) AS n_families
+         |FROM fam GROUP BY 1""".stripMargin,
     "dedup_quality_survivors" ->
       s"""$ngramClusterCtes
          |SELECT cluster_id, doc_id AS keep_id, n_chars FROM (

@@ -738,14 +738,48 @@ object IncrementalSync {
         col("total_ms"), expr("total_ms div n_processed").as("avg_ms"))
   }
 
+  /** ST5 as a declared query: the next 28 days of sync cadence from
+    * the corpus end — daily incremental with a weekly full rebuild
+    * (configs/tenants/fdm_solicitors.json:90-97's 7-day full-sync
+    * cadence) and the dry-run gate flagged on day one (sync must prove
+    * the plan before mutating). The base date derives from max(ts), so
+    * the plan is deterministic and the oracle replays it; dates travel
+    * as ISO strings (the compaction-bins convention). */
+  def syncCadencePlan(spark: SparkSession, dir: String,
+                      horizonDays: Int = 28): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.events(spark, dir)
+      .agg(date_trunc("day", max(col("ts"))).as("base"))
+    base
+      .select(explode(sequence(lit(1), lit(horizonDays))).as("day_offset"),
+        col("base"))
+      .select(col("day_offset"),
+        date_format(expr("base + make_interval(0, 0, 0, day_offset)"),
+          "yyyy-MM-dd").as("sync_date"),
+        when(col("day_offset") % 7 === 0, "full")
+          .otherwise("incremental").as("mode"),
+        (col("day_offset") === 1).as("dry_run_gate"))
+  }
+
   type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
   val queries: Map[String, Q] = Map(
     "st1_change_events" -> ((s, d) => changeEventsBatch(s, d)),
     "st3_retry_ladder" -> ((s, d) => retryLadderBatch(s, d)),
+    "st5_cadence_plan" -> ((s, d) => syncCadencePlan(s, d)),
     "a12_worker_metrics" -> ((s, d) => workerMetricsBatch(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "st5_cadence_plan" ->
+      """WITH b AS (SELECT date_trunc('day', max(ts)) AS base FROM events),
+        |d AS (SELECT unnest(range(1, 29)) AS day_offset FROM b)
+        |SELECT CAST(day_offset AS INT) AS day_offset,
+        |       strftime(base + to_days(CAST(day_offset AS INT)), '%Y-%m-%d')
+        |         AS sync_date,
+        |       CASE WHEN day_offset % 7 = 0 THEN 'full'
+        |            ELSE 'incremental' END AS mode,
+        |       day_offset = 1 AS dry_run_gate
+        |FROM d CROSS JOIN b""".stripMargin,
     "st1_change_events" ->
       """WITH u AS (
         |  SELECT l_orderkey % 4 AS tenant_id, l_orderkey AS case_ref,

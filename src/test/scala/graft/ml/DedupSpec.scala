@@ -72,6 +72,16 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture should contain near-dups at 0.8")
   }
 
+  test("cluster size histogram conserves the document count") {
+    val clusters = Dedup.ngramClusters(spark, sf)
+    val nDocs = clusters.count()
+    val hist = Dedup.clusterSizeHistogramOf(clusters).collect()
+    assert(hist.map(r =>
+      r.getAs[Long]("family_size") * r.getAs[Long]("n_families")).sum == nDocs)
+    assert(hist.exists(_.getAs[Long]("family_size") > 1L)) // real dup families
+    spark.catalog.clearCache()
+  }
+
   test("containment pairs catch a quoted subset that Jaccard misses") {
     val big = (1 to 200).map(i => s"w$i").mkString(" ")
     val small = (1 to 22).map(i => s"w$i").mkString(" ") // prefix quote of big

@@ -485,4 +485,20 @@ class IncrementalSyncSpec extends SparkSpec {
       assert(sketch.keys.exists(_.startsWith("alpha")))
     } finally q.stop()
   }
+
+  test("cadence plan: 28 days, weekly fulls, dry-run gate on day one only") {
+    import org.apache.spark.sql.functions._
+    val plan = IncrementalSync.syncCadencePlan(spark, sf).collect()
+      .sortBy(_.getAs[Int]("day_offset"))
+    assert(plan.length == 28)
+    assert(plan.count(_.getAs[String]("mode") == "full") == 4)
+    plan.foreach { r =>
+      val full = r.getAs[Int]("day_offset") % 7 == 0
+      assert((r.getAs[String]("mode") == "full") == full)
+      assert(r.getAs[Boolean]("dry_run_gate") == (r.getAs[Int]("day_offset") == 1))
+    }
+    // dates are consecutive calendar days
+    val dates = plan.map(r => java.time.LocalDate.parse(r.getAs[String]("sync_date")))
+    dates.zip(dates.tail).foreach { case (a, b) => assert(a.plusDays(1) == b) }
+  }
 }
