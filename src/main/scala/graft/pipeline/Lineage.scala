@@ -76,8 +76,15 @@ object Lineage {
     * shuffle each, and the output is the bounded manifest
     * (|sources|·|splits| rows) a sampler consumes.
     *
-    * Tokenization runs ONCE and feeds both the gate and the token
-    * totals — the shared-projection discipline from sim_hybrid_rrf. */
+    * The token projection is declared once; Catalyst's CollapseProject
+    * then inlines it into the gate predicate rather than materializing
+    * it — recompute traded for zero barriers, the right call here
+    * because per-row token work is linear and a persist barrier would
+    * cache the full corpus. (Contrast sim_hybrid_rrf, where the shared
+    * tokenization feeds THREE downstream aggregates and the barrier
+    * pays for itself.) The dedup rank-1 compiles to WindowGroupLimit
+    * (partial + final), so each group ships one row, not its members —
+    * see PLANS.md. */
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
     val stats = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
