@@ -224,6 +224,27 @@ object EntityResolution {
         expr("n_correct * 1000 div n_linkable").as("recall_milli"))
   }
 
+  /** Blocking diagnostics — the dq_key_skew of the linkage blocker: per
+    * joint block, both side counts, the candidate volume na·nb the pair
+    * join would materialize, and whether the cap admits it. The top-20
+    * by volume is what an operator tunes the prefix length and cap
+    * against; TakeOrderedAndProject keeps it a heap, never a sort. */
+  def blockingStats(spark: SparkSession, dir: String,
+                    cap: Int = blockCap, top: Int = 20): DataFrame = {
+    val ca = sourceA(spark, dir)
+      .select(substring(col("a_name"), 1, 8).as("block"))
+      .groupBy("block").agg(count(lit(1)).as("na"))
+    val cb = sourceB(spark, dir)
+      .select(substring(lower(col("b_name_raw")), 1, 8).as("block"))
+      .groupBy("block").agg(count(lit(1)).as("nb"))
+    ca.join(cb, "block")
+      .select(col("block"), col("na"), col("nb"),
+        (col("na") * col("nb")).as("volume"),
+        (col("na") <= cap && col("nb") <= cap).as("admitted"))
+      .orderBy(col("volume").desc, col("block").asc)
+      .limit(top)
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -235,7 +256,8 @@ object EntityResolution {
     "er_matches" -> ((s, d) => matches(s, d)),
     "er_match_quality" -> ((s, d) => matchQuality(s, d)),
     "er_edit_distance" -> ((s, d) => editDistanceRescore(s, d)),
-    "er_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)))
+    "er_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)),
+    "er_blocking_stats" -> ((s, d) => blockingStats(s, d)))
 
   private val erCtes: String =
     """WITH a AS (
@@ -311,6 +333,20 @@ object EntityResolution {
         |       n_correct * 1000 // NULLIF(n_matches, 0) AS precision_milli,
         |       n_correct * 1000 // n_linkable AS recall_milli
         |FROM q CROSS JOIN l""".stripMargin),
+    "er_blocking_stats" -> (erCtes +
+      """,
+        |ca AS (
+        |  SELECT substr(a_name, 1, 8) AS block, count(*) AS na
+        |  FROM a GROUP BY 1),
+        |cb AS (
+        |  SELECT substr(b_name, 1, 8) AS block, count(*) AS nb
+        |  FROM bn GROUP BY 1),
+        |j AS (
+        |  SELECT ca.block, na, nb, na * nb AS volume,
+        |         na <= 1000 AND nb <= 1000 AS admitted
+        |  FROM ca JOIN cb USING (block))
+        |SELECT block, na, nb, CAST(volume AS BIGINT) AS volume, admitted
+        |FROM j ORDER BY volume DESC, block ASC LIMIT 20""".stripMargin),
     "er_threshold_sweep" -> (erCtes +
       """,
         |ball AS (

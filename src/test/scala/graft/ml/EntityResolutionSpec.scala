@@ -85,6 +85,19 @@ class EntityResolutionSpec extends SparkSpec {
     assert(capped.count() == 4)
   }
 
+  test("blocking stats: top volumes descending, admitted flag matches the cap") {
+    val rows = EntityResolution.blockingStats(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val vols = rows.map(_.getAs[Long]("volume"))
+    assert(vols.zip(vols.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("volume") ==
+        r.getAs[Long]("na") * r.getAs[Long]("nb"))
+      assert(r.getAs[Boolean]("admitted") ==
+        (r.getAs[Long]("na") <= 1000 && r.getAs[Long]("nb") <= 1000))
+    }
+  }
+
   test("threshold sweep: counts shrink as the gate rises; the 700 point " +
     "reproduces er_match_quality") {
     val sweep = EntityResolution.thresholdSweep(spark, sf)
