@@ -399,6 +399,26 @@ object Similarity {
   def dimStats(spark: SparkSession, dir: String): DataFrame =
     dimStatsOf(Tables.embeddings(spark, dir))
 
+  /** Embedding-norm screen over the RAW (pre-normalization) vectors:
+    * the distribution of squared norms in exact milli-component
+    * integers, bucketed — the intake check that catches zero vectors
+    * (which normalization would turn into NaN), truncated uploads, and
+    * scale drift between embedding-model versions before anything
+    * downstream consumes them. One narrow projection + one
+    * map-side-combined groupBy over a bounded bucket domain. */
+  def normStatsOf(vectors: DataFrame): DataFrame = {
+    val milli = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    vectors.select(ArrayOps.dot_long(milli, milli).as("norm2"))
+      .groupBy(expr("norm2 div 1000000").as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"),
+        sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"))
+  }
+
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    normStatsOf(Tables.embeddings(spark, dir))
+
   // -------------------------------------------------------------------
   // MMR diversified re-ranking
   // -------------------------------------------------------------------
@@ -739,7 +759,8 @@ object Similarity {
     "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
-    "emb_dim_stats" -> ((s, d) => dimStats(s, d)))
+    "emb_dim_stats" -> ((s, d) => dimStats(s, d)),
+    "emb_norm_stats" -> ((s, d) => normStats(s, d)))
 
   /** Oracle for the multi-table, multi-probe LSH ANN: the hyperplanes are
     * inlined as the SAME integer constants the Spark plan uses ([[plane]]),
@@ -1061,6 +1082,20 @@ object Similarity {
     "sim_topk_ivf" -> ivfOracle,
     "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,
+    "emb_norm_stats" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, CAST(list_dot_product(q, q) AS BIGINT) AS norm2
+        |  FROM m)
+        |SELECT norm2 // 1000000 AS bucket, count(*) AS n_vectors,
+        |       min(norm2) AS min_norm2, max(norm2) AS max_norm2,
+        |       CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero
+        |FROM n GROUP BY 1""".stripMargin,
     "emb_dim_stats" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -248,4 +248,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr.head == 1L)       // relevance argmax first
     assert(mmr(1) == 5L, s"second pick ${mmr(1)} should cross to cluster B")
   }
+
+  test("norm stats: buckets conserve the corpus, zero vectors flagged") {
+    import spark.implicits._
+    val rows = Similarity.normStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum ==
+      graft.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("min_norm2") >= b * 1000000L)
+      assert(r.getAs[Long]("max_norm2") < (b + 1) * 1000000L)
+    }
+    // a planted zero vector lands in bucket 0 with the flag set
+    val planted = Seq((1L, Array.fill(64)(0.0f)), (2L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.normStatsOf(planted).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_zero")).toMap
+    assert(z(0L) == 1L)
+  }
 }
