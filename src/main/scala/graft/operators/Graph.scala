@@ -260,6 +260,37 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
       .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
 
+  /** Link-level Jaccard similarity for every co-purchase edge: the
+    * common-neighbor overlap |N(u)∩N(v)| / |N(u)∪N(v)| (endpoints
+    * excluded) — the classic link-prediction / edge-strength feature.
+    * Common-neighbor counts come FREE from the triangle enumeration
+    * (each triangle contributes one common neighbor to each of its
+    * three edges), so the cost beyond [[trianglesOf]] is one groupBy
+    * over the triangle list plus degree lookups; integer milli, NULL
+    * when both endpoints are degree-1 leaves of each other. */
+  def linkJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = copurchaseEdgesOf(Tables.lineitem(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = trianglesOf(e0)
+    val commons = tri.select(
+        explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("a").as("x"), col("c").as("y")),
+          struct(col("b").as("x"), col("c").as("y")))).as("e"))
+      .groupBy(least(col("e.x"), col("e.y")).as("u"),
+        greatest(col("e.x"), col("e.y")).as("v"))
+      .agg(count(lit(1)).as("common"))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    e0.join(commons, Seq("u", "v"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("common"),
+        expr("common * 1000 div nullif(du - 1 + dv - 1 - common, 0)")
+          .as("jaccard_milli"))
+  }
+
   /** Global graph-shape summary: node/edge/wedge/triangle counts and the
     * global clustering coefficient 3·T/wedges in milli-units — the one-
     * row "how clique-ish is co-purchase behaviour" health metric. */
@@ -289,6 +320,7 @@ object Graph {
     "graph_degree_histogram" -> ((s, d) => degreeHistogram(s, d)),
     "graph_kcore" -> ((s, d) => kCore(s, d)),
     "graph_triangles" -> ((s, d) => triangleCounts(s, d)),
+    "graph_link_jaccard" -> ((s, d) => linkJaccard(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)),
     "basket_rules" -> ((s, d) => associationRules(s, d)))
 
@@ -404,6 +436,23 @@ object Graph {
       |nodes AS (SELECT a AS part_id FROM tri UNION ALL
       |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
       |SELECT part_id, count(*) AS n_tri FROM nodes GROUP BY 1""".stripMargin,
+    "graph_link_jaccard" -> s"""$triOraclePrefix,
+      |pairs AS (
+      |  SELECT a AS x, b AS y FROM tri UNION ALL
+      |  SELECT a, c FROM tri UNION ALL
+      |  SELECT b, c FROM tri),
+      |commons AS (
+      |  SELECT least(x, y) AS u, greatest(x, y) AS v, count(*) AS common
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT e0.u, e0.v,
+      |       CAST(coalesce(commons.common, 0) AS BIGINT) AS common,
+      |       CAST(coalesce(commons.common, 0) * 1000 //
+      |         NULLIF(du.d - 1 + dv.d - 1 - coalesce(commons.common, 0), 0)
+      |         AS BIGINT) AS jaccard_milli
+      |FROM e0
+      |LEFT JOIN commons ON commons.u = e0.u AND commons.v = e0.v
+      |JOIN deg du ON du.n = e0.u
+      |JOIN deg dv ON dv.n = e0.v""".stripMargin,
     "graph_clustering_coeff" -> s"""$triOraclePrefix
       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
       |       (SELECT count(*) FROM e0) AS n_edges,

@@ -95,4 +95,18 @@ class GraphSpec extends SparkSpec {
     assert(hist.map(_.getAs[Long]("n_nodes")).sum == nodes)
     assert(hist.forall(_.getAs[Long]("degree") >= 1L))
   }
+
+  test("link Jaccard: edge commons sum to 3x the triangle count, milli bounded") {
+    import org.apache.spark.sql.functions._
+    val lj = Graph.linkJaccard(spark, sf)
+    val nTri = Graph
+      .trianglesOf(Graph.copurchaseEdgesOf(graft.Tables.lineitem(spark, sf)))
+      .count()
+    // each triangle contributes one common neighbor to each of its edges
+    assert(lj.agg(sum("common")).head.getLong(0) == 3 * nTri)
+    assert(lj.filter(col("jaccard_milli") > 1000).count() == 0)
+    // zero-common edges exist and carry 0 or NULL (degree-1 twins) milli
+    assert(lj.filter(col("common") === 0).count() > 0)
+    spark.catalog.clearCache()
+  }
 }
