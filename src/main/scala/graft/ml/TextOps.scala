@@ -1113,6 +1113,48 @@ object TextOps {
   def epochPlan(spark: SparkSession, dir: String): DataFrame =
     epochPlanOf(Tables.documents(spark, dir))
 
+  /** Segment document frequency >= this ⇒ boilerplate. */
+  val BoilerplateDf = 3L
+
+  /** Token width of a boilerplate segment (the "line" proxy for an
+    * unpunctuated corpus). */
+  val BoilerplateSegTokens = 6
+
+  /** C4-style boilerplate screen (Raffel et al. 2020, §2.2's line-level
+    * filters): a SEGMENT — a non-overlapping 6-token window, the line
+    * grain of an unpunctuated corpus — appearing in ≥ [[BoilerplateDf]]
+    * distinct documents is boilerplate (nav chrome, license footers,
+    * templates); per document, how many segments it holds, how many are
+    * boilerplate, and the character mass that survives removal. The
+    * cross-document twin of curation_span_dedup: span dedup kills
+    * repeated SUBSTRINGS pairwise, this kills corpus-frequent whole
+    * segments by one inverted-index pass — distinct (doc, segment)
+    * explode, segment-df aggregate, one join back, one per-doc rollup.
+    * The df aggregate map-side combines; hot segments are exactly the
+    * high-df ones, bounded by the document count. */
+  def boilerplateStatsOf(docs: DataFrame,
+                         dfCap: Long = BoilerplateDf): DataFrame = {
+    val w = BoilerplateSegTokens
+    val sent = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(size(toks) div $w AS INT) - 1),
+           |  i -> array_join(slice(toks, i * $w + 1, $w), ' '))""".stripMargin))
+        .as("s"))
+      .distinct()
+    val dfs = sent.groupBy("s").agg(count(lit(1)).as("df"))
+    sent.join(dfs, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") >= dfCap, 1L).otherwise(0L)).as("n_boilerplate"),
+        coalesce(sum(when(col("df") < dfCap, length(col("s")).cast("long"))),
+          lit(0L)).as("kept_chars"))
+  }
+
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStatsOf(Tables.documents(spark, dir))
+
   val queries: Map[String, Q] = Map(
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
@@ -1137,6 +1179,7 @@ object TextOps {
     "curation_quality_prune" -> ((s, d) => qualityPrune(s, d)),
     "curation_mixture_weights" -> ((s, d) => mixtureWeights(s, d)),
     "curation_epoch_plan" -> ((s, d) => epochPlan(s, d)),
+    "text_boilerplate" -> ((s, d) => boilerplateStats(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -1218,6 +1261,28 @@ object TextOps {
         |SELECT source, n_tokens, sqrt_tokens,
         |       sqrt_tokens * 1000 // total_sqrt AS weight_milli
         |FROM r2 CROSS JOIN t""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |         unnest([array_to_string(
+        |            toks[i * $BoilerplateSegTokens + 1 :
+        |                 i * $BoilerplateSegTokens + $BoilerplateSegTokens], ' ')
+        |           for i in range(0, len(toks) // $BoilerplateSegTokens)]) AS s
+        |  FROM t WHERE len(toks) >= $BoilerplateSegTokens),
+        |sent AS (SELECT DISTINCT doc_id, s FROM raw),
+        |d AS (SELECT s, count(*) AS df FROM sent GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_segments,
+        |       CAST(sum(CASE WHEN df >= $BoilerplateDf THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_boilerplate,
+        |       CAST(coalesce(sum(CASE WHEN df < $BoilerplateDf
+        |                              THEN length(s) END), 0)
+        |         AS BIGINT) AS kept_chars
+        |FROM sent JOIN d USING (s)
+        |GROUP BY doc_id""".stripMargin,
     "curation_epoch_plan" ->
       s"""WITH s AS (
         |  SELECT source,

@@ -427,6 +427,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out("p17") == ((4L, 4000L / 11)))
   }
 
+  test("boilerplate screen: shared banner flagged, unique tails kept") {
+    val banner = "copyright firm all rights reserved x" // 6 tokens
+    val docs = (0 until 4).map { i =>
+      (i.toLong, banner + " " + (0 until 6).map(j => s"body${i}_$j").mkString(" "))
+    } :+ (9L, (0 until 12).map(j => s"solo_$j").mkString(" "))
+    val out = TextOps.boilerplateStatsOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 4).foreach { i =>
+      val r = out(i.toLong)
+      assert(r.getAs[Long]("n_segments") == 2L)
+      assert(r.getAs[Long]("n_boilerplate") == 1L) // the banner
+      assert(r.getAs[Long]("kept_chars") > 0L)     // the unique tail
+    }
+    val solo = out(9L)
+    assert(solo.getAs[Long]("n_boilerplate") == 0L)
+    assert(solo.getAs[Long]("n_segments") == 2L)
+  }
+
   test("epoch plan: draws capped by availability and budget share, " +
     "exhaustion horizon consistent") {
     val rows = TextOps.epochPlan(spark, sf).collect()
