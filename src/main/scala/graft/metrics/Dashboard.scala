@@ -415,6 +415,49 @@ object Dashboard {
       cume_dist().over(w).as("cume"))
   }
 
+  /** O15 — reproducible per-epoch training order: every document gets a
+    * dense position in each epoch's deterministic shuffle (hash-keyed,
+    * different per epoch) — the data-order reproducibility contract a
+    * training run needs to resume mid-epoch or replay a loss spike.
+    *
+    * The interesting part is HOW the dense global numbering is computed
+    * without `zipWithIndex` or a single-partition window: the hash key
+    * range-buckets (bucket = h div width, so bucket order IS hash
+    * order), positions are ranks within each (epoch, bucket) window
+    * plus the exclusive prefix count of lower buckets — computed by one
+    * bounded fold over the per-bucket counts and broadcast back. The
+    * distributed stable-enumeration pattern, declarative. */
+  def epochOrder(spark: SparkSession, dir: String,
+                 epochs: Int = 2, buckets: Int = 32): DataFrame = {
+    val width = 100000 / buckets + 1
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h",
+        (col("doc_id") * 48271L + col("epoch") * 9973L) % 100000L)
+      .withColumn("bucket", expr(s"h div $width"))
+    val offsets = keyed.groupBy("epoch", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("epoch")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n")))).as("xs"))
+      .select(col("epoch"), explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, off: BIGINT, nxt: BIGINT>>),
+          |  (acc, x) -> array_append(acc, struct(x.bucket AS bucket,
+          |    CASE WHEN size(acc) = 0 THEN 0L
+          |         ELSE element_at(acc, -1).nxt END AS off,
+          |    CASE WHEN size(acc) = 0 THEN x.n
+          |         ELSE element_at(acc, -1).nxt + x.n END AS nxt)))""".stripMargin))
+        .as("y"))
+      .select(col("epoch"), col("y.bucket").as("bucket"), col("y.off").as("off"))
+    val w = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("epoch"), col("doc_id"),
+        (col("off") + col("rk")).as("position"))
+  }
+
   /** Set ops (§2.7): key-level difference/intersection between the two
     * reconciliation snapshots, in EXCEPT/INTERSECT form. */
   def keysOnlyInCrm(spark: SparkSession, dir: String): DataFrame =

@@ -75,7 +75,8 @@ object DashboardQueries {
     "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)),
     "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)),
     "a15e_kmv_overlap" -> ((s, d) => Dashboard.kmvUserOverlap(s, d)),
-    "o13_purged_time_split" -> ((s, d) => Dashboard.purgedTimeSplit(s, d)))
+    "o13_purged_time_split" -> ((s, d) => Dashboard.purgedTimeSplit(s, d)),
+    "o15_epoch_order" -> ((s, d) => Dashboard.epochOrder(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -361,6 +362,17 @@ object DashboardQueries {
         |            ELSE CAST(kint * (63::BIGINT * 1000000007 // tau) // 64
         |                   AS BIGINT) END AS est_overlap
         |FROM s""".stripMargin,
+    "o15_epoch_order" ->
+      """WITH x AS (
+        |  SELECT doc_id, e AS epoch,
+        |         (doc_id * 48271 + e * 9973) % 100000 AS h
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS e))
+        |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+        |       CAST(row_number() OVER (PARTITION BY epoch
+        |                               ORDER BY h, doc_id) AS BIGINT)
+        |         AS position
+        |FROM x""".stripMargin,
     "o13_purged_time_split" ->
       """WITH m AS (SELECT max(ts) AS max_ts FROM events)
         |SELECT event_id,

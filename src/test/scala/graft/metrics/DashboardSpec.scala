@@ -209,6 +209,20 @@ class DashboardSpec extends SparkSpec {
     }
   }
 
+  test("epoch order: dense positions per epoch, epochs shuffle differently") {
+    val rows = Dashboard.epochOrder(spark, sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(0, 1))
+    val n = graft.Tables.documents(spark, sf).count()
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("position")).sorted.toSeq == (1L to n))
+    }
+    // the two epochs genuinely reorder (hash differs by the epoch term)
+    def orderOf(e: Int) = byEpoch(e).sortBy(_.getAs[Long]("position"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(orderOf(0) != orderOf(1))
+  }
+
   test("KMV overlap estimates track the exact pairwise intersections") {
     val ev = graft.Tables.events(spark, sf)
     val exact = ev.select(col("event_type").as("ta"), col("user_id"))
