@@ -276,6 +276,30 @@ object Temporal {
       .select("suppkey", "n_overlaps")
   }
 
+  /** T18 — dwell-time distribution: the gap (seconds) between each
+    * event and the user's previous event, summarized per event type —
+    * exact count, mean (integer milli), and interpolated median/p90
+    * over integer seconds (the a17/o8 percentile convention, so both
+    * engines agree bit-for-bit). The engagement-latency view behind
+    * session-gap tuning: t3's 30-minute threshold is a parameter; this
+    * is the distribution that justifies it. One lag window on the
+    * user's timeline, one bounded aggregate per type. */
+  def dwellTimes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+          .as("gap_s"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(gap_s) * 1000 div count(1)").as("mean_milli_s"),
+        percentile(col("gap_s"), lit(0.5)).as("p50_s"),
+        percentile(col("gap_s"), lit(0.9)).as("p90_s"))
+  }
+
   /** A24 — hourly anomaly screen over the gap-filled per-tenant series
     * (composes t10): each hour compares against the sum of its trailing
     * 24 FULL hours — gap-filling first is what makes a 24-ROW frame
@@ -793,7 +817,8 @@ object Temporal {
     "t15_busy_islands" -> ((s, d) => supplierBusyIslands(s, d)),
     "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)),
-    "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)))
+    "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)),
+    "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     // the oracle states the SEMANTICS (direct overlap-predicate join);
@@ -963,6 +988,21 @@ object Temporal {
         |SELECT m.cohort_day, m.day_offset, m.n_active, s.cohort_size,
         |       m.n_active * 1000 // s.cohort_size AS retention_milli
         |FROM m JOIN s USING (cohort_day)""".stripMargin,
+    "t18_dwell_times" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 1000000
+        |           - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id)) // 1000000
+        |           AS gap_s
+        |  FROM events),
+        |f AS (SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s
+        |      FROM g WHERE gap_s IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(gap_s) * 1000 // count(*) AS BIGINT) AS mean_milli_s,
+        |       quantile_cont(gap_s, 0.5) AS p50_s,
+        |       quantile_cont(gap_s, 0.9) AS p90_s
+        |FROM f GROUP BY 1""".stripMargin,
     "a24_hourly_anomaly" ->
       """WITH e AS (
         |  SELECT user_id % 4 AS tenant_id, date_trunc('hour', ts) AS hour

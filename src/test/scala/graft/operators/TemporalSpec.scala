@@ -276,6 +276,17 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("dwell times: gap count equals events minus first-per-user, stats ordered") {
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val rows = Temporal.dwellTimes(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_s") <= r.getAs[Double]("p90_s"))
+      assert(r.getAs[Long]("mean_milli_s") >= 0L)
+    }
+  }
+
   test("hourly anomalies: full-window rows only, flags mutually exclusive") {
     val hourly = Temporal.gapfillHourly(spark, sf)
     val tenants = hourly.select("tenant_id").distinct().count()
