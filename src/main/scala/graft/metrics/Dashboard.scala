@@ -428,9 +428,14 @@ object Dashboard {
     * bounded fold over the per-bucket counts and broadcast back. The
     * distributed stable-enumeration pattern, declarative. */
   def epochOrder(spark: SparkSession, dir: String,
-                 epochs: Int = 2, buckets: Int = 32): DataFrame = {
+                 epochs: Int = 2, buckets: Int = 32): DataFrame =
+    epochOrderOf(Tables.documents(spark, dir), epochs, buckets)
+
+  /** DataFrame form of o15 over any (doc_id, ...) frame. */
+  def epochOrderOf(docs: DataFrame,
+                   epochs: Int = 2, buckets: Int = 32): DataFrame = {
     val width = 100000 / buckets + 1
-    val keyed = Tables.documents(spark, dir)
+    val keyed = docs
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
       .withColumn("h",

@@ -209,6 +209,27 @@ class DashboardSpec extends SparkSpec {
     }
   }
 
+  test("epoch order: two-phase numbering equals the naive global sort " +
+    "on adversarial id sets") {
+    import spark.implicits._
+    // ids crafted to stress bucket boundaries: dense runs, huge gaps,
+    // and collisions of h on the width-3126 bucket edges
+    val ids = ((0L until 200L) ++ (100000L until 100050L) ++
+      Seq(3125L, 3126L, 6250L, 6251L, 999999999L)).distinct
+    val docs = ids.map(Tuple1(_)).toDF("doc_id")
+    val got = Dashboard.epochOrderOf(docs, epochs = 3, buckets = 8)
+      .collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("position")).toMap
+    (0 until 3).foreach { e =>
+      val expected = ids
+        .sortBy(id => ((id * 48271L + e * 9973L) % 100000L, id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      ids.foreach(id => assert(got((e, id)) == expected(id),
+        s"epoch $e doc $id: ${got((e, id))} vs ${expected(id)}"))
+    }
+  }
+
   test("epoch order: dense positions per epoch, epochs shuffle differently") {
     val rows = Dashboard.epochOrder(spark, sf).collect()
     val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
