@@ -463,6 +463,71 @@ object Dashboard {
         (col("off") + col("rk")).as("position"))
   }
 
+  /** Samples drawn by [[weightedSample]]. */
+  val WeightedSampleN = 100L
+
+  /** O16 — systematic WEIGHTED sampling: each document is selected with
+    * multiplicity proportional to its weight (here n_chars — the token
+    * mass proxy), exactly and deterministically: lay the corpus on a
+    * hash-ordered line with each doc occupying a weight-length interval
+    * and pick the [[WeightedSampleN]] evenly spaced points k·total/N.
+    * Systematic sampling is the reproducible, integer-exact member of
+    * the weighted-sampling family (A-ES style exponential keys need
+    * floating pow and break cross-engine parity); heavy documents can
+    * legitimately be drawn more than once — n_copies carries the
+    * multiplicity, as a token-budget sampler expects.
+    *
+    * The cumulative weight along the hash order is a GLOBAL prefix sum,
+    * computed with the same range-bucket + bounded-fold pattern as
+    * [[epochOrderOf]] — per-bucket running sums, exclusive bucket
+    * offsets from one fold, no global window. Selection is then a pure
+    * per-row predicate: the count of grid points inside
+    * [cum_lo, cum_hi) in integer arithmetic (all operands kept
+    * non-negative — negative integer division floors in DuckDB but
+    * truncates in Spark). */
+  def weightedSample(spark: SparkSession, dir: String,
+                     n: Long = WeightedSampleN,
+                     buckets: Int = 32): DataFrame =
+    weightedSampleOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w")), n, buckets)
+
+  /** DataFrame form of o16 over any (doc_id, w) frame with positive
+    * integer weights. */
+  def weightedSampleOf(weighted: DataFrame,
+                       n: Long = WeightedSampleN,
+                       buckets: Int = 32): DataFrame = {
+    val width = 100000 / buckets + 1
+    val keyed = weighted
+      .withColumn("h", (col("doc_id") * 48271L) % 100000L)
+      .withColumn("bucket", expr(s"h div $width"))
+    val wloc = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    val local = keyed.withColumn("local_cum", sum(col("w")).over(wloc))
+    val offsets = keyed.groupBy("bucket").agg(sum(col("w")).as("bw"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("bw")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, off: BIGINT, nxt: BIGINT>>),
+          |  (acc, x) -> array_append(acc, struct(x.bucket AS bucket,
+          |    CASE WHEN size(acc) = 0 THEN 0L
+          |         ELSE element_at(acc, -1).nxt END AS off,
+          |    CASE WHEN size(acc) = 0 THEN x.bw
+          |         ELSE element_at(acc, -1).nxt + x.bw END AS nxt)))""".stripMargin))
+        .as("y"))
+      .select(col("y.bucket").as("bucket"), col("y.off").as("off"))
+    val total = keyed.agg(sum(col("w")).as("total"))
+    local.join(broadcast(offsets), "bucket")
+      .crossJoin(broadcast(total))
+      .withColumn("cum_hi", col("off") + col("local_cum"))
+      .withColumn("cum_lo", col("cum_hi") - col("w"))
+      .withColumn("n_copies",
+        when(col("cum_lo") === 0L,
+          expr(s"(cum_hi - 1) * $n div total + 1"))
+          .otherwise(expr(
+            s"(cum_hi - 1) * $n div total - (cum_lo - 1) * $n div total")))
+      .filter(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("w"), col("n_copies"))
+  }
+
   /** Set ops (§2.7): key-level difference/intersection between the two
     * reconciliation snapshots, in EXCEPT/INTERSECT form. */
   def keysOnlyInCrm(spark: SparkSession, dir: String): DataFrame =

@@ -76,7 +76,8 @@ object DashboardQueries {
     "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)),
     "a15e_kmv_overlap" -> ((s, d) => Dashboard.kmvUserOverlap(s, d)),
     "o13_purged_time_split" -> ((s, d) => Dashboard.purgedTimeSplit(s, d)),
-    "o15_epoch_order" -> ((s, d) => Dashboard.epochOrder(s, d)))
+    "o15_epoch_order" -> ((s, d) => Dashboard.epochOrder(s, d)),
+    "o16_weighted_sample" -> ((s, d) => Dashboard.weightedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "a1_job_stats" ->
@@ -362,6 +363,32 @@ object DashboardQueries {
         |            ELSE CAST(kint * (63::BIGINT * 1000000007 // tau) // 64
         |                   AS BIGINT) END AS est_overlap
         |FROM s""".stripMargin,
+    "o16_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         (doc_id * 48271) % 100000 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         CAST(sum(w) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_hi
+        |  FROM k),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM k),
+        |s AS (
+        |  SELECT doc_id, w, cum_hi, cum_hi - w AS cum_lo, total
+        |  FROM c CROSS JOIN t)
+        |SELECT doc_id, w,
+        |       CAST(CASE WHEN cum_lo = 0
+        |                 THEN (cum_hi - 1) * 100 // total + 1
+        |                 ELSE (cum_hi - 1) * 100 // total
+        |                      - (cum_lo - 1) * 100 // total END
+        |         AS BIGINT) AS n_copies
+        |FROM s
+        |WHERE (CASE WHEN cum_lo = 0
+        |            THEN (cum_hi - 1) * 100 // total + 1
+        |            ELSE (cum_hi - 1) * 100 // total
+        |                 - (cum_lo - 1) * 100 // total END) >= 1""".stripMargin,
     "o15_epoch_order" ->
       """WITH x AS (
         |  SELECT doc_id, e AS epoch,

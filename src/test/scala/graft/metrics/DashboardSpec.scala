@@ -209,6 +209,25 @@ class DashboardSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: copies always sum to N, heavy docs drawn " +
+    "proportionally") {
+    import spark.implicits._
+    // one doc carries half the total mass -> ~N/2 copies; light docs
+    // at most one each
+    val docs = ((1L to 99L).map(i => (i, 10L)) :+ (500L, 990L)).toDF("doc_id", "w")
+    val rows = Dashboard.weightedSampleOf(docs, n = 100L).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == 100L)
+    val heavy = rows.find(_.getAs[Long]("doc_id") == 500L).get
+    assert(math.abs(heavy.getAs[Long]("n_copies") - 50L) <= 1L,
+      s"heavy doc drew ${heavy.getAs[Long]("n_copies")} copies")
+    assert(rows.filter(_.getAs[Long]("doc_id") != 500L)
+      .forall(_.getAs[Long]("n_copies") == 1L))
+    // the registered corpus form also conserves N exactly
+    val corpus = Dashboard.weightedSample(spark, sf).collect()
+    assert(corpus.map(_.getAs[Long]("n_copies")).sum ==
+      Dashboard.WeightedSampleN)
+  }
+
   test("epoch order: two-phase numbering equals the naive global sort " +
     "on adversarial id sets") {
     import spark.implicits._
