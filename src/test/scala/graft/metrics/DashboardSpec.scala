@@ -228,6 +228,32 @@ class DashboardSpec extends SparkSpec {
       Dashboard.WeightedSampleN)
   }
 
+  test("weighted sample matches the naive line-walk on random weights") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7331)
+    val docs = (1L to 300L).map(i => (i, 1L + rnd.nextInt(50).toLong))
+    val n = 37L
+    val got = Dashboard.weightedSampleOf(docs.toDF("doc_id", "w"), n = n)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    // naive: walk the hash-ordered line, count grid points per interval
+    val ordered = docs.sortBy { case (id, _) => ((id * 48271L) % 100000L, id) }
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val expected = ordered.flatMap { case (id, w) =>
+      val lo = cum; cum += w
+      val pts = (0L until n).count(k => {
+        // the selection formula's grid convention: point k sits at
+        // ceil(k*total/n) — the first weight unit whose prefix crosses
+        // the k/n fraction
+        val p = (k * total + n - 1) / n; p >= lo && p < cum
+      }).toLong
+      if (pts >= 1) Some(id -> pts) else None
+    }.toMap
+    assert(expected.values.sum == n)
+    assert(got == expected)
+  }
+
   test("epoch order: two-phase numbering equals the naive global sort " +
     "on adversarial id sets") {
     import spark.implicits._
