@@ -1057,6 +1057,37 @@ object TextOps {
   def qualityPrune(spark: SparkSession, dir: String): DataFrame =
     qualityPruneOf(Tables.documents(spark, dir))
 
+  /** Two-phase annealed mixture schedule (the midtraining-anneal
+    * practice: bulk-train on a temperature-flattened mix, then finish
+    * on a quality-upweighted one): phase 'bulk' carries the
+    * sqrt-temperature weights of [[mixtureWeightsOf]] verbatim; phase
+    * 'anneal' reweights each source by its MEAN quality bin (the exact
+    * integer qbin of the corpus quality score), normalized per-mille.
+    * Pure composition — one extra aggregate over the quality bins and a
+    * broadcast scalar; output is 2·|sources| rows. */
+  def annealScheduleOf(docs: DataFrame): DataFrame = {
+    val bulk = mixtureWeightsOf(docs)
+      .select(col("source"), lit("bulk").as("phase"), col("weight_milli"))
+    val t = tokens(col("text"))
+    val meanQ = docs
+      .select(col("source"), t.as("toks"))
+      .select(col("source"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      .select(col("source"),
+        floor(qualityScore(col("n_tokens"), col("n_uniq")) * 10000)
+          .cast("long").as("qbin"))
+      .groupBy("source")
+      .agg(expr("sum(qbin) div count(1)").as("mean_qbin"))
+    val anneal = meanQ
+      .crossJoin(broadcast(meanQ.agg(sum(col("mean_qbin")).as("tq"))))
+      .select(col("source"), lit("anneal").as("phase"),
+        expr("mean_qbin * 1000 div tq").as("weight_milli"))
+    bulk.unionByName(anneal)
+  }
+
+  def annealSchedule(spark: SparkSession, dir: String): DataFrame =
+    annealScheduleOf(Tables.documents(spark, dir))
+
   /** Sampling weights per source for training-mixture construction —
     * w_s ∝ sqrt(token count), the standard temperature-scaled reweighting
     * (α = 1/2: multilingual/multi-domain training upsamples small
@@ -1179,6 +1210,7 @@ object TextOps {
     "curation_quality_prune" -> ((s, d) => qualityPrune(s, d)),
     "curation_mixture_weights" -> ((s, d) => mixtureWeights(s, d)),
     "curation_epoch_plan" -> ((s, d) => epochPlan(s, d)),
+    "curation_anneal_schedule" -> ((s, d) => annealSchedule(s, d)),
     "text_boilerplate" -> ((s, d) => boilerplateStats(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
@@ -1283,6 +1315,54 @@ object TextOps {
         |         AS BIGINT) AS kept_chars
         |FROM sent JOIN d USING (s)
         |GROUP BY doc_id""".stripMargin,
+    "curation_anneal_schedule" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |           x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r0 AS (
+        |  SELECT source, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM s),
+        |r1 AS (
+        |  SELECT source, n_tokens,
+        |         s0 - CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END AS s1
+        |  FROM r0),
+        |r2 AS (
+        |  SELECT source, n_tokens,
+        |         s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN 1 ELSE 0 END
+        |           AS sqrt_tokens
+        |  FROM r1),
+        |tt AS (SELECT CAST(sum(sqrt_tokens) AS BIGINT) AS total_sqrt FROM r2),
+        |bulk AS (
+        |  SELECT source, 'bulk' AS phase,
+        |         CAST(sqrt_tokens * 1000 // total_sqrt AS BIGINT) AS weight_milli
+        |  FROM r2 CROSS JOIN tt),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+        |  FROM tok),
+        |qb AS (
+        |  SELECT source,
+        |         CAST(floor(least(greatest(
+        |           least(CAST(n_tokens AS DOUBLE) / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+        |           + (CAST(n_uniq AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5::DOUBLE,
+        |           0.0::DOUBLE), 1.0::DOUBLE) * 10000.0::DOUBLE) AS BIGINT) AS qbin
+        |  FROM st),
+        |mq AS (
+        |  SELECT source, CAST(sum(qbin) // count(*) AS BIGINT) AS mean_qbin
+        |  FROM qb GROUP BY 1),
+        |tq AS (SELECT CAST(sum(mean_qbin) AS BIGINT) AS tq FROM mq),
+        |ann AS (
+        |  SELECT source, 'anneal' AS phase,
+        |         CAST(mean_qbin * 1000 // tq AS BIGINT) AS weight_milli
+        |  FROM mq CROSS JOIN tq)
+        |SELECT * FROM bulk UNION ALL SELECT * FROM ann""".stripMargin,
     "curation_epoch_plan" ->
       s"""WITH s AS (
         |  SELECT source,

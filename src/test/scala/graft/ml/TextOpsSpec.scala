@@ -427,6 +427,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out("p17") == ((4L, 4000L / 11)))
   }
 
+  test("anneal schedule: two phases per source, weights near-normalized, " +
+    "anneal favors the high-quality source") {
+    // source A: long, lexically dense docs; source B: short repetitive ones
+    val docs = ((1L to 10L).map(i =>
+      (i, (1 to 80).map(j => s"uniq${i}_$j").mkString(" "), "A")) ++
+      (11L to 20L).map(i => (i, "dup dup dup dup dup dup", "B")))
+      .toDF("doc_id", "text", "source")
+    val rows = TextOps.annealScheduleOf(docs).collect()
+    val byPhase = rows.groupBy(_.getAs[String]("phase"))
+    assert(byPhase.keySet == Set("bulk", "anneal"))
+    byPhase.values.foreach { rs =>
+      assert(rs.map(_.getAs[String]("source")).toSet == Set("A", "B"))
+      val w = rs.map(_.getAs[Long]("weight_milli")).sum
+      assert(w > 1000 - rs.length && w <= 1000)
+    }
+    def weight(p: String, s: String) = rows.find(r =>
+      r.getAs[String]("phase") == p && r.getAs[String]("source") == s)
+      .get.getAs[Long]("weight_milli")
+    // the anneal phase shifts weight toward the high-quality source
+    assert(weight("anneal", "A") > weight("bulk", "A"))
+    assert(weight("anneal", "A") > weight("anneal", "B"))
+  }
+
   test("boilerplate screen: shared banner flagged, unique tails kept") {
     val banner = "copyright firm all rights reserved x" // 6 tokens
     val docs = (0 until 4).map { i =>
