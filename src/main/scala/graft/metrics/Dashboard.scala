@@ -492,7 +492,11 @@ object Dashboard {
       .select(col("doc_id"), col("n_chars").cast("long").as("w")), n, buckets)
 
   /** DataFrame form of o16 over any (doc_id, w) frame with positive
-    * integer weights. */
+    * integer weights. Precondition: total weight ≥ n — with less mass
+    * than sample points, the trailing grid fractions collapse past the
+    * end of the line and the draw under-fills (any corpus's char mass
+    * exceeds a sample count by orders of magnitude; the spec pins the
+    * conservation law under the precondition). */
   def weightedSampleOf(weighted: DataFrame,
                        n: Long = WeightedSampleN,
                        buckets: Int = 32): DataFrame = {

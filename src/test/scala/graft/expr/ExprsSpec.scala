@@ -126,4 +126,14 @@ class ExprsSpec extends SparkSpec {
     val id = evalStr(Seq("${API_KEY}", "x"), c => Exprs.interpolate(c, Map.empty))
     assert(id == Seq("${API_KEY}", "x"))
   }
+
+  test("interpolate: resolved values with regex/escape metacharacters pass " +
+    "through literally") {
+    // the lookup is element_at on a literal map — no regex replacement
+    // path exists, so $, backslash, and brace characters in VALUES must
+    // survive byte-for-byte
+    val vars = Map("P" -> "pa$$\\w{2}rd", "Q" -> "${NESTED}")
+    val got = evalStr(Seq("${P}", "${Q}"), c => Exprs.interpolate(c, vars))
+    assert(got == Seq("pa$$\\w{2}rd", "${NESTED}"))
+  }
 }

@@ -228,6 +228,18 @@ class DashboardSpec extends SparkSpec {
       Dashboard.WeightedSampleN)
   }
 
+  test("weighted sample degenerate corpora: single doc takes all copies; " +
+    "uniform weights draw at most one each") {
+    import spark.implicits._
+    val one = Dashboard.weightedSampleOf(
+      Seq((42L, 700L)).toDF("doc_id", "w"), n = 100L).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_copies") == 100L)
+    val uniform = Dashboard.weightedSampleOf(
+      (1L to 500L).map((_, 1L)).toDF("doc_id", "w"), n = 100L).collect()
+    assert(uniform.map(_.getAs[Long]("n_copies")).sum == 100L)
+    assert(uniform.forall(_.getAs[Long]("n_copies") == 1L))
+  }
+
   test("weighted sample matches the naive line-walk on random weights") {
     import spark.implicits._
     val rnd = new scala.util.Random(7331)

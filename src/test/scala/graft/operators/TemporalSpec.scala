@@ -276,6 +276,19 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("island coalescing contract: duplicate intervals each count toward " +
+    "n_intervals (callers dedup when identity is the value)") {
+    val iv = Seq((1L, 0L, 5L), (1L, 0L, 5L), (1L, 3L, 8L), (1L, 20L, 21L))
+      .toDF("key", "s", "e")
+    val out = Temporal.busyIslandsOf(iv).collect()
+      .sortBy(_.getAs[Long]("island_start"))
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("n_intervals") == 3L) // dup counted twice
+    assert(out.head.getAs[Long]("island_start") == 0L &&
+      out.head.getAs[Long]("island_end") == 8L)
+    assert(out(1).getAs[Long]("n_intervals") == 1L)
+  }
+
   test("dwell times: gap count equals events minus first-per-user, stats ordered") {
     val ev = graft.Tables.events(spark, sf)
     val expected = ev.count() - ev.select("user_id").distinct().count()
