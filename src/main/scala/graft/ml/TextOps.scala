@@ -1080,8 +1080,11 @@ object TextOps {
       .agg(expr("sum(qbin) div count(1)").as("mean_qbin"))
     val anneal = meanQ
       .crossJoin(broadcast(meanQ.agg(sum(col("mean_qbin")).as("tq"))))
+      // NULLIF: an all-zero-quality corpus must yield NULL weights in
+      // BOTH engines, not a DuckDB division error (the er_match_quality
+      // precedent)
       .select(col("source"), lit("anneal").as("phase"),
-        expr("mean_qbin * 1000 div tq").as("weight_milli"))
+        expr("mean_qbin * 1000 div nullif(tq, 0)").as("weight_milli"))
     bulk.unionByName(anneal)
   }
 
@@ -1360,7 +1363,8 @@ object TextOps {
         |tq AS (SELECT CAST(sum(mean_qbin) AS BIGINT) AS tq FROM mq),
         |ann AS (
         |  SELECT source, 'anneal' AS phase,
-        |         CAST(mean_qbin * 1000 // tq AS BIGINT) AS weight_milli
+        |         CAST(mean_qbin * 1000 // NULLIF(tq, 0) AS BIGINT)
+        |           AS weight_milli
         |  FROM mq CROSS JOIN tq)
         |SELECT * FROM bulk UNION ALL SELECT * FROM ann""".stripMargin,
     "curation_epoch_plan" ->

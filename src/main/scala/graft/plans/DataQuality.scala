@@ -143,10 +143,13 @@ object DataQuality {
         count(lit(1)).as("n_keys"),
         max(col("n")).as("max_key_rows"),
         sum(col("n") * (col("n") - 1)).as("coll_num"))
+      // NULLIF: a 0/1-row table must yield NULL ratios in both engines,
+      // not a DuckDB division error
       .select(lit("o_custkey").as("key_col"), col("n_rows"), col("n_keys"),
         col("max_key_rows"),
-        expr("max_key_rows * 1000 div n_rows").as("top_share_mille"),
-        expr("coll_num * 1000000 div (n_rows * (n_rows - 1))")
+        expr("max_key_rows * 1000 div nullif(n_rows, 0)")
+          .as("top_share_mille"),
+        expr("coll_num * 1000000 div nullif(n_rows * (n_rows - 1), 0)")
           .as("collision_micro"))
   }
 
@@ -169,9 +172,10 @@ object DataQuality {
         |         CAST(sum(n * (n - 1)) AS BIGINT) AS coll_num
         |  FROM k)
         |SELECT 'o_custkey' AS key_col, n_rows, n_keys, max_key_rows,
-        |       CAST(max_key_rows * 1000 // n_rows AS BIGINT) AS top_share_mille,
-        |       CAST(coll_num * 1000000 // (n_rows * (n_rows - 1)) AS BIGINT)
-        |         AS collision_micro
+        |       CAST(max_key_rows * 1000 // NULLIF(n_rows, 0) AS BIGINT)
+        |         AS top_share_mille,
+        |       CAST(coll_num * 1000000 // NULLIF(n_rows * (n_rows - 1), 0)
+        |         AS BIGINT) AS collision_micro
         |FROM s""".stripMargin,
     "dq_column_profile" ->
       """SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
