@@ -523,11 +523,14 @@ object Dashboard {
       .crossJoin(broadcast(total))
       .withColumn("cum_hi", col("off") + col("local_cum"))
       .withColumn("cum_lo", col("cum_hi") - col("w"))
+      // NULLIF: an all-zero-weight corpus yields NULL (filtered) in both
+      // engines rather than a DuckDB division error
       .withColumn("n_copies",
         when(col("cum_lo") === 0L,
-          expr(s"(cum_hi - 1) * $n div total + 1"))
+          expr(s"(cum_hi - 1) * $n div nullif(total, 0) + 1"))
           .otherwise(expr(
-            s"(cum_hi - 1) * $n div total - (cum_lo - 1) * $n div total")))
+            s"(cum_hi - 1) * $n div nullif(total, 0) " +
+              s"- (cum_lo - 1) * $n div nullif(total, 0)")))
       .filter(col("n_copies") >= 1L)
       .select(col("doc_id"), col("w"), col("n_copies"))
   }

@@ -380,15 +380,15 @@ object DashboardQueries {
         |  FROM c CROSS JOIN t)
         |SELECT doc_id, w,
         |       CAST(CASE WHEN cum_lo = 0
-        |                 THEN (cum_hi - 1) * 100 // total + 1
-        |                 ELSE (cum_hi - 1) * 100 // total
-        |                      - (cum_lo - 1) * 100 // total END
+        |                 THEN (cum_hi - 1) * 100 // NULLIF(total, 0) + 1
+        |                 ELSE (cum_hi - 1) * 100 // NULLIF(total, 0)
+        |                      - (cum_lo - 1) * 100 // NULLIF(total, 0) END
         |         AS BIGINT) AS n_copies
         |FROM s
         |WHERE (CASE WHEN cum_lo = 0
-        |            THEN (cum_hi - 1) * 100 // total + 1
-        |            ELSE (cum_hi - 1) * 100 // total
-        |                 - (cum_lo - 1) * 100 // total END) >= 1""".stripMargin,
+        |            THEN (cum_hi - 1) * 100 // NULLIF(total, 0) + 1
+        |            ELSE (cum_hi - 1) * 100 // NULLIF(total, 0)
+        |                 - (cum_lo - 1) * 100 // NULLIF(total, 0) END) >= 1""".stripMargin,
     "o15_epoch_order" ->
       """WITH x AS (
         |  SELECT doc_id, e AS epoch,
