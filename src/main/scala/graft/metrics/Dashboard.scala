@@ -491,17 +491,22 @@ object Dashboard {
     weightedSampleOf(Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("w")), n, buckets)
 
-  /** DataFrame form of o16 over any (doc_id, w) frame with positive
-    * integer weights. Precondition: total weight ≥ n — with less mass
-    * than sample points, the trailing grid fractions collapse past the
-    * end of the line and the draw under-fills (any corpus's char mass
-    * exceeds a sample count by orders of magnitude; the spec pins the
-    * conservation law under the precondition). */
+  /** DataFrame form of o16 over any (doc_id, w) frame with integer
+    * weights. Zero-weight rows are dropped up front — they occupy no
+    * mass on the line, can never be drawn, and (when first in hash
+    * order) would make `cum_hi - 1` negative, where Spark's truncating
+    * integer division and DuckDB's flooring `//` disagree. The grid is
+    * clamped to `least(n, total)` points, so a corpus with less mass
+    * than sample points draws exactly `total` copies (one per unit of
+    * mass) instead of silently under-filling past the end of the line —
+    * sum(n_copies) == least(n, total) is the mechanical conservation
+    * contract the spec pins at both boundaries. */
   def weightedSampleOf(weighted: DataFrame,
                        n: Long = WeightedSampleN,
                        buckets: Int = 32): DataFrame = {
     val width = 100000 / buckets + 1
     val keyed = weighted
+      .filter(col("w") > 0L)
       .withColumn("h", (col("doc_id") * 48271L) % 100000L)
       .withColumn("bucket", expr(s"h div $width"))
     val wloc = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
@@ -523,14 +528,15 @@ object Dashboard {
       .crossJoin(broadcast(total))
       .withColumn("cum_hi", col("off") + col("local_cum"))
       .withColumn("cum_lo", col("cum_hi") - col("w"))
-      // NULLIF: an all-zero-weight corpus yields NULL (filtered) in both
-      // engines rather than a DuckDB division error
+      // NULLIF: an empty (or fully zero-weight, hence fully filtered)
+      // corpus yields NULL rather than a DuckDB division error; least()
+      // clamps the grid to the available mass (total < n boundary)
       .withColumn("n_copies",
         when(col("cum_lo") === 0L,
-          expr(s"(cum_hi - 1) * $n div nullif(total, 0) + 1"))
+          expr(s"(cum_hi - 1) * least($n, total) div nullif(total, 0) + 1"))
           .otherwise(expr(
-            s"(cum_hi - 1) * $n div nullif(total, 0) " +
-              s"- (cum_lo - 1) * $n div nullif(total, 0)")))
+            s"(cum_hi - 1) * least($n, total) div nullif(total, 0) " +
+              s"- (cum_lo - 1) * least($n, total) div nullif(total, 0)")))
       .filter(col("n_copies") >= 1L)
       .select(col("doc_id"), col("w"), col("n_copies"))
   }

@@ -367,7 +367,7 @@ object DashboardQueries {
       """WITH k AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
         |         (doc_id * 48271) % 100000 AS h
-        |  FROM documents),
+        |  FROM documents WHERE n_chars > 0),
         |c AS (
         |  SELECT doc_id, w,
         |         CAST(sum(w) OVER (ORDER BY h, doc_id
@@ -376,19 +376,20 @@ object DashboardQueries {
         |  FROM k),
         |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM k),
         |s AS (
-        |  SELECT doc_id, w, cum_hi, cum_hi - w AS cum_lo, total
+        |  SELECT doc_id, w, cum_hi, cum_hi - w AS cum_lo, total,
+        |         LEAST(100, total) AS g
         |  FROM c CROSS JOIN t)
         |SELECT doc_id, w,
         |       CAST(CASE WHEN cum_lo = 0
-        |                 THEN (cum_hi - 1) * 100 // NULLIF(total, 0) + 1
-        |                 ELSE (cum_hi - 1) * 100 // NULLIF(total, 0)
-        |                      - (cum_lo - 1) * 100 // NULLIF(total, 0) END
+        |                 THEN (cum_hi - 1) * g // NULLIF(total, 0) + 1
+        |                 ELSE (cum_hi - 1) * g // NULLIF(total, 0)
+        |                      - (cum_lo - 1) * g // NULLIF(total, 0) END
         |         AS BIGINT) AS n_copies
         |FROM s
         |WHERE (CASE WHEN cum_lo = 0
-        |            THEN (cum_hi - 1) * 100 // NULLIF(total, 0) + 1
-        |            ELSE (cum_hi - 1) * 100 // NULLIF(total, 0)
-        |                 - (cum_lo - 1) * 100 // NULLIF(total, 0) END) >= 1""".stripMargin,
+        |            THEN (cum_hi - 1) * g // NULLIF(total, 0) + 1
+        |            ELSE (cum_hi - 1) * g // NULLIF(total, 0)
+        |                 - (cum_lo - 1) * g // NULLIF(total, 0) END) >= 1""".stripMargin,
     "o15_epoch_order" ->
       """WITH x AS (
         |  SELECT doc_id, e AS epoch,

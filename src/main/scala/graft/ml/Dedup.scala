@@ -650,10 +650,15 @@ object Dedup {
     // localCheckpoint leaves its RDD blocks in the block manager until the
     // ContextCleaner happens to GC the reference — across an iterative
     // loop that is (iters+1) superseded label tables pinned in executor
-    // memory. Track the block-manager ids each checkpoint creates (probe
-    // diff; driver-side, between our own two calls) and free a round's
-    // blocks as soon as the next round has materialized.
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // memory. Read the checkpointed RDD's id straight off the returned
+    // frame's LogicalRDD leaf (scoped to OUR checkpoint — a concurrent
+    // thread's persist in a shared session can never be swept, unlike a
+    // global getPersistentRDDs diff) and free a round's blocks as soon as
+    // the next round has materialized.
+    def ckptRddIds(df: DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }.toSet
     def dropBlocks(ids: Set[Int]): Unit =
       sc.getPersistentRDDs.filter { case (id, _) => ids(id) }
         .values.foreach(_.unpersist(blocking = false))
@@ -668,22 +673,16 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("dst"))
       .persist()
-    // Materialize both caches NOW: the id-diff around each checkpoint
-    // below must see only that checkpoint's blocks, and a lazy cache
-    // would register its block-manager RDD mid-diff and get swept as a
-    // stale label table.
-    edges.count()
     // localCheckpoint (not persist) each round: the label table is
     // referenced three times per iteration (neighbor-min, both sides of
     // the pointer-jump self-join), so without lineage TRUNCATION the
     // logical plan grows 3^iterations and plan handling itself OOMs.
     // On a cluster with unreliable executors use reliable checkpoint
     // (sc.setCheckpointDir + .checkpoint()) — same shape, durable.
-    var beforeCkpt = persistedIds
     var labels = edges.select(col("dst").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var labelBlocks = persistedIds -- beforeCkpt
+    var labelBlocks = ckptRddIds(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -712,9 +711,8 @@ object Dedup {
         .agg(min(col("cand")).as("cluster_id"), min(col("old")).as("old_cid"))
         .select(col("src").as("doc_id"), col("cluster_id"),
           (col("cluster_id") < col("old_cid")).as("_changed"))
-      beforeCkpt = persistedIds
       val nextCkpt = next.localCheckpoint() // eager: materializes and cuts lineage
-      val nextBlocks = persistedIds -- beforeCkpt
+      val nextBlocks = ckptRddIds(nextCkpt)
       // coalesce: sum over ZERO rows (no pairs at all) is null, and a
       // legal empty input must return an empty cluster table, not NPE
       val changed = nextCkpt

@@ -119,8 +119,8 @@ object Graph {
         .join(alive.select(col("node").as("d_ok")), col("dst") === col("d_ok"))
         .groupBy("src").agg(count(lit(1)).as("d"))
     var alive = edges.select(col("src").as("node")).distinct()
-    for (_ <- 1 to rounds) {
-      alive = inducedDeg(alive)
+    for (round <- 1 to rounds) {
+      val next = inducedDeg(alive)
         .filter(col("d") >= k)
         .select(col("src").as("node"))
         // barrier: inducedDeg consumes `alive` TWICE (src and dst side);
@@ -129,7 +129,19 @@ object Graph {
         // 24 s vs ~6 s at sf0.1). The alive list is a shrinking node
         // set, so the cached frame is small and AQE broadcasts it.
         .persist()
+      // materialize the new round NOW, then drop the prior round's cache:
+      // it is dead weight once `next` holds real blocks, and leaving it
+      // pinned accumulates rounds× storage across repeated library calls
+      // (ADVICE r9). The count is not extra work — each round is computed
+      // exactly once either way, just eagerly. Round 1's `alive` is the
+      // unpersisted seed, so there is nothing to drop.
+      next.count()
+      if (round > 1) alive.unpersist(blocking = false)
+      alive = next
     }
+    // the last round's cache stays live — the RETURNED lazy plan reads it;
+    // callers release it after their final action (Bench/Verify clear the
+    // cache between queries), per the module cache contract.
     inducedDeg(alive)
       .select(col("src").as("node"), col("d").as("core_deg"))
   }

@@ -240,6 +240,33 @@ class DashboardSpec extends SparkSpec {
     assert(uniform.forall(_.getAs[Long]("n_copies") == 1L))
   }
 
+  test("weighted sample: zero-weight rows are never drawn (even at the " +
+    "head of the hash order) and total < n clamps to the available mass") {
+    import spark.implicits._
+    val ids = 1L to 40L
+    // the doc FIRST in hash order gets w=0 — the exact row whose
+    // cum_hi-1 = -1 used to fork Spark's truncating div from DuckDB's
+    // flooring // (ADVICE r9); a few more zeros land mid-line
+    val headId = ids.minBy(id => ((id * 48271L) % 100000L, id))
+    val docs = ids.map(id =>
+      (id, if (id == headId || id % 7 == 0) 0L else 2L))
+    val total = docs.map(_._2).sum
+    assert(total < 100L) // exercises the clamp boundary
+    val rows = Dashboard.weightedSampleOf(docs.toDF("doc_id", "w"), n = 100L)
+      .collect()
+    val wOf = docs.toMap
+    assert(rows.forall(r => wOf(r.getAs[Long]("doc_id")) > 0L),
+      "zero-weight doc drawn")
+    assert(rows.forall(_.getAs[Long]("n_copies") >= 1L))
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == total,
+      "under-mass draw must conserve least(n, total) = total")
+    // with mass >= n the same corpus still fills exactly n
+    val full = Dashboard.weightedSampleOf(
+      docs.map { case (id, w) => (id, w * 10L) }.toDF("doc_id", "w"),
+      n = 100L).collect()
+    assert(full.map(_.getAs[Long]("n_copies")).sum == 100L)
+  }
+
   test("weighted sample matches the naive line-walk on random weights") {
     import spark.implicits._
     val rnd = new scala.util.Random(7331)

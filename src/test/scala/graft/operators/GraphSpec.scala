@@ -45,6 +45,23 @@ class GraphSpec extends SparkSpec {
       "peeling must have converged at the registered round count")
   }
 
+  test("k-core: intermediate round caches are released (only the final " +
+    "alive set stays pinned)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val und = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.kCoreOf(edges, k = 3, rounds = 4).count()
+    // rounds=4 persists 4 alive frames; all but the last are unpersisted
+    // inside the loop, so at most ONE survives the call (ADVICE r9 —
+    // repeated library use must not accumulate executor storage).
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"$leaked cached intermediates survived kCoreOf")
+    spark.catalog.clearCache()
+  }
+
   test("triangles: each counted once on a known graph") {
     import spark.implicits._
     // 4-clique {1,2,3,4} (4 triangles), disjoint triangle {8,9,10},
