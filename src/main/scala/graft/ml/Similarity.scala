@@ -166,6 +166,87 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Tenant-scoped ANN: tenant-prefixed LSH buckets (multi-tenant serving)
+  // -------------------------------------------------------------------
+
+  /** Tenants in the synthetic corpus derivation (mirrors the snapshot
+    * convention `key % 4`, but on `vec_id div 7` so the every-200th
+    * query vectors spread across ALL tenants instead of collapsing onto
+    * tenant 0). */
+  val SimTenants = 4L
+
+  /** The reference's vector queries always carry a mandatory tenant
+    * metadata filter (core/tenant_manager.py:176-188 — Pinecone queries
+    * filtered to the session tenant). Bolting a post-filter onto a
+    * tenant-global index would be both wasteful (cross-tenant candidates
+    * mined then discarded) and a leak surface (candidates themselves
+    * cross tenants). Here the tenant id occupies the HIGH BITS of every
+    * LSH bucket key — `tenant_id · 2^LshPlanes + signBucket` — so bucket
+    * equality REQUIRES tenant equality and candidate mining can never
+    * cross tenants by construction, not by filter. At 100 TB this is
+    * also the partition story: bucket keys cluster by tenant, so a
+    * tenant's postings co-locate and per-tenant probe volume is
+    * unchanged from the single-tenant index.
+    *
+    * Exposed candidate surface (query + corpus tenant on every row) so
+    * the isolation claim is spec-checked on CANDIDATES, not just on the
+    * reranked results. */
+  def tenantAnnCandidatesOf(vectors: DataFrame): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("tenant_id"),
+      Dedup.quantized(col("embedding")).as("q")).persist()
+    val prefix = col("tenant_id") * (1L << LshPlanes)
+    val b = v.select(col("vec_id"), col("tenant_id"), col("q"),
+      explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("tbl"),
+          (prefix + lshBucket(col("q"), t)).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tenant_id"), col("q"),
+        col("tb.tbl"), col("tb.bucket"))
+    // query probes: home bucket + flip-1-lowest-margin-bit neighbor, both
+    // under the SAME tenant prefix (the flip mask only touches sign bits)
+    val qb = v.filter(isQuery(col("vec_id")))
+      .select(col("vec_id"), col("tenant_id"), col("q"),
+        explode(array((0 until LshTables).flatMap(t => Seq(
+          struct(lit(t).as("tbl"),
+            (prefix + lshBucket(col("q"), t)).as("bucket")),
+          struct(lit(t).as("tbl"),
+            (prefix + lshNeighborBucket(col("q"), t, LshPlanes))
+              .as("bucket")))): _*)).as("tb"))
+      .select(col("vec_id").as("query_id"), col("tenant_id").as("q_tenant"),
+        col("q").as("qv"), col("tb.tbl").as("qtbl"), col("tb.bucket").as("qbucket"))
+    b.join(broadcast(qb),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_tenant"), col("qv"),
+        col("vec_id"), col("tenant_id").as("c_tenant"), col("q"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** Tenant-scoped ANN over any (vec_id, tenant_id, embedding) frame:
+    * candidates from [[tenantAnnCandidatesOf]]'s tenant-prefixed
+    * buckets, reranked by exact integer dot with the standard
+    * (dot desc, vec_id asc) tie-break. Every result row carries the
+    * query's tenant — identical to it's candidates' by construction. */
+  def tenantAnnTopKOf(vectors: DataFrame, k: Int = 10): DataFrame = {
+    val scored = tenantAnnCandidatesOf(vectors)
+      .select(col("query_id"), col("q_tenant").as("tenant_id"),
+        col("vec_id"), dot(col("qv"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "tenant_id", "vec_id", "dot", "rank")
+  }
+
+  /** Registered form: embeddings corpus with the derived tenant column. */
+  def tenantAnnTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    tenantAnnTopKOf(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr(s"(vec_id div 7) % $SimTenants").as("tenant_id"),
+          col("embedding")),
+      k)
+
+  // -------------------------------------------------------------------
   // IVF-style ANN: coarse quantizer + probed inverted lists
   // -------------------------------------------------------------------
 
@@ -755,6 +836,7 @@ object Similarity {
     "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
+    "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
@@ -772,13 +854,25 @@ object Similarity {
     * <= 6.4e8), so DuckDB's double list_dot_product is exact and the
     * sign/margin comparisons are bit-identical to Spark's long
     * arithmetic. */
-  private def annOracle: String = {
+  private def annOracle: String = annOracleSql(tenantPrefixed = false)
+
+  /** Shared generator for [[annOracle]] and [[tenantAnnOracle]]: with
+    * `tenantPrefixed`, every bucket expression gains the SAME high-bit
+    * tenant prefix the Spark plan uses (`(vec_id // 7) % SimTenants`
+    * shifted past the sign bits), and the output carries the query's
+    * tenant — so candidate mining in the oracle, too, cannot cross
+    * tenants. The flip mask only touches the low sign bits, so the
+    * multi-probe XOR composes with the prefix unchanged. */
+  private def annOracleSql(tenantPrefixed: Boolean): String = {
     def planeLit(t: Int, k: Int) = plane(t, k, LshPlanes).mkString("[", ", ", "]")
+    def pfx(idCol: String) =
+      if (tenantPrefixed)
+        s"(($idCol // 7) % $SimTenants) * ${1L << LshPlanes} + " else ""
     val bucketSelects = (0 until LshTables).map { t =>
       val bucket = (0 until LshPlanes).map { k =>
         s"(CASE WHEN list_dot_product(qv, ${planeLit(t, k)}) >= 0 THEN ${1 << k} ELSE 0 END)"
       }.mkString(" + ")
-      s"  SELECT vec_id, qv, $t AS tbl, $bucket AS bucket FROM q"
+      s"  SELECT vec_id, qv, $t AS tbl, ${pfx("vec_id")}$bucket AS bucket FROM q"
     }.mkString("\n  UNION ALL\n")
     val queryProbeSelects = (0 until LshTables).map { t =>
       val ds = (0 until LshPlanes).map(k =>
@@ -791,11 +885,13 @@ object Similarity {
         s"WHEN $later THEN ${1 << k}"
       }.mkString(" ")
       val flip = s"CASE $flipArms ELSE ${1 << (LshPlanes - 1)} END"
-      s"""  SELECT vec_id, $t AS tbl, $bucket AS bucket, $flip AS flip
+      s"""  SELECT vec_id, $t AS tbl, ${pfx("vec_id")}$bucket AS bucket, $flip AS flip
          |  FROM (SELECT vec_id,
          |           $ds
          |        FROM q WHERE vec_id % 200 = 0)""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    val tenantOut =
+      if (tenantPrefixed) s", (query_id // 7) % $SimTenants AS tenant_id" else ""
     s"""WITH q AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(round(
@@ -827,9 +923,11 @@ object Similarity {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY dot DESC, vec_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+       |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank$tenantOut
        |FROM r WHERE rank <= 10""".stripMargin
   }
+
+  private def tenantAnnOracle: String = annOracleSql(tenantPrefixed = true)
 
   /** Oracle for the IVF ANN: the whole pipeline — stride seeds,
     * `IvfIters` integer-exact Lloyd rounds (member SUMs, not avg, so the
@@ -1079,6 +1177,7 @@ object Similarity {
         |SELECT query_id, vec_id, sq_dot, CAST(rank AS INT) AS rank
         |FROM rk WHERE rank <= 10""".stripMargin,
     "sim_topk_ann" -> annOracle,
+    "sim_topk_tenant" -> tenantAnnOracle,
     "sim_topk_ivf" -> ivfOracle,
     "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,

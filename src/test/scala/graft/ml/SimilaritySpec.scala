@@ -60,6 +60,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall $recall")
   }
 
+  test("tenant-scoped ANN: zero cross-tenant rows in CANDIDATES (not just " +
+    "results), and a planted cross-tenant near-dup is never surfaced") {
+    import spark.implicits._
+    // real corpus with the registered tenant derivation: candidate mining
+    // itself must never cross tenants (the prefix argument, verified)
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          s"(vec_id div 7) % ${Similarity.SimTenants}").as("tenant_id"),
+        col("embedding"))
+    val cand = Similarity.tenantAnnCandidatesOf(corpus)
+    assert(cand.count() > 0)
+    assert(cand.filter(col("q_tenant") =!= col("c_tenant")).count() == 0L,
+      "candidate mining crossed tenants")
+    // planted: query 0 (tenant 0) and vec 1 (tenant 1) are near-identical;
+    // vec 7 (tenant 1... (7 div 7) % 4 = 1) also near-identical; vec 14
+    // (tenant 2) is a same-shape decoy; vec 21 (tenant 3) orthogonal.
+    // Only same-tenant vectors may surface for query 0.
+    val base = Array.tabulate(64)(i => 0.1f + 0.01f * i)
+    val eps = base.map(_ + 0.001f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val planted = Seq(
+      (0L, 0L, base), (1L, 0L, eps),       // same tenant: should pair
+      (7L, 1L, eps), (14L, 2L, eps),       // near-identical, WRONG tenant
+      (21L, 3L, ortho), (28L, 0L, ortho))
+      .toDF("vec_id", "tenant_id", "embedding")
+    val out = Similarity.tenantAnnTopKOf(planted, k = 5).collect()
+    val forQ0 = out.filter(_.getAs[Long]("query_id") == 0L)
+    assert(forQ0.nonEmpty, "same-tenant near-dup must be recalled")
+    val ids = forQ0.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(1L), "same-tenant near-identical vector missed")
+    assert(!ids.contains(7L) && !ids.contains(14L) && !ids.contains(21L),
+      s"cross-tenant vector surfaced: $ids")
+    assert(forQ0.forall(_.getAs[Long]("tenant_id") == 0L))
+    spark.catalog.clearCache()
+  }
+
   test("IVF ANN beats the LSH recall floor and never returns non-corpus rows") {
     val exact = Similarity.bruteForceTopK(spark, sf, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
