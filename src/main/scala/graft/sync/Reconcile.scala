@@ -188,6 +188,57 @@ object Reconcile {
   def advanceWatermarks(spark: SparkSession, dir: String): DataFrame =
     advanceOf(dbSnapshot(spark, dir), needsUpdate(spark, dir))
 
+  /** Q1 step 2 — the onboarding accessibility gate
+    * (etl/flows/onboard_tenant.py:73-151, proceed/abort decision at
+    * :379-383): before backfilling a tenant, sample `sampleN` of its
+    * case refs, probe each for accessibility, and proceed only if the
+    * accessible rate clears `thresholdPct`. The reference samples
+    * randomly; here the draw is the portable arithmetic-hash rank
+    * (smallest serialOf, case_ref tie-break) so any engine — and the
+    * oracle — replays the exact same sample. Accessibility is modeled
+    * as "the live system can serve the ref": presence in the
+    * `accessible` ref set (the DB mirror in the registered binding —
+    * the same stands-in-for-the-fetch convention as the snapshot
+    * synthesis itself).
+    *
+    * Scale shape: the per-tenant top-`sampleN` uses the two-phase
+    * segmented window ([[graft.metrics.Dashboard.stratifiedSample]]'s
+    * argument — phase 1 pre-prunes per (tenant, input partition), so no
+    * tenant ever funnels through one reducer), and the tiny sample is
+    * BROADCAST against the accessible set, which is therefore scanned
+    * once and never shuffled. */
+  def accessibilityGateOf(crm: DataFrame, accessible: DataFrame,
+      sampleN: Int = 10, thresholdPct: Int = 80): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = crm.select(col("tenant_id"), col("case_ref"),
+      Exprs.serialOf(col("case_ref")).as("hkey"))
+    val pre = Window.partitionBy(col("tenant_id"), spark_partition_id())
+      .orderBy(col("hkey"), col("case_ref"))
+    val cands = keyed.withColumn("prerank", row_number().over(pre))
+      .filter(col("prerank") <= sampleN).drop("prerank")
+    val w = Window.partitionBy(col("tenant_id"))
+      .orderBy(col("hkey"), col("case_ref"))
+    val samp = cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sampleN)
+      .select("tenant_id", "case_ref")
+    val hits = accessible.select(col("case_ref"))
+      .join(broadcast(samp), "case_ref")
+      .groupBy("tenant_id").agg(count(lit(1)).as("n_accessible"))
+    val totals = samp.groupBy("tenant_id").agg(count(lit(1)).as("n_sampled"))
+    totals.join(hits, Seq("tenant_id"), "left_outer")
+      .select(col("tenant_id"), col("n_sampled"),
+        coalesce(col("n_accessible"), lit(0L)).as("n_accessible"))
+      .select(col("tenant_id"), col("n_sampled"), col("n_accessible"),
+        expr("n_accessible * 100 div n_sampled").as("accessibility_pct"),
+        (col("n_accessible") * 100 >= lit(thresholdPct.toLong) * col("n_sampled"))
+          .as("proceed"))
+  }
+
+  /** Registered binding: sample the full CRM caseload per tenant, probe
+    * the DB mirror for accessibility. */
+  def accessibilityGate(spark: SparkSession, dir: String): DataFrame =
+    accessibilityGateOf(crmSnapshot(spark, dir), dbSnapshot(spark, dir))
+
   /** U8 — reconciliation quality gates: change_rate < 20%, snapshot count
     * mismatch < 10% (etl/reconciliation.py:324-405). Emits one row of gate
     * metrics + a 0-1 quality score. */

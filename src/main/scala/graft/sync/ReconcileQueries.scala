@@ -44,6 +44,7 @@ object ReconcileQueries {
     "recon_advance_watermarks" -> ((s, d) => Reconcile.advanceWatermarks(s, d)),
     "recon_quality" -> ((s, d) => Reconcile.qualityValidation(s, d)),
     "recon_dry_run" -> ((s, d) => Reconcile.dryRunPlan(s, d)),
+    "recon_accessibility_gate" -> ((s, d) => Reconcile.accessibilityGate(s, d)),
     "a11_load_stats" -> ((s, d) => Reconcile.loadStats(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -119,5 +120,33 @@ object ReconcileQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_loaded,
         |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
         |       CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
-        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin)
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+    // the onboarding gate samples the UNFILTERED caseload (pre-backfill,
+    // before any active/complete split matters), so it states its own
+    // snapshot CTEs like a11
+    "recon_accessibility_gate" ->
+      """WITH crm AS (
+        |  SELECT o_orderkey AS case_ref, o_custkey % 4 AS tenant_id
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |db AS (
+        |  SELECT o_orderkey AS case_ref
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |ranked AS (
+        |  SELECT tenant_id, case_ref,
+        |         row_number() OVER (PARTITION BY tenant_id
+        |           ORDER BY (case_ref * 48271) % 100000, case_ref) AS rn
+        |  FROM crm),
+        |samp AS (SELECT tenant_id, case_ref FROM ranked WHERE rn <= 10),
+        |a AS (
+        |  SELECT samp.tenant_id,
+        |         CAST(count(*) AS BIGINT) AS n_sampled,
+        |         CAST(sum(CASE WHEN db.case_ref IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_accessible
+        |  FROM samp LEFT JOIN db ON samp.case_ref = db.case_ref
+        |  GROUP BY 1)
+        |SELECT tenant_id, n_sampled, n_accessible,
+        |       CAST(n_accessible * 100 // n_sampled AS BIGINT)
+        |         AS accessibility_pct,
+        |       n_accessible * 100 >= 80 * n_sampled AS proceed
+        |FROM a""".stripMargin)
 }

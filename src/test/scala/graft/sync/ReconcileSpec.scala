@@ -60,4 +60,33 @@ class ReconcileSpec extends SparkSpec {
     assert(rate >= 0.0 && rate <= 1.0)
     assert(score >= 0.0 && score <= 1.0)
   }
+
+  test("accessibility gate: deterministic per-tenant sample, proceed/abort " +
+    "flips exactly at the 80% threshold") {
+    import spark.implicits._
+    // tenant 0: all 12 refs accessible -> proceed. tenant 1: 12 refs but
+    // only the 7 sampled-or-not refs landing accessible make the sampled
+    // rate < 80% -> abort. Which 10 of the 12 are sampled is the hash
+    // rank — replay it here to pick exactly 2 inaccessible SAMPLED refs
+    // for tenant 2 (8/10 = 80% -> proceed, boundary inclusive).
+    def hk(id: Long) = ((id * 48271L) % 100000L, id)
+    val t0 = (1L to 12L).map(i => (0L, i * 10L))
+    val t1 = (1L to 12L).map(i => (1L, i * 10L + 1L))
+    val t2 = (1L to 12L).map(i => (2L, i * 10L + 2L))
+    val crm = (t0 ++ t1 ++ t2).toDF("tenant_id", "case_ref")
+    val t1Sampled = t1.map(_._2).sortBy(hk).take(10)
+    val t2Sampled = t2.map(_._2).sortBy(hk).take(10)
+    val accessible = (
+      t0.map(_._2) ++                       // all of tenant 0
+      t1Sampled.take(7) ++                  // 7/10 sampled -> 70%
+      t2Sampled.take(8)                     // 8/10 sampled -> exactly 80%
+    ).toDF("case_ref")
+    val out = Reconcile.accessibilityGateOf(crm, accessible)
+      .collect().map(r => r.getAs[Long]("tenant_id") ->
+        (r.getAs[Long]("n_sampled"), r.getAs[Long]("n_accessible"),
+         r.getAs[Long]("accessibility_pct"), r.getAs[Boolean]("proceed"))).toMap
+    assert(out(0L) == ((10L, 10L, 100L, true)))
+    assert(out(1L) == ((10L, 7L, 70L, false)))
+    assert(out(2L) == ((10L, 8L, 80L, true)), "threshold must be inclusive")
+  }
 }
