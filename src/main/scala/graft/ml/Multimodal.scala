@@ -320,6 +320,137 @@ object Multimodal {
     phashPairsOf(graft.Tables.documents(spark, dir)
       .filter(col("doc_id") % 3 === 0)) // the image-typed payloads
 
+  // -------------------------------------------------------------------
+  // Cross-modal retrieval: image features -> shared embedding space
+  // -------------------------------------------------------------------
+
+  /** Every [[CrossModalQueryStride]]-th image-typed doc is a cross-modal
+    * query (composed with the `doc_id % 3 = 0` image assignment). */
+  val CrossModalQueryStride = 60
+  val CrossModalK = 5
+
+  /** Deterministic projection constant for (histogram bin j, embedding
+    * dim d) — the "CLIP image tower" stub: a fixed pseudo-random
+    * integer matrix in the same constant family as
+    * [[Similarity.plane]], so the projection replays bit-for-bit in
+    * any engine. A trained encoder swaps in behind the identical
+    * pipeline shape (per-row matrix multiply + normalize). */
+  def crossProj(j: Int, d: Int): Long = {
+    val raw = (j + 1).toLong * (2654435761L % 100003L) * (d + 17) +
+      j * 131L + d * 977L
+    ((raw % 2001L) + 2001L) % 2001L - 1000L
+  }
+
+  /** Cross-modal top-k (the CLIP-retrieval serving shape): each query
+    * image's decoded 16-bin nibble histogram (the [[codecFeatures]]
+    * raster moments) projects into the 64-dim text-embedding space via
+    * the fixed integer matrix [[crossProj]], is L2-normalized and
+    * quantized by the SAME `quantize_vec` kernel as the text corpus,
+    * and retrieves its top-k text vectors by exact integer dot —
+    * completing the multimodal family from per-modality features to
+    * cross-modal search.
+    *
+    * Scale shape: the query side is a tiny stride sample (broadcast);
+    * the corpus is scanned once with a codegen'd dot per row and a
+    * per-query windowed top-k — identical plan profile to
+    * [[Similarity.bruteForceTopKOf]], and the same LSH/IVF bucketing
+    * applies unchanged once the images share the corpus's vector space. */
+  def crossModalTopKOf(imageDocs: DataFrame, corpus: DataFrame,
+      k: Int = CrossModalK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vExpr = (0 until 64).map { d =>
+      (0 until 16).map(j =>
+        s"element_at(hist, ${j + 1}) * (${crossProj(j, d)}L)").mkString(" + ")
+    }.mkString("array(", ", ", ")")
+    val queries = imageDocs
+      .select(col("doc_id"), expr(
+        "transform(filter(split(text, ''), c -> c <> ''), " +
+          "c -> CAST(ascii(c) AS BIGINT) div 16)").as("px"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 15), " +
+          "j -> CAST(size(filter(px, x -> x = j)) AS BIGINT))").as("hist"))
+      .select(col("doc_id"), expr(vExpr).as("v"))
+      .select(col("doc_id"),
+        graft.functions.ArrayOps.quantize_vec(
+          transform(col("v"), x => x.cast("double")), 10000).as("qv"))
+    val corpusQ = corpus
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .transform(graft.scale.Scale.spread)
+    val scored = corpusQ.crossJoin(broadcast(queries))
+      .select(col("doc_id"), col("vec_id"),
+        graft.functions.ArrayOps.dot_long(col("qv"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "vec_id", "dot", "rank")
+  }
+
+  def crossModalTopK(spark: SparkSession, dir: String,
+      k: Int = CrossModalK): DataFrame =
+    crossModalTopKOf(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") % CrossModalQueryStride === 0),
+      Tables.embeddings(spark, dir), k)
+
+  /** Generated oracle for [[crossModalTopK]]: histogram, the inlined
+    * projection matrix, the quantize_vec replay (sequential double sum,
+    * round-half-away, zero-norm guard — the trainedCentroids oracle
+    * convention), and the windowed top-k. */
+  private def crossModalOracle: String = {
+    val vExprs = (0 until 64).map { d =>
+      (0 until 16).map(j => s"hist[${j + 1}] * (${crossProj(j, d)})")
+        .mkString(" + ")
+    }.mkString("[", ",\n         ", "]")
+    s"""WITH img AS (
+       |  SELECT doc_id,
+       |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+       |              ELSE list_transform(string_split(text, ''),
+       |                                  c -> unicode(c)::BIGINT // 16)
+       |         END AS px
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % $CrossModalQueryStride = 0),
+       |h AS (
+       |  SELECT doc_id,
+       |         [CAST(len(list_filter(px, x -> x = j)) AS BIGINT)
+       |          for j in range(0, 16)] AS hist
+       |  FROM img),
+       |v AS (
+       |  SELECT doc_id,
+       |         $vExprs AS v
+       |  FROM h),
+       |qi AS (
+       |  SELECT doc_id,
+       |         list_transform(v, x -> CASE WHEN norm = 0
+       |           THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(round(CAST(x AS DOUBLE) / norm * 10000) AS BIGINT)
+       |         END) AS qv
+       |  FROM (SELECT doc_id, v,
+       |          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |            list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |            (a, b) -> a + b)) AS norm
+       |        FROM v)),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(
+       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT qi.doc_id, q.vec_id,
+       |         CAST(list_dot_product(qi.qv, q.qv) AS BIGINT) AS dot
+       |  FROM qi CROSS JOIN q),
+       |r AS (
+       |  SELECT doc_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY dot DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, vec_id, dot, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $CrossModalK""".stripMargin
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -330,7 +461,8 @@ object Multimodal {
     "multimodal_frames" -> ((s, d) => frameSamples(s, d)),
     "multimodal_codec" -> ((s, d) => codecFeatures(s, d)),
     "multimodal_audio_frames" -> ((s, d) => audioFrames(s, d)),
-    "multimodal_motion" -> ((s, d) => motionDeltas(s, d)))
+    "multimodal_motion" -> ((s, d) => motionDeltas(s, d)),
+    "multimodal_crossmodal_topk" -> ((s, d) => crossModalTopK(s, d)))
 
   // multimodal_features: the stub decode is integer arithmetic over the
   // UTF-8 payload bytes, and the corpus is ASCII (verified across all SFs),
@@ -339,6 +471,7 @@ object Multimodal {
   // double-precision mean is computed once and reused for the variance
   // before the final float32 narrowing, mirroring decodeStub exactly.
   val oracles: Map[String, String] = Map(
+    "multimodal_crossmodal_topk" -> crossModalOracle,
     "multimodal_phash_pairs" ->
       """WITH img AS (
         |  SELECT doc_id,

@@ -790,6 +790,37 @@ object Temporal {
         col("y.cents").as("cents"), col("y.ewma").as("ewma"))
   }
 
+  /** T19 — session-TTL audit (core/session_manager.py:22 — sessions
+    * expire after 6 hours of inactivity): each user's last-activity age
+    * relative to the corpus watermark, bucketed by whole hours, with
+    * the expired verdict per bucket. The age distribution + live/expired
+    * split is the session-store health view the reference's manager
+    * consults before reusing a cached session.
+    *
+    * Arithmetic is whole microseconds (unix_micros under the mandated
+    * UTC session; DuckDB's epoch_us is the same integer), so the hour
+    * floor replays exactly. One map-side-combined groupBy(user) + a
+    * broadcast scalar watermark anchor + a bounded groupBy(bucket) —
+    * nothing here outgrows a 100 TB events table. */
+  def sessionTtlBuckets(spark: SparkSession, dir: String,
+      ttlHours: Int = 6): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val last = e.groupBy("user_id").agg(max(col("ts")).as("last_ts"))
+    val wm = e.agg(max(col("ts")).as("wm"))
+    last.crossJoin(broadcast(wm))
+      .select(col("user_id"),
+        // unix_micros takes TIMESTAMP only; under the mandated UTC session
+        // the NTZ->LTZ cast is wall-clock-preserving, so the integer equals
+        // DuckDB's naive epoch_us
+        expr("(unix_micros(CAST(wm AS TIMESTAMP)) - " +
+          "unix_micros(CAST(last_ts AS TIMESTAMP))) div 3600000000")
+          .as("age_hours"))
+      .groupBy("age_hours")
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(col("age_hours"), col("n_sessions"),
+        (col("age_hours") >= ttlHours).as("expired"))
+  }
+
   // -------------------------------------------------------------------
   // Registration
   // -------------------------------------------------------------------
@@ -818,7 +849,8 @@ object Temporal {
     "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)),
     "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)),
-    "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)))
+    "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)),
+    "t19_session_ttl" -> ((s, d) => sessionTtlBuckets(s, d)))
 
   private val baseOracles: Map[String, String] = Map(
     // the oracle states the SEMANTICS (direct overlap-predicate join);
@@ -1003,6 +1035,17 @@ object Temporal {
         |       quantile_cont(gap_s, 0.5) AS p50_s,
         |       quantile_cont(gap_s, 0.9) AS p90_s
         |FROM f GROUP BY 1""".stripMargin,
+    "t19_session_ttl" ->
+      """WITH last AS (
+        |  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY 1),
+        |wm AS (SELECT max(ts) AS wm FROM events),
+        |ages AS (
+        |  SELECT CAST((epoch_us(wm) - epoch_us(last_ts)) // 3600000000
+        |           AS BIGINT) AS age_hours
+        |  FROM last CROSS JOIN wm)
+        |SELECT age_hours, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       age_hours >= 6 AS expired
+        |FROM ages GROUP BY 1""".stripMargin,
     "a24_hourly_anomaly" ->
       """WITH e AS (
         |  SELECT user_id % 4 AS tenant_id, date_trunc('hour', ts) AS hour

@@ -112,4 +112,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists { case (x, y, _) => x == 12L || y == 12L })
     spark.catalog.clearCache() // phashPairsOf persists the hash table
   }
+
+  test("cross-modal top-k: k ranked text vectors per image query; the " +
+    "top-1 dot is the corpus max; empty images degrade to zero vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.crossModalTopK(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == Multimodal.CrossModalK, s"query $q")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to Multimodal.CrossModalK))
+      val dots = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+    }
+    // results live in the corpus id space
+    val corpusIds = graft.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => corpusIds(r.getAs[Long]("vec_id"))))
+    // an empty-text image projects to the zero vector: still k rows,
+    // all dots exactly 0, ranked by the vec_id tie-break
+    val zero = Multimodal.crossModalTopKOf(
+      Seq((0L, "")).toDF("doc_id", "text"),
+      graft.Tables.embeddings(spark, sf), k = 3).collect()
+    assert(zero.length == 3 && zero.forall(_.getAs[Long]("dot") == 0L))
+  }
 }
