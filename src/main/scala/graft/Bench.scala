@@ -37,7 +37,8 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    def timeAll(): Map[String, Option[Double]] = registry.map { case (name, fn) =>
+    def timeOnly(reg: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]):
+        Map[String, Option[Double]] = reg.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -50,19 +51,29 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (ok) Some(dt) else None)
     }
-    val pass1 = timeAll()
-    val pass2 = timeAll()
-    // best successful attempt per query; queries that failed both passes
-    // are excluded from the timing map and counted in "errs"
-    val results = pass1.flatMap { case (k, v1) =>
-      (v1, pass2(k)) match {
-        case (Some(a), Some(b)) => Some(k -> math.min(a, b))
-        case (Some(a), None) => Some(k -> a)
-        case (None, Some(b)) => Some(k -> b)
-        case (None, None) => None
+    val pass1 = timeOnly(registry)
+    val pass2 = timeOnly(registry)
+    // Third attempt for the high-variance tail only: sub-second queries
+    // (where scheduler jitter, not the plan, dominates — pass spreads up
+    // to 15x were measured on this host) and any query whose two passes
+    // diverge >2x. Best-of-3 there sharpens the committed anchor without
+    // re-running the heavy queries a third time.
+    val retry = registry.filter { case (k, _) =>
+      (pass1(k), pass2(k)) match {
+        case (Some(a), Some(b)) =>
+          math.min(a, b) < 1.0 || math.max(a, b) > 2.0 * math.min(a, b)
+        case _ => true // one failed pass: give it a tie-break attempt
       }
     }
-    val failed = pass1.keySet.filter(k => pass1(k).isEmpty && pass2(k).isEmpty)
+    val pass3raw = timeOnly(retry)
+    val pass3 = registry.map { case (k, _) => k -> pass3raw.getOrElse(k, None) }
+    // best successful attempt per query; queries that failed every pass
+    // are excluded from the timing map and counted in "errs"
+    val results = pass1.flatMap { case (k, v1) =>
+      val best = Seq(v1, pass2(k), pass3(k)).flatten
+      if (best.isEmpty) None else Some(k -> best.min)
+    }
+    val failed = pass1.keySet.filterNot(results.contains)
     // The driver keeps only the ~2000-char tail of stdout and parses the
     // JSON line found there. At 97 registered queries the full per-query
     // map is ~2.5k chars and overflows that window (round 5 was recorded
@@ -84,7 +95,8 @@ object Bench {
     // from a real plan regression (both passes slow)
     val passesJs = sorted.map { case (k, _) =>
       def f(o: Option[Double]) = o.map(r2).getOrElse("null")
-      "\"" + k + "\":[" + f(pass1(k)) + "," + f(pass2(k)) + "]"
+      "\"" + k + "\":[" + f(pass1(k)) + "," + f(pass2(k)) + "," +
+        f(pass3(k)) + "]"
     }.mkString("{", ",", "}")
     val head = s""""metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","errs":${failed.size},"n_queries":${results.size}"""
     // BENCH_FULL.json is the committed idle-host anchor — only a FULL
