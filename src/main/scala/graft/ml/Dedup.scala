@@ -889,10 +889,25 @@ object Dedup {
     * (table, sign-bucket); the integer gate then decides exactly. The
     * candidate join carries ids only (narrow shuffle); vectors are
     * re-fetched after the distinct (AQE broadcasts the small quantized
-    * side here; at corpus scale it is a co-partitioned shuffle join). */
-  def embeddingLshPairsOf(vectors: DataFrame): DataFrame = {
+    * side here; at corpus scale it is a co-partitioned shuffle join).
+    *
+    * `planes` is the LSH-theory scale knob: with a FIXED plane count,
+    * RANDOM same-bucket candidate volume grows as n²/2^planes, so a
+    * corpus growing c-fold wants ~log2(c) extra planes to hold
+    * candidate density constant. That trade is only free at a real
+    * near-dup gate (cos 0.9: per-pair recall 0.996 at 8 planes, 0.96
+    * at 11); at the registered demo gate (cos 0.4 — barely above
+    * noise) extra planes cost recall directly (p_bit ≈ 0.63 there),
+    * and no blocking can beat the gate's own quadratic TRUE-pair
+    * density: on the 10x synthetic scale-up the gated output itself
+    * grew 109x (330 → 35,963 genuine cos>0.4 pairs) while wall-time
+    * grew only 4.7x (BENCH_sf1_spot.json) — the plan absorbs
+    * output-volume growth, and the knob is for candidate density at
+    * production gates. */
+  def embeddingLshPairsOf(vectors: DataFrame,
+      planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
     val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
-    val scored = lshCandidatesOf(sq)
+    val scored = lshCandidatesOf(sq, planes, tables)
       .join(sq.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nsq").as("na")), "vec_a")
       .join(sq.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nsq").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
@@ -905,13 +920,14 @@ object Dedup {
     * sign-LSH blocking — the candidate miner shared by the pair, cluster
     * and k-NN-graph forms. `sq` must be the quantizedWithNorm projection
     * (persisted by the caller — both explode sides re-read it). */
-  private def lshCandidatesOf(sq: DataFrame): DataFrame = {
+  private def lshCandidatesOf(sq: DataFrame,
+      planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
     // persisted: the self-join below would otherwise evaluate the 16x8
     // plane dots once per side; the bucket table is 3 longs/row
     val bucketed = sq.select(col("vec_id"),
-      explode(array((0 until EmbLshTables).map(t =>
+      explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
-          Similarity.lshBucket(col("q"), t, EmbLshPlanes).as("bucket"))): _*)).as("tb"))
+          Similarity.lshBucket(col("q"), t, planes).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .persist()
     bucketed.as("a")
