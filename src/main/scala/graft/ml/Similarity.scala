@@ -246,6 +246,62 @@ object Similarity {
           col("embedding")),
       k)
 
+  /** Tenant-scoped IVF — the same composition proof on the OTHER index
+    * family: the coarse quantizer stays tenant-GLOBAL (one shared
+    * codebook — the per-tenant-namespace layout of a multi-tenant
+    * vector store), but the inverted lists are keyed
+    * (tenant_id, centroid_id), so a list lookup requires tenant
+    * equality and candidates cannot cross tenants by construction.
+    * At 100 TB the list key is also the storage partition key: a
+    * tenant's postings co-locate and a query touches only its own
+    * tenant's slices of its probed lists. */
+  def tenantIvfCandidatesOf(vectors: DataFrame): DataFrame = {
+    val tenants = vectors.select(col("vec_id"), col("tenant_id"))
+    val v = graft.scale.Scale.spread(
+      vectors.select(col("vec_id"), Dedup.quantized(col("embedding")).as("q")))
+      .persist()
+    val cents = trainedCentroids(v).persist()
+    val lists = assignTo(v, cents, probes = 1)
+      .join(tenants, "vec_id")
+      .select(col("tenant_id"), col("centroid_id"), col("vec_id"), col("q"))
+    val queryLists = assignTo(v.filter(isQuery(col("vec_id"))), cents,
+        probes = IvfProbes)
+      .join(tenants, "vec_id")
+      .select(col("tenant_id").as("q_tenant"),
+        col("centroid_id").as("q_centroid"),
+        col("vec_id").as("query_id"), col("q").as("qv"))
+    lists
+      .join(broadcast(queryLists),
+        col("tenant_id") === col("q_tenant") &&
+          col("centroid_id") === col("q_centroid") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_tenant"), col("qv"),
+        col("vec_id"), col("tenant_id").as("c_tenant"), col("q"))
+      .dropDuplicates("query_id", "vec_id")
+  }
+
+  /** Tenant-scoped IVF top-k over any (vec_id, tenant_id, embedding)
+    * frame; result rows carry the query's tenant, equal to every
+    * candidate's by construction. */
+  def tenantIvfTopKOf(vectors: DataFrame, k: Int = 10): DataFrame = {
+    val scored = tenantIvfCandidatesOf(vectors)
+      .select(col("query_id"), col("q_tenant").as("tenant_id"),
+        col("vec_id"), dot(col("qv"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "tenant_id", "vec_id", "dot", "rank")
+  }
+
+  def tenantIvfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    tenantIvfTopKOf(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          expr(s"(vec_id div 7) % $SimTenants").as("tenant_id"),
+          col("embedding")),
+      k)
+
   // -------------------------------------------------------------------
   // IVF-style ANN: coarse quantizer + probed inverted lists
   // -------------------------------------------------------------------
@@ -837,6 +893,7 @@ object Similarity {
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
+    "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
@@ -1003,6 +1060,39 @@ object Similarity {
        |                      c.centroid_id ASC) AS rn
        |    FROM q v CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
   }
+
+  /** Oracle for [[tenantIvfTopK]]: the shared [[ivfListsPrefix]]
+    * (tenant-GLOBAL quantizer — true in SQL exactly as in the plan)
+    * plus the tenant-equality key on the candidate join, with the
+    * registered binding's arithmetic tenant derivation. */
+  private def tenantIvfOracle: String =
+    ivfListsPrefix + s""",
+       |qlists AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT v.vec_id AS query_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM q v CROSS JOIN $centsCte c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
+       |cand AS (
+       |  SELECT DISTINCT ql.query_id, l.vec_id
+       |  FROM qlists ql JOIN lists l ON ql.centroid_id = l.centroid_id
+       |   AND (l.vec_id // 7) % $SimTenants = (ql.query_id // 7) % $SimTenants
+       |  WHERE l.vec_id <> ql.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         CAST(list_dot_product(qq.qv, cc.qv) AS BIGINT) AS dot
+       |  FROM cand
+       |  JOIN q qq ON qq.vec_id = cand.query_id
+       |  JOIN q cc ON cc.vec_id = cand.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, dot,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY dot DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, (query_id // 7) % $SimTenants AS tenant_id,
+       |       vec_id, dot, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
 
   private def ivfOracle: String =
     ivfListsPrefix + s""",
@@ -1178,6 +1268,7 @@ object Similarity {
         |FROM rk WHERE rank <= 10""".stripMargin,
     "sim_topk_ann" -> annOracle,
     "sim_topk_tenant" -> tenantAnnOracle,
+    "sim_topk_tenant_ivf" -> tenantIvfOracle,
     "sim_topk_ivf" -> ivfOracle,
     "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,

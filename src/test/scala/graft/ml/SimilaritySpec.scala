@@ -94,6 +94,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!ids.contains(7L) && !ids.contains(14L) && !ids.contains(21L),
       s"cross-tenant vector surfaced: $ids")
     assert(forQ0.forall(_.getAs[Long]("tenant_id") == 0L))
+    // the IVF arm proves the same two claims through its (tenant,
+    // centroid) list key: zero cross-tenant CANDIDATES on the real
+    // corpus, and the planted cross-tenant twins never surface even
+    // though the shared quantizer puts them in the same centroid
+    val ivfCand = Similarity.tenantIvfCandidatesOf(corpus)
+    assert(ivfCand.count() > 0)
+    assert(ivfCand.filter(col("q_tenant") =!= col("c_tenant")).count() == 0L,
+      "IVF candidate mining crossed tenants")
+    val ivfOut = Similarity.tenantIvfTopKOf(planted, k = 5).collect()
+    val ivfQ0 = ivfOut.filter(_.getAs[Long]("query_id") == 0L)
+    assert(ivfQ0.nonEmpty)
+    val ivfIds = ivfQ0.map(_.getAs[Long]("vec_id")).toSet
+    assert(ivfIds.contains(1L), "same-tenant near-identical vector missed")
+    assert(!ivfIds.contains(7L) && !ivfIds.contains(14L) &&
+      !ivfIds.contains(21L), s"IVF surfaced cross-tenant: $ivfIds")
     spark.catalog.clearCache()
   }
 
