@@ -265,6 +265,63 @@ object IncrementalSync {
         col("n_events"))
   }
 
+  // -------------------------------------------------------------------
+  // Session TTL expiry — EventTimeTimeout keyed state
+  // (core/session_manager.py:22 — sessions expire after 6 h idle)
+  // -------------------------------------------------------------------
+
+  /** One session touch (any activity on a user's session). */
+  final case class SessionTouch(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Keyed session state: first/last activity (epoch millis) + count. */
+  final case class SessionLife(start_ms: Long, last_ms: Long, n_events: Long)
+
+  /** Emitted when a session's idle time exceeds the TTL. */
+  final case class ExpiredSession(
+      user_id: Long, start_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming twin of the batch `t19_session_ttl` audit: per-user
+    * session state with an EVENT-TIME timeout — each touch extends the
+    * session and re-arms the timeout at last-activity + ttl; when the
+    * stream's watermark passes that deadline the state times out, the
+    * session is emitted as expired and its state is REMOVED. This is
+    * exactly the reference's 6-hour session-manager expiry as keyed
+    * streaming state, and the timeout-driven eviction is what keeps
+    * state bounded at unbounded input (a session store can only grow
+    * with LIVE sessions, never with history). */
+  def expireSessions(events: Dataset[SessionTouch],
+      ttlHours: Int = 6,
+      lateness: String = "10 minutes"): Dataset[ExpiredSession] = {
+    import events.sparkSession.implicits._
+    val ttlMs = ttlHours * 3600L * 1000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessionTouch],
+         state: GroupState[SessionLife]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ExpiredSession(uid,
+              new java.sql.Timestamp(s.start_ms),
+              new java.sql.Timestamp(s.last_ms), s.n_events))
+          } else {
+            val ts = rows.map(_.ts.getTime).toSeq
+            val prev = state.getOption
+            val st = SessionLife(
+              math.min(prev.map(_.start_ms).getOrElse(Long.MaxValue), ts.min),
+              math.max(prev.map(_.last_ms).getOrElse(Long.MinValue), ts.max),
+              prev.map(_.n_events).getOrElse(0L) + ts.size)
+            state.update(st)
+            state.setTimeoutTimestamp(st.last_ms + ttlMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup for a document feed: key on the content hash
     * (the reference's vector content_hash, database/models.py:81),
     * dropDuplicatesWithinWatermark so dedup state is EVICTED once the

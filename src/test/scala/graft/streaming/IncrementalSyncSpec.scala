@@ -214,6 +214,42 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session TTL expiry: idle session times out at last-touch + 6h and " +
+    "its state is evicted; an active session survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[IncrementalSync.SessionTouch]
+    val q = IncrementalSync.expireSessions(input.toDS())
+      .writeStream.format("memory").queryName("expired")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two touches at 10:00/10:05 -> deadline 16:05.
+      // user 2: touch at 10:00, touched again at 17:00 -> deadline 23:00.
+      input.addData(
+        IncrementalSync.SessionTouch(1L, t("2024-01-01 10:00:00")),
+        IncrementalSync.SessionTouch(1L, t("2024-01-01 10:05:00")),
+        IncrementalSync.SessionTouch(2L, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // 17:00 touch advances the watermark to 16:50 (10 min lateness) —
+      // past user 1's 16:05 deadline, and re-arms user 2 to 23:00
+      input.addData(IncrementalSync.SessionTouch(2L, t("2024-01-01 17:00:00")))
+      q.processAllAvailable()
+      // timeouts fire against the updated watermark on the next batch
+      input.addData(IncrementalSync.SessionTouch(2L, t("2024-01-01 17:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("expired")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("start_ts").toString,
+          r.getAs[java.sql.Timestamp]("last_ts").toString,
+          r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L)),
+        s"user 1 must expire: $rows")
+      assert(!rows.exists(_._1 == 2L), "active session must not expire")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate texts collapse, distinct ones pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
