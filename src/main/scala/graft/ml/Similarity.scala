@@ -20,9 +20,10 @@ import graft.functions.ArrayOps
   * to same-bucket vectors (equi-join on bucket id), which is the standard
   * first cut for ANN at 100 TB corpus scale. Both rerank identically.
   *
-  * Cache contract: [[ivfTopK]] and [[labelOutliers]] persist() load-bearing
-  * intermediates that the RETURNED lazy plan still references, so they
-  * cannot unpersist before the caller's action. In a long-lived session the
+  * Cache contract: [[ivfTopK]], [[labelOutliers]],
+  * [[tenantAnnCandidatesOf]] and [[tenantIvfCandidatesOf]] persist()
+  * load-bearing intermediates that the RETURNED lazy plan still
+  * references, so they cannot unpersist before the caller's action. In a long-lived session the
   * caller must release them after its final action
   * (`spark.catalog.clearCache()`, as Bench/Verify do between queries) or
   * the cached blocks accumulate across queries.

@@ -1022,6 +1022,69 @@ object TextOps {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     qualityClassifierOf(Tables.documents(spark, dir))
 
+  /** Classifier evaluation — exact ROC-AUC + confusion matrix of the
+    * fastText-shaped classifier's score ([[qualityClassifierOf]],
+    * `mean_w_milli`) against the Gopher rule verdict
+    * ([[gopherQualityOf]], `gopher_pass`) as ground truth: the
+    * "does the cheap learned filter reproduce the expensive rule set"
+    * check every curation pipeline runs before swapping one in for the
+    * other (the fastText-vs-rules calibration step).
+    *
+    * AUC is the Mann–Whitney U statistic computed EXACTLY from the
+    * bounded score histogram (scores are integer milli, ≤ 2001 distinct
+    * values): per ascending score s,
+    * `U2 += n_pos(s) · (2·cum_neg_below(s) + n_neg(s))` — ties get the
+    * standard half credit, everything in integers; the single division
+    * to [0,1] is the only double, computed from exact operands in the
+    * same expression order in both engines. The histogram prefix runs
+    * as ONE bounded `aggregate()` fold over the collected ≤2001-row
+    * histogram (the epochOrder pattern) — no window, no global sort,
+    * and the corpus is touched by exactly one grouped aggregate, so
+    * the plan is identical at any corpus size. Precision/recall/F1 of
+    * the classifier's hard `keep` decision ride along in integer
+    * milli from the same pass. */
+  def classifierAucOf(docs: DataFrame): DataFrame = {
+    val scored = qualityClassifierOf(docs)
+      .select(col("doc_id"), col("mean_w_milli").as("score"), col("keep"))
+    val labeled = gopherQualityOf(docs)
+      .select(col("doc_id"), col("gopher_pass"))
+    val hist = scored.join(labeled, "doc_id")
+      .groupBy("score")
+      .agg(
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("gopher_pass"), 1L).otherwise(0L)).as("nn"),
+        sum(when(col("keep") && col("gopher_pass"), 1L).otherwise(0L)).as("kp"),
+        sum(when(col("keep") && !col("gopher_pass"), 1L).otherwise(0L)).as("kn"))
+    hist
+      .agg(sort_array(collect_list(struct(col("score"), col("np"),
+        col("nn"), col("kp"), col("kn")))).as("xs"))
+      .select(expr(
+        """aggregate(xs,
+          |  named_struct('cumneg', 0L, 'u2', 0L, 'p', 0L, 'n', 0L,
+          |               'tp', 0L, 'fp', 0L),
+          |  (acc, x) -> named_struct(
+          |    'cumneg', acc.cumneg + x.nn,
+          |    'u2', acc.u2 + x.np * (2 * acc.cumneg + x.nn),
+          |    'p', acc.p + x.np,
+          |    'n', acc.n + x.nn,
+          |    'tp', acc.tp + x.kp,
+          |    'fp', acc.fp + x.kn))""".stripMargin).as("r"))
+      .select(col("r.p").as("n_pos"), col("r.n").as("n_neg"),
+        col("r.u2").as("u2"), col("r.tp").as("tp"), col("r.fp").as("fp"),
+        (col("r.p") - col("r.tp")).as("fn"),
+        (col("r.n") - col("r.fp")).as("tn"))
+      .select(col("*"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"),
+        expr("tp * 1000 div greatest(tp + fp, 1)").as("precision_milli"),
+        expr("tp * 1000 div greatest(tp + fn, 1)").as("recall_milli"),
+        expr("2 * tp * 1000 div greatest(2 * tp + fp + fn, 1)").as("f1_milli"))
+  }
+
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame =
+    classifierAucOf(Tables.documents(spark, dir))
+
   // -------------------------------------------------------------------
   // Per-source quality pruning + mixture weighting (corpus curation)
   // -------------------------------------------------------------------
@@ -1210,6 +1273,7 @@ object TextOps {
     "curation_importance" -> ((s, d) => importanceWeights(s, d)),
     "text_lm_xent" -> ((s, d) => lmCrossEntropy(s, d)),
     "text_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "text_classifier_auc" -> ((s, d) => classifierAuc(s, d)),
     "curation_quality_prune" -> ((s, d) => qualityPrune(s, d)),
     "curation_mixture_weights" -> ((s, d) => mixtureWeights(s, d)),
     "curation_epoch_plan" -> ((s, d) => epochPlan(s, d)),
@@ -1475,7 +1539,55 @@ object TextOps {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       CAST(sum(bits_milli) AS BIGINT) // count(*) AS xent_milli
         |FROM bits GROUP BY doc_id""".stripMargin,
-    "text_gopher_quality" ->
+    "text_gopher_quality" -> gopherOracle,
+    "text_classifier_auc" -> classifierAucOracle) ++ moreOracles
+
+  /** Composes [[classifierOracle]] (scores) and [[gopherOracle]]
+    * (ground truth) as subqueries — their nested WITHs are scoped to
+    * each branch — then replays the bounded-histogram U statistic:
+    * cum_neg_below via a window over the ≤2001-row histogram (fine in
+    * the oracle; the Spark plan uses the bounded fold instead), the
+    * same integer tie-credit formula, and the one double division in
+    * the same expression order. */
+  private def classifierAucOracle: String =
+    s"""WITH cls AS ($classifierOracle),
+       |gq AS ($gopherOracle),
+       |h AS (
+       |  SELECT mean_w_milli AS score,
+       |         CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(sum(CASE WHEN NOT gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+       |         CAST(sum(CASE WHEN keep AND gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS kp,
+       |         CAST(sum(CASE WHEN keep AND NOT gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS kn
+       |  FROM cls JOIN gq USING (doc_id) GROUP BY 1),
+       |w AS (
+       |  SELECT np, nn, kp, kn,
+       |         CAST(COALESCE(sum(nn) OVER (ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cumneg
+       |  FROM h),
+       |agg AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |         CAST(sum(nn) AS BIGINT) AS n_neg,
+       |         CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
+       |         CAST(sum(kp) AS BIGINT) AS tp,
+       |         CAST(sum(kn) AS BIGINT) AS fp
+       |  FROM w)
+       |SELECT n_pos, n_neg, u2, tp, fp,
+       |       n_pos - tp AS fn, n_neg - fp AS tn,
+       |       CAST(u2 AS DOUBLE) /
+       |         (2.0::DOUBLE * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |         AS auc,
+       |       CAST(tp * 1000 // greatest(tp + fp, 1) AS BIGINT)
+       |         AS precision_milli,
+       |       CAST(tp * 1000 // greatest(tp + (n_pos - tp), 1) AS BIGINT)
+       |         AS recall_milli,
+       |       CAST(2 * tp * 1000 // greatest(2 * tp + fp + (n_pos - tp), 1)
+       |         AS BIGINT) AS f1_milli
+       |FROM agg""".stripMargin
+
+  /** Extracted as a def so [[classifierAucOracle]] can compose it as a
+    * ground-truth subquery — byte-identical to the round-9 literal. */
+  private def gopherOracle: String =
       """WITH t AS (
         |  SELECT doc_id,
         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1520,7 +1632,10 @@ object TextOps {
         |       (n_words >= 10 AND mean_word_len_milli BETWEEN 1000 AND 10000
         |        AND alpha_word_milli >= 500 AND top_bigram_milli <= 200
         |        AND rep5_milli <= 150) AS gopher_pass
-        |FROM v""".stripMargin,
+        |FROM v""".stripMargin
+
+  // lazy: referenced by `oracles` above, declared below it
+  private lazy val moreOracles: Map[String, String] = Map(
     "u3_extract_text" ->
       """WITH m AS (
         |  SELECT doc_id,

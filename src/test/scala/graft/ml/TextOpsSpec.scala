@@ -487,4 +487,32 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("planned_tokens")).sum <=
       TextOps.EpochTokenBudget)
   }
+
+  test("classifier AUC: histogram-fold U equals the naive pairwise AUC " +
+    "and the confusion matrix partitions the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val got = TextOps.classifierAucOf(docs).collect().head
+    // naive replay: every (pos, neg) score pair scores 1 / 0.5 / 0
+    val scored = TextOps.qualityClassifierOf(docs)
+      .select(col("doc_id"), col("mean_w_milli"))
+      .join(TextOps.gopherQualityOf(docs)
+        .select(col("doc_id"), col("gopher_pass")), "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("mean_w_milli"), r.getAs[Boolean]("gopher_pass")))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var u2 = 0L
+    for (p <- pos; n <- neg)
+      u2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    assert(got.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(got.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(got.getAs[Long]("u2") == u2, "fold U2 != naive pairwise U2")
+    val auc = got.getAs[Double]("auc")
+    assert(auc == u2.toDouble / (2.0 * pos.length * neg.length))
+    assert(auc >= 0.0 && auc <= 1.0)
+    // confusion matrix partitions the corpus
+    assert(got.getAs[Long]("tp") + got.getAs[Long]("fp") +
+      got.getAs[Long]("fn") + got.getAs[Long]("tn") == scored.length.toLong)
+  }
 }
