@@ -392,6 +392,32 @@ object Dedup {
   def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame =
     prefixFilterPairsOf(Tables.documents(spark, dir))
 
+  /** Blocker audit — the recall report a dedup pipeline keeps on its
+    * dashboard: the LOSSLESS prefix-filter join ([[prefixFilterPairsOf]],
+    * exact J ≥ 0.8) is the ground truth; the banded-MinHash detector
+    * ([[minhashPairsOf]], est ≥ 0.5) is the probabilistic production
+    * arm under audit. One row: true pair count, detected count, hits,
+    * and detector recall in milli. When a config change (band count,
+    * signature length, gate) silently drops recall, THIS number moves —
+    * the alarm you want before a contaminated training run, not after.
+    *
+    * Scale: both inputs are the existing subquadratic joins; the audit
+    * adds one key-key semi join and three scalar counts. */
+  def blockingRecallOf(docs: DataFrame): DataFrame = {
+    val truth = prefixFilterPairsOf(docs).select("doc_a", "doc_b").persist()
+    val detected = minhashPairsOf(docs).select("doc_a", "doc_b").persist()
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nDet = detected.agg(count(lit(1)).as("n_detected"))
+    val nHit = truth.join(detected, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(broadcast(nDet)).crossJoin(broadcast(nHit))
+      .select(col("n_true"), col("n_detected"), col("n_hit"),
+        expr("n_hit * 1000 div nullif(n_true, 0)").as("recall_milli"))
+  }
+
+  def blockingRecall(spark: SparkSession, dir: String): DataFrame =
+    blockingRecallOf(Tables.documents(spark, dir))
+
   // -------------------------------------------------------------------
   // MinHash + LSH — every hash ENGINE-PORTABLE (char-level polynomial
   // shingle hash, affine permutations mod 2^31-1, polynomial band fold),
@@ -1033,6 +1059,7 @@ object Dedup {
     "dedup_containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "dedup_prefix_pairs" -> ((s, d) => prefixFilterPairs(s, d)),
     "dedup_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+    "dedup_blocking_recall" -> ((s, d) => blockingRecall(s, d)),
     "dedup_incremental_admit" -> ((s, d) => incrementalAdmit(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
@@ -1377,6 +1404,43 @@ object Dedup {
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b
          |WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5::DOUBLE""".stripMargin,
+    // the truth side re-states the uncapped prefix-truth join with
+    // p-prefixed CTE names (the sig CTE already owns t); the detector
+    // side shares the signature CTEs verbatim
+    "dedup_blocking_recall" ->
+      s"""$minhashSigCte,
+         |mcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |mh AS (
+         |  SELECT doc_a, doc_b FROM mcand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+         |             AS DOUBLE) / 32 >= 0.5::DOUBLE),
+         |psh AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                               for i in range(1, len(toks) - 1)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |psz AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY doc_id),
+         |ppairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT doc_a, doc_b FROM ppairs
+         |  JOIN psz sa ON sa.doc_id = doc_a
+         |  JOIN psz sb ON sb.doc_id = doc_b
+         |  WHERE 1000 * inter // (sa.n + sb.n - inter) >= $PrefixThresholdMilli),
+         |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_detected FROM mh),
+         |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM tp JOIN mh USING (doc_a, doc_b))
+         |SELECT n_true, n_detected, n_hit,
+         |       CAST(n_hit * 1000 // NULLIF(n_true, 0) AS BIGINT) AS recall_milli
+         |FROM c1, c2, c3""".stripMargin,
     // candidate arms mirror incrementalAdmitOf: corpus->batch (any
     // direction) plus batch->batch keep-first; same signature CTE as
     // the pair oracle, same 0.5 gate, min-neighbor as dup_of

@@ -153,15 +153,74 @@ object DataQuality {
           .as("collision_micro"))
   }
 
+  /** K-anonymity audit — the re-identification governance check a
+    * training-data release runs before shipping: group the table by its
+    * quasi-identifier tuple (tenant, status, time bucket), report the
+    * minimum group size (the table's k-anonymity level), how many
+    * groups fall below the k threshold, and how many rows those
+    * at-risk groups expose. Two generalization levels (month, then
+    * quarter) in one result, showing the standard remedy — coarsen the
+    * quasi-identifier until k clears the bar.
+    *
+    * Scale: each level is one grouped count (map-side combined) plus a
+    * scalar roll-up — bounded output at any table size. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = graft.Tables.orders(spark, dir)
+      .select((col("o_custkey") % 4).as("tenant_id"),
+        col("o_orderstatus").as("status"), col("o_orderdate"))
+    def level(name: String, bucket: Column): DataFrame =
+      base.select(col("tenant_id"), col("status"), bucket.as("bucket"))
+        .groupBy("tenant_id", "status", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          min(col("n")).as("k_anonymity"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+          sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"))
+        .select(lit(name).as("level"), col("n_rows"), col("n_groups"),
+          col("k_anonymity"), col("groups_below_k"), col("rows_at_risk"))
+    level("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .unionByName(level("quarter",
+        concat(year(col("o_orderdate")), lit("-Q"),
+          quarter(col("o_orderdate")))))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "dq_constraints" -> ((s, d) => constraintReport(s, d)),
     "dq_column_profile" -> ((s, d) => columnProfile(s, d)),
     "dq_benford" -> ((s, d) => benfordDigits(s, d)),
+    "dq_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "dq_key_skew" -> ((s, d) => keySkew(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dq_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 4 AS tenant_id, o_orderstatus AS status,
+        |         o_orderdate
+        |  FROM orders),
+        |gm AS (
+        |  SELECT count(*) AS n FROM base
+        |  GROUP BY tenant_id, status, strftime(o_orderdate, '%Y-%m')),
+        |gq AS (
+        |  SELECT count(*) AS n FROM base
+        |  GROUP BY tenant_id, status,
+        |           year(o_orderdate)::VARCHAR || '-Q' ||
+        |           quarter(o_orderdate)::VARCHAR)
+        |SELECT 'month' AS level, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       count(*) AS n_groups, CAST(min(n) AS BIGINT) AS k_anonymity,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_below_k,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk
+        |FROM gm
+        |UNION ALL
+        |SELECT 'quarter', CAST(sum(n) AS BIGINT), count(*),
+        |       CAST(min(n) AS BIGINT),
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |FROM gq""".stripMargin,
     "dq_key_skew" ->
       """WITH k AS (
         |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
