@@ -34,7 +34,7 @@ object TextOps {
     * - 1000` — the linear-interpolated log2 used by the BM25 idf and the
     * bigram-LM cross-entropy chains. Integral `div` throughout, so the
     * same chain (with `//`) replays bit-for-bit in DuckDB oracles. */
-  private[ml] def log2mExpr(x: String): String =
+  private[graft] def log2mExpr(x: String): String =
     s"(length(bin($x)) - 1) * 1000" +
       s" + ($x) * 1000 div CAST(power(2, length(bin($x)) - 1) AS BIGINT) - 1000"
 

@@ -185,6 +185,49 @@ object DataQuality {
           quarter(col("o_orderdate")))))
   }
 
+  /** Distribution-drift monitor (PSI — population stability index, the
+    * standard train/serve drift alarm): the reference snapshot (even
+    * doc ids — the deterministic stand-in for "last ingest", same
+    * convention as the contamination split) vs the current one (odd
+    * ids), compared on the document-length distribution over a bounded
+    * 16-bucket grid. Per bucket: counts, milli shares, and the PSI
+    * contribution `(p − q) · log(p/q)` in exact integers — shares in
+    * milli, the log via the established interpolated milli-log2
+    * ([[graft.ml.TextOps.log2mExpr]], +1 Laplace smoothing so empty
+    * buckets stay finite), so the whole report replays bit-for-bit.
+    * Σ contrib_micro is the corpus PSI in micro-log2 units — the
+    * number an ingest gate alerts on (>0.2·ln2 scaled ≈ major shift).
+    *
+    * Scale: two bounded grouped counts + a bounded full-outer join —
+    * nothing grows with the corpus. */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(expr("n_chars div 200"), lit(15L)).as("bucket"))
+    driftPsiOf(docs.filter(col("doc_id") % 2 === 0).select("bucket"),
+      docs.filter(col("doc_id") % 2 === 1).select("bucket"))
+  }
+
+  /** Library form over two (bucket) observation frames. */
+  def driftPsiOf(refBuckets: DataFrame, curBuckets: DataFrame): DataFrame = {
+    val ref = refBuckets.groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+    val cur = curBuckets.groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+    val tr = ref.agg(sum(col("n_ref")).as("t_ref"))
+    val tc = cur.agg(sum(col("n_cur")).as("t_cur"))
+    val log2m = graft.ml.TextOps.log2mExpr _
+    ref.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(tc))
+      .selectExpr("bucket", "n_ref", "n_cur",
+        "n_ref * 1000 div t_ref AS p_milli",
+        "n_cur * 1000 div t_cur AS q_milli")
+      .selectExpr("bucket", "n_ref", "n_cur", "p_milli", "q_milli",
+        s"(p_milli - q_milli) * (${log2m("p_milli + 1")}" +
+          s" - (${log2m("q_milli + 1")})) AS contrib_micro")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -192,9 +235,38 @@ object DataQuality {
     "dq_column_profile" -> ((s, d) => columnProfile(s, d)),
     "dq_benford" -> ((s, d) => benfordDigits(s, d)),
     "dq_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
+    "dq_drift_psi" -> ((s, d) => driftPsi(s, d)),
     "dq_key_skew" -> ((s, d) => keySkew(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dq_drift_psi" ->
+      """WITH d AS (
+        |  SELECT doc_id, least(n_chars // 200, 15) AS bucket FROM documents),
+        |r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref
+        |      FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur
+        |      FROM d WHERE doc_id % 2 = 1 GROUP BY 1),
+        |tr AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref FROM r),
+        |tc AS (SELECT CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c),
+        |j AS (
+        |  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+        |         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+        |m AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |         CAST(n_ref * 1000 // t_ref AS BIGINT) AS p_milli,
+        |         CAST(n_cur * 1000 // t_cur AS BIGINT) AS q_milli
+        |  FROM j CROSS JOIN tr CROSS JOIN tc)
+        |SELECT bucket, n_ref, n_cur, p_milli, q_milli,
+        |       CAST((p_milli - q_milli) *
+        |         (((length(bin(p_milli + 1)) - 1) * 1000
+        |            + (p_milli + 1) * 1000
+        |              // CAST(pow(2, length(bin(p_milli + 1)) - 1) AS BIGINT) - 1000)
+        |          - ((length(bin(q_milli + 1)) - 1) * 1000
+        |            + (q_milli + 1) * 1000
+        |              // CAST(pow(2, length(bin(q_milli + 1)) - 1) AS BIGINT) - 1000))
+        |         AS BIGINT) AS contrib_micro
+        |FROM m""".stripMargin,
     "dq_k_anonymity" ->
       """WITH base AS (
         |  SELECT o_custkey % 4 AS tenant_id, o_orderstatus AS status,

@@ -86,4 +86,28 @@ class DataQualitySpec extends SparkSpec {
     assert(row.getAs[Long]("collision_micro") ==
       counts.map(c => c * (c - 1)).sum * 1000000 / (n * (n - 1)))
   }
+
+  test("drift PSI: identical distributions contribute zero, a shifted one " +
+    "is strictly positive, and shares conserve") {
+    import spark.implicits._
+    val refB = (1L to 300L).map(i => i % 4).toDF("bucket")
+    val same = DataQuality.driftPsiOf(refB, refB).collect()
+    assert(same.forall(_.getAs[Long]("contrib_micro") == 0L))
+    // mass moves from bucket 0 to bucket 3 -> both ends contribute > 0
+    // ((p-q) and log(p/q) always share a sign, so PSI terms are >= 0)
+    val curB = (1L to 300L).map(i => if (i % 4 == 0) 3L else i % 4)
+      .toDF("bucket")
+    val shifted = DataQuality.driftPsiOf(refB, curB).collect()
+    assert(shifted.map(_.getAs[Long]("contrib_micro")).sum > 0L)
+    assert(shifted.forall(_.getAs[Long]("contrib_micro") >= 0L))
+    assert(shifted.map(_.getAs[Long]("n_ref")).sum == 300L)
+    assert(shifted.map(_.getAs[Long]("n_cur")).sum == 300L)
+    // k-anonymity sanity on the real corpus: quarter generalization can
+    // only raise (or keep) the k level and shrink the exposed rows
+    val ka = DataQuality.kAnonymity(spark, sf).collect()
+      .map(r => r.getAs[String]("level") ->
+        (r.getAs[Long]("k_anonymity"), r.getAs[Long]("rows_at_risk"))).toMap
+    assert(ka("quarter")._1 >= ka("month")._1)
+    assert(ka("quarter")._2 <= ka("month")._2)
+  }
 }
