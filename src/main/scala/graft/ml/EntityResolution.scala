@@ -154,6 +154,53 @@ object EntityResolution {
   def matches(spark: SparkSession, dir: String): DataFrame =
     matchesOf(scoredPairs(spark, dir))
 
+  /** MDM merge — golden-record construction after linkage: one merged
+    * record per A-side entity with FIELD-LEVEL survivorship (the step
+    * after matching that master-data pipelines actually ship). Rules:
+    * the clean source keeps the canonical name; the freshness stamp is
+    * the max across linked records; the phone survives from the FRESHER
+    * source when it has one, else whichever source has one at all —
+    * with a provenance column recording the decision (the audit column
+    * an MDM merge must carry). Attributes are synthesized
+    * deterministically (freshness from the portable serial hash, phones
+    * from key arithmetic with per-source null channels), so the whole
+    * merge — including every survivorship CASE — replays in the oracle.
+    * Unmatched A records pass through as golden singletons.
+    *
+    * Scale: two narrow projections + the match table + two key joins —
+    * the same shuffle profile as the linkage itself; survivorship is
+    * per-row CASE logic, free inside the join projection. */
+  def goldenRecords(spark: SparkSession, dir: String): DataFrame = {
+    val serial = (c: Column) => (c * 48271L) % 100000L
+    val a = sourceA(spark, dir).select(col("a_id"), col("a_name"),
+      (serial(col("a_id")) % 997L).as("a_updated"),
+      when(col("a_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("+1-"),
+          lpad((col("a_id") * 7919L % 10000000L).cast("string"), 7, "0")))
+        .as("a_phone"))
+    val b = sourceB(spark, dir).select(col("b_id"),
+      (serial(col("b_id") * 7L) % 997L).as("b_updated"),
+      when(col("b_id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("+1-"),
+          lpad((col("b_id") * 104729L % 10000000L).cast("string"), 7, "0")))
+        .as("b_phone"))
+    a.join(matches(spark, dir).select("a_id", "b_id"), Seq("a_id"), "left_outer")
+      .join(b, Seq("b_id"), "left_outer")
+      .select(col("a_id").as("entity_id"),
+        col("b_id").isNotNull.as("matched"),
+        lower(col("a_name")).as("canonical_name"),
+        greatest(col("a_updated"), coalesce(col("b_updated"), lit(-1L)))
+          .as("last_updated"),
+        when(coalesce(col("b_updated"), lit(-1L)) > col("a_updated") &&
+            col("b_phone").isNotNull, col("b_phone"))
+          .otherwise(coalesce(col("a_phone"), col("b_phone"))).as("phone"),
+        when(coalesce(col("b_updated"), lit(-1L)) > col("a_updated") &&
+            col("b_phone").isNotNull, "B")
+          .when(col("a_phone").isNotNull, "A")
+          .when(col("b_phone").isNotNull, "B")
+          .otherwise("none").as("phone_src"))
+  }
+
   /** Linkage quality vs ground truth (key equality — consulted here
     * ONLY): precision over emitted matches, recall over linkable records
     * (those with a surviving B row), in milli-units. One aggregate over
@@ -254,6 +301,7 @@ object EntityResolution {
   val queries: Map[String, Q] = Map(
     "er_scored_pairs" -> ((s, d) => scoredPairs(s, d)),
     "er_matches" -> ((s, d) => matches(s, d)),
+    "er_golden_records" -> ((s, d) => goldenRecords(s, d)),
     "er_match_quality" -> ((s, d) => matchQuality(s, d)),
     "er_edit_distance" -> ((s, d) => editDistanceRescore(s, d)),
     "er_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)),
@@ -314,6 +362,37 @@ object EntityResolution {
   val oracles: Map[String, String] = Map(
     "er_scored_pairs" -> (erCtes + "\nSELECT a_id, b_id, jm FROM scored"),
     "er_matches" -> (erCtes + "\nSELECT a_id, b_id, jm FROM best"),
+    "er_golden_records" -> (erCtes +
+      """,
+        |attrs_a AS (
+        |  SELECT a_id, a_name,
+        |         (a_id * 48271) % 100000 % 997 AS a_updated,
+        |         CASE WHEN a_id % 3 = 0 THEN NULL
+        |              ELSE '+1-' || lpad(CAST(a_id * 7919 % 10000000 AS VARCHAR), 7, '0')
+        |         END AS a_phone
+        |  FROM a),
+        |attrs_b AS (
+        |  SELECT b_id,
+        |         ((b_id * 7) * 48271) % 100000 % 997 AS b_updated,
+        |         CASE WHEN b_id % 4 = 0 THEN NULL
+        |              ELSE '+1-' || lpad(CAST(b_id * 104729 % 10000000 AS VARCHAR), 7, '0')
+        |         END AS b_phone
+        |  FROM b)
+        |SELECT aa.a_id AS entity_id,
+        |       best.b_id IS NOT NULL AS matched,
+        |       lower(aa.a_name) AS canonical_name,
+        |       greatest(aa.a_updated, COALESCE(ab.b_updated, -1)) AS last_updated,
+        |       CASE WHEN COALESCE(ab.b_updated, -1) > aa.a_updated
+        |                 AND ab.b_phone IS NOT NULL THEN ab.b_phone
+        |            ELSE COALESCE(aa.a_phone, ab.b_phone) END AS phone,
+        |       CASE WHEN COALESCE(ab.b_updated, -1) > aa.a_updated
+        |                 AND ab.b_phone IS NOT NULL THEN 'B'
+        |            WHEN aa.a_phone IS NOT NULL THEN 'A'
+        |            WHEN ab.b_phone IS NOT NULL THEN 'B'
+        |            ELSE 'none' END AS phone_src
+        |FROM attrs_a aa
+        |LEFT JOIN best ON best.a_id = aa.a_id
+        |LEFT JOIN attrs_b ab ON ab.b_id = best.b_id""".stripMargin),
     "er_edit_distance" -> (erCtes +
       """
         |SELECT best.a_id, best.b_id, best.jm,

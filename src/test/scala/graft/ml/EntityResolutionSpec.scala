@@ -113,4 +113,28 @@ class EntityResolutionSpec extends SparkSpec {
     assert(sweep(700).getAs[Long]("n_correct") == q.getAs[Long]("n_correct"))
     assert(sweep(700).getAs[Long]("recall_milli") == q.getAs[Long]("recall_milli"))
   }
+
+  test("golden records: one per A entity; unmatched singletons pass " +
+    "through; phone survivorship always has provenance") {
+    import org.apache.spark.sql.functions.col
+    val g = EntityResolution.goldenRecords(spark, sf)
+    val rows = g.collect()
+    assert(rows.length ==
+      EntityResolution.sourceA(spark, sf).count().toInt)
+    assert(rows.map(_.getAs[Long]("entity_id")).distinct.length == rows.length)
+    val matched = rows.count(_.getAs[Boolean]("matched"))
+    assert(matched > 0 && matched < rows.length)
+    rows.foreach { r =>
+      val phone = Option(r.getAs[String]("phone"))
+      val src = r.getAs[String]("phone_src")
+      assert(phone.isDefined == (src != "none"),
+        s"provenance/value mismatch: $src vs $phone")
+      if (!r.getAs[Boolean]("matched")) {
+        // singleton: freshness is A's own stamp, phone can only be A's
+        val id = r.getAs[Long]("entity_id")
+        assert(r.getAs[Long]("last_updated") == (id * 48271L) % 100000L % 997L)
+        assert(src == "A" || src == "none")
+      }
+    }
+  }
 }
