@@ -119,7 +119,10 @@ object Graph {
         .join(alive.select(col("node").as("d_ok")), col("dst") === col("d_ok"))
         .groupBy("src").agg(count(lit(1)).as("d"))
     var alive = edges.select(col("src").as("node")).distinct()
-    for (round <- 1 to rounds) {
+    var prevCount = -1L
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
       val next = inducedDeg(alive)
         .filter(col("d") >= k)
         .select(col("src").as("node"))
@@ -135,9 +138,18 @@ object Graph {
       // (ADVICE r9). The count is not extra work — each round is computed
       // exactly once either way, just eagerly. Round 1's `alive` is the
       // unpersisted seed, so there is nothing to drop.
-      next.count()
+      val n = next.count()
       if (round > 1) alive.unpersist(blocking = false)
       alive = next
+      // the alive set shrinks monotonically, so an unchanged COUNT means
+      // an unchanged SET — the peeling fixpoint. The count is already in
+      // hand from the materialization barrier, so convergence detection
+      // is FREE, and post-fixpoint rounds would be pure no-op joins:
+      // `rounds` is the safety CAP, not a mandatory cost (the purchase
+      // graph converges in 2 rounds; the cap is 4).
+      converged = n == prevCount
+      prevCount = n
+      round += 1
     }
     // the last round's cache stays live — the RETURNED lazy plan reads it;
     // callers release it after their final action (Bench/Verify clear the
