@@ -247,6 +247,21 @@ class IncrementalSyncSpec extends SparkSpec {
         (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L)),
         s"user 1 must expire: $rows")
       assert(!rows.exists(_._1 == 2L), "active session must not expire")
+      // eviction is real: user 1 touching again starts a FRESH session
+      // (start = the new touch, count restarts at 1), and expiring it
+      // shows none of the evicted state leaked back in
+      input.addData(IncrementalSync.SessionTouch(1L, t("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      input.addData(IncrementalSync.SessionTouch(2L, t("2024-01-02 02:00:00")))
+      q.processAllAvailable()
+      input.addData(IncrementalSync.SessionTouch(2L, t("2024-01-02 02:01:00")))
+      q.processAllAvailable()
+      val rows2 = spark.table("expired")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("start_ts").toString,
+          r.getAs[Long]("n_events"))).toSet
+      assert(rows2.contains((1L, "2024-01-01 18:00:00.0", 1L)),
+        s"re-opened session must start fresh: $rows2")
     } finally q.stop()
   }
 
