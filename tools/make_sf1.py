@@ -62,10 +62,18 @@ def shift_keys(tbl: pa.Table, keys: dict) -> pa.Table:
 def main() -> None:
     orders = pq.read_table(f"{SRC}/orders.parquet")
     lineitem = pq.read_table(f"{SRC}/lineitem.parquet")
+    customer = pq.read_table(f"{SRC}/customer.parquet")
+    supplier = pq.read_table(f"{SRC}/supplier.parquet")
+    part = pq.read_table(f"{SRC}/part.parquet")
+    # strides come from the DIMENSION tables so fact foreign keys and
+    # dimension primary keys shift in lockstep across copies
     ok = pc.max(orders.column("o_orderkey")).as_py() + 1
-    ck = pc.max(orders.column("o_custkey")).as_py() + 1
-    sk = pc.max(lineitem.column("l_suppkey")).as_py() + 1
-    pk = pc.max(lineitem.column("l_partkey")).as_py() + 1
+    ck = max(pc.max(orders.column("o_custkey")).as_py(),
+             pc.max(customer.column("c_custkey")).as_py()) + 1
+    sk = max(pc.max(lineitem.column("l_suppkey")).as_py(),
+             pc.max(supplier.column("s_suppkey")).as_py()) + 1
+    pk = max(pc.max(lineitem.column("l_partkey")).as_py(),
+             pc.max(part.column("p_partkey")).as_py()) + 1
 
     pq.write_table(
         shift_keys(orders, {"o_orderkey": ok, "o_custkey": ck}),
@@ -74,6 +82,16 @@ def main() -> None:
         shift_keys(lineitem,
                    {"l_orderkey": ok, "l_suppkey": sk, "l_partkey": pk}),
         f"{DST}/lineitem.parquet")
+    pq.write_table(shift_keys(customer, {"c_custkey": ck}),
+                   f"{DST}/customer.parquet")
+    pq.write_table(shift_keys(supplier, {"s_suppkey": sk}),
+                   f"{DST}/supplier.parquet")
+    pq.write_table(shift_keys(part, {"p_partkey": pk}),
+                   f"{DST}/part.parquet")
+    # fixed-size dims pass through unchanged
+    for dim in ("region", "nation"):
+        pq.write_table(pq.read_table(f"{SRC}/{dim}.parquet"),
+                       f"{DST}/{dim}.parquet")
 
     docs = pq.read_table(f"{SRC}/documents.parquet")
     n_docs = docs.num_rows
