@@ -1074,8 +1074,10 @@ object TextOps {
         (col("r.p") - col("r.tp")).as("fn"),
         (col("r.n") - col("r.fp")).as("tn"))
       .select(col("*"),
-        (col("u2").cast("double") /
-          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+        // single-class corpus: AUC is undefined — NULL, not Inf/NaN
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"),
         expr("tp * 1000 div greatest(tp + fp, 1)").as("precision_milli"),
         expr("tp * 1000 div greatest(tp + fn, 1)").as("recall_milli"),
@@ -1574,9 +1576,10 @@ object TextOps {
        |  FROM w)
        |SELECT n_pos, n_neg, u2, tp, fp,
        |       n_pos - tp AS fn, n_neg - fp AS tn,
-       |       CAST(u2 AS DOUBLE) /
-       |         (2.0::DOUBLE * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
-       |         AS auc,
+       |       CASE WHEN n_pos > 0 AND n_neg > 0
+       |            THEN CAST(u2 AS DOUBLE) /
+       |              (2.0::DOUBLE * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |       END AS auc,
        |       CAST(tp * 1000 // greatest(tp + fp, 1) AS BIGINT)
        |         AS precision_milli,
        |       CAST(tp * 1000 // greatest(tp + (n_pos - tp), 1) AS BIGINT)

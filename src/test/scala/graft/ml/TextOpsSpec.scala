@@ -514,5 +514,14 @@ class TextOpsSpec extends SparkSpec {
     // confusion matrix partitions the corpus
     assert(got.getAs[Long]("tp") + got.getAs[Long]("fp") +
       got.getAs[Long]("fn") + got.getAs[Long]("tn") == scored.length.toLong)
+    // single-class degenerate: AUC is NULL (undefined), never Inf/NaN;
+    // the confusion columns stay well-defined. A corpus of empty docs
+    // fails every Gopher rule -> n_pos = 0.
+    import spark.implicits._
+    val oneClass = TextOps.classifierAucOf(
+      (1L to 20L).map(i => (i, "x")).toDF("doc_id", "text")).collect().head
+    assert(oneClass.getAs[Long]("n_pos") == 0L)
+    assert(oneClass.isNullAt(oneClass.fieldIndex("auc")))
+    assert(oneClass.getAs[Long]("tp") == 0L && oneClass.getAs[Long]("fn") == 0L)
   }
 }
