@@ -13,4 +13,6 @@ dump("dedup_ngram_pairs", graft.ml.Dedup.ngramJaccardPairs(spark, sf))
 dump("curation_span_dedup", graft.ml.Dedup.spanDedupStats(spark, sf))
 dump("text_bpe_merges", graft.ml.TextOps.bpeMerges(spark, sf))
 dump("e2e_flagship_lineage", graft.pipeline.Lineage.flagship(spark, sf))
+dump("sim_topk_tenant", graft.ml.Similarity.tenantAnnTopK(spark, sf))
+dump("dedup_blocking_recall", graft.ml.Dedup.blockingRecall(spark, sf))
 sys.exit(0)
