@@ -948,8 +948,12 @@ object Similarity {
          |           $ds
          |        FROM q WHERE vec_id % 200 = 0)""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    // tenant_id sits SECOND, matching tenantAnnTopKOf's (query_id,
+    // tenant_id, vec_id, dot, rank) — the driver compares by name, but
+    // positional consumers and the sibling tenantIvfOracle expect the
+    // same shape
     val tenantOut =
-      if (tenantPrefixed) s", (query_id // 7) % $SimTenants AS tenant_id" else ""
+      if (tenantPrefixed) s"(query_id // 7) % $SimTenants AS tenant_id, " else ""
     s"""WITH q AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(round(
@@ -981,7 +985,7 @@ object Similarity {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY dot DESC, vec_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank$tenantOut
+       |SELECT query_id, ${tenantOut}vec_id, dot, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 10""".stripMargin
   }
 

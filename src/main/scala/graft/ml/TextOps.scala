@@ -1042,7 +1042,16 @@ object TextOps {
     * and the corpus is touched by exactly one grouped aggregate, so
     * the plan is identical at any corpus size. Precision/recall/F1 of
     * the classifier's hard `keep` decision ride along in integer
-    * milli from the same pass. */
+    * milli from the same pass.
+    *
+    * Arithmetic bound: the U2 accumulator reaches 2·n_pos·n_neg, so
+    * exact-long evaluation requires n_pos·n_neg < 2^62 — i.e. up to
+    * ~2.1e9 docs per class (≈4.3e9 balanced labeled docs, far beyond
+    * any per-evaluation corpus; 100 TB of 4 KB docs is 2.5e10 total,
+    * so a >2e9-PER-CLASS eval set would need sampling first, which is
+    * what a calibration pass does anyway). Beyond that bound Spark's
+    * long wraps silently while DuckDB HUGEINT widens — evaluate on a
+    * ≤2^31-per-class sample to stay in the exact-parity regime. */
   def classifierAucOf(docs: DataFrame): DataFrame = {
     val scored = qualityClassifierOf(docs)
       .select(col("doc_id"), col("mean_w_milli").as("score"), col("keep"))
