@@ -402,17 +402,38 @@ object Dedup {
     * the alarm you want before a contaminated training run, not after.
     *
     * Scale: both inputs are the existing subquadratic joins; the audit
-    * adds one key-key semi join and three scalar counts. */
+    * adds one key-key semi join and three scalar counts.
+    *
+    * Cache contract: the two pair frames are persisted (each feeds two
+    * counts), the one-row result is materialized EAGERLY, and both are
+    * unpersisted before returning — a library caller looping this audit
+    * accumulates nothing (the r9 kCoreOf convention). The upstream
+    * detectors' own projection barriers (shingle index, signature
+    * frame) remain under the module cache contract: Bench/Verify
+    * clearCache() between queries; a long-lived session should too. */
   def blockingRecallOf(docs: DataFrame): DataFrame = {
     val truth = prefixFilterPairsOf(docs).select("doc_a", "doc_b").persist()
     val detected = minhashPairsOf(docs).select("doc_a", "doc_b").persist()
-    val nTrue = truth.agg(count(lit(1)).as("n_true"))
-    val nDet = detected.agg(count(lit(1)).as("n_detected"))
-    val nHit = truth.join(detected, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nTrue.crossJoin(broadcast(nDet)).crossJoin(broadcast(nHit))
-      .select(col("n_true"), col("n_detected"), col("n_hit"),
-        expr("n_hit * 1000 div nullif(n_true, 0)").as("recall_milli"))
+    try {
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val nDet = detected.agg(count(lit(1)).as("n_detected"))
+      val nHit = truth.join(detected, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      // one action materializes all three counts; the returned frame is
+      // a local one-row relation with no lineage into the persisted pair
+      // frames, so they can be released immediately
+      val row = nTrue.crossJoin(broadcast(nDet)).crossJoin(broadcast(nHit))
+        .head()
+      val spark = docs.sparkSession
+      import spark.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+        .toDF("n_true", "n_detected", "n_hit")
+        .select(col("n_true"), col("n_detected"), col("n_hit"),
+          expr("n_hit * 1000 div nullif(n_true, 0)").as("recall_milli"))
+    } finally {
+      truth.unpersist(blocking = false)
+      detected.unpersist(blocking = false)
+    }
   }
 
   def blockingRecall(spark: SparkSession, dir: String): DataFrame =

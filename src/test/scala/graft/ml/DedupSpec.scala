@@ -527,4 +527,24 @@ class DedupSpec extends SparkSpec {
     assert(rows(viaPrecomputed) == rows(Dedup.dedupAwareSplit(spark, sf)))
     clusters.unpersist()
   }
+
+  test("blocking recall audit releases its pair-frame caches (only the " +
+      "detectors' module-contract barriers stay pinned)") {
+    spark.catalog.clearCache()
+    val docs = graft.Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val row = Dedup.blockingRecallOf(docs).head()
+    // blockingRecallOf persists truth + detected and must release BOTH
+    // before returning (round-11, same contract as kCoreOf); what may
+    // remain are the upstream detectors' own barriers — the prefix
+    // filter's shingle base and the MinHash band index — which the
+    // module cache contract (clearCache between queries) governs.
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2, s"$leaked cached frames survived blockingRecallOf " +
+      "(expected only the 2 upstream detector barriers)")
+    // and the eager one-row result is still the audit row
+    assert(row.getAs[Long]("n_true") >= 0L)
+    assert(!row.isNullAt(row.fieldIndex("n_detected")))
+    spark.catalog.clearCache()
+  }
 }
