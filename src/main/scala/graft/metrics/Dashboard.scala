@@ -746,6 +746,26 @@ object Dashboard {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
 
+  /** A15b companion — the DRIVER-VISIBLE error bound for the HLL
+    * estimate: per group, the exact distinct count plus a boolean
+    * verdict `|approx − exact| · 1000 ≤ bound · exact` in pure integer
+    * arithmetic. The HLL register layout itself is engine-private, but
+    * the VERDICT is portable: the oracle asserts `true` per group, so
+    * any estimate drifting past the bound hash-mismatches — converting
+    * the one rows-only registry entry into a full rows+schema+hash row.
+    * approx_count_distinct is deterministic for fixed data (fixed seed,
+    * order-insensitive sketch merge), so the gate is stable. Default
+    * bound 50 milli = the 5% the ScalaTest spec already pins. */
+  def hllErrorBound(spark: SparkSession, dir: String,
+                    boundMilli: Long = 50): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("approx") - col("n_users")) * lit(1000L) <=
+          lit(boundMilli) * col("n_users")).as("within_bound"))
+
   /** A15c — approximate distinct via a KMV (k-minimum-values) sketch
     * built from ENGINE-PORTABLE arithmetic: hash each user id with a
     * quadratic congruential mix mod 1e9+7, keep each group's k smallest

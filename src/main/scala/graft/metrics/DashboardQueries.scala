@@ -72,6 +72,10 @@ object DashboardQueries {
     // HLL-sketch distinct (the 100 TB path for a15): approximate, so
     // rows-only checked; the 5% error bound vs exact is spec-pinned.
     "a15b_approx_distinct_users" -> ((s, d) => Dashboard.approxDistinctUsers(s, d)),
+    // the bound itself, oracle-visible: exact count + integer verdict
+    // that the HLL estimate sits within 5% — a drifting sketch now
+    // hash-mismatches instead of hiding behind the rows-only check
+    "a15b_hll_error_bound" -> ((s, d) => Dashboard.hllErrorBound(s, d)),
     "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)),
     "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)),
     "a15e_kmv_overlap" -> ((s, d) => Dashboard.kmvUserOverlap(s, d)),
@@ -320,6 +324,13 @@ object DashboardQueries {
         |FROM documents""".stripMargin,
     "a15_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the exact count is portable; the within-bound verdict is the
+    // oracle's ASSERTION (true per group) — Spark's HLL estimate must
+    // land inside 5% of exact or the hash check fails
+    "a15b_hll_error_bound" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       true AS within_bound
         |FROM events GROUP BY event_type""".stripMargin,
     // the KMV sketch replayed exactly: same quadratic congruential hash,
     // same k smallest distinct values, same integer-division estimator
