@@ -173,6 +173,58 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("dotproductlong"), plan)
   }
 
+  test("tenant ANN: rank-limit pushdown, broadcast probes, tenant isolation " +
+      "lives in the bucket key — never a join predicate") {
+    val df = graft.ml.Similarity.tenantAnnTopK(spark, sf)
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // per-query top-k must compile to WindowGroupLimit Partial -> Final:
+    // each map task ships at most k candidates per query before the shuffle
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"top-k must use the rank-limit pushdown:\n$finalPlan")
+    assert(finalPlan.contains("Partial") && finalPlan.contains("Final"),
+      s"WindowGroupLimit needs both Partial and Final stages:\n$finalPlan")
+    // the 2-probes x LshTables query side broadcasts; the corpus bucket
+    // pass is narrow and never shuffles for the join
+    val joins = finalPlan.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.nonEmpty, s"probe join must broadcast the query side:\n$finalPlan")
+    // isolation BY CONSTRUCTION: tenant_id rides the high bits of the
+    // bucket key, so no join condition may mention it — a residual
+    // tenant predicate would mean the keying regressed to filter-based
+    // isolation (droppable, leak-prone)
+    assert(!joins.exists(_.contains("tenant")),
+      s"tenant must be inside the bucket key, not a join predicate:\n$joins")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    // whole plan = candidate dedup + the bounded query_id shuffle
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("reuse"))
+    assert(exchanges <= 2, s"expected <=2 shuffles, saw $exchanges:\n$finalPlan")
+    spark.catalog.clearCache() // release the quantized-corpus barrier
+  }
+
+  test("tenant IVF: candidate join keyed (tenant_id, centroid_id) with " +
+      "broadcast query lists and rank-limit pushdown") {
+    val df = graft.ml.Similarity.tenantIvfTopK(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("WindowGroupLimit"),
+      s"top-k must use the rank-limit pushdown:\n$finalPlan")
+    // the inverted-list lookup REQUIRES tenant equality: the join key is
+    // the composite (tenant_id, centroid_id) — dropping either key would
+    // silently widen candidates across tenants or across lists
+    val joins = finalPlan.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.exists(l => l.contains("tenant_id") && l.contains("centroid_id")),
+      s"list join must key on (tenant_id, centroid_id):\n$joins")
+    // the tiny trained codebook legitimately broadcasts against every
+    // vector for coarse assignment (the scalar-anchor idiom) — only an
+    // UNHINTED cartesian is forbidden
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan)
+    spark.catalog.clearCache() // release corpus + centroid barriers
+  }
+
   test("rollup aggregates with partial (map-side) aggregation via Expand") {
     val df = graft.operators.Temporal.statusPriorityRollup(spark, sf)
     df.collect()
