@@ -245,6 +245,46 @@ object IncrementalSync {
     ()
   }
 
+  /** The reference's worker loop END-TO-END (etl/worker.py:112-206) as
+    * ONE composed streaming pipeline: snapshot updates flow through the
+    * ST1 keyed watermark state ([[detectChanges]]), every emitted change
+    * event becomes a queued job (the worker enqueues exactly the changed
+    * cases), and each micro-batch drains that queue through the ST3
+    * retry ladder ([[retryBatch]]) — requeue at lowered priority under
+    * `maxAttempts`, dead-letter at the cap, idempotent per-batch
+    * parquet handoff. Succeeded jobs land under
+    * `outDir/succeeded/batch=N`: the durable boundary a downstream
+    * session-TTL stream ([[expireSessions]]) tails, exactly how the
+    * reference chains worker output into session activity. The two
+    * keyed-state operators CANNOT fuse into one query (Spark forbids a
+    * stateful op after flatMapGroupsWithState in append mode) — the
+    * durable handoff IS the production composition, and the e2e spec
+    * drives all three stages across micro-batches.
+    *
+    * `succeeds` sees the job columns (job_id, tenant_id, case_ref,
+    * priority, attempts); job identity is the deterministic encoding
+    * of the change event that spawned it. */
+  def workerPipeline(updates: Dataset[SnapshotUpdate], stateDir: String,
+                     outDir: String, succeeds: org.apache.spark.sql.Column,
+                     maxAttempts: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    detectChanges(updates)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
+        val jobs = batch.toDF()
+          .select(
+            (col("tenant_id") * 1000000L + col("case_ref") * 1000L +
+              col("serialno") % 1000L).as("job_id"),
+            col("tenant_id"), col("case_ref"),
+            lit(1).as("priority"), lit(0).as("attempts"))
+        retryBatch(jobs, batchId, stateDir, outDir, succeeds, maxAttempts)
+      }
+      .start()
+  }
+
   /** Streaming gap-sessionization over (user_id, ts) — Spark's native
     * session_window with an event-time watermark; the streaming twin of
     * graft.operators.Temporal.sessionizeOf (same gap semantics; the

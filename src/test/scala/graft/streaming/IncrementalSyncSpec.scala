@@ -265,6 +265,82 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("e2e worker flagship: watermark state -> retry ladder -> session TTL " +
+    "compose across micro-batches through the durable handoff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-worker").toString
+    val input = MemoryStream[SnapshotUpdate]
+    // job succeeds once its attempt count reaches case_ref % 4:
+    //   case 20 -> immediate; cases 1, 21 -> one requeue round;
+    //   case 3 -> needs 3 attempts but maxAttempts=3 dead-letters it first
+    val succeeds = col("attempts") >= col("case_ref") % 4
+    val q1 = IncrementalSync.workerPipeline(
+      input.toDS(), s"$dir/state", s"$dir/out", succeeds)
+    // stage 3: tail the worker's durable output as a stream; each
+    // succeeded job is a session touch for its tenant at a
+    // deterministic event time (t0 + case_ref hours)
+    val jobSchema = org.apache.spark.sql.Encoders.product[Job].schema
+    val touches = spark.readStream.schema(jobSchema)
+      .parquet(s"$dir/out/succeeded/batch=*")
+      .select(col("tenant_id").as("user_id"),
+        expr("timestamp'2024-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, cast(case_ref AS int), 0, 0)").as("ts"))
+      .as[IncrementalSync.SessionTouch]
+    val q2 = IncrementalSync.expireSessions(touches)
+      .writeStream.format("memory").queryName("worker_expired")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: tenant 0's cases 1 and 3 change -> both jobs fail
+      input.addData(SnapshotUpdate(0, 1, 1), SnapshotUpdate(0, 3, 1))
+      q1.processAllAvailable()
+      // batch 1 (stale update, no new change events): backlog drains —
+      // case 1 succeeds at attempts=1, case 3 requeues at attempts=2
+      input.addData(SnapshotUpdate(0, 1, 1))
+      q1.processAllAvailable()
+      // batch 2: case 3 fails its third attempt -> dead letter
+      input.addData(SnapshotUpdate(0, 1, 1))
+      q1.processAllAvailable()
+      // batch 3: tenant 1's case 20 succeeds immediately (touch @20:00,
+      // watermark then 19:50 — past tenant 0's 01:00+6h deadline);
+      // case 21 requeues once
+      input.addData(SnapshotUpdate(1, 20, 1), SnapshotUpdate(1, 21, 1))
+      q1.processAllAvailable()
+      q2.processAllAvailable() // touches 01:00 (user 0) and 20:00 (user 1)
+      // batch 4: case 21 succeeds -> touch @21:00; the new q2 batch
+      // evaluates timeouts against the advanced watermark
+      input.addData(SnapshotUpdate(1, 20, 1))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+
+      // the retry ladder's verdicts, from the durable outputs
+      val ok = spark.read.schema(jobSchema)
+        .parquet(s"$dir/out/succeeded/batch=*")
+        .select("case_ref", "attempts").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSet
+      assert(ok == Set(1L -> 1, 20L -> 0, 21L -> 1),
+        s"retry ladder must pass 1/20/21 with recorded attempts: $ok")
+      val dead = spark.read.schema(jobSchema)
+        .parquet(s"$dir/out/dead/batch=*")
+        .select("case_ref", "attempts").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toSet
+      assert(dead == Set(3L -> 3), s"case 3 must dead-letter at the cap: $dead")
+
+      // the session-TTL stage saw ONLY succeeded jobs: tenant 0's single
+      // 01:00 touch expired (one event — the dead case-3 job never
+      // touched the session), tenant 1's session is still live
+      val expired = spark.table("worker_expired").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("start_ts").toString,
+          r.getAs[java.sql.Timestamp]("last_ts").toString,
+          r.getAs[Long]("n_events"))).toSet
+      assert(expired ==
+        Set((0L, "2024-01-01 01:00:00.0", "2024-01-01 01:00:00.0", 1L)),
+        s"only tenant 0's session expires, with exactly its one touch: $expired")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming dedup: duplicate texts collapse, distinct ones pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
