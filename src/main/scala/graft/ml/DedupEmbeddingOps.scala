@@ -1,0 +1,252 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.expr.Exprs
+import graft.functions.ArrayOps
+
+/** Embedding-space dedup surface of [[Dedup]]: integer-quantized cosine
+  * pairs (tiled exact + sign-LSH subquadratic), SemDeDup-style clusters,
+  * k-NN graph, reverse-kNN, cluster-size histogram (round-11 split;
+  * registration stays on the object).
+  */
+private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup pairs (integer-quantized => oracle-portable)
+  // -------------------------------------------------------------------
+
+  /** L2-normalize then quantize to ints (x/||x|| * 10000, rounded). The
+    * norm is a left-fold double sum -> identical in any engine; rounding
+    * to ints makes all downstream comparisons exact integer arithmetic.
+    * One generated pass (graft.functions.QuantizeVec). */
+  def quantized(emb: Column): Column = ArrayOps.quantize_vec(emb, 10000)
+
+  /** Integer threshold gate shared by every embedding-pair form:
+    * cos(a,b) > 0.4 decided entirely in integers —
+    * dot > 0 && 25*dot^2 > 4*|a|^2*|b|^2  (0.4^2 = 4/25).
+    *
+    * The persist() is the projection barrier the pair queries need:
+    * without it CollapseProject/filter-pushdown inlines the dot product
+    * into the post-join condition AND the cosine projection — three
+    * evaluations per candidate pair (measured 3x slower at sf0.1 on the
+    * round-2 shape). Bench/Verify clearCache() between queries. */
+  private def gated(scored: DataFrame): DataFrame =
+    scored.persist()
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 > col("na") * col("nb") * 4)
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+
+  private def quantizedWithNorm(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"),
+        ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
+
+  /** EXACT cos>0.4 pairs via a distributed tile self-join.
+    *
+    * Exact all-pairs similarity at a noise-level gate (0.4 in 64-d is
+    * barely above orthogonal) is inherently Θ(n²) work — no blocking
+    * scheme separates cos≈0.42 pairs from cos≈0 noise with usable recall
+    * (sign-LSH ρ ≈ 0.66 at this gate; measured on this corpus: 50%
+    * recall at 23% candidate fraction). What CAN scale is the plan
+    * shape: instead of one driver-broadcast nested loop, each vector is
+    * hashed to one of B tiles and replicated across a tile-pair key, so
+    * the pair space becomes B(B+1)/2 independent equi-join tasks — a
+    * plain hash shuffle, per-task work n²/B² with bounded memory, no
+    * broadcast of the corpus. B follows the session's parallelism.
+    * [[embeddingLshPairsOf]] below is the subquadratic approximate form
+    * for thresholds where blocking actually works.
+    *
+    * A pair (x in tile i, y in tile j, i <= j) meets exactly once: at
+    * tile key (i, j), x arriving via the a-side explode (i..B-1) and y
+    * via the b-side explode (0..j). Same-tile pairs are ordered by the
+    * id predicate; cross-tile pairs are emitted as (least, greatest). */
+  def embeddingPairsOf(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    val tiles = math.max(4, math.min(64, spark.sparkContext.defaultParallelism))
+    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors))
+      .withColumn("tile", pmod(xxhash64(col("vec_id")), lit(tiles.toLong)))
+      .persist() // quantize HOF is interpreted; both join sides re-read this
+    val aSide = sq
+      .withColumn("tj", explode(sequence(col("tile"), lit(tiles.toLong - 1))))
+      .select(col("tile").as("ti"), col("tj"),
+        col("vec_id").as("aid"), col("q").as("qa"), col("nsq").as("na"))
+    val bSide = sq
+      .withColumn("ti", explode(sequence(lit(0L), col("tile"))))
+      .select(col("ti"), col("tile").as("tj"),
+        col("vec_id").as("bid"), col("q").as("qb"), col("nsq").as("nb"))
+    val scored = aSide
+      .join(bSide,
+        Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("aid") < col("bid"))
+      .select(
+        least(col("aid"), col("bid")).as("vec_a"),
+        greatest(col("aid"), col("bid")).as("vec_b"),
+        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"), // symmetric
+        col("na"), col("nb"))
+    gated(scored)
+  }
+
+  /** Naive O(n²) theta-join form — spec-only equality yardstick for the
+    * tiled plan ([[embeddingPairsOf]] must return the identical set). */
+  def embeddingPairsExactOf(vectors: DataFrame): DataFrame = {
+    val sq = quantizedWithNorm(vectors)
+    val scored = sq.as("a")
+      .join(sq.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        ArrayOps.dot_long(col("a.q"), col("b.q")).as("dot"),
+        col("a.nsq").as("na"), col("b.nsq").as("nb"))
+    gated(scored) // gated() persists — the projection barrier
+  }
+
+  // Sign-bit LSH shape for the SUBQUADRATIC mining form: 8 planes per
+  // table x 16 OR-amplified tables. At a real near-dup gate (cos 0.9,
+  // p_bit ≈ 0.857) a true pair collides in some table with probability
+  // 1-(1-0.857^8)^16 ≈ 0.996 while random pairs collide at ~6% — real
+  // blocking. At the synthetic 0.4 gate recall is ~0.36 by construction
+  // (documented above); the oracle mirrors the blocking so the result is
+  // still bit-exact, and DedupSpec proves planted cos>=0.9 pairs are all
+  // recovered.
+  val EmbLshPlanes = 8
+  val EmbLshTables = 16
+
+  /** Subquadratic LSH-mined near-dup pairs: candidates collide in some
+    * (table, sign-bucket); the integer gate then decides exactly. The
+    * candidate join carries ids only (narrow shuffle); vectors are
+    * re-fetched after the distinct (AQE broadcasts the small quantized
+    * side here; at corpus scale it is a co-partitioned shuffle join).
+    *
+    * `planes` is the LSH-theory scale knob: with a FIXED plane count,
+    * RANDOM same-bucket candidate volume grows as n²/2^planes, so a
+    * corpus growing c-fold wants ~log2(c) extra planes to hold
+    * candidate density constant. That trade is only free at a real
+    * near-dup gate (cos 0.9: per-pair recall 0.996 at 8 planes, 0.96
+    * at 11); at the registered demo gate (cos 0.4 — barely above
+    * noise) extra planes cost recall directly (p_bit ≈ 0.63 there),
+    * and no blocking can beat the gate's own quadratic TRUE-pair
+    * density: on the 10x synthetic scale-up the gated output itself
+    * grew 109x (330 → 35,963 genuine cos>0.4 pairs) while wall-time
+    * grew only 4.7x (BENCH_sf1_spot.json) — the plan absorbs
+    * output-volume growth, and the knob is for candidate density at
+    * production gates. */
+  def embeddingLshPairsOf(vectors: DataFrame,
+      planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
+    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
+    val scored = lshCandidatesOf(sq, planes, tables)
+      .join(sq.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nsq").as("na")), "vec_a")
+      .join(sq.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nsq").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        ArrayOps.dot_long(col("qa"), col("qb")).as("dot"),
+        col("na"), col("nb"))
+    gated(scored)
+  }
+
+  /** Distinct colliding id pairs (vec_a < vec_b) of the OR-amplified
+    * sign-LSH blocking — the candidate miner shared by the pair, cluster
+    * and k-NN-graph forms. `sq` must be the quantizedWithNorm projection
+    * (persisted by the caller — both explode sides re-read it). */
+  private def lshCandidatesOf(sq: DataFrame,
+      planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
+    // persisted: the self-join below would otherwise evaluate the 16x8
+    // plane dots once per side; the bucket table is 3 longs/row
+    val bucketed = sq.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("q"), t, planes).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist()
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** k-NN graph over the corpus embeddings (sim family — completes the
+    * similarity surface with the all-documents neighbor structure that
+    * SemDeDup pruning and graph clustering consume): for EVERY vector,
+    * its top-k nearest candidates by exact integer cosine rank (vectors
+    * are L2-normalized and quantized, so the raw dot IS the cosine
+    * order), candidates mined by the same OR-amplified sign-LSH blocking
+    * as the near-dup pairs — never an n² scan. Rank ties break on
+    * neighbor id, so the graph is fully deterministic.
+    *
+    * Scale: candidate mining is the subquadratic LSH equi-join; the
+    * per-source top-k is a window over each source's bounded candidate
+    * list. Degree-k output: |V|·k rows regardless of corpus size. */
+  def embeddingKnnGraphOf(vectors: DataFrame, k: Int = 5): DataFrame = {
+    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
+    val cand = lshCandidatesOf(sq)
+    val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val scored = sym
+      .join(sq.select(col("vec_id").as("src"), col("q").as("qs")), "src")
+      .join(sq.select(col("vec_id").as("dst"), col("q").as("qd")), "dst")
+      .select(col("src"), col("dst"),
+        ArrayOps.dot_long(col("qs"), col("qd")).as("dot"))
+    val w = Window.partitionBy(col("src")).orderBy(col("dot").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "dot", "rank")
+  }
+
+  def embeddingKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    embeddingKnnGraphOf(Tables.embeddings(spark, dir))
+
+  /** Reverse-k-NN counts over the [[embeddingKnnGraphOf]] edges: how
+    * many vectors list each vector among their top-k — the hub/medoid
+    * signal (a vector many others point at is a cluster center; one
+    * nobody points at is an outlier) that SemDeDup-style pruning and
+    * coreset selection rank by. One map-side-combined groupBy over the
+    * |V|·k-row graph; emitted for every corpus vector (zero for
+    * never-referenced ones) so the distribution is complete. */
+  def reverseKnnCountsOf(vectors: DataFrame): DataFrame = {
+    val in = embeddingKnnGraphOf(vectors)
+      .groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("n_referrers"))
+    vectors.select(col("vec_id"))
+      .join(in, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_referrers"), lit(0L)).as("n_referrers"))
+  }
+
+  def reverseKnnCounts(spark: SparkSession, dir: String): DataFrame =
+    reverseKnnCountsOf(Tables.embeddings(spark, dir))
+
+  /** Duplicate-family size distribution — the reporting view of the
+    * n-gram cluster pipeline: how many families of each size the corpus
+    * holds (size 1 = unique documents). The number every dedup run
+    * reports first ("X% of the corpus sits in families of ≥ 2"), and a
+    * drift signal across ingests. Two map-side-combined aggregates over
+    * the cluster table; output is bounded by the largest family size. */
+  def clusterSizeHistogramOf(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+      .groupBy("family_size").agg(count(lit(1)).as("n_families"))
+
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    clusterSizeHistogramOf(ngramClusters(spark, dir))
+
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairsOf(Tables.embeddings(spark, dir))
+
+  def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshPairsOf(Tables.embeddings(spark, dir))
+
+  /** SemDeDup-shaped completion of the embedding path: connected
+    * components over the LSH-mined pair graph (same min-label
+    * propagation + pointer jumping as the n-gram clusters), so the
+    * embedding near-dups collapse to a canonical survivor per semantic
+    * cluster. Oracle = recursive-CTE transitive closure over the
+    * mirrored-blocking pair SQL. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(embeddingLshPairs(spark, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+}
