@@ -766,6 +766,74 @@ object Dashboard {
         (abs(col("approx") - col("n_users")) * lit(1000L) <=
           lit(boundMilli) * col("n_users")).as("within_bound"))
 
+  /** A23 — strict-order funnel conversion over the event stream: per
+    * user, step i counts only if its earliest qualifying event happens
+    * AFTER the user's step-(i-1) time (the product-analytics funnel
+    * semantics: signup → view → click → purchase, each step re-anchored
+    * at the previous step's first completion). One row per step with
+    * the reach count and the step-over-step conversion in milli.
+    *
+    * Scale shape: k sequential hash aggregates keyed user_id — each
+    * step filters the events to ONE type, joins the (shrinking)
+    * reached-set co-partitioned on user_id, and takes a min; no window
+    * anywhere. The k scalar counts then combine through the broadcast
+    * scalar-anchor idiom, so the summary row never shuffles. */
+  def funnelConversionOf(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : DataFrame = {
+    val reached = steps.tail.scanLeft(
+      events.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t"))) { (prev, s) =>
+      events.filter(col("event_type") === s)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val counts = reached.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).cast("long").as(s"n${i + 1}")) }
+    val row = counts.reduce((a, b) => a.crossJoin(broadcast(b)))
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      val conv =
+        if (i == 0) lit(1000L)
+        else expr(s"n${i + 1} * 1000 div nullif(n$i, 0)")
+      struct(lit(i + 1).as("step"), lit(s).as("event_type"),
+        col(s"n${i + 1}").as("n_users"), conv.as("conv_milli"))
+    }
+    row.select(explode(array(stepRows: _*)).as("s")).select("s.*")
+  }
+
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversionOf(Tables.events(spark, dir))
+
+  /** A24 — weekly retention cohorts: cohort = the ISO week of a user's
+    * first event; a cohort's week-k retention is how many of its users
+    * were active k weeks later. The activation/stickiness read every
+    * usage dashboard leads with.
+    *
+    * Scale shape: two hash aggregates (first-seen per user; distinct
+    * active (user, week)) meeting in one co-partitioned join on
+    * user_id, then a bounded rollup (cohorts × offsets rows). All date
+    * math is Monday-truncated weeks + integer day division — portable
+    * to the oracle verbatim. */
+  def retentionCohortsOf(events: DataFrame): DataFrame = {
+    val first = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+    val active = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    active.join(first, "user_id")
+      .groupBy(col("cw"),
+        expr("datediff(week, cw) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // dates travel as ISO strings so both engines stringify alike
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(Tables.events(spark, dir))
+
   /** A15c — approximate distinct via a KMV (k-minimum-values) sketch
     * built from ENGINE-PORTABLE arithmetic: hash each user id with a
     * quadratic congruential mix mod 1e9+7, keep each group's k smallest

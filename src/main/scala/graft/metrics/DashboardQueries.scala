@@ -76,6 +76,8 @@ object DashboardQueries {
     // that the HLL estimate sits within 5% — a drifting sketch now
     // hash-mismatches instead of hiding behind the rows-only check
     "a15b_hll_error_bound" -> ((s, d) => Dashboard.hllErrorBound(s, d)),
+    "a23_funnel_conversion" -> ((s, d) => Dashboard.funnelConversion(s, d)),
+    "a24_retention_cohorts" -> ((s, d) => Dashboard.retentionCohorts(s, d)),
     "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)),
     "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)),
     "a15e_kmv_overlap" -> ((s, d) => Dashboard.kmvUserOverlap(s, d)),
@@ -332,6 +334,51 @@ object DashboardQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |       true AS within_bound
         |FROM events GROUP BY event_type""".stripMargin,
+    // strict-order funnel: each step's earliest time is re-anchored at
+    // the user's previous-step time; counts combine in one scalar row
+    "a23_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |n AS (
+        |  SELECT (SELECT count(*) FROM s1) AS n1,
+        |         (SELECT count(*) FROM s2) AS n2,
+        |         (SELECT count(*) FROM s3) AS n3,
+        |         (SELECT count(*) FROM s4) AS n4)
+        |SELECT 1 AS step, 'signup' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+        |       CAST(1000 AS BIGINT) AS conv_milli FROM n
+        |UNION ALL SELECT 2, 'view', CAST(n2 AS BIGINT),
+        |       CAST(n2 * 1000 // nullif(n1, 0) AS BIGINT) FROM n
+        |UNION ALL SELECT 3, 'click', CAST(n3 AS BIGINT),
+        |       CAST(n3 * 1000 // nullif(n2, 0) AS BIGINT) FROM n
+        |UNION ALL SELECT 4, 'purchase', CAST(n4 AS BIGINT),
+        |       CAST(n4 * 1000 // nullif(n3, 0) AS BIGINT) FROM n""".stripMargin,
+    // Monday-truncated weeks in both engines; offset = integer day
+    // division by 7 so partial weeks can never straddle a bucket
+    "a24_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // the KMV sketch replayed exactly: same quadratic congruential hash,
     // same k smallest distinct values, same integer-division estimator
     "a15e_kmv_overlap" ->

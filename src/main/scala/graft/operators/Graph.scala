@@ -87,6 +87,56 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** Synchronized rounds for the registered label-propagation query —
+    * a constant, like [[PrIters]], so the oracle chain is generated
+    * from the same knob. */
+  val LpIters = 3
+
+  /** Community detection by MAJORITY label propagation (Raghavan et al.
+    * 2007) over the purchase graph — each node starts as its own
+    * community and per round adopts the most frequent community among
+    * its neighbors (tie -> smallest id). Deterministic by construction:
+    * synchronized rounds + total tie order, so the generated fixed-round
+    * oracle replays it exactly. Complements [[Dedup.clustersOf]]'s
+    * min-label connected components: LPA finds DENSE communities inside
+    * a connected component, which is what entity-importance sampling
+    * actually wants (a CRM book is usually one giant component).
+    *
+    * Scale shape, per round: one co-partitioned hash join of the edge
+    * table (partitioned once, reused — the [[pageRank]] Pregel shape)
+    * against the (node, community) table, one map-side-combinable
+    * count, and a row_number window PARTITIONED BY node whose input is
+    * bounded by the node's distinct neighbor labels — never global.
+    * Rounds are constant, so total cost is O(rounds · |E|/cluster). */
+  def labelPropagationOf(edges: DataFrame,
+      iters: Int = LpIters): DataFrame = {
+    // persisted: every round reads the full edge table once
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    for (_ <- 1 to iters) {
+      val cnt = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("community"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst"))
+        .orderBy(col("n").desc, col("community").asc)
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("community"))
+    }
+    labels
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String,
+      iters: Int = LpIters): DataFrame =
+    labelPropagationOf(edgesOf(spark, dir), iters).select(
+      when(col("node") % 10 === 0, "customer").otherwise("supplier")
+        .as("entity_type"),
+      expr("node div 10").as("entity_id"),
+      col("community"))
+
   // -------------------------------------------------------------------
   // k-core decomposition (bounded peeling)
   // -------------------------------------------------------------------
@@ -346,7 +396,41 @@ object Graph {
     "graph_triangles" -> ((s, d) => triangleCounts(s, d)),
     "graph_link_jaccard" -> ((s, d) => linkJaccard(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)),
+    "graph_label_prop" -> ((s, d) => labelPropagation(s, d)),
     "basket_rules" -> ((s, d) => associationRules(s, d)))
+
+  /** Generated fixed-round majority-LPA oracle — MATERIALIZED per round
+    * like [[prOracle]]; the per-node argmax replays as a row_number
+    * window with the identical (n DESC, community ASC) total order. */
+  private def lpOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS (
+      |  SELECT DISTINCT o_custkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS MATERIALIZED (
+      |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |l0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, src AS community FROM e)""".stripMargin
+    for (t <- 1 to LpIters) {
+      sb ++= s""",
+        |c$t AS MATERIALIZED (
+        |  SELECT e.dst, l.community, count(*) AS n
+        |  FROM e JOIN l${t - 1} l ON e.src = l.node
+        |  GROUP BY 1, 2),
+        |l$t AS MATERIALIZED (
+        |  SELECT dst AS node, community FROM (
+        |    SELECT dst, community,
+        |           row_number() OVER (PARTITION BY dst
+        |             ORDER BY n DESC, community ASC) AS rn
+        |    FROM c$t) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CASE WHEN node % 10 = 0 THEN 'customer' ELSE 'supplier' END
+      |         AS entity_type,
+      |       node // 10 AS entity_id, community
+      |FROM l$LpIters""".stripMargin
+    sb.toString
+  }
 
   /** Shared oracle prefix: the support-filtered co-purchase edge list
     * and its (degree, id) orientation — mirrors copurchaseEdgesOf +
@@ -437,6 +521,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kCoreOracle,
+    "graph_label_prop" -> lpOracle,
     "basket_rules" -> s"""WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |ps AS (

@@ -12,6 +12,48 @@ import graft.SparkSpec
 class DashboardSpec extends SparkSpec {
   import spark.implicits._
 
+  test("funnel: steps only count when reached strictly after the previous " +
+      "step; out-of-order completions don't") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A completes every step in order; B viewed BEFORE signing up (the
+    // later click/purchase must not count without a qualifying view);
+    // C stops after viewing
+    val events = Seq(
+      (1L, "signup", "2024-01-01 10:00:00"), (1L, "view", "2024-01-01 10:01:00"),
+      (1L, "click", "2024-01-01 10:02:00"), (1L, "purchase", "2024-01-01 10:03:00"),
+      (2L, "view", "2024-01-01 09:00:00"), (2L, "signup", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 11:00:00"), (2L, "purchase", "2024-01-01 12:00:00"),
+      (3L, "signup", "2024-01-01 08:00:00"), (3L, "view", "2024-01-01 09:30:00"))
+      .map { case (u, e, ts) => (u, e, t(ts)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Dashboard.funnelConversionOf(events).collect()
+      .map(r => r.getAs[Int]("step") ->
+        ((r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("conv_milli")))).toMap
+    assert(got(1) == (("signup", 3L, 1000L)))
+    assert(got(2) == (("view", 2L, 666L)), s"B's pre-signup view must not count: $got")
+    assert(got(3) == (("click", 1L, 500L)))
+    assert(got(4) == (("purchase", 1L, 1000L)))
+  }
+
+  test("retention cohorts: offsets anchor at each user's first week") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 cohort W0, active W0+W2; u2 cohort W0
+    // only; u3 cohort W1, active W1+W2
+    val events = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-16 10:00:00"),
+      (2L, "2024-01-03 10:00:00"),
+      (3L, "2024-01-09 10:00:00"), (3L, "2024-01-17 10:00:00"))
+      .map { case (u, ts) => (u, t(ts)) }
+      .toDF("user_id", "ts")
+    val got = Dashboard.retentionCohortsOf(events).collect()
+      .map(r => (r.getAs[String]("cohort_week"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_users"))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)), got.toString)
+  }
+
   test("histogram sketch quantiles land within one bin of the exact answer") {
     val exact = Dashboard.valuePercentiles(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap

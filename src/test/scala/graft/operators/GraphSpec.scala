@@ -62,6 +62,26 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("label propagation: two triangles joined by a bridge settle into " +
+      "their own communities") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {7,8,9}, bridge 3-7: majority voting
+    // keeps each triangle's labels internal (the bridge is always a
+    // 1-vote minority against 2 triangle neighbors)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.labelPropagationOf(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(7L, 8L, 9L).map(got)
+    assert(left.size == 1, s"left triangle must agree on one community: $got")
+    assert(right.size == 1, s"right triangle must agree: $got")
+    assert(left != right, s"bridge must not merge the triangles: $got")
+    spark.catalog.clearCache() // release the edge barrier
+  }
+
   test("triangles: each counted once on a known graph") {
     import spark.implicits._
     // 4-clique {1,2,3,4} (4 triangles), disjoint triangle {8,9,10},
