@@ -309,15 +309,29 @@ object Similarity {
 
   /** Every `stride`-th vector seeds a coarse centroid; `IvfIters` rounds
     * of Lloyd refinement (spherical k-means) follow, trained on a
-    * deterministic 1-in-`IvfTrainStride` sample. */
+    * deterministic 1-in-`IvfTrainStride` sample. The stride ADAPTS to
+    * the corpus: max(IvfCentroidStride, floor(sqrt(n))), so the list
+    * count is ~n/97 on small corpora (constant cluster size) but caps
+    * at ~sqrt(n) as the corpus grows. sqrt(n) lists is the single-level
+    * IVF optimum: assignment cost n·c and per-cluster pair work n²/c
+    * meet at c = sqrt(n), keeping BOTH the index build and the SemDeDup
+    * prune at O(n^1.5) — a fixed stride makes assignment Θ(n²/97),
+    * measured 24x at a 10x scale-up before this adapted. */
   val IvfCentroidStride = 97
   val IvfProbes = 3
   val IvfIters = 1
   val IvfTrainStride = 3
 
-  private def seedCentroids(v: DataFrame): DataFrame =
-    v.filter(col("vec_id") % IvfCentroidStride === 0)
+  private def seedCentroids(v: DataFrame): DataFrame = {
+    // scalar anchor (broadcast 1-row cross join) keeps the count lazy
+    // and the plan a single job — no driver-side action
+    val stride = v.agg(
+      greatest(lit(IvfCentroidStride.toLong),
+        floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("stride"))
+    v.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("centroid_id"), col("q").as("cv"))
+  }
 
   /** Spherical k-means refinement, DataFrame-native: assign each vector
     * to its max-dot centroid (broadcast join + windowed argmax), then
@@ -427,12 +441,13 @@ object Similarity {
     * family: paraphrases land in the same cluster even when they share
     * no shingles.
     *
-    * Scale design: the quadratic pair test runs per cluster, and stride
-    * seeding makes the EXPECTED CLUSTER SIZE a constant
-    * (~[[IvfCentroidStride]]): centroid count grows linearly with the
-    * corpus, so total pair work is O(n · stride) — linear, where
-    * corpus-global pair mining is Θ(n²) — and each cluster's block is an
-    * independent equi-join task (one hash shuffle on centroid_id).
+    * Scale design: the quadratic pair test runs per cluster. With the
+    * adaptive seed stride (see [[seedCentroids]]) the cluster size is
+    * ~[[IvfCentroidStride]] on small corpora and ~sqrt(n) beyond the
+    * crossover, so total pair work is O(n·97) small / O(n^1.5) large —
+    * the same bound as the assignment pass itself, and each cluster's
+    * block is an independent equi-join task (one hash shuffle on
+    * centroid_id) where corpus-global pair mining is Θ(n²).
     * The near-dup gate reuses Dedup.embeddingPairsOf's exact integer
     * cosine arithmetic (dot>0 && 25·dot² > 4·|a|²·|b|²), so the
     * decision replays bit-for-bit in the DuckDB oracle, which shares
@@ -1052,9 +1067,12 @@ object Similarity {
       (1 to IvfIters).map(round).mkString("", ",\n", ",\n")
     s"""WITH q AS (
        |$qCte),
+       |st AS (
+       |  SELECT greatest($IvfCentroidStride,
+       |           CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM q),
        |seeds AS (
-       |  SELECT vec_id AS centroid_id, qv AS cv FROM q
-       |  WHERE vec_id % $IvfCentroidStride = 0),
+       |  SELECT vec_id AS centroid_id, qv AS cv FROM q, st
+       |  WHERE vec_id % stride = 0),
        |samp AS (SELECT vec_id, qv FROM q WHERE vec_id % $IvfTrainStride = 0),
        |$refineChain""".stripMargin +
     s"""lists AS (
