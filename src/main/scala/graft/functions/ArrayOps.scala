@@ -653,6 +653,73 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-bit LSH bucket of a quantized vector against a CONSTANT plane
+  * matrix: bit k (k < `pl`, the data-adaptive plane count) is set iff
+  * dot(q, planes(k)) >= 0. One generated double loop replaces
+  * planes×dims unrolled dot expressions — the unrolled form at 24
+  * planes × 16 tables exceeds Janino's method size and kills
+  * whole-stage codegen for the entire stage. */
+case class LshSignBits(left: Expression, right: Expression,
+    planes: Array[Array[Long]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"lsh_sign_bits expects (array<bigint>, bigint), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val np = math.min(b.asInstanceOf[Long], planes.length.toLong).toInt
+    val dims = q.numElements()
+    var bucket = 0L
+    var k = 0
+    while (k < np) {
+      val p = planes(k)
+      val n = math.min(dims, p.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += q.getLong(i) * p(i); i += 1 }
+      if (acc >= 0) bucket |= (1L << k)
+      k += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, pl) => {
+      val mat = ctx.addReferenceObj("lshPlanes", planes, "long[][]")
+      val np = ctx.freshName("np")
+      val bucket = ctx.freshName("bucket")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $np = (int) java.lang.Math.min($pl, (long) $mat.length);
+         |long $bucket = 0L;
+         |for (int $k = 0; $k < $np; $k++) {
+         |  long[] $p = $mat[$k];
+         |  int $n = java.lang.Math.min($q.numElements(), $p.length);
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $q.getLong($i) * $p[$i];
+         |  }
+         |  if ($acc >= 0L) $bucket |= (1L << $k);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshSignBits =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
   import org.apache.spark.sql.graftops.ColumnBridge
 
@@ -690,4 +757,9 @@ object ArrayOps {
   /** Column wrapper: one-pass PORTABLE-hash 64-bit SimHash (codegen'd). */
   def simhash_poly_sig(tokens: Column): Column =
     ColumnBridge.column(SimhashPolySig(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: adaptive-count sign-bit LSH bucket (codegen'd). */
+  def lsh_sign_bits(q: Column, pl: Column, planes: Array[Array[Long]]): Column =
+    ColumnBridge.column(LshSignBits(
+      ColumnBridge.expression(q), ColumnBridge.expression(pl), planes))
 }

@@ -508,14 +508,24 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     * per-table sign-bit buckets (plane constants inlined) -> distinct
     * colliding id pairs. */
   private def embLshCandCte: String = {
+    // the adaptive plane count replayed as the same integer threshold
+    // ladder the Spark side folds (one comparison per doubling past the
+    // base corpus — no FP log in either engine)
+    val ladder = (0 until (EmbLshPlanesMax - EmbLshPlanes)).map { j =>
+      s"(CASE WHEN count(*) > ${EmbLshBaseCorpus * (1L << j)} THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
     val bucketSelects = (0 until EmbLshTables).map { t =>
-      val bucket = (0 until EmbLshPlanes).map { k =>
+      val bucket = (0 until EmbLshPlanesMax).map { k =>
+        // plane vectors at the FIXED base arity for every k, matching
+        // lshBucketAdaptive: bits 0..7 identical to the 8-plane hash,
+        // higher bits only exist once the corpus has doubled past them
         val planeLit = Similarity.plane(t, k, EmbLshPlanes).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(qv, $planeLit) >= 0 THEN ${1 << k} ELSE 0 END)"
+        s"(CASE WHEN $k < pl.pl AND list_dot_product(qv, $planeLit) >= 0 THEN ${1L << k} ELSE 0 END)"
       }.mkString(" + ")
-      s"  SELECT vec_id, $t AS tbl, $bucket AS bucket FROM s"
+      s"  SELECT vec_id, $t AS tbl, $bucket AS bucket FROM s, pl"
     }.mkString("\n  UNION ALL\n")
     s"""$embQuantCte,
+       |pl AS (SELECT $EmbLshPlanes + $ladder AS pl FROM s),
        |bk AS (
        |$bucketSelects),
        |cand AS (

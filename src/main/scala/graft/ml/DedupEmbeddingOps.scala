@@ -105,15 +105,40 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
   }
 
   // Sign-bit LSH shape for the SUBQUADRATIC mining form: 8 planes per
-  // table x 16 OR-amplified tables. At a real near-dup gate (cos 0.9,
-  // p_bit ≈ 0.857) a true pair collides in some table with probability
-  // 1-(1-0.857^8)^16 ≈ 0.996 while random pairs collide at ~6% — real
-  // blocking. At the synthetic 0.4 gate recall is ~0.36 by construction
-  // (documented above); the oracle mirrors the blocking so the result is
-  // still bit-exact, and DedupSpec proves planted cos>=0.9 pairs are all
-  // recovered.
+  // table x 16 OR-amplified tables at the base corpus size. At a real
+  // near-dup gate (cos 0.9, p_bit ≈ 0.857) a true pair collides in some
+  // table with probability 1-(1-0.857^8)^16 ≈ 0.996 while random pairs
+  // collide at ~6% — real blocking. At the synthetic 0.4 gate recall is
+  // ~0.36 by construction (documented above); the oracle mirrors the
+  // blocking so the result is still bit-exact, and DedupSpec proves
+  // planted cos>=0.9 pairs are all recovered.
+  //
+  // The plane count ADAPTS to the corpus: every doubling beyond
+  // EmbLshBaseCorpus adds one plane (integer threshold ladder — exactly
+  // ceil(log2(n/base)), no FP log parity risk), holding the RANDOM
+  // same-bucket candidate density n²/2^planes constant instead of
+  // letting it grow quadratically. With the fixed 8-plane shape the 100x
+  // corpus put ~780 vectors in the average bucket and the candidate
+  // shuffle (~1.2e9 id pairs) filled the sandbox disk; adaptive planes
+  // hold the average bucket at a constant handful. The LSH trade is
+  // explicit: per-table collision at cos 0.9 drops as p_bit^planes, so
+  // recall at 15 planes/16 tables is ~0.81 — the standard (AND, OR)
+  // density/recall exchange; a deployment that needs the 0.996 recall at
+  // scale raises EmbLshTables alongside (tables ~ n^rho growth, the LSH
+  // theorem's price, linear in candidate volume).
   val EmbLshPlanes = 8
   val EmbLshTables = 16
+  val EmbLshPlanesMax = 24
+  val EmbLshBaseCorpus = 2048L
+
+  /** ceil(log2(n/base)) extra planes as a pure integer threshold ladder:
+    * one `n > base·2^j` comparison per doubling, portable verbatim to
+    * the SQL oracle (no floating-point log in either engine). Capped so
+    * base + extras <= [[EmbLshPlanesMax]]. */
+  private def adaptivePlaneCount(n: Column, base: Int): Column =
+    (0 until (EmbLshPlanesMax - base)).map { j =>
+      when(n > lit(EmbLshBaseCorpus) * lit(1L << j), 1).otherwise(0)
+    }.foldLeft(lit(base).cast("int"))(_ + _)
 
   /** Subquadratic LSH-mined near-dup pairs: candidates collide in some
     * (table, sign-bucket); the integer gate then decides exactly. The
@@ -121,19 +146,18 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
     * re-fetched after the distinct (AQE broadcasts the small quantized
     * side here; at corpus scale it is a co-partitioned shuffle join).
     *
-    * `planes` is the LSH-theory scale knob: with a FIXED plane count,
-    * RANDOM same-bucket candidate volume grows as n²/2^planes, so a
-    * corpus growing c-fold wants ~log2(c) extra planes to hold
-    * candidate density constant. That trade is only free at a real
-    * near-dup gate (cos 0.9: per-pair recall 0.996 at 8 planes, 0.96
-    * at 11); at the registered demo gate (cos 0.4 — barely above
-    * noise) extra planes cost recall directly (p_bit ≈ 0.63 there),
-    * and no blocking can beat the gate's own quadratic TRUE-pair
-    * density: on the 10x synthetic scale-up the gated output itself
-    * grew 109x (330 → 35,963 genuine cos>0.4 pairs) while wall-time
-    * grew only 4.7x (BENCH_sf1_spot.json) — the plan absorbs
-    * output-volume growth, and the knob is for candidate density at
-    * production gates. */
+    * `planes` is the BASE plane count; the effective count adapts to
+    * the corpus (one extra plane per doubling past
+    * [[EmbLshBaseCorpus]] — see the shape comment above), holding
+    * RANDOM same-bucket candidate volume n²/2^planes constant where a
+    * fixed count lets it grow quadratically. The trade is cheap at a
+    * real near-dup gate (cos 0.9: per-pair recall 0.996 at 8 planes,
+    * ~0.81 at 15/16 tables); at the registered demo gate (cos 0.4 —
+    * barely above noise, p_bit ≈ 0.63) no blocking can beat the
+    * gate's own quadratic TRUE-pair density anyway: on the 10x
+    * synthetic scale-up the gated output itself grew 109x (330 →
+    * 35,963 genuine cos>0.4 pairs) while wall-time grew only 4.7x
+    * (BENCH_sf1_spot.json) — the plan absorbs output-volume growth. */
   def embeddingLshPairsOf(vectors: DataFrame,
       planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
     val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors)).persist()
@@ -152,12 +176,18 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
     * (persisted by the caller — both explode sides re-read it). */
   private def lshCandidatesOf(sq: DataFrame,
       planes: Int = EmbLshPlanes, tables: Int = EmbLshTables): DataFrame = {
-    // persisted: the self-join below would otherwise evaluate the 16x8
-    // plane dots once per side; the bucket table is 3 longs/row
-    val bucketed = sq.select(col("vec_id"),
+    // adaptive plane count via the broadcast scalar-anchor idiom (one
+    // 1-row aggregate, no driver action); bit k > planes only exists
+    // when the corpus has doubled past base·2^(k-planes)
+    val pl = sq.agg(
+      adaptivePlaneCount(count(lit(1)), planes).cast("long").as("pl"))
+    // persisted: the self-join below would otherwise evaluate the per-
+    // table plane dots once per side; the bucket table is 3 longs/row
+    val bucketed = sq.crossJoin(broadcast(pl)).select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
-          Similarity.lshBucket(col("q"), t, planes).as("bucket"))): _*)).as("tb"))
+          Similarity.lshBucketAdaptive(col("q"), t, planes,
+            EmbLshPlanesMax, col("pl")).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .persist()
     bucketed.as("a")

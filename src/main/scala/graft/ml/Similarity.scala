@@ -106,6 +106,19 @@ object Similarity {
   /** Sign-bit bucket id within table `t` at this object's table shape. */
   def lshBucket(q: Column, t: Int): Column = lshBucket(q, t, LshPlanes)
 
+  /** Sign-bit bucket over the first `pl` (a COLUMN — data-adaptive) of
+    * up to `maxPlanes` planes, with every plane drawn at the FIXED
+    * `baseArity` seed: bit k comes from plane(t, k, baseArity), which is
+    * defined for any k, so growing `pl` appends high bits while bits
+    * 0..baseArity-1 stay bit-identical to [[lshBucket]] — a corpus small
+    * enough for the base arity hashes exactly as before. Bits k >= pl
+    * sit behind the conditional, so codegen evaluates only `pl` plane
+    * dots per row, not `maxPlanes`. */
+  def lshBucketAdaptive(q: Column, t: Int, baseArity: Int, maxPlanes: Int,
+      pl: Column): Column =
+    ArrayOps.lsh_sign_bits(q, pl,
+      (0 until maxPlanes).map(k => plane(t, k, baseArity).toArray).toArray)
+
   /** The multi-probe neighbor of table `t`'s bucket: flip the sign bit of
     * the plane with the LOWEST absolute dot (the query's tightest margin).
     * Ties break to the lowest plane index via lexicographic struct-min, so

@@ -114,13 +114,17 @@ class PlanSpec extends SparkSpec {
   test("embedding pair queries: partitioned equi-joins, no nested loop over the corpus") {
     // the round-2 shape was a corpus x corpus BroadcastNestedLoopJoin on
     // vec_id < vec_id — fatal at scale. The exact form must be the tiled
-    // hash join; the LSH form must be the (tbl, bucket) hash join.
+    // hash join; the LSH form must be the (tbl, bucket) hash join. An
+    // UNCONDITIONED nested loop is the 1-row scalar-anchor broadcast
+    // (the adaptive plane count) — allowed; a conditioned one (a theta
+    // join over the corpus) is the fatal shape.
     for (q <- Seq(graft.ml.Dedup.embeddingPairs(spark, sf),
                   graft.ml.Dedup.embeddingLshPairs(spark, sf))) {
       q.collect() // finalize AQE
       val plan = planOf(q)
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
+      val thetaNlj = plan.linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") && l.contains("vec_"))
+      assert(!thetaNlj && !plan.contains("CartesianProduct"),
         s"embedding pair candidates must come from a partitioned equi-join:\n$plan")
       spark.catalog.clearCache()
     }
