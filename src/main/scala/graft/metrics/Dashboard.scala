@@ -766,12 +766,19 @@ object Dashboard {
         (abs(col("approx") - col("n_users")) * lit(1000L) <=
           lit(boundMilli) * col("n_users")).as("within_bound"))
 
-  /** A23 — strict-order funnel conversion over the event stream: per
+  /** A25 — strict-order funnel conversion over the event stream: per
     * user, step i counts only if its earliest qualifying event happens
     * AFTER the user's step-(i-1) time (the product-analytics funnel
     * semantics: signup → view → click → purchase, each step re-anchored
     * at the previous step's first completion). One row per step with
-    * the reach count and the step-over-step conversion in milli.
+    * the reach count and the STEP-OVER-STEP conversion in milli.
+    *
+    * Complement to [[graft.operators.Temporal.funnelOf]] (t7), which
+    * folds each user's SORTED EVENT ARRAY and reports conversion vs the
+    * first stage: the fold's per-user state is the user's full event
+    * list, fine when per-user streams are modest; this join-ladder form
+    * keeps ONE TIMESTAMP per user per step, the bounded-state shape for
+    * corpora where single users have unbounded event histories.
     *
     * Scale shape: k sequential hash aggregates keyed user_id — each
     * step filters the events to ONE type, joins the (shrinking)
@@ -805,10 +812,14 @@ object Dashboard {
   def funnelConversion(spark: SparkSession, dir: String): DataFrame =
     funnelConversionOf(Tables.events(spark, dir))
 
-  /** A24 — weekly retention cohorts: cohort = the ISO week of a user's
-    * first event; a cohort's week-k retention is how many of its users
-    * were active k weeks later. The activation/stickiness read every
-    * usage dashboard leads with.
+  /** A26 — calendar-week retention cohorts: cohort = the Monday-
+    * truncated week of a user's first event; a cohort's week-k
+    * retention is how many of its users were active k weeks later.
+    * Complement to [[graft.operators.Temporal.cohortRetentionOf]] (t8),
+    * which buckets by EPOCH-DAY offsets — this is the calendar-aligned
+    * weekly matrix dashboards actually render (a Sunday signup and the
+    * following Monday fall in DIFFERENT cohort weeks here, same 1-day
+    * offset there).
     *
     * Scale shape: two hash aggregates (first-seen per user; distinct
     * active (user, week)) meeting in one co-partitioned join on

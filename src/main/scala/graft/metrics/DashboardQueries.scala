@@ -76,8 +76,8 @@ object DashboardQueries {
     // that the HLL estimate sits within 5% — a drifting sketch now
     // hash-mismatches instead of hiding behind the rows-only check
     "a15b_hll_error_bound" -> ((s, d) => Dashboard.hllErrorBound(s, d)),
-    "a23_funnel_conversion" -> ((s, d) => Dashboard.funnelConversion(s, d)),
-    "a24_retention_cohorts" -> ((s, d) => Dashboard.retentionCohorts(s, d)),
+    "a25_funnel_conversion" -> ((s, d) => Dashboard.funnelConversion(s, d)),
+    "a26_retention_cohorts" -> ((s, d) => Dashboard.retentionCohorts(s, d)),
     "a15c_kmv_distinct_users" -> ((s, d) => Dashboard.kmvDistinctUsers(s, d)),
     "a15d_cms_user_counts" -> ((s, d) => Dashboard.cmsUserCounts(s, d)),
     "a15e_kmv_overlap" -> ((s, d) => Dashboard.kmvUserOverlap(s, d)),
@@ -336,7 +336,7 @@ object DashboardQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     // strict-order funnel: each step's earliest time is re-anchored at
     // the user's previous-step time; counts combine in one scalar row
-    "a23_funnel_conversion" ->
+    "a25_funnel_conversion" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
@@ -367,7 +367,7 @@ object DashboardQueries {
         |       CAST(n4 * 1000 // nullif(n3, 0) AS BIGINT) FROM n""".stripMargin,
     // Monday-truncated weeks in both engines; offset = integer day
     // division by 7 so partial weeks can never straddle a bucket
-    "a24_retention_cohorts" ->
+    "a26_retention_cohorts" ->
       """WITH f AS (
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
         |  FROM events GROUP BY 1),
