@@ -46,6 +46,7 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     "dedup_ngram_clusters" -> ((s, d) => ngramClusters(s, d)),
     "dedup_quality_survivors" -> ((s, d) => qualitySurvivors(s, d)),
     "o11_dedup_aware_split" -> ((s, d) => dedupAwareSplit(s, d)),
+    "curation_soft_dedup_weights" -> ((s, d) => softDedupWeights(s, d)),
     "curation_contamination" -> ((s, d) => contamination(s, d)),
     "curation_contamination_bloom" -> ((s, d) => contaminationBloom(s, d)),
     "curation_span_dedup" -> ((s, d) => spanDedupStats(s, d)),
@@ -250,6 +251,21 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
          |           ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
          |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
          |WHERE rn = 1""".stripMargin,
+    "curation_soft_dedup_weights" ->
+      s"""$ngramClusterCtes,
+         |wdoc AS (
+         |  SELECT d.doc_id, d.source, coalesce(cl.cluster_id, d.doc_id) AS cid
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |szc AS (SELECT cid, count(*) AS csize FROM wdoc GROUP BY 1),
+         |wm AS (SELECT source, CAST(1000 // csize AS BIGINT) AS w_milli
+         |       FROM wdoc JOIN szc USING (cid))
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(w_milli) AS BIGINT) AS sum_w_milli,
+         |       CAST(sum(w_milli) * sum(w_milli)
+         |         // NULLIF(sum(w_milli * w_milli), 0) AS BIGINT) AS ess_docs,
+         |       CAST(sum(w_milli) // NULLIF(count(*), 0) AS BIGINT)
+         |         AS mean_w_milli
+         |FROM wm GROUP BY 1""".stripMargin,
     "o11_dedup_aware_split" ->
       s"""$ngramClusterCtes
          |SELECT d.doc_id,

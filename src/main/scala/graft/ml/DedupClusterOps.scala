@@ -142,6 +142,47 @@ private[graft] trait DedupClusterOps extends DedupShingleOps {
           .otherwise("test").as("split"))
   }
 
+  /** Soft dedup — cluster-size-downweighted sampling weights, the
+    * non-destructive alternative to dropping near-duplicates: every doc
+    * keeps weight `1000 div |cluster|` milli (singletons keep 1000), so
+    * a family of n near-copies contributes ~one document's worth of
+    * probability mass to the training mix instead of n (the
+    * D4/SemDeDup-style "duplication-aware sampling" knob). Reported per
+    * source: doc count, total retained mass, the EFFECTIVE sample size
+    * `(Σw)² div Σw²` (the number that says how many independent docs
+    * the source really contributes), and the mean weight — a source
+    * whose mean collapses toward its reciprocal family size is a mirror
+    * farm.
+    *
+    * Scale shape: one left join of the corpus against the (small)
+    * cluster table, one grouped count for family sizes, one join back,
+    * one grouped sum per source — all hash-partitioned, nothing
+    * quadratic, bounded output. */
+  def softDedupWeightsOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val withC = docs.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+    // family size via a window keyed on the cluster id (state bounded
+    // by one family) instead of a groupBy + join-back, so the
+    // docs-join-clusters branch is computed once, not twice
+    val wcid = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    withC.withColumn("csize", count(lit(1)).over(wcid))
+      .select(col("source"), expr("1000 div csize").as("w_milli"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_milli")).as("sum_w_milli"),
+        sum(expr("w_milli * w_milli")).as("sum_w2"))
+      .select(col("source"), col("n_docs"), col("sum_w_milli"),
+        expr("sum_w_milli * sum_w_milli div nullif(sum_w2, 0)")
+          .as("ess_docs"),
+        expr("sum_w_milli div nullif(n_docs, 0)").as("mean_w_milli"))
+  }
+
+  /** Registered self-contained form over the n-gram Jaccard clusters. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeightsOf(Tables.documents(spark, dir), ngramClusters(spark, dir))
+
   /** Quality-aware survivor selection: within each near-dup cluster keep
     * the LONGEST member (tie-break min doc_id) instead of the min-id
     * canonical — the standard curation policy (near-dups are usually

@@ -179,6 +179,55 @@ object Similarity {
       .select("query_id", "vec_id", "dot", "rank")
   }
 
+  /** ANN recall@k audit — the acceptance number a vector-serving rollout
+    * gates on: the exact [[bruteForceTopK]] lists are ground truth, the
+    * multi-probe LSH [[annTopK]] is the production arm under audit, and
+    * the report is one row of exact counts — corpus recall in milli plus
+    * the WORST single query's recall (tail recall is what users feel;
+    * the mean hides it). The ANN twin of [[DedupSignatureOps
+    * .blockingRecallOf]]'s blocker audit, same eager-materialize /
+    * release-before-return cache discipline: the two top-k frames are
+    * persisted (each feeds two counts), collapsed to one local row, and
+    * unpersisted before returning — a caller looping the audit
+    * accumulates nothing.
+    *
+    * Scale: both arms are the existing bounded top-k plans (truth is the
+    * O(n·q) exactness yardstick — audits run on a query SAMPLE, which is
+    * exactly what the every-200th-vector query subset is); the audit
+    * itself adds one co-partitioned semi join on (query_id, vec_id) and
+    * two bounded aggregates. */
+  def annRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(spark, dir, k).select("query_id", "vec_id")
+      .persist()
+    val det = annTopK(spark, dir, k).select("query_id", "vec_id").persist()
+    try {
+      val hits = truth.join(det, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val perQ = truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("n_true"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      val row = perQ.agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_true")).as("n_truth"),
+          sum(col("n_hit")).as("n_hits"),
+          min(expr("n_hit * 1000 div n_true")).as("worst_recall_milli"))
+        .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+        .head()
+      import spark.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getLong(4), row.getLong(2),
+          row.getLong(3)))
+        .toDF("n_queries", "n_truth", "n_detected", "n_hits",
+          "worst_recall_milli")
+        .select(col("n_queries"), col("n_truth"), col("n_detected"),
+          col("n_hits"),
+          expr("n_hits * 1000 div nullif(n_truth, 0)").as("recall_milli"),
+          col("worst_recall_milli"))
+    } finally {
+      truth.unpersist(blocking = false)
+      det.unpersist(blocking = false)
+    }
+  }
+
   // -------------------------------------------------------------------
   // Tenant-scoped ANN: tenant-prefixed LSH buckets (multi-tenant serving)
   // -------------------------------------------------------------------
@@ -921,6 +970,7 @@ object Similarity {
     "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
+    "sim_recall_audit" -> ((s, d) => annRecallAudit(s, d)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -929,6 +979,51 @@ object Similarity {
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
     "emb_dim_stats" -> ((s, d) => dimStats(s, d)),
     "emb_norm_stats" -> ((s, d) => normStats(s, d)))
+
+  private val bruteForceOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(
+      |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT qs.vec_id AS query_id, c.vec_id,
+      |         CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS dot
+      |  FROM q qs JOIN q c ON qs.vec_id % 200 = 0 AND c.vec_id <> qs.vec_id),
+      |r AS (
+      |  SELECT query_id, vec_id, dot,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY dot DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** Replays [[annRecallAudit]] by nesting the two arms' full oracles as
+    * CTE bodies — the truth and detector sets are therefore the SAME
+    * rows the per-arm correctness gates already hash-check, and the
+    * audit reduces to exact counting on top. */
+  private def recallAuditOracle: String =
+    s"""WITH truth AS ($bruteForceOracle),
+      |det AS ($annOracle),
+      |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+      |       FROM truth GROUP BY 1),
+      |hq AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |       FROM truth t JOIN det d
+      |         ON t.query_id = d.query_id AND t.vec_id = d.vec_id
+      |       GROUP BY 1),
+      |j AS (SELECT pq.query_id, n_true, coalesce(n_hit, 0) AS n_hit
+      |      FROM pq LEFT JOIN hq USING (query_id))
+      |SELECT count(*) AS n_queries,
+      |       CAST(sum(n_true) AS BIGINT) AS n_truth,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM det) AS n_detected,
+      |       CAST(sum(n_hit) AS BIGINT) AS n_hits,
+      |       CAST(sum(n_hit) * 1000 // NULLIF(sum(n_true), 0) AS BIGINT)
+      |         AS recall_milli,
+      |       CAST(min(n_hit * 1000 // n_true) AS BIGINT)
+      |         AS worst_recall_milli
+      |FROM j""".stripMargin
 
   /** Oracle for the multi-table, multi-probe LSH ANN: the hyperplanes are
     * inlined as the SAME integer constants the Spark plan uses ([[plane]]),
@@ -1343,25 +1438,8 @@ object Similarity {
         |         AS mean_milli,
         |       min(x) = max(x) AS is_dead
         |FROM f GROUP BY dim""".stripMargin,
-    "sim_topk_bruteforce" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(round(
-        |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
-        |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT qs.vec_id AS query_id, c.vec_id,
-        |         CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS dot
-        |  FROM q qs JOIN q c ON qs.vec_id % 200 = 0 AND c.vec_id <> qs.vec_id),
-        |r AS (
-        |  SELECT query_id, vec_id, dot,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY dot DESC, vec_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "sim_topk_bruteforce" -> bruteForceOracle,
+    "sim_recall_audit" -> recallAuditOracle,
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
     // the Spark side is raw long arithmetic and exact at any scale.

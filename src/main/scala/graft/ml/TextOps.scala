@@ -44,6 +44,7 @@ object TextOps extends TextTokenOps with TextQualityOps
     "text_bm25_topk" -> ((s, d) => bm25(s, d)),
     "text_keywords" -> ((s, d) => keywords(s, d)),
     "text_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
+    "text_heaps_curve" -> ((s, d) => heapsCurve(s, d)),
     "text_token_drift" -> ((s, d) => tokenDrift(s, d)),
     "text_doc_rarity" -> ((s, d) => docRarity(s, d)),
     "text_gopher_quality" -> ((s, d) => gopherQuality(s, d)),
@@ -84,6 +85,36 @@ object TextOps extends TextTokenOps with TextQualityOps
     "text_bpe_merges" -> bpeOracle,
     "text_bpe_encode" -> bpeEncodeOracle,
     "text_quality_classifier" -> classifierOracle,
+    // the ≤10-row cumulative prefix replays as a plain window here (the
+    // oracle states semantics; the Spark side uses the bounded fold)
+    "text_heaps_curve" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |d AS (
+        |  SELECT doc_id, least(doc_id * 10 // (max_id + 1), 9) AS bucket,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents CROSS JOIN mx),
+        |pb AS (
+        |  SELECT bucket, count(*) AS n_docs,
+        |         CAST(sum(len(toks)) AS BIGINT) AS n_toks
+        |  FROM d GROUP BY 1),
+        |tk AS (SELECT bucket, unnest(toks) AS tok FROM d),
+        |fs AS (SELECT tok, min(bucket) AS fb FROM tk GROUP BY 1),
+        |nt AS (SELECT fb AS bucket, count(*) AS new_types FROM fs GROUP BY 1),
+        |j AS (
+        |  SELECT pb.bucket, pb.n_docs, pb.n_toks,
+        |         coalesce(nt.new_types, 0) AS new_types
+        |  FROM pb LEFT JOIN nt USING (bucket)),
+        |c AS (
+        |  SELECT bucket,
+        |         CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+        |         CAST(sum(n_toks) OVER w AS BIGINT) AS tokens_cum,
+        |         CAST(sum(new_types) OVER w AS BIGINT) AS vocab_cum
+        |  FROM j WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, docs_cum, tokens_cum, vocab_cum,
+        |       CAST(vocab_cum * 1000000 // NULLIF(tokens_cum, 0) AS BIGINT)
+        |         AS ttr_micro
+        |FROM c""".stripMargin,
     // same quality formula + quantized grid as the o8 decile oracle,
     // grouped per source; quantile_cont == Spark exact percentile
     "curation_quality_prune" ->

@@ -44,6 +44,66 @@ private[graft] trait TextTokenOps {
         + nUniq.cast("double") / greatest(nTokens, lit(1)).cast("double")
           * lit(0.5))
 
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct token
+    * types vs cumulative token instances at `buckets` checkpoints of
+    * the corpus (deciles of the doc_id range) — the scaling diagnostic
+    * a tokenizer owner reads before sizing a vocabulary, and the
+    * corpus-health check whose flattening tail exposes mass duplication
+    * (a deduped natural corpus keeps growing ~n^0.5; a crawl full of
+    * boilerplate plateaus). Also emits the cumulative type-token ratio
+    * in micro.
+    *
+    * Scale shape: "first k docs" is made scale-safe by bucketing on the
+    * doc_id RANGE (one broadcast max-id scalar anchor; never a global
+    * rank): one grouped count per bucket for docs/instances, one
+    * min-bucket aggregate per distinct token for first occurrence —
+    * both map-side combinable — and the cumulative prefix runs as the
+    * bounded `aggregate()` fold over the sorted ≤`buckets`-row list
+    * (the paretoParts/epochOrder pattern), so there is no global
+    * window at any corpus size. The token pass and the stats pass each
+    * scan the (column-pruned) corpus once. */
+  def heapsCurveOf(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    val d = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"),
+        least(expr(s"doc_id * $buckets div (max_id + 1)"),
+          lit(buckets - 1L)).as("bucket"),
+        tokens(col("text")).as("toks"))
+    val perBucket = d.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_toks"))
+    val newTypes = d.select(col("bucket"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n_docs"),
+        col("n_toks"), col("new_types")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<bucket: BIGINT, docs_cum: BIGINT,
+          |    tokens_cum: BIGINT, vocab_cum: BIGINT>>),
+          |  (acc, x) -> array_append(acc, struct(
+          |    x.bucket AS bucket,
+          |    CASE WHEN size(acc) = 0 THEN x.n_docs
+          |         ELSE element_at(acc, -1).docs_cum + x.n_docs END AS docs_cum,
+          |    CASE WHEN size(acc) = 0 THEN x.n_toks
+          |         ELSE element_at(acc, -1).tokens_cum + x.n_toks END
+          |      AS tokens_cum,
+          |    CASE WHEN size(acc) = 0 THEN x.new_types
+          |         ELSE element_at(acc, -1).vocab_cum + x.new_types END
+          |      AS vocab_cum)))""".stripMargin)).as("y"))
+      .select(col("y.bucket").as("bucket"), col("y.docs_cum").as("docs_cum"),
+        col("y.tokens_cum").as("tokens_cum"),
+        col("y.vocab_cum").as("vocab_cum"),
+        expr("y.vocab_cum * 1000000 div nullif(y.tokens_cum, 0)")
+          .as("ttr_micro"))
+  }
+
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame =
+    heapsCurveOf(Tables.documents(spark, dir))
+
   def textStatsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     docs

@@ -137,6 +137,67 @@ object Graph {
       expr("node div 10").as("entity_id"),
       col("community"))
 
+  /** Community-quality audit: Newman modularity of the [[labelPropagationOf]]
+    * partition, decomposed per community — the number that says whether
+    * LPA found real structure or noise (positive contributions = denser
+    * inside than a degree-preserving random graph), and the acceptance
+    * gate a pipeline runs before TRUSTING a community assignment for
+    * sampling or deduplication decisions.
+    *
+    * All integer-exact so the oracle replays bit-for-bit. With `M2` the
+    * doubled (directed) edge count and per community `intra2` its
+    * both-endpoints-inside directed edges and `deg_sum` its total
+    * degree: `observed_micro = intra2·10^6 div M2`,
+    * `expected_micro = (deg_sum·10^3 div M2)^2` (the per-mille degree
+    * share squared — squaring AFTER the division keeps every product
+    * under 2^63 even at a 10^12-edge corpus, where `deg_sum^2·10^6`
+    * would wrap a long), and `contrib_micro` is their difference —
+    * subtraction after the divisions, so no negative floor-division
+    * parity risk between engines. Σ contrib_micro is the partition's
+    * modularity Q in micro.
+    *
+    * Scale shape: labels join onto the (re-used, persisted) edge table
+    * once per endpoint — the standard two-hop pattern (shuffle by src,
+    * then by dst) — followed by two map-side-combinable grouped counts
+    * and a bounded per-community join; the one scalar (M2) broadcasts.
+    * Nothing is quadratic; output is one row per community. */
+  def modularityOf(edges: DataFrame, iters: Int = LpIters): DataFrame = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the final labels feed three consumers (src-side join,
+    // dst-side join, community node counts); module cache contract —
+    // Bench/Verify clearCache() between queries releases both frames
+    val labels = labelPropagationOf(e, iters).persist()
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    val withC = e
+      .join(labels.select(col("node").as("src"), col("community").as("c_src")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("c_dst")),
+        "dst")
+    val degSum = withC.groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val intra = withC.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("intra2"))
+    labels.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      .join(degSum, Seq("community"))
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"))
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"),
+        expr("intra2 div 2").as("e_intra"), col("deg_sum"),
+        expr("intra2 * 1000000 div m2").as("observed_micro"),
+        expr("(deg_sum * 1000 div m2) * (deg_sum * 1000 div m2)")
+          .as("expected_micro"))
+      .withColumn("contrib_micro",
+        col("observed_micro") - col("expected_micro"))
+  }
+
+  def modularity(spark: SparkSession, dir: String,
+      iters: Int = LpIters): DataFrame =
+    modularityOf(edgesOf(spark, dir), iters)
+
   // -------------------------------------------------------------------
   // k-core decomposition (bounded peeling)
   // -------------------------------------------------------------------
@@ -397,12 +458,13 @@ object Graph {
     "graph_link_jaccard" -> ((s, d) => linkJaccard(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)),
     "graph_label_prop" -> ((s, d) => labelPropagation(s, d)),
+    "graph_modularity" -> ((s, d) => modularity(s, d)),
     "basket_rules" -> ((s, d) => associationRules(s, d)))
 
   /** Generated fixed-round majority-LPA oracle — MATERIALIZED per round
     * like [[prOracle]]; the per-node argmax replays as a row_number
     * window with the identical (n DESC, community ASC) total order. */
-  private def lpOracle: String = {
+  private def lpChainCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e0 AS (
       |  SELECT DISTINCT o_custkey * 10 AS src, l_suppkey * 10 + 1 AS dst
@@ -424,13 +486,46 @@ object Graph {
         |             ORDER BY n DESC, community ASC) AS rn
         |    FROM c$t) WHERE rn = 1)""".stripMargin
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  private def lpOracle: String =
+    s"""$lpChainCtes
       |SELECT CASE WHEN node % 10 = 0 THEN 'customer' ELSE 'supplier' END
       |         AS entity_type,
       |       node // 10 AS entity_id, community
       |FROM l$LpIters""".stripMargin
-    sb.toString
-  }
+
+  /** Replays [[modularityOf]] on top of the shared fixed-round LPA
+    * chain: the same square-after-divide integer form, so values match
+    * bit-for-bit (all divisions on non-negative operands). */
+  private def modularityOracle: String =
+    s"""$lpChainCtes,
+      |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+      |wc AS MATERIALIZED (
+      |  SELECT ls.community AS c_src, ld.community AS c_dst
+      |  FROM e
+      |  JOIN l$LpIters ls ON e.src = ls.node
+      |  JOIN l$LpIters ld ON e.dst = ld.node),
+      |ds AS (SELECT c_src AS community, CAST(count(*) AS BIGINT) AS deg_sum
+      |       FROM wc GROUP BY 1),
+      |ia AS (SELECT c_src AS community, CAST(count(*) AS BIGINT) AS intra2
+      |       FROM wc WHERE c_src = c_dst GROUP BY 1),
+      |nn AS (SELECT community, count(*) AS n_nodes
+      |       FROM l$LpIters GROUP BY 1),
+      |j AS (
+      |  SELECT nn.community, nn.n_nodes, ds.deg_sum,
+      |         coalesce(ia.intra2, 0) AS intra2
+      |  FROM nn JOIN ds USING (community) LEFT JOIN ia USING (community))
+      |SELECT community, n_nodes,
+      |       CAST(intra2 // 2 AS BIGINT) AS e_intra, deg_sum,
+      |       CAST(intra2 * 1000000 // m2 AS BIGINT) AS observed_micro,
+      |       CAST((deg_sum * 1000 // m2) * (deg_sum * 1000 // m2) AS BIGINT)
+      |         AS expected_micro,
+      |       CAST(intra2 * 1000000 // m2
+      |         - (deg_sum * 1000 // m2) * (deg_sum * 1000 // m2) AS BIGINT)
+      |         AS contrib_micro
+      |FROM j CROSS JOIN m2""".stripMargin
 
   /** Shared oracle prefix: the support-filtered co-purchase edge list
     * and its (degree, id) orientation — mirrors copurchaseEdgesOf +
@@ -522,6 +617,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kCoreOracle,
     "graph_label_prop" -> lpOracle,
+    "graph_modularity" -> modularityOracle,
     "basket_rules" -> s"""WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |ps AS (

@@ -347,6 +347,63 @@ object Temporal {
       .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
   }
 
+  /** T20 — time-decay multi-touch attribution, completing the
+    * attribution family: where t17 hands each purchase wholly to its
+    * LAST touch, this splits the purchase value across EVERY view/click
+    * in the trailing 30 days, weighted by recency — the multi-touch
+    * model marketing analytics actually reports next to last-touch.
+    *
+    * Decay is the exact-integer stepwise form: weight halves per full
+    * 7 days of age, `decay_milli = 1000 div 2^(days div 7)` (1000, 500,
+    * 250, 125, 62 — the exponent is bounded by the 30-day window), and
+    * each purchase's cents split as `cents · w_i div Σw` — floor
+    * division on non-negative operands, so every share replays
+    * bit-for-bit in the oracle (rounding residue stays with the house,
+    * the standard ledger convention). Purchases with no touch in the
+    * window fall to 'direct', exactly as t17's coalesce does.
+    *
+    * Scale shape: one equi-join of purchases against touches on
+    * user_id with the 30-day band predicate — per-user pair volume is
+    * bounded by (touches × purchases) inside a 30-day window, the same
+    * bounded-band argument as t14; a pathological single user would get
+    * the t1b/t3b salted-segment treatment. The per-purchase normalizer
+    * is a window keyed by purchase event_id (state bounded by one
+    * purchase's touches), then one grouped sum per channel. */
+  def timeDecayAttribution(spark: SparkSession, dir: String): DataFrame =
+    timeDecayAttributionOf(Tables.events(spark, dir))
+
+  /** Library form over any (user_id, ts, event_id, event_type, value)
+    * event frame. */
+  def timeDecayAttributionOf(ev: DataFrame): DataFrame = {
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") <= col("p_ts") &&
+        col("t_ts") > col("p_ts") - expr("INTERVAL 30 DAYS"))
+      .withColumn("days",
+        datediff(col("p_ts").cast("date"), col("t_ts").cast("date")))
+      .withColumn("decay_milli",
+        expr("1000 div shiftleft(1, CAST(days div 7 AS INT))").cast("long"))
+    val w = Window.partitionBy(col("event_id"))
+    val attributed = pairs
+      .withColumn("total_decay", sum(col("decay_milli")).over(w))
+      .select(col("channel"),
+        expr("cents * decay_milli div total_decay").as("attr_cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touchpoints"),
+        sum(col("attr_cents")).as("cents"))
+    val direct = purchases
+      .join(pairs.select("event_id").distinct(), Seq("event_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touchpoints"), sum(col("cents")).as("cents"))
+      .select(lit("direct").as("channel"), col("n_touchpoints"), col("cents"))
+      .filter(col("n_touchpoints") > 0)
+    attributed.unionByName(direct)
+  }
+
   /** T15 — interval coalescing (gaps-and-islands): merge each supplier's
     * overlapping/touching shipment windows (the same [s, e] intervals as
     * t14) into maximal busy islands. The dual of t14's pair count: t14
@@ -848,6 +905,7 @@ object Temporal {
     "t15_busy_islands" -> ((s, d) => supplierBusyIslands(s, d)),
     "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)),
+    "t20_time_decay_attribution" -> ((s, d) => timeDecayAttribution(s, d)),
     "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)),
     "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)),
     "t19_session_ttl" -> ((s, d) => sessionTtlBuckets(s, d)))
@@ -1145,6 +1203,36 @@ object Temporal {
         |JOIN v USING (event_id)
         |LEFT JOIN c USING (asof_id)
         |GROUP BY 1""".stripMargin,
+    // decay ladder and per-purchase floor-division shares replayed
+    // exactly; 'direct' rides in as the untouched-purchase UNION arm
+    "t20_time_decay_attribution" ->
+      """WITH tch AS (
+        |  SELECT user_id, ts AS t_ts, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT p.event_id, p.cents, tch.channel,
+        |         CAST(1000 // (1 << CAST(date_diff('day', CAST(t_ts AS DATE),
+        |             CAST(p_ts AS DATE)) // 7 AS INT)) AS BIGINT) AS decay_milli
+        |  FROM p JOIN tch ON p.user_id = tch.user_id
+        |   AND t_ts <= p_ts AND t_ts > p_ts - INTERVAL 30 DAY),
+        |tot AS (
+        |  SELECT event_id, CAST(sum(decay_milli) AS BIGINT) AS total_decay
+        |  FROM pr GROUP BY 1),
+        |att AS (
+        |  SELECT channel,
+        |         CAST(cents * decay_milli // total_decay AS BIGINT) AS attr_cents
+        |  FROM pr JOIN tot USING (event_id))
+        |SELECT channel, count(*) AS n_touchpoints,
+        |       CAST(sum(attr_cents) AS BIGINT) AS cents
+        |FROM att GROUP BY 1
+        |UNION ALL
+        |SELECT 'direct', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM p WHERE event_id NOT IN (SELECT event_id FROM pr)
+        |HAVING count(*) > 0""".stripMargin,
     "t15_busy_islands" ->
       """WITH iv AS (
         |  SELECT DISTINCT l_suppkey AS suppkey,

@@ -528,6 +528,37 @@ class DedupSpec extends SparkSpec {
     clusters.unpersist()
   }
 
+  test("soft-dedup weights: family mass splits evenly, singletons keep " +
+    "full weight, ESS floors the duplication out") {
+    import spark.implicits._
+    // source s1: a 2-family (docs 1,2 -> 500 milli each) + singleton 5;
+    // source s2: two singletons. Cluster table lists only clustered docs
+    // (the clustersOf convention) — 3,4,5 fall through the left join.
+    val docs = Seq((1L, "s1"), (2L, "s1"), (5L, "s1"), (3L, "s2"), (4L, "s2"))
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.softDedupWeightsOf(docs, clusters).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_w_milli"),
+          r.getAs[Long]("ess_docs"), r.getAs[Long]("mean_w_milli")))).toMap
+    // s1: Σw = 500+500+1000 = 2000, Σw² = 1.5e6 -> ESS 4e6 div 1.5e6 = 2
+    // (three docs but one family + one singleton ≈ 2 independent docs)
+    assert(got == Map(
+      "s1" -> ((3L, 2000L, 2L, 666L)),
+      "s2" -> ((2L, 2000L, 2L, 1000L))), s"got $got")
+
+    // real corpus: every doc carries weight, none more than full
+    val real = Dedup.softDedupWeights(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(real.map(_.getAs[Long]("n_docs")).sum == n)
+    real.foreach { r =>
+      assert(r.getAs[Long]("sum_w_milli") <= 1000L * r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("ess_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("ess_docs") >= 1L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("blocking recall audit releases its pair-frame caches (only the " +
       "detectors' module-contract barriers stay pinned)") {
     spark.catalog.clearCache()

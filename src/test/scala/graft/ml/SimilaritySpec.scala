@@ -164,6 +164,40 @@ class SimilaritySpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("recall audit: counts reconcile with a direct replay of both arms, " +
+    "and the pair caches are released") {
+    val row = Similarity.annRecallAudit(spark, sf).head()
+    val nQ = row.getAs[Long]("n_queries")
+    val nTruth = row.getAs[Long]("n_truth")
+    val nDet = row.getAs[Long]("n_detected")
+    val nHits = row.getAs[Long]("n_hits")
+    val recall = row.getAs[Long]("recall_milli")
+    val worst = row.getAs[Long]("worst_recall_milli")
+    // independent replay from the two arms the audit composes
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    val det = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    val hits = truth.toSet.intersect(det.toSet)
+    assert(nQ == truth.map(_._1).distinct.length)
+    assert(nTruth == truth.length && nDet == det.length)
+    assert(nHits == hits.size)
+    assert(recall == nHits * 1000 / nTruth)
+    // worst single-query recall: the tail the mean hides
+    val perQ = truth.groupBy(_._1).map { case (q, ts) =>
+      ts.count(hits.contains) * 1000L / ts.length }
+    assert(worst == perQ.min && worst <= recall)
+    spark.catalog.clearCache()
+    // eager audit releases its own truth/det persists before returning
+    // (the blockingRecallOf contract); what may remain is annTopK's own
+    // quantized-vector barrier, governed by the module cache contract
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.annRecallAudit(spark, sf).head()
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"$leaked cached frames survived annRecallAudit")
+    spark.catalog.clearCache()
+  }
+
   test("semantic prune: one row per vector; pruned set equals a brute-force " +
     "replay of the gate within the returned clusters") {
     import org.apache.spark.sql.functions._

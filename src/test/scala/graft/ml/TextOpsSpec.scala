@@ -24,6 +24,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._1 == "edge: end with <EMAIL>")
   }
 
+  test("heaps curve: cumulative vocabulary and instance counts on crafted " +
+    "deciles, monotone with a conserved total on real data") {
+    // max_id = 3 -> bucket = doc_id * 10 div 4: ids 0,1,2,3 land in
+    // buckets 0, 2, 5, 7; doc 3 is empty (tokens contribute nothing)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "b c d"), (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.heapsCurveOf(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("docs_cum"), r.getAs[Long]("tokens_cum"),
+          r.getAs[Long]("vocab_cum"), r.getAs[Long]("ttr_micro")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 2L, 2L, 1000000L)),
+      2L -> ((2L, 4L, 3L, 750000L)),
+      5L -> ((3L, 7L, 4L, 571428L)),
+      7L -> ((4L, 7L, 4L, 571428L))), s"got $got")
+
+    // real corpus: curves are monotone and the last checkpoint conserves
+    // the corpus totals (every doc, instance, and type accounted for)
+    val real = TextOps.heapsCurve(spark, sf).collect().sortBy(_.getAs[Long]("bucket"))
+    val d = graft.Tables.documents(spark, sf)
+    assert(real.map(_.getAs[Long]("docs_cum")).toSeq ==
+      real.map(_.getAs[Long]("docs_cum")).sorted.toSeq)
+    assert(real.map(_.getAs[Long]("vocab_cum")).toSeq ==
+      real.map(_.getAs[Long]("vocab_cum")).sorted.toSeq)
+    assert(real.last.getAs[Long]("docs_cum") == d.count())
+    val toks = d.select(explode(TextOps.tokens(col("text"))).as("t"))
+    assert(real.last.getAs[Long]("tokens_cum") == toks.count())
+    assert(real.last.getAs[Long]("vocab_cum") == toks.distinct().count())
+  }
+
   test("normalize strips punctuation, collapses whitespace, lowercases") {
     val docs = Seq((1L, "  Hello,   WORLD!!  it's 42.  ", 30L))
       .toDF("doc_id", "text", "n_chars")

@@ -133,6 +133,46 @@ class GraphSpec extends SparkSpec {
     assert(hist.forall(_.getAs[Long]("degree") >= 1L))
   }
 
+  test("modularity: two bridged triangles score the hand-computed Q, and " +
+    "identities hold on the real graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4: LPA settles on one
+    // community per triangle; m2 = 14, each side intra2 = 6, deg_sum = 7
+    // -> observed 6e6 div 14 = 428571, expected (7000 div 14)^2 = 250000
+    val und = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L),(4L,6L),(5L,6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.modularityOf(edges, iters = 4).collect()
+      .map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("e_intra"),
+         r.getAs[Long]("deg_sum"), r.getAs[Long]("contrib_micro"))).toMap
+    assert(got.size == 2 &&
+      got.values.toSet == Set((3L, 3L, 7L, 428571L - 250000L)),
+      s"got $got")
+    spark.catalog.clearCache()
+
+    // real purchase graph: degree mass is fully assigned (Σ deg_sum = m2),
+    // intra-edges never exceed a community's degree volume, and each
+    // row's contribution is exactly observed − expected. Q itself is
+    // NEGATIVE here and that is the audit doing its job: the sf0.001
+    // purchase graph is near-complete bipartite — LPA's documented
+    // failure mode — and the modularity report is precisely the gate
+    // that tells a pipeline not to trust that partition.
+    val m = Graph.modularity(spark, sf).collect()
+    val m2 = Graph.degreeHistogram(spark, sf).collect()
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    assert(m.map(_.getAs[Long]("deg_sum")).sum == m2)
+    assert(m.forall(r => 2 * r.getAs[Long]("e_intra") <= r.getAs[Long]("deg_sum")))
+    m.foreach { r =>
+      assert(r.getAs[Long]("contrib_micro") ==
+        r.getAs[Long]("observed_micro") - r.getAs[Long]("expected_micro"))
+      assert(r.getAs[Long]("observed_micro") <= 1000000L)
+      assert(r.getAs[Long]("expected_micro") <= 1000000L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("link Jaccard: edge commons sum to 3x the triangle count, milli bounded") {
     import org.apache.spark.sql.functions._
     val lj = Graph.linkJaccard(spark, sf)

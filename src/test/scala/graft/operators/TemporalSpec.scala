@@ -327,6 +327,55 @@ class TemporalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cents")).sum == totalCents)
   }
 
+  test("time-decay attribution: hand-computed decay shares on crafted " +
+    "timelines, and value conservation up to floor residue on real data") {
+    val ev = Seq(
+      // u1: purchase 10.00 with a 1-day-old click (decay 1000) and a
+      // 12-day-old view (12 div 7 = 1 half-life -> 500); a 38-day-old
+      // view falls outside the 30-day window entirely
+      (1L, ts("2023-12-25 09:00:00"), 10L, "view", 0.0),
+      (1L, ts("2024-01-20 09:00:00"), 11L, "view", 0.0),
+      (1L, ts("2024-01-31 09:00:00"), 12L, "click", 0.0),
+      (1L, ts("2024-02-01 10:00:00"), 100L, "purchase", 10.0),
+      // u2: untouched purchase -> direct
+      (2L, ts("2024-02-01 10:00:00"), 200L, "purchase", 5.0),
+      // u3: only touch is AFTER the purchase -> direct
+      (3L, ts("2024-02-01 10:00:00"), 300L, "purchase", 2.0),
+      (3L, ts("2024-02-01 11:00:00"), 13L, "view", 0.0),
+      // u4: same-timestamp view counts (t <= p), day age 0 -> full 1000
+      (4L, ts("2024-02-01 12:00:00"), 14L, "view", 0.0),
+      (4L, ts("2024-02-01 12:00:00"), 400L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Temporal.timeDecayAttributionOf(ev).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_touchpoints"), r.getAs[Long]("cents")))).toMap
+    // u1 splits 1000 cents at weights 1000 (click) : 500 (view):
+    // click 1000*1000 div 1500 = 666, view 333; u4's view takes all 100
+    assert(got == Map(
+      "click" -> ((1L, 666L)),
+      "view" -> ((2L, 333L + 100L)),
+      "direct" -> ((2L, 700L))), s"got $got")
+
+    // real corpus: every purchase's floor-division shares sum to at most
+    // its value, and the total shortfall is bounded by one milli-unit
+    // per touchpoint (the ledger-residue property of the decay split)
+    val rows = Temporal.timeDecayAttribution(spark, sf).collect()
+    val totalCents = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")))
+      .head.getLong(0)
+    val attributed = rows.map(_.getAs[Long]("cents")).sum
+    val nTouch = rows.filter(_.getAs[String]("channel") != "direct")
+      .map(_.getAs[Long]("n_touchpoints")).sum
+    assert(attributed <= totalCents)
+    assert(rows.map(_.getAs[String]("channel")).toSet
+      .subsetOf(Set("view", "click", "direct")))
+    // each touchpoint's floor loses < 1 of its exact share only when the
+    // per-purchase residue is < n_touches; globally the gap is < Σtouches
+    assert(totalCents - attributed <= nTouch,
+      s"shortfall ${totalCents - attributed} exceeds touchpoint count $nTouch")
+  }
+
   test("busy islands tile each supplier's intervals: disjoint, ordered, complete") {
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")
