@@ -37,10 +37,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // The timed action evaluates EVERY output column: executing the
+    // frame's own physical plan (toRdd) counts fully-built rows, where
+    // a df.count() re-optimizes with zero referenced columns and lets
+    // Catalyst elide cardinality-preserving subtrees wholesale — e.g.
+    // sim_rknn_counts' left join against the aggregated kNN graph
+    // (unique build keys, output column pruned away) collapsed to a
+    // parquet row count and benched flat at 100x data (round 11), and
+    // pure projections benched as footer metadata reads. Verify always
+    // paid the full cost (it writes parquet); the bench now measures
+    // the same work a consumer of the results would trigger.
     def timeOnly(reg: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]):
         Map[String, Option[Double]] = reg.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
