@@ -196,10 +196,21 @@ object Similarity {
     * exactly what the every-200th-vector query subset is); the audit
     * itself adds one co-partitioned semi join on (query_id, vec_id) and
     * two bounded aggregates. */
-  def annRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(spark, dir, k).select("query_id", "vec_id")
-      .persist()
-    val det = annTopK(spark, dir, k).select("query_id", "vec_id").persist()
+  def annRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    recallReport(spark, bruteForceTopK(spark, dir, k), annTopK(spark, dir, k))
+
+  /** The same audit over the IVF arm — probing [[IvfProbes]] coarse
+    * lists trades recall against scan volume, and THIS row is where
+    * that trade is read off before changing the probe count. */
+  def ivfRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    recallReport(spark, bruteForceTopK(spark, dir, k), ivfTopK(spark, dir, k))
+
+  /** Shared audit core: exact counts + recall milli + worst-query tail
+    * over any (query_id, vec_id) truth/detector top-k pair. */
+  private def recallReport(spark: SparkSession, truthDf: DataFrame,
+      detDf: DataFrame): DataFrame = {
+    val truth = truthDf.select("query_id", "vec_id").persist()
+    val det = detDf.select("query_id", "vec_id").persist()
     try {
       val hits = truth.join(det, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -971,6 +982,7 @@ object Similarity {
     "sim_topk_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_recall_audit" -> ((s, d) => annRecallAudit(s, d)),
+    "sim_ivf_recall_audit" -> ((s, d) => ivfRecallAudit(s, d)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -1004,9 +1016,13 @@ object Similarity {
     * CTE bodies — the truth and detector sets are therefore the SAME
     * rows the per-arm correctness gates already hash-check, and the
     * audit reduces to exact counting on top. */
-  private def recallAuditOracle: String =
+  private def recallAuditOracle: String = recallAuditOracleFor(annOracle)
+
+  private def ivfRecallAuditOracle: String = recallAuditOracleFor(ivfOracle)
+
+  private def recallAuditOracleFor(detSql: String): String =
     s"""WITH truth AS ($bruteForceOracle),
-      |det AS ($annOracle),
+      |det AS ($detSql),
       |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
       |       FROM truth GROUP BY 1),
       |hq AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
@@ -1440,6 +1456,7 @@ object Similarity {
         |FROM f GROUP BY dim""".stripMargin,
     "sim_topk_bruteforce" -> bruteForceOracle,
     "sim_recall_audit" -> recallAuditOracle,
+    "sim_ivf_recall_audit" -> ivfRecallAuditOracle,
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
     // the Spark side is raw long arithmetic and exact at any scale.

@@ -404,6 +404,45 @@ object Temporal {
     attributed.unionByName(direct)
   }
 
+  /** T21 — seasonality detection: Pearson autocorrelation of the hourly
+    * event-count series at a one-day lag. The number that says whether
+    * the traffic has a daily rhythm (r → 1), is patternless (r → 0), or
+    * anti-cycles — the check a capacity planner or anomaly-threshold
+    * owner (a24's trailing windows assume daily seasonality) runs
+    * BEFORE trusting a daily model. Hours with no events pair only
+    * where both lagged hours exist (inner join on the hour grid).
+    *
+    * Exactness: the moment sums and the three Pearson building blocks
+    * (n·Σxy − ΣxΣy and the two variance terms) are exact longs; `r` is
+    * the single double, computed from exact operands in the same
+    * expression order in both engines (the embedding-cosine idiom).
+    *
+    * Scale shape: one map-side-combined grouped count onto the bounded
+    * hour grid, one co-partitioned self-join shifted by the lag, one
+    * scalar aggregate — series length is time-bounded, independent of
+    * corpus size. */
+  def hourlyAutocorrOf(ev: DataFrame, lag: Int = 24): DataFrame = {
+    val hours = ev
+      .select(expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val a = hours.select(col("h"), col("n").as("x"))
+    val b = hours.select((col("h") - lag).as("h"), col("n").as("y"))
+    a.join(b, "h")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"))
+      .select(lit(lag.toLong).as("lag_hours"), col("n_pairs"),
+        expr("n_pairs * sxy - sx * sy").as("cov_num"),
+        expr("n_pairs * sxx - sx * sx").as("var_x"),
+        expr("n_pairs * syy - sy * sy").as("var_y"))
+      .withColumn("r", expr("CAST(cov_num AS DOUBLE) / " +
+        "(sqrt(CAST(var_x AS DOUBLE)) * sqrt(CAST(var_y AS DOUBLE)))"))
+  }
+
+  def hourlyAutocorr(spark: SparkSession, dir: String): DataFrame =
+    hourlyAutocorrOf(Tables.events(spark, dir))
+
   /** T15 — interval coalescing (gaps-and-islands): merge each supplier's
     * overlapping/touching shipment windows (the same [s, e] intervals as
     * t14) into maximal busy islands. The dual of t14's pair count: t14
@@ -906,6 +945,7 @@ object Temporal {
     "t16_event_transitions" -> ((s, d) => eventTransitions(s, d)),
     "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)),
     "t20_time_decay_attribution" -> ((s, d) => timeDecayAttribution(s, d)),
+    "t21_hourly_autocorr" -> ((s, d) => hourlyAutocorr(s, d)),
     "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)),
     "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)),
     "t19_session_ttl" -> ((s, d) => sessionTtlBuckets(s, d)))
@@ -1203,6 +1243,31 @@ object Temporal {
         |JOIN v USING (event_id)
         |LEFT JOIN c USING (asof_id)
         |GROUP BY 1""".stripMargin,
+    // moment sums exact; r is the single double, built from the same
+    // exact operands in the same order (the embedding-cosine idiom)
+    "t21_hourly_autocorr" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.n AS x, b.n AS y FROM hc a JOIN hc b ON b.h = a.h + 24),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p)
+        |SELECT CAST(24 AS BIGINT) AS lag_hours, n_pairs,
+        |       CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+        |       CAST(n_pairs * sxx - sx * sx AS BIGINT) AS var_x,
+        |       CAST(n_pairs * syy - sy * sy AS BIGINT) AS var_y,
+        |       CAST(CAST(n_pairs * sxy - sx * sy AS BIGINT) AS DOUBLE) /
+        |         (sqrt(CAST(CAST(n_pairs * sxx - sx * sx AS BIGINT) AS DOUBLE)) *
+        |          sqrt(CAST(CAST(n_pairs * syy - sy * sy AS BIGINT) AS DOUBLE)))
+        |         AS r
+        |FROM s""".stripMargin,
     // decay ladder and per-purchase floor-division shares replayed
     // exactly; 'direct' rides in as the untouched-purchase UNION arm
     "t20_time_decay_attribution" ->

@@ -153,6 +153,41 @@ object DataQuality {
           .as("collision_micro"))
   }
 
+  /** Column-entropy profile: Shannon entropy of each profiled column's
+    * value distribution in exact milli-bits (the interpolated integer
+    * milli-log2 chain shared with BM25/PSI), plus the entropy normalized
+    * by log2(ndv) in milli — the information-density read a catalog
+    * keeps next to [[columnProfile]]'s counts: near-zero entropy means a
+    * constant-in-disguise (drop it from features), near-1000 normalized
+    * means uniform (a good partition/shuffle key), and entropy DRIFT
+    * between ingests is a schema-less anomaly alarm.
+    *
+    * Identity used: `H = L(N) − (Σ nᵢ·L(nᵢ)) div N` with L the
+    * milli-log2 — one floor division at the end, so the value replays
+    * bit-for-bit. Plan: the columns melt into (col, value) rows in ONE
+    * pass over the (pruned) scan, then one grouped count and one
+    * bounded per-column roll-up — at 100 TB this is a single shuffle
+    * keyed (col, value), the same cost as profiling one column. */
+  def columnEntropy(spark: SparkSession, dir: String): DataFrame =
+    columnEntropyOf(graft.Tables.orders(spark, dir),
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+
+  /** Library form: entropy profile of the named columns of any frame. */
+  def columnEntropyOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melted = df.select(explode(map(cols.flatMap(c =>
+      Seq(lit(c), col(c).cast("string"))): _*)).as(Seq("col_name", "v")))
+    val log2m = graft.ml.TextOps.log2mExpr _
+    melted.groupBy("col_name", "v").agg(count(lit(1)).as("n"))
+      .groupBy("col_name").agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr(s"n * (${log2m("n")})")).as("s_nl"))
+      .selectExpr("col_name", "n_rows", "n_distinct",
+        s"(${log2m("n_rows")}) - s_nl div n_rows AS entropy_milli_bits",
+        s"((${log2m("n_rows")}) - s_nl div n_rows) * 1000" +
+          s" div nullif(${log2m("n_distinct")}, 0) AS norm_entropy_milli")
+  }
+
   /** K-anonymity audit — the re-identification governance check a
     * training-data release runs before shipping: group the table by its
     * quasi-identifier tuple (tenant, status, time bucket), report the
@@ -235,10 +270,41 @@ object DataQuality {
     "dq_column_profile" -> ((s, d) => columnProfile(s, d)),
     "dq_benford" -> ((s, d) => benfordDigits(s, d)),
     "dq_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
+    "dq_column_entropy" -> ((s, d) => columnEntropy(s, d)),
     "dq_drift_psi" -> ((s, d) => driftPsi(s, d)),
     "dq_key_skew" -> ((s, d) => keySkew(s, d)))
 
+  /** The interpolated milli-log2 in DuckDB form (same chain as the PSI
+    * oracle) over a positive integral SQL expression. */
+  private def duckLog2m(x: String): String =
+    s"((length(bin($x)) - 1) * 1000 + ($x) * 1000" +
+      s" // CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - 1000)"
+
+  private def columnEntropyOracle: String = {
+    val ent = s"${duckLog2m("n_rows")} - s_nl // n_rows"
+    s"""WITH m AS (
+      |  SELECT u.k AS col_name, u.v FROM (
+      |    SELECT unnest([
+      |      {'k': 'o_orderstatus', 'v': CAST(o_orderstatus AS VARCHAR)},
+      |      {'k': 'o_orderpriority', 'v': CAST(o_orderpriority AS VARCHAR)},
+      |      {'k': 'o_custkey', 'v': CAST(o_custkey AS VARCHAR)}]) AS u
+      |    FROM orders)),
+      |c AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS n
+      |      FROM m GROUP BY 1, 2),
+      |a AS (
+      |  SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+      |         count(*) AS n_distinct,
+      |         CAST(sum(n * ${duckLog2m("n")}) AS BIGINT) AS s_nl
+      |  FROM c GROUP BY 1)
+      |SELECT col_name, n_rows, n_distinct,
+      |       CAST($ent AS BIGINT) AS entropy_milli_bits,
+      |       CAST(($ent) * 1000 // NULLIF(${duckLog2m("n_distinct")}, 0)
+      |         AS BIGINT) AS norm_entropy_milli
+      |FROM a""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dq_column_entropy" -> columnEntropyOracle,
     "dq_drift_psi" ->
       """WITH d AS (
         |  SELECT doc_id, least(n_chars // 200, 15) AS bucket FROM documents),

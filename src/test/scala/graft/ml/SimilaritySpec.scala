@@ -198,6 +198,24 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF recall audit reconciles with its arms and clears the suite's " +
+    "IVF recall floor") {
+    val row = Similarity.ivfRecallAudit(spark, sf).head()
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val det = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(row.getAs[Long]("n_truth") == truth.size)
+    assert(row.getAs[Long]("n_detected") == det.size)
+    assert(row.getAs[Long]("n_hits") == truth.intersect(det).size)
+    val recall = row.getAs[Long]("recall_milli")
+    assert(recall == truth.intersect(det).size * 1000L / truth.size)
+    // the IVF suite test asserts >= 20% vs brute force; the audit row is
+    // the same number surfaced as data
+    assert(recall >= 200L, s"IVF recall collapsed: $recall milli")
+    spark.catalog.clearCache()
+  }
+
   test("semantic prune: one row per vector; pruned set equals a brute-force " +
     "replay of the gate within the returned clusters") {
     import org.apache.spark.sql.functions._

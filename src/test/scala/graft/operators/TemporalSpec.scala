@@ -376,6 +376,37 @@ class TemporalSpec extends SparkSpec {
       s"shortfall ${totalCents - attributed} exceeds touchpoint count $nTouch")
   }
 
+  test("hourly autocorrelation: +1 on a repeated daily pattern, -1 on a " +
+    "reversed one, moments exact") {
+    def mk(rows: Seq[(String, Int)]) = rows.zipWithIndex.flatMap {
+      case ((h, n), i) => (0 until n).map(j =>
+        (1L, ts(h), i * 100L + j, "view", 0.0))
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    // day 0 hours 0,1,2 carry 1,2,3 events; day 1 repeats the pattern
+    val repeat = mk(Seq(
+      ("2024-01-01 00:10:00", 1), ("2024-01-01 01:10:00", 2),
+      ("2024-01-01 02:10:00", 3),
+      ("2024-01-02 00:10:00", 1), ("2024-01-02 01:10:00", 2),
+      ("2024-01-02 02:10:00", 3)))
+    val r1 = Temporal.hourlyAutocorrOf(repeat).head()
+    assert(r1.getAs[Long]("n_pairs") == 3L)
+    assert(r1.getAs[Long]("cov_num") == 6L)   // 3*14 - 6*6
+    assert(r1.getAs[Long]("var_x") == 6L && r1.getAs[Long]("var_y") == 6L)
+    assert(math.abs(r1.getAs[Double]("r") - 1.0) < 1e-12)
+    // day 1 reverses the pattern -> perfect anti-correlation
+    val reversed = mk(Seq(
+      ("2024-01-01 00:10:00", 1), ("2024-01-01 01:10:00", 2),
+      ("2024-01-01 02:10:00", 3),
+      ("2024-01-02 00:10:00", 3), ("2024-01-02 01:10:00", 2),
+      ("2024-01-02 02:10:00", 1)))
+    val r2 = Temporal.hourlyAutocorrOf(reversed).head()
+    assert(r2.getAs[Long]("cov_num") == -6L)
+    assert(math.abs(r2.getAs[Double]("r") + 1.0) < 1e-12)
+    // real corpus: |r| is a correlation
+    val rr = Temporal.hourlyAutocorr(spark, sf).head().getAs[Double]("r")
+    assert(rr >= -1.0000001 && rr <= 1.0000001)
+  }
+
   test("busy islands tile each supplier's intervals: disjoint, ordered, complete") {
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")

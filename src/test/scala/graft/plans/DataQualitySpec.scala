@@ -62,6 +62,41 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("column entropy: exact milli-log2 identity on crafted columns, " +
+    "constant -> 0, all-distinct -> normalized 1000") {
+    def l2m(x: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      (b - 1) * 1000L + x * 1000L / (1L << (b - 1)) - 1000L
+    }
+    // const: one value; uni: 8 distinct over 8 rows; skew: 6+1+1
+    val df = (0 until 8).map(i =>
+      ("k", i.toLong, if (i < 6) "a" else if (i == 6) "b" else "c"))
+      .toDF("const_c", "uni_c", "skew_c")
+    val got = DataQuality.columnEntropyOf(df, Seq("const_c", "uni_c", "skew_c"))
+      .collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("entropy_milli_bits"),
+          if (r.isNullAt(r.fieldIndex("norm_entropy_milli"))) -1L
+          else r.getAs[Long]("norm_entropy_milli")))).toMap
+    // constant column: H = L(8) - 8*L(8)/8 = 0; ndv=1 -> norm NULL (-1)
+    assert(got("const_c") == ((8L, 1L, 0L, -1L)))
+    // all-distinct: s_nl = 0 -> H = L(8) = 3000 milli-bits, norm = 1000
+    assert(got("uni_c") == ((8L, 8L, 3000L, 1000L)))
+    // skew 6/1/1: H = L(8) - (6*L(6) + 0 + 0) div 8, replayed exactly
+    val hSkew = l2m(8) - 6 * l2m(6) / 8
+    assert(got("skew_c") ==
+      ((8L, 3L, hSkew, hSkew * 1000 / l2m(3))), s"got ${got("skew_c")}")
+
+    // registered profile: one row per column, entropies within [0, L(N)]
+    val real = DataQuality.columnEntropy(spark, sf).collect()
+    assert(real.length == 3)
+    real.foreach { r =>
+      val h = r.getAs[Long]("entropy_milli_bits")
+      assert(h >= 0L && h <= l2m(r.getAs[Long]("n_rows")))
+    }
+  }
+
   test("Benford audit: digits 1-9 partition the corpus, per-mille sane") {
     val rows = DataQuality.benfordDigits(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
