@@ -205,6 +205,12 @@ object Similarity {
   def ivfRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     recallReport(spark, bruteForceTopK(spark, dir, k), ivfTopK(spark, dir, k))
 
+  /** And over the PQ arm: quantization-era recall loss (ADC short-list
+    * misses that the exact rerank cannot recover) read off the same
+    * report — the codebook-size / pool-size tuning number. */
+  def pqRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    recallReport(spark, bruteForceTopK(spark, dir, k), pqTopK(spark, dir, k))
+
   /** Shared audit core: exact counts + recall milli + worst-query tail
     * over any (query_id, vec_id) truth/detector top-k pair. */
   private def recallReport(spark: SparkSession, truthDf: DataFrame,
@@ -983,6 +989,7 @@ object Similarity {
     "sim_topk_ann" -> ((s, d) => annTopK(s, d)),
     "sim_recall_audit" -> ((s, d) => annRecallAudit(s, d)),
     "sim_ivf_recall_audit" -> ((s, d) => ivfRecallAudit(s, d)),
+    "sim_pq_recall_audit" -> ((s, d) => pqRecallAudit(s, d)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -1019,6 +1026,8 @@ object Similarity {
   private def recallAuditOracle: String = recallAuditOracleFor(annOracle)
 
   private def ivfRecallAuditOracle: String = recallAuditOracleFor(ivfOracle)
+
+  private def pqRecallAuditOracle: String = recallAuditOracleFor(pqOracle)
 
   private def recallAuditOracleFor(detSql: String): String =
     s"""WITH truth AS ($bruteForceOracle),
@@ -1457,6 +1466,7 @@ object Similarity {
     "sim_topk_bruteforce" -> bruteForceOracle,
     "sim_recall_audit" -> recallAuditOracle,
     "sim_ivf_recall_audit" -> ivfRecallAuditOracle,
+    "sim_pq_recall_audit" -> pqRecallAuditOracle,
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
     // the Spark side is raw long arithmetic and exact at any scale.

@@ -162,18 +162,7 @@ object Graph {
     * and a bounded per-community join; the one scalar (M2) broadcasts.
     * Nothing is quadratic; output is one row per community. */
   def modularityOf(edges: DataFrame, iters: Int = LpIters): DataFrame = {
-    val e = edges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: the final labels feed three consumers (src-side join,
-    // dst-side join, community node counts); module cache contract —
-    // Bench/Verify clearCache() between queries releases both frames
-    val labels = labelPropagationOf(e, iters).persist()
-    val m2 = e.agg(count(lit(1)).as("m2"))
-    val withC = e
-      .join(labels.select(col("node").as("src"), col("community").as("c_src")),
-        "src")
-      .join(labels.select(col("node").as("dst"), col("community").as("c_dst")),
-        "dst")
+    val (labels, withC, m2) = communityIncidence(edges, iters)
     val degSum = withC.groupBy(col("c_src").as("community"))
       .agg(count(lit(1)).as("deg_sum"))
     val intra = withC.filter(col("c_src") === col("c_dst"))
@@ -197,6 +186,62 @@ object Graph {
   def modularity(spark: SparkSession, dir: String,
       iters: Int = LpIters): DataFrame =
     modularityOf(edgesOf(spark, dir), iters)
+
+  /** Shared incidence frames for the community-quality audits: the LPA
+    * labels, every (directed half-)edge tagged with both endpoint
+    * communities, and the scalar half-edge total. The edge list and
+    * labels are persisted (labels feed three consumers; module cache
+    * contract — Bench/Verify clearCache() between queries releases
+    * both frames). */
+  private def communityIncidence(edges: DataFrame, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = labelPropagationOf(e, iters).persist()
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    val withC = e
+      .join(labels.select(col("node").as("src"), col("community").as("c_src")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("c_dst")),
+        "dst")
+    (labels, withC, m2)
+  }
+
+  /** Per-community CONDUCTANCE — modularity's complement in the
+    * community-quality pair: where [[modularityOf]] scores internal
+    * density against the null model, conductance scores the BOUNDARY —
+    * cut half-edges over the smaller of the community's volume and the
+    * rest of the graph's (Φ = cut / min(vol, 2m − vol), here in milli).
+    * Low Φ = a well-separated cluster; Φ → 1000 = a label that slices
+    * through dense structure. The standard acceptance pair before
+    * trusting a partition for locality-sensitive placement.
+    *
+    * Exactness: counts and one floor division on non-negative operands;
+    * a community holding the WHOLE graph has min(vol, 2m − vol) = 0 and
+    * reports NULL (nullif in both engines). Same plan shape as
+    * modularity: two broadcast-ready label joins, bounded per-community
+    * aggregates, one broadcast scalar. */
+  def conductanceOf(edges: DataFrame, iters: Int = LpIters): DataFrame = {
+    val (labels, withC, m2) = communityIncidence(edges, iters)
+    val degSum = withC.groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val cut = withC.filter(col("c_src") =!= col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("cut"))
+    labels.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      .join(degSum, Seq("community"))
+      .join(cut, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("cut"), lit(0L)).as("cut"))
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"), col("deg_sum"), col("cut"),
+        expr("cut * 1000 div nullif(least(deg_sum, m2 - deg_sum), 0)")
+          .as("conductance_milli"))
+  }
+
+  def conductance(spark: SparkSession, dir: String,
+      iters: Int = LpIters): DataFrame =
+    conductanceOf(edgesOf(spark, dir), iters)
 
   // -------------------------------------------------------------------
   // k-core decomposition (bounded peeling)
@@ -459,6 +504,7 @@ object Graph {
     "graph_clustering_coeff" -> ((s, d) => clusteringCoefficient(s, d)),
     "graph_label_prop" -> ((s, d) => labelPropagation(s, d)),
     "graph_modularity" -> ((s, d) => modularity(s, d)),
+    "graph_conductance" -> ((s, d) => conductance(s, d)),
     "basket_rules" -> ((s, d) => associationRules(s, d)))
 
   /** Generated fixed-round majority-LPA oracle — MATERIALIZED per round
@@ -525,6 +571,32 @@ object Graph {
       |       CAST(intra2 * 1000000 // m2
       |         - (deg_sum * 1000 // m2) * (deg_sum * 1000 // m2) AS BIGINT)
       |         AS contrib_micro
+      |FROM j CROSS JOIN m2""".stripMargin
+
+  /** Replays [[conductanceOf]] on the shared fixed-round LPA chain —
+    * same non-negative floor division, same NULL for a whole-graph
+    * community via nullif. */
+  private def conductanceOracle: String =
+    s"""$lpChainCtes,
+      |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+      |wc AS MATERIALIZED (
+      |  SELECT ls.community AS c_src, ld.community AS c_dst
+      |  FROM e
+      |  JOIN l$LpIters ls ON e.src = ls.node
+      |  JOIN l$LpIters ld ON e.dst = ld.node),
+      |ds AS (SELECT c_src AS community, CAST(count(*) AS BIGINT) AS deg_sum
+      |       FROM wc GROUP BY 1),
+      |ct AS (SELECT c_src AS community, CAST(count(*) AS BIGINT) AS cut
+      |       FROM wc WHERE c_src <> c_dst GROUP BY 1),
+      |nn AS (SELECT community, count(*) AS n_nodes
+      |       FROM l$LpIters GROUP BY 1),
+      |j AS (
+      |  SELECT nn.community, nn.n_nodes, ds.deg_sum,
+      |         coalesce(ct.cut, 0) AS cut
+      |  FROM nn JOIN ds USING (community) LEFT JOIN ct USING (community))
+      |SELECT community, n_nodes, deg_sum, cut,
+      |       CAST(cut * 1000 // nullif(least(deg_sum, m2 - deg_sum), 0)
+      |         AS BIGINT) AS conductance_milli
       |FROM j CROSS JOIN m2""".stripMargin
 
   /** Shared oracle prefix: the support-filtered co-purchase edge list
@@ -618,6 +690,7 @@ object Graph {
     "graph_kcore" -> kCoreOracle,
     "graph_label_prop" -> lpOracle,
     "graph_modularity" -> modularityOracle,
+    "graph_conductance" -> conductanceOracle,
     "basket_rules" -> s"""WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |ps AS (

@@ -443,6 +443,58 @@ object Temporal {
   def hourlyAutocorr(spark: SparkSession, dir: String): DataFrame =
     hourlyAutocorrOf(Tables.events(spark, dir))
 
+  /** T22 — CUSUM changepoint detection on each tenant's daily event
+    * counts: the classic two-sided tabular CUSUM. Against the tenant's
+    * own long-run mean μ (milli), with slack k = μ/4, accumulate
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − k) and S⁻ₜ = max(0, S⁻ₜ₋₁ − xₜ + μ − k);
+    * a day alarms when either side exceeds h = 3μ. Where a24's trailing
+    * windows flag single-hour SPIKES, CUSUM accumulates small SUSTAINED
+    * level shifts (a feed silently halving, a tenant ramping) long
+    * before any one day looks anomalous — the standard drift alarm on
+    * an ingest dashboard.
+    *
+    * Exactness: counts and μ are exact longs (one floor division on
+    * non-negative operands); the fold is pure long arithmetic, replayed
+    * by a recursive CTE in the oracle (the t12 EWMA idiom).
+    *
+    * Scale shape: one map-side-combined (tenant, day) count, one
+    * broadcast join of the bounded per-tenant means, then the sorted
+    * per-tenant fold over a TIME-BOUNDED series (days, not rows) — the
+    * series length is independent of corpus size, and tenants
+    * parallelize. */
+  def cusumDailyOf(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy((col("user_id") % 4).as("tenant_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("tenant_id")
+      .agg(expr("sum(n) * 1000 div count(1)").as("mean_milli"))
+    val packed = daily.join(broadcast(stats), "tenant_id")
+      .groupBy("tenant_id", "mean_milli")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("xs"))
+    packed
+      .select(col("tenant_id"), col("mean_milli"), explode(expr(
+        """aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, n: BIGINT,
+          |                               s_pos: BIGINT, s_neg: BIGINT>>),
+          |  (acc, x) -> array_append(acc, struct(x.day AS day, x.n AS n,
+          |    greatest(0L,
+          |      (CASE WHEN size(acc) = 0 THEN 0L
+          |            ELSE element_at(acc, -1).s_pos END)
+          |      + x.n * 1000 - mean_milli - mean_milli div 4) AS s_pos,
+          |    greatest(0L,
+          |      (CASE WHEN size(acc) = 0 THEN 0L
+          |            ELSE element_at(acc, -1).s_neg END)
+          |      - x.n * 1000 + mean_milli - mean_milli div 4) AS s_neg)))"""
+          .stripMargin)).as("y"))
+      .select(col("tenant_id"), col("y.day").as("day"), col("y.n").as("n"),
+        col("y.s_pos").as("s_pos_milli"), col("y.s_neg").as("s_neg_milli"),
+        expr("CAST(y.s_pos > mean_milli * 3 OR y.s_neg > mean_milli * 3" +
+          " AS BIGINT)").as("alarm"))
+  }
+
+  def cusumDaily(spark: SparkSession, dir: String): DataFrame =
+    cusumDailyOf(Tables.events(spark, dir))
+
   /** T15 — interval coalescing (gaps-and-islands): merge each supplier's
     * overlapping/touching shipment windows (the same [s, e] intervals as
     * t14) into maximal busy islands. The dual of t14's pair count: t14
@@ -946,6 +998,7 @@ object Temporal {
     "t17_channel_attribution" -> ((s, d) => channelAttribution(s, d)),
     "t20_time_decay_attribution" -> ((s, d) => timeDecayAttribution(s, d)),
     "t21_hourly_autocorr" -> ((s, d) => hourlyAutocorr(s, d)),
+    "t22_cusum_daily" -> ((s, d) => cusumDaily(s, d)),
     "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)),
     "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)),
     "t19_session_ttl" -> ((s, d) => sessionTtlBuckets(s, d)))
@@ -1198,6 +1251,43 @@ object Temporal {
         |       lead(ts) OVER (PARTITION BY user_id
         |                      ORDER BY ts, event_id) IS NULL AS is_current
         |FROM v""".stripMargin,
+    // per-tenant mean and the two-sided fold replayed exactly; alarm
+    // threshold 3*mean compared on exact longs in both engines
+    "t22_cusum_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id % 4 AS tenant_id,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT tenant_id,
+        |         CAST(sum(n) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |  FROM daily GROUP BY 1),
+        |d AS (
+        |  SELECT daily.tenant_id, daily.day, daily.n, st.mean_milli,
+        |         row_number() OVER (PARTITION BY daily.tenant_id
+        |                            ORDER BY daily.day) AS i
+        |  FROM daily JOIN st USING (tenant_id)),
+        |r AS (
+        |  SELECT tenant_id, day, n, mean_milli, i,
+        |         greatest(0, n * 1000 - mean_milli - mean_milli // 4)
+        |           AS s_pos,
+        |         greatest(0, -(n * 1000) + mean_milli - mean_milli // 4)
+        |           AS s_neg
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.tenant_id, d.day, d.n, d.mean_milli, d.i,
+        |         greatest(0, r.s_pos + d.n * 1000 - d.mean_milli
+        |                     - d.mean_milli // 4),
+        |         greatest(0, r.s_neg - d.n * 1000 + d.mean_milli
+        |                     - d.mean_milli // 4)
+        |  FROM d JOIN r ON d.tenant_id = r.tenant_id AND d.i = r.i + 1)
+        |SELECT tenant_id, day, n,
+        |       CAST(s_pos AS BIGINT) AS s_pos_milli,
+        |       CAST(s_neg AS BIGINT) AS s_neg_milli,
+        |       CAST(s_pos > mean_milli * 3 OR s_neg > mean_milli * 3
+        |         AS BIGINT) AS alarm
+        |FROM r""".stripMargin,
     "t12_ewma_daily" ->
       """WITH RECURSIVE daily AS (
         |  SELECT user_id % 4 AS tenant_id,

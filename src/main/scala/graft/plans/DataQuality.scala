@@ -188,6 +188,103 @@ object DataQuality {
           s" div nullif(${log2m("n_distinct")}, 0) AS norm_entropy_milli")
   }
 
+  /** Functional-dependency audit — schema-discovery DQ: for each
+    * candidate FD `det → dep`, how many determinant values map to MORE
+    * than one dependent value (and how badly). `n_violating_det = 0`
+    * certifies the dependency (safe to normalize out / trust as a
+    * lookup); a large `max_dep_per_det` on a supposed FD is an
+    * upstream-join fan-out alarm. The registered suite mixes FDs that
+    * HOLD on the corpus with ones that must fail, so both verdicts are
+    * exercised.
+    *
+    * Plan: each FD is one grouped exact `count(distinct dep)` keyed by
+    * determinant value — shuffle on (fd, det value), map-side partial
+    * counts, then a bounded per-FD roll-up. No FD ever funnels through
+    * a single reducer. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val cases = Seq(
+      ("orders: o_orderkey -> o_custkey",
+        o.select(col("o_orderkey").cast("string").as("dv"),
+          col("o_custkey").cast("string").as("pv"))),
+      ("orders: o_custkey -> o_orderpriority",
+        o.select(col("o_custkey").cast("string").as("dv"),
+          col("o_orderpriority").as("pv"))),
+      ("lineitem: l_orderkey -> l_suppkey",
+        l.select(col("l_orderkey").cast("string").as("dv"),
+          col("l_suppkey").cast("string").as("pv"))),
+      ("customer: c_custkey -> c_nationkey",
+        c.select(col("c_custkey").cast("string").as("dv"),
+          col("c_nationkey").cast("string").as("pv"))))
+    cases.map { case (name, df) =>
+      fdAuditOf(df.withColumn("fd", lit(name)))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Library form: one audit row per distinct `fd` of a (fd, dv, pv)
+    * frame — determinant-value counts, violating determinants, the
+    * worst fan-out, and rows living under violating determinants. */
+  def fdAuditOf(df: DataFrame): DataFrame =
+    df.groupBy("fd", "dv")
+      .agg(countDistinct(col("pv")).as("ndp"), count(lit(1)).as("nrows"))
+      .groupBy("fd").agg(
+        count(lit(1)).as("n_det_values"),
+        sum(when(col("ndp") > 1, 1L).otherwise(0L)).as("n_violating_det"),
+        max(col("ndp")).as("max_dep_per_det"),
+        sum(when(col("ndp") > 1, col("nrows")).otherwise(0L))
+          .as("n_rows_in_violation"))
+      .withColumn("holds",
+        expr("CAST(n_violating_det = 0 AS BIGINT)"))
+
+  /** Referential-integrity audit — the orphan-key scan a warehouse
+    * runs before trusting its star schema's joins: for every declared
+    * FK edge, the child row count, the orphan rows (child keys with no
+    * parent), and the distinct orphan key count. All-zero orphans is
+    * the healthy reading; any non-zero is broken lineage that would
+    * silently DROP rows from every inner join downstream.
+    *
+    * Plan: each edge is one anti join keyed on the FK (broadcast when
+    * the parent key set is small, shuffle otherwise — Spark's planner
+    * picks per edge) collapsed map-side into one row. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val edges = Seq(
+      ("lineitem.l_orderkey -> orders.o_orderkey",
+        Tables.lineitem(spark, dir).select(col("l_orderkey").as("fk")),
+        Tables.orders(spark, dir).select(col("o_orderkey").as("pk"))),
+      ("lineitem.l_partkey -> part.p_partkey",
+        Tables.lineitem(spark, dir).select(col("l_partkey").as("fk")),
+        Tables.part(spark, dir).select(col("p_partkey").as("pk"))),
+      ("lineitem.l_suppkey -> supplier.s_suppkey",
+        Tables.lineitem(spark, dir).select(col("l_suppkey").as("fk")),
+        Tables.supplier(spark, dir).select(col("s_suppkey").as("pk"))),
+      ("orders.o_custkey -> customer.c_custkey",
+        Tables.orders(spark, dir).select(col("o_custkey").as("fk")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("pk"))),
+      ("customer.c_nationkey -> nation.n_nationkey",
+        Tables.customer(spark, dir).select(col("c_nationkey").as("fk")),
+        Tables.nation(spark, dir).select(col("n_nationkey").as("pk"))))
+    edges.map { case (name, child, parent) =>
+      refIntegrityOf(name, child, parent)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Library form: the single-edge audit row. */
+  def refIntegrityOf(fkName: String, child: DataFrame,
+      parent: DataFrame): DataFrame = {
+    val orphans = child.join(parent,
+      child("fk") === parent("pk"), "left_anti")
+    child.agg(count(lit(1)).as("n_child_rows"))
+      .crossJoin(broadcast(orphans.agg(
+        count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("fk")).as("n_orphan_keys"))))
+      .select(lit(fkName).as("fk_edge"), col("n_child_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
   /** K-anonymity audit — the re-identification governance check a
     * training-data release runs before shipping: group the table by its
     * quasi-identifier tuple (tenant, status, time bucket), report the
@@ -271,6 +368,8 @@ object DataQuality {
     "dq_benford" -> ((s, d) => benfordDigits(s, d)),
     "dq_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "dq_column_entropy" -> ((s, d) => columnEntropy(s, d)),
+    "dq_fd_audit" -> ((s, d) => fdAudit(s, d)),
+    "dq_ref_integrity" -> ((s, d) => refIntegrity(s, d)),
     "dq_drift_psi" -> ((s, d) => driftPsi(s, d)),
     "dq_key_skew" -> ((s, d) => keySkew(s, d)))
 
@@ -303,8 +402,65 @@ object DataQuality {
       |FROM a""".stripMargin
   }
 
+  private def fdAuditOracle: String =
+    """WITH u AS (
+      |  SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+      |         CAST(o_orderkey AS VARCHAR) AS dv,
+      |         CAST(o_custkey AS VARCHAR) AS pv FROM orders
+      |  UNION ALL
+      |  SELECT 'orders: o_custkey -> o_orderpriority',
+      |         CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem: l_orderkey -> l_suppkey',
+      |         CAST(l_orderkey AS VARCHAR),
+      |         CAST(l_suppkey AS VARCHAR) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'customer: c_custkey -> c_nationkey',
+      |         CAST(c_custkey AS VARCHAR),
+      |         CAST(c_nationkey AS VARCHAR) FROM customer),
+      |g AS (
+      |  SELECT fd, dv, CAST(count(DISTINCT pv) AS BIGINT) AS ndp,
+      |         CAST(count(*) AS BIGINT) AS nrows
+      |  FROM u GROUP BY 1, 2)
+      |SELECT fd, CAST(count(*) AS BIGINT) AS n_det_values,
+      |       CAST(sum(CASE WHEN ndp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_violating_det,
+      |       CAST(max(ndp) AS BIGINT) AS max_dep_per_det,
+      |       CAST(sum(CASE WHEN ndp > 1 THEN nrows ELSE 0 END) AS BIGINT)
+      |         AS n_rows_in_violation,
+      |       CAST(sum(CASE WHEN ndp > 1 THEN 1 ELSE 0 END) = 0 AS BIGINT)
+      |         AS holds
+      |FROM g GROUP BY 1""".stripMargin
+
+  private def refIntegrityOracle: String = {
+    def arm(name: String, child: String, fk: String, parent: String,
+        pk: String): String =
+      s"""SELECT '$name' AS fk_edge,
+        |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child_rows,
+        |  CAST((SELECT count(*) FROM $child
+        |        WHERE $fk NOT IN (SELECT $pk FROM $parent)) AS BIGINT)
+        |    AS n_orphan_rows,
+        |  CAST((SELECT count(DISTINCT $fk) FROM $child
+        |        WHERE $fk NOT IN (SELECT $pk FROM $parent)) AS BIGINT)
+        |    AS n_orphan_keys""".stripMargin
+    Seq(
+      arm("lineitem.l_orderkey -> orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      arm("lineitem.l_partkey -> part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      arm("lineitem.l_suppkey -> supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      arm("orders.o_custkey -> customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      arm("customer.c_nationkey -> nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
     "dq_column_entropy" -> columnEntropyOracle,
+    "dq_fd_audit" -> fdAuditOracle,
+    "dq_ref_integrity" -> refIntegrityOracle,
     "dq_drift_psi" ->
       """WITH d AS (
         |  SELECT doc_id, least(n_chars // 200, 15) AS bucket FROM documents),

@@ -216,6 +216,21 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("PQ recall audit reconciles with its arms and clears the PQ floor") {
+    val row = Similarity.pqRecallAudit(spark, sf).head()
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val det = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(row.getAs[Long]("n_truth") == truth.size)
+    assert(row.getAs[Long]("n_detected") == det.size)
+    assert(row.getAs[Long]("n_hits") == truth.intersect(det).size)
+    // the PQ suite test asserts >= 0.6 vs brute force; same floor here
+    assert(row.getAs[Long]("recall_milli") >= 600L,
+      s"PQ recall collapsed: ${row.getAs[Long]("recall_milli")} milli")
+    spark.catalog.clearCache()
+  }
+
   test("semantic prune: one row per vector; pruned set equals a brute-force " +
     "replay of the gate within the returned clusters") {
     import org.apache.spark.sql.functions._

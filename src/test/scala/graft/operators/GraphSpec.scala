@@ -173,6 +173,41 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("conductance: bridged triangles score 1000 div 7 per side; " +
+    "real-graph identities hold") {
+    import spark.implicits._
+    // same two-triangle graph as the modularity case: each side's cut is
+    // the single bridge half-edge, vol = 7, m2 = 14 -> 1000 div 7 = 142
+    val und = Seq((1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L),(4L,6L),(5L,6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.conductanceOf(edges, iters = 4).collect()
+      .map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("deg_sum"),
+         r.getAs[Long]("cut"), r.getAs[Long]("conductance_milli"))).toMap
+    assert(got.size == 2 && got.values.toSet == Set((3L, 7L, 1L, 142L)),
+      s"got $got")
+    spark.catalog.clearCache()
+
+    // real purchase graph: volumes tile the half-edge total; total cut is
+    // even (each inter-community edge is cut once from each side); phi is
+    // exactly cut*1000 div min(vol, m2-vol), bounded by 1000, NULL only
+    // for a whole-graph community
+    val rows = Graph.conductance(spark, sf).collect()
+    val m2 = rows.map(_.getAs[Long]("deg_sum")).sum
+    assert(rows.map(_.getAs[Long]("cut")).sum % 2 == 0)
+    rows.foreach { r =>
+      val cut = r.getAs[Long]("cut"); val vol = r.getAs[Long]("deg_sum")
+      assert(cut <= vol)
+      if (vol < m2) {
+        val phi = r.getAs[Long]("conductance_milli")
+        assert(phi == cut * 1000 / math.min(vol, m2 - vol) && phi <= 1000,
+          s"phi $phi vol $vol cut $cut")
+      } else assert(r.isNullAt(r.fieldIndex("conductance_milli")))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("link Jaccard: edge commons sum to 3x the triangle count, milli bounded") {
     import org.apache.spark.sql.functions._
     val lj = Graph.linkJaccard(spark, sf)

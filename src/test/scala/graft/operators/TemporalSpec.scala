@@ -407,6 +407,57 @@ class TemporalSpec extends SparkSpec {
     assert(rr >= -1.0000001 && rr <= 1.0000001)
   }
 
+  test("CUSUM daily: step shift accumulates exactly, alarms only past " +
+    "3x mean, and the real corpus replays the fold bit-for-bit") {
+    // scala replica of the registered fold (positive longs: / == div)
+    def replay(ns: Seq[Long]): Seq[(Long, Long, Long)] = {
+      val mean = ns.sum * 1000 / ns.length
+      val slack = mean / 4
+      var sp = 0L; var sn = 0L
+      ns.map { n =>
+        sp = math.max(0L, sp + n * 1000 - mean - slack)
+        sn = math.max(0L, sn - n * 1000 + mean - slack)
+        (sp, sn, if (sp > mean * 3 || sn > mean * 3) 1L else 0L)
+      }
+    }
+    def mk(uid: Long, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(j =>
+        (uid, ts(f"2024-01-${d + 1}%02d 05:00:00"),
+          uid * 100000L + d * 1000L + j, "view", 0.0))
+    }
+    val df = (mk(0L, Seq(10, 10, 10, 10, 20, 20, 20, 20)) ++
+        mk(1L, Seq(1, 1, 1, 1, 1, 1, 100, 100, 100, 100, 100, 100)))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val rows = Temporal.cusumDailyOf(df).collect()
+    def series(t: Long) = rows.filter(_.getAs[Long]("tenant_id") == t)
+      .sortBy(_.getAs[Any]("day").toString)
+    // tenant 0: mean 15000, slack 3750 -> hand-computed ramps, no alarm
+    val t0 = series(0L)
+    assert(t0.map(_.getAs[Long]("s_pos_milli")).toSeq ==
+      Seq(0L, 0, 0, 0, 1250, 2500, 3750, 5000))
+    assert(t0.map(_.getAs[Long]("s_neg_milli")).toSeq ==
+      Seq(1250L, 2500, 3750, 5000, 0, 0, 0, 0))
+    assert(t0.forall(_.getAs[Long]("alarm") == 0L))
+    // tenant 1: 1/day then 100/day -- BOTH regimes sit far from the
+    // blended mean, so the low tail trips s_neg and the sustained high
+    // regime trips s_pos by the end; the replica agrees exactly
+    val t1 = series(1L)
+    val exp1 = replay(t1.map(_.getAs[Long]("n")).toSeq)
+    assert(t1.map(r => (r.getAs[Long]("s_pos_milli"),
+      r.getAs[Long]("s_neg_milli"), r.getAs[Long]("alarm"))).toSeq == exp1)
+    assert(t1.last.getAs[Long]("alarm") == 1L)
+    assert(t1.map(_.getAs[Long]("alarm")).sum > 0)
+
+    // real corpus: replay every tenant's fold from the emitted counts
+    val real = Temporal.cusumDaily(spark, sf).collect()
+    real.groupBy(_.getAs[Long]("tenant_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Any]("day").toString)
+      val exp = replay(sorted.map(_.getAs[Long]("n")).toSeq)
+      assert(sorted.map(r => (r.getAs[Long]("s_pos_milli"),
+        r.getAs[Long]("s_neg_milli"), r.getAs[Long]("alarm"))).toSeq == exp)
+    }
+  }
+
   test("busy islands tile each supplier's intervals: disjoint, ordered, complete") {
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")

@@ -97,6 +97,51 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("FD audit: crafted hold/fail counts exact; registered verdicts " +
+    "match the schema's true dependencies") {
+    val df = Seq(
+      ("holds", "a", "1"), ("holds", "a", "1"), ("holds", "b", "2"),
+      ("fails", "a", "1"), ("fails", "a", "2"), ("fails", "a", "1"),
+      ("fails", "b", "5"))
+      .toDF("fd", "dv", "pv")
+    val got = DataQuality.fdAuditOf(df).collect()
+      .map(r => r.getAs[String]("fd") ->
+        ((r.getAs[Long]("n_det_values"), r.getAs[Long]("n_violating_det"),
+          r.getAs[Long]("max_dep_per_det"),
+          r.getAs[Long]("n_rows_in_violation"),
+          r.getAs[Long]("holds")))).toMap
+    assert(got("holds") == ((2L, 0L, 1L, 0L, 1L)))
+    assert(got("fails") == ((2L, 1L, 2L, 3L, 0L)))
+
+    // registered suite: the two key-determined FDs hold, the two
+    // many-to-one-violating ones fail
+    val real = DataQuality.fdAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") -> r.getAs[Long]("holds")).toMap
+    assert(real("orders: o_orderkey -> o_custkey") == 1L)
+    assert(real("customer: c_custkey -> c_nationkey") == 1L)
+    assert(real("orders: o_custkey -> o_orderpriority") == 0L)
+    assert(real("lineitem: l_orderkey -> l_suppkey") == 0L)
+  }
+
+  test("referential integrity: crafted orphans counted exactly; the " +
+    "star schema's five FK edges are orphan-free") {
+    val child = Seq(1L, 2L, 3L, 3L, 9L, 9L, 8L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = DataQuality.refIntegrityOf("t", child, parent).head()
+    assert(row.getAs[Long]("n_child_rows") == 7L)
+    assert(row.getAs[Long]("n_orphan_rows") == 3L)
+    assert(row.getAs[Long]("n_orphan_keys") == 2L)
+
+    val real = DataQuality.refIntegrity(spark, sf).collect()
+    assert(real.length == 5)
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_child_rows") > 0L)
+      assert(r.getAs[Long]("n_orphan_rows") == 0L,
+        s"${r.getAs[String]("fk_edge")} has orphans")
+      assert(r.getAs[Long]("n_orphan_keys") == 0L)
+    }
+  }
+
   test("Benford audit: digits 1-9 partition the corpus, per-mille sane") {
     val rows = DataQuality.benfordDigits(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
