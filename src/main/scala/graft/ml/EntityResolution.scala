@@ -154,6 +154,29 @@ object EntityResolution {
   def matches(spark: SparkSession, dir: String): DataFrame =
     matchesOf(scoredPairs(spark, dir))
 
+  /** Transitive closure over the match pairs — the ENTITY table that
+    * MDM actually keys on: best-match links chain (two A-records
+    * matching the same B-record are the same entity even though they
+    * were never compared), so the entity id must come from connected
+    * components, not from the pair list. Nodes are side-encoded
+    * (a·10 / b·10+1 — the two sources share a key domain but are
+    * distinct records), components resolve via [[Dedup.clustersOf]]'s
+    * fused label-prop/pointer-jump (log-diameter rounds, checkpoint
+    * reclamation), and each record row carries its entity id and
+    * entity size. Downstream, [[goldenRecords]]-style survivorship can
+    * run per entity instead of per pair. */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val m = matches(spark, dir)
+      .select((col("a_id") * 10).as("doc_a"), (col("b_id") * 10 + 1).as("doc_b"))
+    val cl = Dedup.clustersOf(m)
+      .select(col("doc_id").as("node"), col("cluster_id").as("entity_id"))
+    val sz = cl.groupBy("entity_id").agg(count(lit(1)).as("entity_size"))
+    cl.join(sz, "entity_id")
+      .select(when(col("node") % 10 === 0, "a").otherwise("b").as("side"),
+        expr("node div 10").as("record_id"), col("entity_id"),
+        col("entity_size"))
+  }
+
   /** MDM merge — golden-record construction after linkage: one merged
     * record per A-side entity with FIELD-LEVEL survivorship (the step
     * after matching that master-data pipelines actually ship). Rules:
@@ -302,6 +325,7 @@ object EntityResolution {
     "er_scored_pairs" -> ((s, d) => scoredPairs(s, d)),
     "er_matches" -> ((s, d) => matches(s, d)),
     "er_golden_records" -> ((s, d) => goldenRecords(s, d)),
+    "er_entity_clusters" -> ((s, d) => entityClusters(s, d)),
     "er_match_quality" -> ((s, d) => matchQuality(s, d)),
     "er_edit_distance" -> ((s, d) => editDistanceRescore(s, d)),
     "er_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)),
@@ -362,6 +386,27 @@ object EntityResolution {
   val oracles: Map[String, String] = Map(
     "er_scored_pairs" -> (erCtes + "\nSELECT a_id, b_id, jm FROM scored"),
     "er_matches" -> (erCtes + "\nSELECT a_id, b_id, jm FROM best"),
+    // true connected components via a recursive reach closure — the
+    // engine-independent semantics the fixed-round label-prop converges
+    // to (components here are tiny chains through shared B-records)
+    "er_entity_clusters" -> (erCtes.replaceFirst("WITH a", "WITH RECURSIVE a") +
+      """,
+        |ee AS (
+        |  SELECT a_id * 10 AS src, b_id * 10 + 1 AS dst FROM best
+        |  UNION ALL SELECT b_id * 10 + 1, a_id * 10 FROM best),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM ee
+        |  UNION
+        |  SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
+        |cl AS (
+        |  SELECT src AS node, least(src, min(dst)) AS entity_id
+        |  FROM reach GROUP BY src),
+        |sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+        |       FROM cl GROUP BY 1)
+        |SELECT CASE WHEN node % 10 = 0 THEN 'a' ELSE 'b' END AS side,
+        |       CAST(node // 10 AS BIGINT) AS record_id, entity_id,
+        |       entity_size
+        |FROM cl JOIN sz USING (entity_id)""".stripMargin),
     "er_golden_records" -> (erCtes +
       """,
         |attrs_a AS (

@@ -651,6 +651,61 @@ object Similarity {
   def normStats(spark: SparkSession, dir: String): DataFrame =
     normStatsOf(Tables.embeddings(spark, dir))
 
+  /** Dominant embedding direction by MATRIX-FREE power iteration — the
+    * anisotropy diagnostic behind "all-but-the-top" post-processing:
+    * embedding corpora concentrate mass on one dominant direction, and
+    * retrieval quality improves when it is measured (and often
+    * projected out). Each round is the classic distributed matvec
+    * vᵣ₊₁ ∝ Aᵀ(Avᵣ): ONE scan computing per-row s = q·v (the broadcast
+    * literal v), then dim-bounded partial sums Σ qⱼ·s map-side-combined
+    * into 64 accumulators per partition — no shuffle wider than the
+    * dimension count, at any corpus size. The driver folds only the
+    * dim-length accumulator vector per round (a control scalar, like
+    * the foreachBatch manifests) and milli-renormalizes by max|w| in
+    * exact BigInt magnitude-with-sign arithmetic so the next round's
+    * operands stay in long range.
+    *
+    * Exactness: quantized integer vectors, integer dots, floor
+    * renormalization — the fixed-round chain replays bit-for-bit in the
+    * oracle (HUGEINT intermediates there). Long-range bound: a round's
+    * accumulator reaches n·q_max·s_max ≈ n·10⁴·6.4·10⁸ — exact to
+    * ~10¹⁰ rows per partition-tree; beyond that, add a per-partition
+    * pre-rescale (same remedy as the AUC U-statistic bound).
+    *
+    * Output: one row per dimension — the final unnormalized accumulator
+    * and the milli-normalized direction component. */
+  def topDirectionOf(vectors: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    val q = vectors.select(Dedup.quantized(col("embedding")).as("q")).persist()
+    try {
+      val dim = q.select(size(col("q")).as("d")).head().getInt(0)
+      var v = Array.fill(dim)(1L)
+      var w = Array.fill(dim)(0L)
+      for (_ <- 1 to rounds) {
+        val vlit = array(v.toIndexedSeq.map(lit): _*)
+        val rows = q
+          .select(col("q"), ArrayOps.dot_long(col("q"), vlit).as("s"))
+          .select(posexplode(col("q")).as(Seq("j", "qj")), col("s"))
+          .groupBy("j").agg(sum(col("qj") * col("s")).as("w"))
+          .collect()
+        w = Array.fill(dim)(0L)
+        rows.foreach(r => w(r.getAs[Int]("j")) = r.getAs[Long]("w"))
+        val wmax = math.max(w.iterator.map(math.abs).max, 1L)
+        // renormalize on MAGNITUDES with an explicit sign: |w|·1000/wmax
+        // divides non-negatives, where floor and truncate agree in every
+        // engine (negative integer division is floor in some engines,
+        // truncate in others). BigInt: w*1000 can exceed long range.
+        v = w.map(x =>
+          math.signum(x) * ((BigInt(x).abs * 1000) / wmax).toLong)
+      }
+      import spark.implicits._
+      v.indices.map(j => (j, w(j), v(j))).toDF("dim", "w_raw", "v_milli")
+    } finally q.unpersist(blocking = false)
+  }
+
+  def topDirection(spark: SparkSession, dir: String): DataFrame =
+    topDirectionOf(Tables.embeddings(spark, dir))
+
   // -------------------------------------------------------------------
   // MMR diversified re-ranking
   // -------------------------------------------------------------------
@@ -997,7 +1052,8 @@ object Similarity {
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
     "emb_dim_stats" -> ((s, d) => dimStats(s, d)),
-    "emb_norm_stats" -> ((s, d) => normStats(s, d)))
+    "emb_norm_stats" -> ((s, d) => normStats(s, d)),
+    "emb_top_direction" -> ((s, d) => topDirection(s, d)))
 
   private val bruteForceOracle: String =
     """WITH q AS (
@@ -1028,6 +1084,50 @@ object Similarity {
   private def ivfRecallAuditOracle: String = recallAuditOracleFor(ivfOracle)
 
   private def pqRecallAuditOracle: String = recallAuditOracleFor(pqOracle)
+
+  /** Replays [[topDirectionOf]]'s fixed-round power iteration: the same
+    * quantized vectors, the same all-ones start (round 1's s is just
+    * list_sum), HUGEINT intermediates for the renormalization product,
+    * and `//` floor division matching the driver's BigInt floor. */
+  private def topDirectionOracle(rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(round(
+      |    CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |      (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |s1 AS (SELECT qv, CAST(list_sum(qv) AS BIGINT) AS s FROM q)"""
+      .stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |u$r AS (
+        |  SELECT s, unnest([{'j': i - 1, 'qj': qv[i]}
+        |                    for i in range(1, len(qv) + 1)]) AS u
+        |  FROM s$r),
+        |w$r AS (
+        |  SELECT CAST(u.j AS INT) AS j, CAST(sum(u.qj * s) AS BIGINT) AS w
+        |  FROM u$r GROUP BY 1),
+        |m$r AS (SELECT greatest(max(abs(CAST(w AS HUGEINT))), 1) AS wmax
+        |        FROM w$r)""".stripMargin
+      if (r < rounds) sb ++= s""",
+        |v$r AS (
+        |  SELECT list(CAST(CAST(sign(w) AS HUGEINT)
+        |              * (abs(CAST(w AS HUGEINT)) * 1000 // wmax) AS BIGINT)
+        |              ORDER BY j) AS v
+        |  FROM w$r CROSS JOIN m$r),
+        |s${r + 1} AS (
+        |  SELECT qv, CAST(list_dot_product(qv, v$r.v) AS BIGINT) AS s
+        |  FROM q CROSS JOIN v$r)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT j AS dim, w AS w_raw,
+      |       CAST(CAST(sign(w) AS HUGEINT)
+      |         * (abs(CAST(w AS HUGEINT)) * 1000 // wmax) AS BIGINT)
+      |         AS v_milli
+      |FROM w$rounds CROSS JOIN m$rounds""".stripMargin
+    sb.toString
+  }
 
   private def recallAuditOracleFor(detSql: String): String =
     s"""WITH truth AS ($bruteForceOracle),
@@ -1467,6 +1567,7 @@ object Similarity {
     "sim_recall_audit" -> recallAuditOracle,
     "sim_ivf_recall_audit" -> ivfRecallAuditOracle,
     "sim_pq_recall_audit" -> pqRecallAuditOracle,
+    "emb_top_direction" -> topDirectionOracle(),
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
     // the Spark side is raw long arithmetic and exact at any scale.

@@ -40,6 +40,7 @@ object TextOps extends TextTokenOps with TextQualityOps
     "text_normalize" -> ((s, d) => normalize(s, d)),
     "text_pii_mask" -> ((s, d) => piiMask(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
+    "text_zipf_slope" -> ((s, d) => zipfSlope(s, d)),
     "text_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25(s, d)),
     "text_keywords" -> ((s, d) => keywords(s, d)),
@@ -587,6 +588,39 @@ object TextOps extends TextTokenOps with TextQualityOps
         |SELECT token, CAST(sum(tf) AS BIGINT) AS freq, count(*) AS df
         |FROM tf GROUP BY token
         |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+    // rank/freq milli-log2s and the one slope division replayed exactly
+    // (numerator non-negative by Chebyshev: freq is rank-sorted)
+    "text_zipf_slope" -> {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1000 + ($x) * 1000" +
+          s" // CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - 1000)"
+      s"""WITH t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM t GROUP BY token
+        |  ORDER BY freq DESC, token ASC LIMIT 30),
+        |r AS (
+        |  SELECT freq, CAST(row_number() OVER
+        |    (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank FROM v),
+        |l AS (SELECT ${l2("rank")} AS lx, ${l2("freq")} AS ly FROM r),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+        |         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+        |         CAST(sum(lx * lx) AS BIGINT) AS sxx
+        |  FROM l)
+        |SELECT n_terms,
+        |       CAST((sx * sy - n_terms * sxy) * 1000
+        |         // nullif(n_terms * sxx - sx * sx, 0) AS BIGINT)
+        |         AS neg_slope_milli,
+        |       CAST(-((sx * sy - n_terms * sxy) * 1000
+        |         // nullif(n_terms * sxx - sx * sx, 0)) AS BIGINT)
+        |         AS slope_milli
+        |FROM s""".stripMargin
+    },
     // exact-threshold set: the oracle counts the full vocabulary (fine
     // at oracle scale); the Spark side must land on the same set via
     // the Misra–Gries candidate pass + exact recount

@@ -289,6 +289,39 @@ private[graft] trait TextTokenOps {
   def vocabTopK(spark: SparkSession, dir: String): DataFrame =
     vocabTopKOf(Tables.documents(spark, dir))
 
+  /** Zipf-law slope audit — the log-log rank-frequency regression over
+    * the top-`k` vocabulary, the companion to [[heapsCurveOf]] in the
+    * corpus-health pair: natural text sits near slope −1; a much
+    * flatter slope flags template/boilerplate floods, a much steeper
+    * one a collapsed vocabulary. Ranks and frequencies pass through the
+    * shared interpolated milli-log2, and the least-squares slope is one
+    * exact integer division: x increases while y is non-increasing, so
+    * the numerator Σx·Σy − n·Σxy is non-negative by the Chebyshev sum
+    * inequality and the floor division replays in any engine
+    * (`slope_milli` is its negation).
+    *
+    * Scale shape: everything after [[vocabTopKOf]]'s TakeOrdered is a
+    * bounded ≤ k-row fold — the corpus cost IS the vocabulary pass. */
+  def zipfSlopeOf(docs: DataFrame, k: Int = 30): DataFrame =
+    vocabTopKOf(docs, k)
+      .agg(array_sort(collect_list(struct((-col("freq")).as("negf"),
+        col("token").as("token"), col("freq").as("freq")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("i", "x")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("x.freq").as("freq"))
+      .selectExpr("rank", "freq",
+        s"${log2mExpr("rank")} AS lx", s"${log2mExpr("freq")} AS ly")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"))
+      .select(col("n_terms"),
+        expr("(sx * sy - n_terms * sxy) * 1000" +
+          " div nullif(n_terms * sxx - sx * sx, 0)").as("neg_slope_milli"))
+      .withColumn("slope_milli", -col("neg_slope_milli"))
+
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeOf(Tables.documents(spark, dir))
+
   /** EXACT heavy hitters — every token with freq·k > N — at bounded
     * memory. [[vocabTopKOf]] shuffles the whole distinct vocabulary to
     * rank it; at a 100 TB corpus the vocabulary itself (URLs, hashes,

@@ -20,6 +20,37 @@ class EntityResolutionSpec extends SparkSpec {
     assert(q.getAs[Long]("n_matches") > 0)
   }
 
+  test("entity clusters equal a union-find replay of the match pairs") {
+    val pairs = EntityResolution.matches(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id") * 10, r.getAs[Long]("b_id") * 10 + 1))
+    // driver-side union-find ground truth with min-label roots
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb)
+        parent(math.max(ra, rb)) = lo }
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    val sizes = want.values.groupBy(identity).map { case (e, g) => e -> g.size }
+
+    val got = EntityResolution.entityClusters(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val node = r.getAs[Long]("record_id") * 10 +
+        (if (r.getAs[String]("side") == "a") 0 else 1)
+      assert(r.getAs[Long]("entity_id") == want(node),
+        s"node $node entity mismatch")
+      assert(r.getAs[Long]("entity_size") == sizes(want(node)).toLong)
+    }
+    // chaining actually happens: at least one entity spans > 2 records
+    assert(got.map(_.getAs[Long]("entity_size")).max > 2L)
+    spark.catalog.clearCache()
+  }
+
   test("matches are at most one per left record, above threshold") {
     val m = EntityResolution.matches(spark, sf)
     val perLeft = m.groupBy("a_id").count().agg(max("count")).collect().head.getLong(0)

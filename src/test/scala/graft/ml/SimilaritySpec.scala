@@ -216,6 +216,30 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("top direction: three-round power iteration replays exactly in a " +
+    "driver replica; direction is milli-normalized") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.Tables.embeddings(spark, sf)
+      .select(Dedup.quantized(col("embedding")).as("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val dim = q.head.length
+    var v = Array.fill(dim)(1L); var w = Array.fill(dim)(0L)
+    for (_ <- 1 to 3) {
+      val s = q.map(row => row.indices.map(j => row(j) * v(j)).sum)
+      w = Array.tabulate(dim)(j =>
+        q.indices.map(i => q(i)(j) * s(i)).sum)
+      val wmax = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => math.signum(x) * ((BigInt(x).abs * 1000) / wmax).toLong)
+    }
+    val got = Similarity.topDirection(spark, sf).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("w_raw"), r.getAs[Long]("v_milli")))).toMap
+    assert(got.size == dim)
+    (0 until dim).foreach(j => assert(got(j) == ((w(j), v(j))), s"dim $j"))
+    assert(got.values.map(t => math.abs(t._2)).max == 1000L)
+    spark.catalog.clearCache()
+  }
+
   test("PQ recall audit reconciles with its arms and clears the PQ floor") {
     val row = Similarity.pqRecallAudit(spark, sf).head()
     val truth = Similarity.bruteForceTopK(spark, sf).collect()

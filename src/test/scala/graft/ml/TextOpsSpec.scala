@@ -55,6 +55,37 @@ class TextOpsSpec extends SparkSpec {
     assert(real.last.getAs[Long]("vocab_cum") == toks.distinct().count())
   }
 
+  test("zipf slope: crafted 2^-r series hits the hand-computed milli " +
+    "slope; real corpus matches a scala replica") {
+    def l2m(x: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      (b - 1) * 1000L + x * 1000L / (1L << (b - 1)) - 1000L
+    }
+    // freqs 8,4,2,1 at ranks 1..4: lx=[0,1000,1500,2000],
+    // ly=[3000,2000,1000,0] -> num=13e6, den=8.75e6 -> -1485 milli
+    val doc = (("za " * 8) + ("yb " * 4) + ("xc " * 2) + "wd").trim
+    val crafted = Seq((1L, doc)).toDF("doc_id", "text")
+    val r = TextOps.zipfSlopeOf(crafted).head()
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(r.getAs[Long]("slope_milli") == -1485L, s"got $r")
+
+    // real corpus: replica over the registered top-30 vocabulary
+    val top = TextOps.vocabTopKOf(graft.Tables.documents(spark, sf), 30)
+      .collect().map(_.getAs[Long]("freq"))
+    val lx = top.indices.map(i => l2m(i + 1L))
+    val ly = top.map(l2m)
+    val n = top.length.toLong
+    val (sx, sy) = (lx.sum, ly.sum)
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum
+    val sxx = lx.map(a => a * a).sum
+    val expNeg = (sx * sy - n * sxy) * 1000 / (n * sxx - sx * sx)
+    val real = TextOps.zipfSlope(spark, sf).head()
+    assert(real.getAs[Long]("n_terms") == n)
+    assert(real.getAs[Long]("slope_milli") == -expNeg)
+    // natural-ish text: slope clearly negative
+    assert(real.getAs[Long]("slope_milli") < 0L)
+  }
+
   test("normalize strips punctuation, collapses whitespace, lowercases") {
     val docs = Seq((1L, "  Hello,   WORLD!!  it's 42.  ", 30L))
       .toDF("doc_id", "text", "n_chars")
