@@ -112,14 +112,63 @@ object Curation {
   def nearOverlap(spark: SparkSession, dir: String): DataFrame =
     nearOverlapOf(Tables.documents(spark, dir))
 
+  /** DATASET CARD — the one-row release summary a training-data drop
+    * ships with (datasheets-for-datasets practice): corpus size, source
+    * and language breadth, token mass, exact-duplicate mass, and the
+    * short-document fraction. Everything is a single map-side-combined
+    * pass over the documents scan (the three distincts share one
+    * Expand), so the card costs one scan at any corpus size. */
+  def datasetCardOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_tokens"),
+        sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup_docs"),
+        sum(when(col("n_tokens") < 50, 1L).otherwise(0L)).as("n_short_docs"))
+      .select(col("*"),
+        expr("total_tokens * 1000 div n_docs").as("mean_tokens_milli"),
+        expr("n_short_docs * 1000 div n_docs").as("short_docs_milli"))
+
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardOf(Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "curation_source_cap" -> ((s, d) => sourceCap(s, d)),
     "curation_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
+    "curation_dataset_card" -> ((s, d) => datasetCard(s, d)),
     "curation_source_overlap_near" -> ((s, d) => nearOverlap(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "curation_dataset_card" ->
+      """WITH t AS (
+        |  SELECT source, lang, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |           AS BIGINT) AS n_tokens,
+        |         sha256(text) AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) - count(DISTINCT h) AS BIGINT)
+        |           AS n_exact_dup_docs,
+        |         CAST(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_short_docs
+        |  FROM t)
+        |SELECT *, CAST(total_tokens * 1000 // n_docs AS BIGINT)
+        |            AS mean_tokens_milli,
+        |          CAST(n_short_docs * 1000 // n_docs AS BIGINT)
+        |            AS short_docs_milli
+        |FROM a""".stripMargin,
     // the plain one-window form the two-phase plan must equal
     "curation_source_cap" ->
       s"""SELECT doc_id, source, CAST(r AS INT) AS pick_rank FROM (

@@ -706,6 +706,50 @@ object Similarity {
   def topDirection(spark: SparkSession, dir: String): DataFrame =
     topDirectionOf(Tables.embeddings(spark, dir))
 
+  /** K-CENTER CORESET (Gonzalez farthest-point greedy) — diversity
+    * selection for training-data curation and active learning: starting
+    * from the smallest id, each round adds the vector FARTHEST from the
+    * chosen set (exact integer squared distance |v|² − 2v·c + |c|²,
+    * deterministic min-id tie-break). The selected ids are the 2-approx
+    * k-center cover; `d2_from_set` is the covering radius ladder — the
+    * number a curation pipeline watches to choose k.
+    *
+    * Scale shape: each round is ONE scan computing a least() over ≤ k
+    * codegen'd dots against broadcast literal centers, topped by
+    * TakeOrderedAndProject(1) — no global sort, no shuffle beyond the
+    * top-1 reduction; the driver holds only the k chosen vectors
+    * (control scalars). Cost is k scans — the standard trade for exact
+    * farthest-point at corpus scale. */
+  def kcenterCoresetOf(vectors: DataFrame, k: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    val q = vectors
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+      .persist()
+    try {
+      val seed = q.orderBy(col("vec_id").asc).limit(1).head()
+      var chosen = List((seed.getAs[Long]("vec_id"),
+        seed.getSeq[Long](1).toArray, seed.getAs[Long]("n2"), 0L))
+      for (_ <- 2 to k) {
+        val dCol = chosen.map { case (_, cv, cn2, _) =>
+          col("n2") - lit(2L) * dot(col("q"),
+            array(cv.toIndexedSeq.map(lit): _*)) + lit(cn2)
+        }.reduce(least(_, _))
+        val top = q.select(col("vec_id"), col("q"), col("n2"), dCol.as("d"))
+          .orderBy(col("d").desc, col("vec_id").asc).limit(1).head()
+        chosen = chosen :+ ((top.getAs[Long]("vec_id"),
+          top.getSeq[Long](1).toArray, top.getAs[Long]("n2"),
+          top.getAs[Long]("d")))
+      }
+      import spark.implicits._
+      chosen.zipWithIndex.map { case ((id, _, _, d), i) => (i + 1L, id, d) }
+        .toDF("round", "center_id", "d2_from_set")
+    } finally q.unpersist(blocking = false)
+  }
+
+  def kcenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kcenterCoresetOf(Tables.embeddings(spark, dir))
+
   // -------------------------------------------------------------------
   // MMR diversified re-ranking
   // -------------------------------------------------------------------
@@ -1053,7 +1097,8 @@ object Similarity {
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
     "emb_dim_stats" -> ((s, d) => dimStats(s, d)),
     "emb_norm_stats" -> ((s, d) => normStats(s, d)),
-    "emb_top_direction" -> ((s, d) => topDirection(s, d)))
+    "emb_top_direction" -> ((s, d) => topDirection(s, d)),
+    "curation_coreset_kcenter" -> ((s, d) => kcenterCoreset(s, d)))
 
   private val bruteForceOracle: String =
     """WITH q AS (
@@ -1488,7 +1533,47 @@ object Similarity {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** Replays the greedy farthest-point rounds: the same min-id seed,
+    * the same cumulative least() distance chain, the same
+    * (d DESC, vec_id ASC) argmax — all integer. */
+  private def kcenterOracle(k: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH q0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(
+      |    CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |      (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |             CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q0),
+      |c1 AS (SELECT vec_id, qv, n2, CAST(0 AS BIGINT) AS d
+      |       FROM n ORDER BY vec_id ASC LIMIT 1),
+      |d1 AS (
+      |  SELECT t.vec_id, t.qv, t.n2,
+      |         t.n2 - 2 * CAST(list_dot_product(t.qv, c.qv) AS BIGINT) + c.n2
+      |           AS d
+      |  FROM n t CROSS JOIN c1 c)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= s""",
+        |c$r AS (SELECT vec_id, qv, n2, d FROM d${r - 1}
+        |        ORDER BY d DESC, vec_id ASC LIMIT 1)""".stripMargin
+      if (r < k) sb ++= s""",
+        |d$r AS (
+        |  SELECT t.vec_id, t.qv, t.n2,
+        |         least(t.d, t.n2
+        |           - 2 * CAST(list_dot_product(t.qv, c.qv) AS BIGINT) + c.n2)
+        |           AS d
+        |  FROM d${r - 1} t CROSS JOIN c$r c)""".stripMargin
+    }
+    sb ++= (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, vec_id AS center_id," +
+        s" d AS d2_from_set FROM c$r")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "curation_coreset_kcenter" -> kcenterOracle(),
     "sim_topk_pq" -> pqOracle,
     "sim_topk_sq8" ->
       """WITH q AS (

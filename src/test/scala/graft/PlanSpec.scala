@@ -236,4 +236,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Expand"), plan)
     assert(plan.contains("partial"), s"rollup must partial-aggregate map-side:\n$plan")
   }
+
+  test("bucketed tables join with NO exchange on the join keys: bucketing " +
+    "is the write-once co-location that kills the repeated-join shuffle") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB pattern: both fact tables written bucketed on the join
+    // key ONCE; every later join reads co-located buckets and the only
+    // exchange left in the plan is the downstream aggregation's
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$dir/b_orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$dir/b_lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(sum(col("l_quantity")).as("qty"))
+      j.collect()
+      val plan = planOf(j)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // neither join side shuffles: bucket layout IS the partitioning
+      assert(!plan.contains("hashpartitioning(o_orderkey") &&
+        !plan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed join must not re-shuffle its keys:\n$plan")
+      // the scan really is bucket-aware, not a plain file read
+      assert(plan.contains("Bucketed: true"), plan)
+      // the aggregation exchange survives — we removed the JOIN shuffle,
+      // not exchanges in general
+      assert(plan.contains("hashpartitioning(o_custkey"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }

@@ -39,6 +39,26 @@ class CurationSpec extends SparkSpec {
     assert(kept === expect)
   }
 
+  test("dataset card: crafted corpus summarized exactly in one row") {
+    // 4 docs: two sources, two langs, one exact dup pair, one short doc
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "alpha beta gamma", "en", "web", 16L),      // exact dup of 1
+      (3L, ("tok " * 60).trim, "fr", "books", 239L),   // 60 tokens: not short
+      (4L, "solo", "fr", "web", 4L))                   // 1 token: short
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.datasetCardOf(docs).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("total_chars") == 275L)
+    assert(r.getAs[Long]("total_tokens") == 3L + 3L + 60L + 1L)
+    assert(r.getAs[Long]("n_exact_dup_docs") == 1L)
+    assert(r.getAs[Long]("n_short_docs") == 3L) // 3+3+1 token docs < 50
+    assert(r.getAs[Long]("mean_tokens_milli") == 67L * 1000 / 4)
+    assert(r.getAs[Long]("short_docs_milli") == 750L)
+  }
+
   test("exact overlap matrix counts within- and cross-source dup pairs") {
     // "x": 3 copies in A (3 within-pairs), 2 in B (1 within, 6 cross)
     // "y": 1 copy each in A and C (1 cross pair); "z": unique

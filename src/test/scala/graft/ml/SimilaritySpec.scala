@@ -240,6 +240,32 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("k-center coreset: greedy farthest-point replays exactly; covering " +
+    "radius is non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    var chosen = List((vecs.head._1, vecs.head._2, 0L))
+    for (_ <- 2 to 8) {
+      val (id, v, d) = vecs.map { case (id, v) =>
+        (id, v, chosen.map(c => d2(v, c._2)).min)
+      }.maxBy { case (id, _, d) => (d, -id) }
+      chosen = chosen :+ ((id, v, d))
+    }
+    val got = Similarity.kcenterCoreset(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[Long]("center_id"), r.getAs[Long]("d2_from_set")))
+    assert(got.toSeq == chosen.map(c => (c._1, c._3)).toSeq)
+    // covering radius ladder: monotone non-increasing past the seed
+    val ds = got.drop(1).map(_._2)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a }, ds.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("PQ recall audit reconciles with its arms and clears the PQ floor") {
     val row = Similarity.pqRecallAudit(spark, sf).head()
     val truth = Similarity.bruteForceTopK(spark, sf).collect()
