@@ -362,6 +362,56 @@ object IncrementalSync {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming CUSUM drift monitor — keyed per-tenant accumulator
+  // -------------------------------------------------------------------
+
+  /** One finalized per-tenant daily count arriving on the stream. */
+  final case class DailyCount(tenant_id: Long, day: java.sql.Timestamp,
+      n: Long)
+
+  /** Keyed CUSUM accumulator (milli units, exact longs). */
+  final case class CusumState(s_pos: Long, s_neg: Long, n_days: Long)
+
+  /** Per-day drift verdict — same columns as the batch `t22` fold. */
+  final case class DriftAlarm(tenant_id: Long, day: java.sql.Timestamp,
+      n: Long, s_pos_milli: Long, s_neg_milli: Long, alarm: Long)
+
+  /** Streaming twin of the batch `t22_cusum_daily` fold — the
+    * production split: the BATCH job fits the baseline mean per tenant
+    * (t22's μ over history); the STREAM carries only the two-sided
+    * CUSUM accumulator per tenant and updates it as each finalized
+    * daily count arrives, alarming the moment drift accumulates past
+    * 3μ — days before any single day would trip a spike detector.
+    * State is two longs and a counter per tenant, constant at
+    * unbounded input; within a batch rows fold in event-time order
+    * (upstream, a watermarked daily aggregation emits finalized days
+    * in order — compose with the W4 streaming form). */
+  def cusumStream(daily: Dataset[DailyCount],
+      meanMilliByTenant: Map[Long, Long]): Dataset[DriftAlarm] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.tenant_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (tid: Long, rows: Iterator[DailyCount],
+         state: GroupState[CusumState]) =>
+          val mu = meanMilliByTenant.getOrElse(tid, 0L)
+          val slack = mu / 4
+          val h = mu * 3
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.day.getTime).map { r =>
+            val sp = math.max(0L, st.s_pos + r.n * 1000 - mu - slack)
+            val sn = math.max(0L, st.s_neg - r.n * 1000 + mu - slack)
+            st = CusumState(sp, sn, st.n_days + 1)
+            DriftAlarm(tid, r.day, r.n, sp, sn,
+              if (sp > h || sn > h) 1L else 0L)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup for a document feed: key on the content hash
     * (the reference's vector content_hash, database/models.py:81),
     * dropDuplicatesWithinWatermark so dedup state is EVICTED once the

@@ -628,4 +628,44 @@ class IncrementalSyncSpec extends SparkSpec {
     val dates = plan.map(r => java.time.LocalDate.parse(r.getAs[String]("sync_date")))
     dates.zip(dates.tail).foreach { case (a, b) => assert(a.plusDays(1) == b) }
   }
+
+  test("streaming CUSUM: accumulator persists across micro-batches and " +
+    "replays the batch t22 fold against the fitted mean") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // batch-fitted baseline: tenant 7's history mean is 50500 milli
+    // (the same 1x6 + 100x6 series as the batch spec)
+    val mu = 50500L
+    val counts = Seq(1L, 1L, 1L, 1L, 1L, 1L, 100L, 100L, 100L, 100L, 100L,
+      100L)
+    // replica of the registered fold
+    var (sp, sn) = (0L, 0L)
+    val want = counts.zipWithIndex.map { case (n, i) =>
+      sp = math.max(0L, sp + n * 1000 - mu - mu / 4)
+      sn = math.max(0L, sn - n * 1000 + mu - mu / 4)
+      DriftAlarm(7L, day(i + 1), n, sp, sn,
+        if (sp > mu * 3 || sn > mu * 3) 1L else 0L)
+    }
+    val input = MemoryStream[DailyCount]
+    val q = cusumStream(input.toDS(), Map(7L -> mu))
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // three micro-batches: 4 + 4 + 4 days — the accumulator must
+      // carry across batch boundaries, not restart
+      Seq(0 until 4, 4 until 8, 8 until 12).foreach { slice =>
+        input.addData(slice.map(i => DailyCount(7L, day(i + 1), counts(i))))
+        q.processAllAvailable()
+      }
+      val got = spark.table("drift").as[DriftAlarm].collect()
+        .sortBy(_.day.getTime)
+      assert(got.toSeq == want)
+      // drift (not spike): alarms begin only after sustained deviation
+      assert(got.take(4).forall(_.alarm == 0L))
+      assert(got.map(_.alarm).sum > 0)
+      assert(got.last.alarm == 1L)
+    } finally q.stop()
+  }
 }
