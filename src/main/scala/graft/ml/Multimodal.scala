@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Multimodal-column pipeline: media payloads as opaque binary columns +
@@ -236,6 +237,38 @@ object Multimodal {
   def audioFrames(spark: SparkSession, dir: String): DataFrame =
     audioFramesOf(Tables.documents(spark, dir))
 
+  /** Voice-activity segmentation over the framed energy track: frames
+    * at-or-above their document's mean energy are "active", and
+    * consecutive active frames coalesce into segments (the
+    * gaps-and-islands trick on frame index) — the VAD-shaped cut list
+    * (start frame, end frame, length, energy mass) an audio pipeline
+    * feeds to a transcription or silence-trim stage. A real VAD model
+    * would swap in behind the same plumbing by replacing the
+    * threshold predicate.
+    *
+    * Scale shape: one bounded per-doc mean join onto the frame track,
+    * then a window partitioned by doc (frames-per-doc bounded by clip
+    * length, never corpus size) and a grouped segment rollup. */
+  def voiceSegmentsOf(docs: DataFrame, win: Int = 64,
+      hop: Int = 32): DataFrame = {
+    val frames = audioFramesOf(docs, win, hop)
+      .select("doc_id", "frame_idx", "energy")
+    val thr = frames.groupBy("doc_id")
+      .agg(expr("sum(energy) div count(1)").as("thr"))
+    val active = frames.join(thr, "doc_id")
+      .filter(col("energy") >= col("thr"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    active.withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("seg_energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "seg_energy")
+  }
+
+  def voiceSegments(spark: SparkSession, dir: String): DataFrame =
+    voiceSegmentsOf(Tables.documents(spark, dir))
+
   /** Video-shaped motion detection over the stub signal: consecutive
     * non-overlapping 64-sample "frames" compared samplewise; per frame
     * pair, the summed absolute difference (the frame-difference motion
@@ -461,6 +494,7 @@ object Multimodal {
     "multimodal_frames" -> ((s, d) => frameSamples(s, d)),
     "multimodal_codec" -> ((s, d) => codecFeatures(s, d)),
     "multimodal_audio_frames" -> ((s, d) => audioFrames(s, d)),
+    "multimodal_voice_segments" -> ((s, d) => voiceSegments(s, d)),
     "multimodal_motion" -> ((s, d) => motionDeltas(s, d)),
     "multimodal_crossmodal_topk" -> ((s, d) => crossModalTopK(s, d)))
 
@@ -617,6 +651,40 @@ object Multimodal {
         |          for j in range(frame_idx*32 + 1, frame_idx*32 + 64)]),
         |         (a, b) -> a + b) AS BIGINT) AS zero_crossings
         |FROM f""".stripMargin,
+    // audio-frame CTE shared with multimodal_audio_frames; threshold
+    // and islands replayed with the same integer mean and window trick
+    "multimodal_voice_segments" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+        |              ELSE list_transform(string_split(text, ''),
+        |                                  c -> unicode(c)::BIGINT - 64) END AS s
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |f AS (
+        |  SELECT doc_id, s,
+        |         unnest(range(0, (len(s) - 64) // 32 + 1)) AS frame_idx
+        |  FROM sig WHERE len(s) >= 64),
+        |af AS (
+        |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |         CAST(list_reduce(list_prepend(0::BIGINT,
+        |           list_transform(list_slice(s, frame_idx*32 + 1, frame_idx*32 + 64),
+        |                          x -> x * x)), (a, b) -> a + b) AS BIGINT)
+        |           AS energy
+        |  FROM f),
+        |t AS (SELECT doc_id, CAST(sum(energy) // count(*) AS BIGINT) AS thr
+        |      FROM af GROUP BY 1),
+        |a AS (SELECT af.doc_id, af.frame_idx, af.energy
+        |      FROM af JOIN t USING (doc_id) WHERE energy >= thr),
+        |g AS (
+        |  SELECT doc_id, frame_idx, energy,
+        |         frame_idx - row_number() OVER (PARTITION BY doc_id
+        |                                        ORDER BY frame_idx) AS grp
+        |  FROM a)
+        |SELECT doc_id, CAST(min(frame_idx) AS INT) AS seg_start,
+        |       CAST(max(frame_idx) AS INT) AS seg_end,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS seg_energy
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
     "multimodal_motion" ->
       """WITH sig AS (
         |  SELECT doc_id,

@@ -244,6 +244,63 @@ object Graph {
     conductanceOf(edgesOf(spark, dir), iters)
 
   // -------------------------------------------------------------------
+  // Multi-source BFS (hop distances from a seed set)
+  // -------------------------------------------------------------------
+
+  /** Seed stride and round cap for the registered BFS query. */
+  val BfsSeedStride = 500
+  val BfsRounds = 6
+
+  /** Multi-source BFS: exact hop distance from the nearest seed, by
+    * synchronous frontier relabeling — after round r the label table
+    * holds EXACTLY the nodes within r hops at their true distance
+    * (distances only ever enter once, at first reach, because every
+    * round takes the min over the complete ≤(r−1)-hop table and its
+    * +1 neighbors). Convergence is FREE off the materialization
+    * barrier: the reached set grows monotonically, so an unchanged
+    * row count means an empty frontier (the k-core trick); `rounds`
+    * is a safety cap. The blast-radius / reachability primitive next
+    * to PageRank and k-core: "how many hops is every entity from the
+    * flagged set".
+    *
+    * Scale shape: per round, one hash join of the (once-partitioned)
+    * edge table against the shrinking-frontier label table plus one
+    * grouped min — the Pregel-in-relational-ops shape shared with
+    * [[pageRank]]/[[kCoreOf]], with the same per-round persist
+    * barrier so lineage stays linear. */
+  def bfsDistancesOf(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = BfsRounds): DataFrame = {
+    var labels = seeds.select(col("node"), lit(0L).as("dist")).persist()
+    var reached = labels.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val next = labels
+        .unionByName(edges.join(labels, edges("src") === labels("node"))
+          .select(edges("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist()
+      val n = next.count() // barrier + free convergence signal
+      labels.unpersist(blocking = false)
+      converged = n == reached
+      reached = n
+      labels = next
+      round += 1
+    }
+    labels.select(
+      when(col("node") % 10 === 0, "customer").otherwise("supplier")
+        .as("entity_type"),
+      expr("node div 10").as("entity_id"), col("dist"))
+  }
+
+  def bfsDistances(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % BfsSeedStride === 0)
+      .select((col("c_custkey") * 10).as("node"))
+    bfsDistancesOf(edgesOf(spark, dir), seeds)
+  }
+
+  // -------------------------------------------------------------------
   // k-core decomposition (bounded peeling)
   // -------------------------------------------------------------------
 
@@ -505,6 +562,7 @@ object Graph {
     "graph_label_prop" -> ((s, d) => labelPropagation(s, d)),
     "graph_modularity" -> ((s, d) => modularity(s, d)),
     "graph_conductance" -> ((s, d) => conductance(s, d)),
+    "graph_bfs_distances" -> ((s, d) => bfsDistances(s, d)),
     "basket_rules" -> ((s, d) => associationRules(s, d)))
 
   /** Generated fixed-round majority-LPA oracle — MATERIALIZED per round
@@ -691,6 +749,28 @@ object Graph {
     "graph_label_prop" -> lpOracle,
     "graph_modularity" -> modularityOracle,
     "graph_conductance" -> conductanceOracle,
+    // recursive frontier closure bounded at the same round cap; UNION
+    // dedups (node, dist) pairs so the recursion terminates, and the
+    // grouped min is the exact hop distance for every node in range
+    "graph_bfs_distances" ->
+      s"""WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey * 10 AS src, l_suppkey * 10 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |seeds AS (
+        |  SELECT c_custkey * 10 AS node FROM customer
+        |  WHERE c_custkey % $BfsSeedStride = 0),
+        |bfs(node, dist) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.dist < $BfsRounds)
+        |SELECT CASE WHEN node % 10 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS entity_type,
+        |       CAST(node // 10 AS BIGINT) AS entity_id,
+        |       CAST(min(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node""".stripMargin,
     "basket_rules" -> s"""WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |ps AS (

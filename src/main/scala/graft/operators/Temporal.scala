@@ -495,6 +495,54 @@ object Temporal {
   def cusumDaily(spark: SparkSession, dir: String): DataFrame =
     cusumDailyOf(Tables.events(spark, dir))
 
+  /** T23 — Holt's LINEAR-TREND smoothing of each tenant's daily spend
+    * (α=0.3 level, β=0.2 trend, both in milli): where t12's EWMA tracks
+    * a level only (and lags every ramp), Holt carries an explicit trend
+    * term, so the one-step forecast `level + trend` stays on a steadily
+    * growing or shrinking series — the capacity-planning forecast next
+    * to the EWMA dashboard line.
+    *
+    * Exactness: the recurrences are integer, with the truncating
+    * division both engines share (Spark `div` and DuckDB `//` both
+    * round toward zero, including on the negative trend operands —
+    * verified, not assumed). l₁ = x₁, b₁ = 0; the new level expression
+    * is repeated inside the trend update because a fold struct cannot
+    * reference its sibling field.
+    *
+    * Scale shape: identical to t12 — a bounded per-tenant sorted fold
+    * over a TIME-bounded daily series. */
+  def holtDailyOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy((col("user_id") % 4).as("tenant_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+        * 100).cast("long").as("cents"))
+    val packed = daily.groupBy("tenant_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents")))).as("xs"))
+    val lNew = "(300 * x.cents + 700 * (element_at(acc, -1).l" +
+      " + element_at(acc, -1).b)) div 1000"
+    packed
+      .select(col("tenant_id"), explode(expr(
+        s"""aggregate(xs,
+          |  CAST(array() AS ARRAY<STRUCT<day: TIMESTAMP, cents: BIGINT,
+          |                               l: BIGINT, b: BIGINT>>),
+          |  (acc, x) -> array_append(acc, struct(x.day AS day,
+          |    x.cents AS cents,
+          |    CASE WHEN size(acc) = 0 THEN x.cents
+          |         ELSE $lNew END AS l,
+          |    CASE WHEN size(acc) = 0 THEN 0L
+          |         ELSE (200 * (($lNew) - element_at(acc, -1).l)
+          |               + 800 * element_at(acc, -1).b) div 1000
+          |    END AS b)))""".stripMargin)).as("y"))
+      .select(col("tenant_id"), col("y.day").as("day"),
+        col("y.cents").as("cents"), col("y.l").as("level"),
+        col("y.b").as("trend"),
+        (col("y.l") + col("y.b")).as("forecast_next"))
+  }
+
+  def holtDaily(spark: SparkSession, dir: String): DataFrame =
+    holtDailyOf(Tables.events(spark, dir))
+
   /** T15 — interval coalescing (gaps-and-islands): merge each supplier's
     * overlapping/touching shipment windows (the same [s, e] intervals as
     * t14) into maximal busy islands. The dual of t14's pair count: t14
@@ -999,6 +1047,7 @@ object Temporal {
     "t20_time_decay_attribution" -> ((s, d) => timeDecayAttribution(s, d)),
     "t21_hourly_autocorr" -> ((s, d) => hourlyAutocorr(s, d)),
     "t22_cusum_daily" -> ((s, d) => cusumDaily(s, d)),
+    "t23_holt_daily" -> ((s, d) => holtDaily(s, d)),
     "a24_hourly_anomaly" -> ((s, d) => hourlyAnomalies(s, d)),
     "t18_dwell_times" -> ((s, d) => dwellTimes(s, d)),
     "t19_session_ttl" -> ((s, d) => sessionTtlBuckets(s, d)))
@@ -1287,6 +1336,31 @@ object Temporal {
         |       CAST(s_neg AS BIGINT) AS s_neg_milli,
         |       CAST(s_pos > mean_milli * 3 OR s_neg > mean_milli * 3
         |         AS BIGINT) AS alarm
+        |FROM r""".stripMargin,
+    // level and trend recurrences replayed exactly: DuckDB // and Spark
+    // div both truncate toward zero, including the negative trend terms
+    "t23_holt_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id % 4 AS tenant_id,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT tenant_id, day, cents,
+        |         row_number() OVER (PARTITION BY tenant_id ORDER BY day) AS i
+        |  FROM daily),
+        |r AS (
+        |  SELECT tenant_id, day, cents, i, cents AS l, CAST(0 AS BIGINT) AS b
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.tenant_id, d.day, d.cents, d.i,
+        |         CAST((300 * d.cents + 700 * (r.l + r.b)) // 1000 AS BIGINT),
+        |         CAST((200 * ((300 * d.cents + 700 * (r.l + r.b)) // 1000
+        |                      - r.l)
+        |               + 800 * r.b) // 1000 AS BIGINT)
+        |  FROM d JOIN r ON d.tenant_id = r.tenant_id AND d.i = r.i + 1)
+        |SELECT tenant_id, day, cents, l AS level, b AS trend,
+        |       CAST(l + b AS BIGINT) AS forecast_next
         |FROM r""".stripMargin,
     "t12_ewma_daily" ->
       """WITH RECURSIVE daily AS (

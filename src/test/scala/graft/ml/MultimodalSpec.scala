@@ -67,6 +67,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("voice segments tile the active frames exactly: threshold, " +
+    "coverage, energy conservation") {
+    val frames = Multimodal.audioFrames(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("frame_idx"), r.getAs[Long]("energy")))
+    val byDoc = frames.groupBy(_._1)
+    val active = byDoc.toSeq.flatMap { case (_, fs) =>
+      val thr = fs.map(_._3).sum / fs.length
+      fs.filter(_._3 >= thr).toSeq
+    }
+    val segs = Multimodal.voiceSegments(spark, sf).collect()
+    // every segment is a maximal run of active frames; together they
+    // cover the active set exactly and conserve its energy
+    val activeSet = active.map(a => (a._1, a._2)).toSet
+    var covered = 0L
+    segs.foreach { s =>
+      val doc = s.getAs[Long]("doc_id")
+      val (a, b) = (s.getAs[Int]("seg_start"), s.getAs[Int]("seg_end"))
+      assert(s.getAs[Long]("n_frames") == b - a + 1L)
+      (a to b).foreach(i => assert(activeSet((doc, i)), s"$doc/$i inactive"))
+      // maximality: the frames just outside are NOT active
+      assert(!activeSet((doc, a - 1)) && !activeSet((doc, b + 1)))
+      covered += b - a + 1L
+    }
+    assert(covered == activeSet.size.toLong)
+    assert(segs.map(_.getAs[Long]("seg_energy")).sum == active.map(_._3).sum)
+  }
+
   test("motion deltas: zero between identical frames, exact sum on a " +
       "crafted cut") {
     import spark.implicits._

@@ -208,6 +208,50 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("BFS distances: exact hops on a crafted path, early convergence, " +
+    "and real-graph local consistency") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // path 10-20-30-40-50 (customer-encoded ids) plus isolated seed 90
+    val und = Seq((10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(10L, 90L).toDF("node")
+    val gotMap = Graph.bfsDistancesOf(edges, seeds, rounds = 10).collect()
+      .map(r => r.getAs[Long]("entity_id") -> r.getAs[Long]("dist")).toMap
+    assert(gotMap == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      9L -> 0L), s"got $gotMap")
+    spark.catalog.clearCache()
+
+    // real graph: seeds at distance 0, every edge differs by at most 1
+    // hop, and every non-seed's dist is 1 + min over its neighbors
+    val rows = Graph.bfsDistances(spark, sf).collect()
+    val dist = rows.map(r => (r.getAs[Long]("entity_id") * 10 +
+      (if (r.getAs[String]("entity_type") == "customer") 0 else 1)) ->
+      r.getAs[Long]("dist")).toMap
+    val seedsReal = graft.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % Graph.BfsSeedStride === 0)
+      .collect().map(_.getAs[Long]("c_custkey") * 10).toSet
+    seedsReal.foreach(s => assert(dist.get(s).contains(0L)))
+    assert(rows.count(_.getAs[Long]("dist") == 0L) == seedsReal.size)
+    val e = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 10).as("src"),
+        (col("l_suppkey") * 10 + 1).as("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    dist.foreach { case (n, d) =>
+      if (d > 0) {
+        val best = adj.getOrElse(n, Array.empty[Long])
+          .flatMap(dist.get).minOption
+        assert(best.contains(d - 1), s"node $n dist $d neighbors $best")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("link Jaccard: edge commons sum to 3x the triangle count, milli bounded") {
     import org.apache.spark.sql.functions._
     val lj = Graph.linkJaccard(spark, sf)

@@ -458,6 +458,52 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("Holt linear trend: ramp series converges toward the true slope, " +
+    "decreasing series goes negative, real corpus replays the fold") {
+    // scala replica: Long / truncates toward zero, same as Spark div
+    def replay(xs: Seq[Long]): Seq[(Long, Long)] = {
+      var l = xs.head; var b = 0L
+      (l, b) +: xs.tail.map { x =>
+        val lNew = (300 * x + 700 * (l + b)) / 1000
+        b = (200 * (lNew - l) + 800 * b) / 1000
+        l = lNew
+        (l, b)
+      }
+    }
+    def mk(uid: Long, cents: Seq[Long]) = cents.zipWithIndex.map {
+      case (c, d) => (uid, ts(f"2024-01-${d + 1}%02d 05:00:00"),
+        uid * 1000L + d, "view", c.toDouble / 100.0)
+    }
+    // tenant 0: +1000 cents/day ramp; tenant 1: -500 cents/day decline
+    val ramp = (1 to 12).map(i => 10000L + 1000L * i)
+    val fall = (1 to 12).map(i => 20000L - 500L * i)
+    val df = (mk(0L, ramp) ++ mk(1L, fall))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val rows = Temporal.holtDailyOf(df).collect()
+    def series(t: Long) = rows.filter(_.getAs[Long]("tenant_id") == t)
+      .sortBy(_.getAs[Any]("day").toString)
+    val t0 = series(0L)
+    assert(t0.map(r => (r.getAs[Long]("level"), r.getAs[Long]("trend")))
+      .toSeq == replay(ramp))
+    // trend locks onto the ramp: positive and growing toward 1000/day
+    assert(t0.last.getAs[Long]("trend") > 400L)
+    assert(t0.last.getAs[Long]("forecast_next") ==
+      t0.last.getAs[Long]("level") + t0.last.getAs[Long]("trend"))
+    val t1 = series(1L)
+    assert(t1.map(r => (r.getAs[Long]("level"), r.getAs[Long]("trend")))
+      .toSeq == replay(fall))
+    assert(t1.last.getAs[Long]("trend") < 0L) // negative-trend arm exercised
+
+    // real corpus: replay every tenant from the emitted cents
+    val real = Temporal.holtDaily(spark, sf).collect()
+    real.groupBy(_.getAs[Long]("tenant_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Any]("day").toString)
+      val exp = replay(sorted.map(_.getAs[Long]("cents")).toSeq)
+      assert(sorted.map(r => (r.getAs[Long]("level"),
+        r.getAs[Long]("trend"))).toSeq == exp)
+    }
+  }
+
   test("busy islands tile each supplier's intervals: disjoint, ordered, complete") {
     val day = datediff(col("l_shipdate").cast("date"),
       lit("1970-01-01").cast("date")).cast("long")
