@@ -237,6 +237,71 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"), s"rollup must partial-aggregate map-side:\n$plan")
   }
 
+  test("power-iteration round: ONE dim-width exchange, codegen'd dot, " +
+    "map-side partial sums") {
+    import org.apache.spark.sql.functions._
+    // the round subplan emb_top_direction folds three times: its only
+    // exchange must be the 64-key hashpartitioning(j) after the partial
+    // aggregate — nothing row-scale ever crosses the wire
+    val q = graft.Tables.embeddings(spark, sf)
+      .select(graft.ml.Dedup.quantized(col("embedding")).as("q"))
+    val vlit = array(Seq.fill(64)(lit(1L)): _*)
+    val round = q
+      .select(col("q"),
+        graft.functions.ArrayOps.dot_long(col("q"), vlit).as("s"))
+      .select(posexplode(col("q")).as(Seq("j", "qj")), col("s"))
+      .groupBy("j").agg(sum(col("qj") * col("s")).as("w"))
+    round.collect()
+    val plan = planOf(round).split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hash"))
+      .toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("(j#"),
+      s"exactly one exchange, keyed j:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"per-partition accumulators must combine map-side:\n$plan")
+    assert(plan.contains("dotproductlong"),
+      s"the broadcast-literal dot must be the codegen'd kernel:\n$plan")
+  }
+
+  test("BFS round: frontier hash join + grouped min, no cartesian, " +
+    "edge filters stay off the label side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((10L, 21L), (21L, 10L), (20L, 31L), (31L, 20L))
+      .toDF("src", "dst")
+    val labels = Seq((10L, 0L)).toDF("node", "dist")
+    val next = labels
+      .unionByName(edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), (col("dist") + 1).as("dist")))
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+    next.collect()
+    val plan = planOf(next)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"frontier expansion must be a hash/merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min"),
+      s"the relabel min must combine map-side:\n$plan")
+  }
+
+  test("k-center round selects its argmax via TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.functions._
+    val q = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.ml.Dedup.quantized(col("embedding")).as("q"))
+    val c0 = array(Seq.fill(64)(lit(1L)): _*)
+    val round = q
+      .select(col("vec_id"),
+        (graft.functions.ArrayOps.dot_long(col("q"), col("q"))
+          - lit(2L) * graft.functions.ArrayOps.dot_long(col("q"), c0)).as("d"))
+      .orderBy(col("d").desc, col("vec_id").asc).limit(1)
+    round.collect()
+    val plan = planOf(round)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-1 must plan as TakeOrdered:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Sort ") && l.contains("global=true")),
+      s"no global sort in the selection round:\n$plan")
+  }
+
   test("bucketed tables join with NO exchange on the join keys: bucketing " +
     "is the write-once co-location that kills the repeated-join shuffle") {
     import org.apache.spark.sql.functions._
