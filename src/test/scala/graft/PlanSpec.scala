@@ -302,6 +302,28 @@ class PlanSpec extends SparkSpec {
       s"no global sort in the selection round:\n$plan")
   }
 
+  test("dataset card: one scan, one shared Expand for the three distincts, " +
+    "map-side partials") {
+    val df = graft.ml.Curation.datasetCard(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"the card must cost exactly one scan:\n$plan")
+    assert(plan.linesIterator.count(_.contains(" Expand [")) == 1,
+      s"the three distincts must share ONE Expand:\n$plan")
+    assert(plan.contains("partial"), s"distinct pass must partial-aggregate:\n$plan")
+  }
+
+  test("FD audit: per-FD arms aggregate keyed by determinant value, " +
+    "no cartesian anywhere") {
+    val df = graft.plans.DataQuality.fdAudit(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"),
+      s"determinant counts must combine map-side:\n$plan")
+  }
+
   test("bucketed tables join with NO exchange on the join keys: bucketing " +
     "is the write-once co-location that kills the repeated-join shuffle") {
     import org.apache.spark.sql.functions._

@@ -240,6 +240,23 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("k-center coreset library form: crafted compass points picked in " +
+    "farthest-first order") {
+    import spark.implicits._
+    // unit vectors east, north, west, northeast; seed = min id (east);
+    // farthest-first must then take west, north, northeast
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.7071f, 0.7071f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterCoresetOf(vecs, k = 4).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(got.map(_.getAs[Long]("center_id")).toSeq == Seq(1L, 3L, 2L, 4L))
+    val ds = got.map(_.getAs[Long]("d2_from_set"))
+    assert(ds.head == 0L)
+    assert(ds.drop(1).zip(ds.drop(2)).forall { case (a, b) => b <= a })
+  }
+
   test("k-center coreset: greedy farthest-point replays exactly; covering " +
     "radius is non-increasing") {
     import org.apache.spark.sql.functions.col
