@@ -131,8 +131,12 @@ object Curation {
         (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup_docs"),
         sum(when(col("n_tokens") < 50, 1L).otherwise(0L)).as("n_short_docs"))
       .select(col("*"),
-        expr("total_tokens * 1000 div n_docs").as("mean_tokens_milli"),
-        expr("n_short_docs * 1000 div n_docs").as("short_docs_milli"))
+        // nullif: an EMPTY corpus yields the zero-row card with NULL
+        // means instead of an ANSI division-by-zero error
+        expr("total_tokens * 1000 div nullif(n_docs, 0)")
+          .as("mean_tokens_milli"),
+        expr("n_short_docs * 1000 div nullif(n_docs, 0)")
+          .as("short_docs_milli"))
 
   def datasetCard(spark: SparkSession, dir: String): DataFrame =
     datasetCardOf(Tables.documents(spark, dir))

@@ -211,6 +211,14 @@ object Similarity {
   def pqRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     recallReport(spark, bruteForceTopK(spark, dir, k), pqTopK(spark, dir, k))
 
+  /** Public library form of the audit core: recall report of ANY
+    * detector top-k frame against ANY truth top-k frame (both keyed
+    * (query_id, vec_id)) — callers audit their own serving arms with
+    * a fixed query panel, which keeps the truth arm linear at scale.
+    * Empty truth yields the all-zeros report, not an error. */
+  def recallReportOf(truth: DataFrame, det: DataFrame): DataFrame =
+    recallReport(truth.sparkSession, truth, det)
+
   /** Shared audit core: exact counts + recall milli + worst-query tail
     * over any (query_id, vec_id) truth/detector top-k pair. */
   private def recallReport(spark: SparkSession, truthDf: DataFrame,
@@ -225,9 +233,12 @@ object Similarity {
         .select(col("n_true"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       val row = perQ.agg(
           count(lit(1)).as("n_queries"),
-          sum(col("n_true")).as("n_truth"),
-          sum(col("n_hit")).as("n_hits"),
-          min(expr("n_hit * 1000 div n_true")).as("worst_recall_milli"))
+          // coalesce: an empty truth set (empty corpus/tenant) must
+          // report zeros, not NPE on null sums when the row is read
+          coalesce(sum(col("n_true")), lit(0L)).as("n_truth"),
+          coalesce(sum(col("n_hit")), lit(0L)).as("n_hits"),
+          coalesce(min(expr("n_hit * 1000 div n_true")), lit(0L))
+            .as("worst_recall_milli"))
         .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
         .head()
       import spark.implicits._
@@ -678,7 +689,14 @@ object Similarity {
     val spark = vectors.sparkSession
     val q = vectors.select(Dedup.quantized(col("embedding")).as("q")).persist()
     try {
-      val dim = q.select(size(col("q")).as("d")).head().getInt(0)
+      val first = q.select(size(col("q")).as("d")).take(1)
+      if (first.isEmpty) {
+        // empty corpus: a library caller's empty partition/tenant must
+        // get an empty report, not a NoSuchElementException
+        import spark.implicits._
+        return Seq.empty[(Int, Long, Long)].toDF("dim", "w_raw", "v_milli")
+      }
+      val dim = first.head.getInt(0)
       var v = Array.fill(dim)(1L)
       var w = Array.fill(dim)(0L)
       for (_ <- 1 to rounds) {
@@ -727,19 +745,29 @@ object Similarity {
       .withColumn("n2", dot(col("q"), col("q")))
       .persist()
     try {
-      val seed = q.orderBy(col("vec_id").asc).limit(1).head()
+      val seedRows = q.orderBy(col("vec_id").asc).limit(1).collect()
+      if (seedRows.isEmpty) {
+        import spark.implicits._
+        return Seq.empty[(Long, Long, Long)]
+          .toDF("round", "center_id", "d2_from_set")
+      }
+      val seed = seedRows.head
       var chosen = List((seed.getAs[Long]("vec_id"),
         seed.getSeq[Long](1).toArray, seed.getAs[Long]("n2"), 0L))
-      for (_ <- 2 to k) {
+      var exhausted = false
+      for (_ <- 2 to k if !exhausted) {
         val dCol = chosen.map { case (_, cv, cn2, _) =>
           col("n2") - lit(2L) * dot(col("q"),
             array(cv.toIndexedSeq.map(lit): _*)) + lit(cn2)
         }.reduce(least(_, _))
         val top = q.select(col("vec_id"), col("q"), col("n2"), dCol.as("d"))
           .orderBy(col("d").desc, col("vec_id").asc).limit(1).head()
-        chosen = chosen :+ ((top.getAs[Long]("vec_id"),
-          top.getSeq[Long](1).toArray, top.getAs[Long]("n2"),
-          top.getAs[Long]("d")))
+        val id = top.getAs[Long]("vec_id")
+        // k > corpus size: once every vector is chosen the argmax
+        // re-picks a chosen row at d = 0 — stop instead of duplicating
+        if (chosen.exists(_._1 == id)) exhausted = true
+        else chosen = chosen :+ ((id, top.getSeq[Long](1).toArray,
+          top.getAs[Long]("n2"), top.getAs[Long]("d")))
       }
       import spark.implicits._
       chosen.zipWithIndex.map { case ((id, _, _, d), i) => (i + 1L, id, d) }
