@@ -386,7 +386,10 @@ object IncrementalSync {
     * State is two longs and a counter per tenant, constant at
     * unbounded input; within a batch rows fold in event-time order
     * (upstream, a watermarked daily aggregation emits finalized days
-    * in order — compose with the W4 streaming form). */
+    * in order — compose with the W4 streaming form). A tenant WITHOUT
+    * a fitted baseline gets μ = 0, so its first active day alarms —
+    * the conservative default that surfaces "unfitted tenant" to the
+    * operator instead of silently monitoring against nothing. */
   def cusumStream(daily: Dataset[DailyCount],
       meanMilliByTenant: Map[Long, Long]): Dataset[DriftAlarm] = {
     import daily.sparkSession.implicits._

@@ -659,8 +659,16 @@ class IncrementalSyncSpec extends SparkSpec {
         input.addData(slice.map(i => DailyCount(7L, day(i + 1), counts(i))))
         q.processAllAvailable()
       }
+      // an UNFITTED tenant (no baseline entry -> mu = 0) alarms on its
+      // first active day -- the documented conservative default
+      input.addData(Seq(DailyCount(9L, day(1), 5L)))
+      q.processAllAvailable()
+      val unfitted = spark.table("drift").as[DriftAlarm].collect()
+        .filter(_.tenant_id == 9L)
+      assert(unfitted.length == 1 && unfitted.head.alarm == 1L)
+
       val got = spark.table("drift").as[DriftAlarm].collect()
-        .sortBy(_.day.getTime)
+        .filter(_.tenant_id == 7L).sortBy(_.day.getTime)
       assert(got.toSeq == want)
       // drift (not spike): alarms begin only after sustained deviation
       assert(got.take(4).forall(_.alarm == 0L))
