@@ -11,6 +11,17 @@ class RegistrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("the no-oracle set is exactly the documented HLL exception") {
+    // every operator ships with a DuckDB oracle; the single rows-only
+    // entry is the HLL estimate itself (not portable to DuckDB), whose
+    // integer error-bound companion IS hash-checked. A new query
+    // landing here without an oracle is a gate regression, not a style
+    // choice.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("a15b_approx_distinct_users"),
+      s"queries without oracles: $noOracle")
+  }
+
   test("every registered query output is all-scalar columns") {
     // the driver's compare layer (even the rows-only check for no-oracle
     // queries) sorts every column in pandas, where array/map/struct cells
