@@ -51,21 +51,39 @@ object Enricher {
     * Swap this expression for a model-backed stage in production —
     * the dim/type/truncation contract is what the rest of the pipeline
     * (similarity, dedup) consumes. */
-  def embedText(text: Column, dim: Int = 64): Column = {
+  def embedText(text: Column, dim: Int = 64): Column =
+    embedFromHash(embedHash(text), dim)
+
+  /** The document hash half of [[embedText]]: the engine-portable
+    * rolling polynomial fold over the token codes. Split out so a
+    * pipeline can materialize it ONCE per row — inlined into the
+    * per-component lambda it re-evaluates dim× per document. */
+  def embedHash(text: Column): Column = {
     val toks = filter(split(substring(text, 1, 32000), " "), t => t =!= "")
     val codes = transform(toks,
       t => length(t).cast("long") * 256 + ascii(t).cast("long"))
-    val h = aggregate(codes, lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+    aggregate(codes, lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+  }
+
+  /** The vector half: component j from a (already-computed) hash. */
+  def embedFromHash(h: Column, dim: Int = 64): Column =
     transform(sequence(lit(0), lit(dim - 1)), j => {
       val jl = j.cast("long")
       (((h * (jl * 2 + 1) + (jl + 1) * 40503L) % 1000L - 500L).cast("double")
         / 1000.0).cast("float")
     })
-  }
 
   def embedDocuments(spark: SparkSession, dir: String): DataFrame =
+    // the persist() is a projection BARRIER (the quantized-vectors
+    // precedent): without it CollapseProject substitutes the token-hash
+    // fold into the per-component lambda and the whole fold re-runs
+    // dim (64) times per document. The cached projection is two longs
+    // per row; module cache contract — Bench/Verify clearCache()
+    // between queries releases it.
     graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), embedText(col("text")).as("embedding"))
+      .select(col("doc_id"), embedHash(col("text")).as("h"))
+      .persist()
+      .select(col("doc_id"), embedFromHash(col("h")).as("embedding"))
 
   /** Registered form of the embed stage: the vector projected to scalar
     * descriptors (dim, L1 mass, first/last components) in exact integer

@@ -302,6 +302,25 @@ class PlanSpec extends SparkSpec {
       s"no global sort in the selection round:\n$plan")
   }
 
+  test("embed stub: the token-hash fold materializes ONCE behind the " +
+    "projection barrier, never per vector component") {
+    val df = graft.pipeline.Enricher.embedDocuments(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the hash's modulus appears only inside the cached (doc_id, h)
+    // projection; the component lambda must reference the h ATTRIBUTE.
+    // Without the barrier CollapseProject inlines the fold into the
+    // lambda and it re-runs dim (64) times per row — the regression
+    // that made u2_embed_stub the most expensive anchor query.
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Scan In-memory"),
+      s"hash projection must be the persisted barrier:\n$plan")
+    val outerProject = plan.linesIterator
+      .find(l => l.contains("transform(") && l.contains("40503")).getOrElse("")
+    assert(outerProject.nonEmpty && !outerProject.contains("1000000007"),
+      s"component lambda must not contain the token fold:\n$outerProject")
+    spark.catalog.clearCache()
+  }
+
   test("dataset card: one scan, one shared Expand for the three distincts, " +
     "map-side partials") {
     val df = graft.ml.Curation.datasetCard(spark, sf)
