@@ -33,6 +33,17 @@ object Similarity {
   /** Query-vector predicate: every 200th vector is a "query". */
   private def isQuery(id: Column): Column = id % 200 === 0
 
+  /** Fixed-panel variant: the first [[FixedPanelSize]] query vectors only
+    * (vec_id ∈ {0, 200, …, 12600}). The panel is CONSTANT as the corpus
+    * grows — the production audit shape: the corpus-proportional
+    * [[isQuery]] form makes the truth arm queries × corpus (quadratic
+    * under co-scaling, the one near-quadratic row in the two-decade
+    * bench matrix), while this panel keeps it panel × corpus — linear in
+    * the corpus, the number a rollout dashboard can afford to watch. */
+  private val FixedPanelSize = 64
+  private def isPanelQuery(id: Column): Column =
+    isQuery(id) && id < lit(FixedPanelSize * 200L)
+
   private def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
@@ -61,9 +72,10 @@ object Similarity {
       .select("query_id", "vec_id", "dot", "rank")
   }
 
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10,
+      pred: Column => Column = isQuery): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    bruteForceTopKOf(emb, emb.filter(isQuery(col("vec_id"))), k)
+    bruteForceTopKOf(emb, emb.filter(pred(col("vec_id"))), k)
   }
 
   // -------------------------------------------------------------------
@@ -210,6 +222,21 @@ object Similarity {
     * report — the codebook-size / pool-size tuning number. */
   def pqRecallAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     recallReport(spark, bruteForceTopK(spark, dir, k), pqTopK(spark, dir, k))
+
+  /** The constant-panel production twin of [[pqRecallAudit]]: the same
+    * audit, but over the FIXED [[FixedPanelSize]]-query panel instead of
+    * the corpus-proportional every-200th subset. The gate form above
+    * grows its truth arm queries × corpus (near-quadratic under
+    * co-scaling — the 28.6× decade-2 bench row); this twin's truth arm
+    * is panel × corpus, linear in the corpus forever, so THIS is the
+    * row a production rollout dashboard watches continuously while the
+    * proportional form stays the occasional exhaustive gate. Same audit
+    * core, same cache discipline, same oracle nesting — only the query
+    * predicate differs on both arms. */
+  def pqRecallAuditFixedQ(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    recallReport(spark, bruteForceTopK(spark, dir, k, isPanelQuery),
+      pqTopK(spark, dir, k, isPanelQuery))
 
   /** Public library form of the audit core: recall report of ANY
     * detector top-k frame against ANY truth top-k frame (both keyed
@@ -678,10 +705,18 @@ object Similarity {
     *
     * Exactness: quantized integer vectors, integer dots, floor
     * renormalization — the fixed-round chain replays bit-for-bit in the
-    * oracle (HUGEINT intermediates there). Long-range bound: a round's
-    * accumulator reaches n·q_max·s_max ≈ n·10⁴·6.4·10⁸ — exact to
-    * ~10¹⁰ rows per partition-tree; beyond that, add a per-partition
-    * pre-rescale (same remedy as the AUC U-statistic bound).
+    * oracle (HUGEINT intermediates there). Range analysis: the per-row
+    * product qⱼ·s is bounded by q_max·s_max ≈ 10⁴·6.4·10⁸ = 6.4·10¹²
+    * (safe in long), but the SUM over n rows reaches n·6.4·10¹² — a
+    * plain long sum would wrap silently from n ≈ 1.4·10⁶ adversarial
+    * rows. The accumulator therefore sums in DECIMAL(38,0) — exact to
+    * 10³⁸, i.e. ~10²⁵ rows — and each round renormalizes from the
+    * exact BigInt, so the ITERATION is exact at any corpus size. Only
+    * the reported `w_raw` output column is long-typed; if the final
+    * exact accumulator exceeds long range the fold THROWS
+    * (ArithmeticException via longValueExact) rather than wrapping —
+    * the caller's signal to pre-rescale the corpus or report v_milli
+    * only.
     *
     * Output: one row per dimension — the final unnormalized accumulator
     * and the milli-normalized direction component. */
@@ -698,26 +733,33 @@ object Similarity {
       }
       val dim = first.head.getInt(0)
       var v = Array.fill(dim)(1L)
-      var w = Array.fill(dim)(0L)
+      var w = Array.fill(dim)(BigInt(0))
       for (_ <- 1 to rounds) {
         val vlit = array(v.toIndexedSeq.map(lit): _*)
         val rows = q
           .select(col("q"), ArrayOps.dot_long(col("q"), vlit).as("s"))
           .select(posexplode(col("q")).as(Seq("j", "qj")), col("s"))
-          .groupBy("j").agg(sum(col("qj") * col("s")).as("w"))
+          // product is long-safe (≤ ~6.4e12/row); the SUM is not — cast
+          // to DECIMAL(38,0) so the accumulator is exact to 10³⁸ (the
+          // oracle sums in HUGEINT; both are exact, so parity holds)
+          .groupBy("j")
+          .agg(sum((col("qj") * col("s")).cast("decimal(38,0)")).as("w"))
           .collect()
-        w = Array.fill(dim)(0L)
-        rows.foreach(r => w(r.getAs[Int]("j")) = r.getAs[Long]("w"))
-        val wmax = math.max(w.iterator.map(math.abs).max, 1L)
+        w = Array.fill(dim)(BigInt(0))
+        rows.foreach(r => w(r.getAs[Int]("j")) =
+          BigInt(r.getAs[java.math.BigDecimal]("w").toBigIntegerExact))
+        val wmax = w.iterator.map(_.abs).max max BigInt(1)
         // renormalize on MAGNITUDES with an explicit sign: |w|·1000/wmax
         // divides non-negatives, where floor and truncate agree in every
         // engine (negative integer division is floor in some engines,
-        // truncate in others). BigInt: w*1000 can exceed long range.
-        v = w.map(x =>
-          math.signum(x) * ((BigInt(x).abs * 1000) / wmax).toLong)
+        // truncate in others). Quotient ≤ 1000, so toLong is safe.
+        v = w.map(x => x.signum * ((x.abs * 1000) / wmax).toLong)
       }
       import spark.implicits._
-      v.indices.map(j => (j, w(j), v(j))).toDF("dim", "w_raw", "v_milli")
+      // w_raw is long-typed output: fail loudly (never wrap) if the
+      // exact accumulator outgrew long range — see the range note above
+      v.indices.map(j => (j, w(j).bigInteger.longValueExact(), v(j)))
+        .toDF("dim", "w_raw", "v_milli")
     } finally q.unpersist(blocking = false)
   }
 
@@ -1071,12 +1113,13 @@ object Similarity {
     * Every step is deterministic integer arithmetic; the DuckDB oracle
     * ([[pqOracle]]) replays seeds, Lloyd rounds, encode, ADC and the
     * rerank bit-for-bit. Recall vs [[bruteForceTopK]] is spec-checked. */
-  def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10,
+      pred: Column => Column = isQuery): DataFrame = {
     val v = graft.scale.Scale.spread(quantizedVectors(spark, dir)).persist()
     val cents = pqCodebooks(v).persist()
     val codes = pqAssign(subVectors(v), cents)
       .select(col("vec_id"), col("sub"), col("code"))
-    val qs = v.filter(isQuery(col("vec_id")))
+    val qs = v.filter(pred(col("vec_id")))
     val lut = subVectors(qs)
       .join(cents, Seq("sub"))
       .select(col("vec_id").as("query_id"), col("sub"), col("code"),
@@ -1117,6 +1160,7 @@ object Similarity {
     "sim_recall_audit" -> ((s, d) => annRecallAudit(s, d)),
     "sim_ivf_recall_audit" -> ((s, d) => ivfRecallAudit(s, d)),
     "sim_pq_recall_audit" -> ((s, d) => pqRecallAudit(s, d)),
+    "sim_pq_recall_audit_fixedq" -> ((s, d) => pqRecallAuditFixedQ(s, d)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -1128,8 +1172,17 @@ object Similarity {
     "emb_top_direction" -> ((s, d) => topDirection(s, d)),
     "curation_coreset_kcenter" -> ((s, d) => kcenterCoreset(s, d)))
 
-  private val bruteForceOracle: String =
-    """WITH q AS (
+  private def bruteForceOracle: String = bruteForceOracleFor(defaultQPred)
+
+  /** Query-predicate SQL fragments: given a qualified vec_id column
+    * reference, return the query-membership condition. The fixed-panel
+    * variant mirrors [[isPanelQuery]] exactly. */
+  private val defaultQPred: String => String = c => s"$c % 200 = 0"
+  private val panelQPred: String => String =
+    c => s"$c % 200 = 0 AND $c < ${FixedPanelSize * 200L}"
+
+  private def bruteForceOracleFor(qpred: String => String): String =
+    s"""WITH q AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(round(
       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
@@ -1139,7 +1192,7 @@ object Similarity {
       |scored AS (
       |  SELECT qs.vec_id AS query_id, c.vec_id,
       |         CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS dot
-      |  FROM q qs JOIN q c ON qs.vec_id % 200 = 0 AND c.vec_id <> qs.vec_id),
+      |  FROM q qs JOIN q c ON ${qpred("qs.vec_id")} AND c.vec_id <> qs.vec_id),
       |r AS (
       |  SELECT query_id, vec_id, dot,
       |         row_number() OVER (PARTITION BY query_id
@@ -1157,6 +1210,12 @@ object Similarity {
   private def ivfRecallAuditOracle: String = recallAuditOracleFor(ivfOracle)
 
   private def pqRecallAuditOracle: String = recallAuditOracleFor(pqOracle)
+
+  /** Fixed-panel twin oracle: the SAME nested-arm construction with the
+    * panel predicate substituted into BOTH arms' query selection. */
+  private def pqRecallAuditFixedQOracle: String =
+    recallAuditOracleFor(pqOracleFor(panelQPred),
+      bruteForceOracleFor(panelQPred))
 
   /** Replays [[topDirectionOf]]'s fixed-round power iteration: the same
     * quantized vectors, the same all-ones start (round 1's s is just
@@ -1202,8 +1261,9 @@ object Similarity {
     sb.toString
   }
 
-  private def recallAuditOracleFor(detSql: String): String =
-    s"""WITH truth AS ($bruteForceOracle),
+  private def recallAuditOracleFor(detSql: String,
+      truthSql: String = bruteForceOracle): String =
+    s"""WITH truth AS ($truthSql),
       |det AS ($detSql),
       |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
       |       FROM truth GROUP BY 1),
@@ -1479,7 +1539,9 @@ object Similarity {
     * division replays with the same half-away-from-zero rule), encode,
     * the per-query LUT and the ADC sum — all deterministic arithmetic,
     * generated from the SAME constants the Spark side trains with. */
-  private def pqOracle: String = {
+  private def pqOracle: String = pqOracleFor(defaultQPred)
+
+  private def pqOracleFor(qpred: String => String): String = {
     val subSelects = (0 until PqSubs).map { m =>
       s"  SELECT vec_id, $m AS sub, list_slice(qv, ${m * PqSubDim + 1}, " +
         s"${(m + 1) * PqSubDim}) AS sq FROM q"
@@ -1534,7 +1596,7 @@ object Similarity {
        |  SELECT s.vec_id AS query_id, s.sub, c.code,
        |         CAST(list_dot_product(s.sq, c.cv) AS BIGINT) AS pdot
        |  FROM subs s JOIN $pqCentsCte c ON s.sub = c.sub
-       |  WHERE s.vec_id % 200 = 0),
+       |  WHERE ${qpred("s.vec_id")}),
        |adc AS (
        |  SELECT l.query_id, k.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc_dot
        |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
@@ -1563,7 +1625,14 @@ object Similarity {
 
   /** Replays the greedy farthest-point rounds: the same min-id seed,
     * the same cumulative least() distance chain, the same
-    * (d DESC, vec_id ASC) argmax — all integer. */
+    * (d DESC, vec_id ASC) argmax — all integer. Degenerate corpora
+    * (n < k): the Spark side stops at the first re-picked center
+    * (`exhausted`); here the fixed k-round chain keeps re-picking the
+    * min-id row at d = 0, so a first-occurrence-per-center filter over
+    * the union is EXACTLY that stop — once every vector is chosen (or
+    * duplicated at distance 0) every later round's argmax lands on the
+    * seed, which round 1 already owns. Surviving rounds stay the
+    * consecutive prefix 1..m, matching the Spark numbering. */
   private def kcenterOracle(k: Int = 8): String = {
     val sb = new StringBuilder
     sb ++= """WITH q0 AS (
@@ -1596,7 +1665,13 @@ object Similarity {
     sb ++= (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, vec_id AS center_id," +
         s" d AS d2_from_set FROM c$r")
-      .mkString("\n", "\nUNION ALL\n", "")
+      .mkString(",\npicked AS (\n", "\nUNION ALL\n", ")")
+    sb ++= """
+      |SELECT round, center_id, d2_from_set FROM (
+      |  SELECT round, center_id, d2_from_set,
+      |         row_number() OVER (PARTITION BY center_id
+      |                            ORDER BY round ASC) AS rn
+      |  FROM picked) WHERE rn = 1""".stripMargin
     sb.toString
   }
 
@@ -1680,6 +1755,7 @@ object Similarity {
     "sim_recall_audit" -> recallAuditOracle,
     "sim_ivf_recall_audit" -> ivfRecallAuditOracle,
     "sim_pq_recall_audit" -> pqRecallAuditOracle,
+    "sim_pq_recall_audit_fixedq" -> pqRecallAuditFixedQOracle,
     "emb_top_direction" -> topDirectionOracle(),
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;

@@ -105,26 +105,53 @@ object Graph {
     * Scale shape, per round: one co-partitioned hash join of the edge
     * table (partitioned once, reused — the [[pageRank]] Pregel shape)
     * against the (node, community) table, one map-side-combinable
-    * count, and a row_number window PARTITIONED BY node whose input is
-    * bounded by the node's distinct neighbor labels — never global.
-    * Rounds are constant, so total cost is O(rounds · |E|/cluster). */
+    * count, then the per-node argmax as a SECOND map-side-combinable
+    * aggregate — max over struct(n, −community), whose lexicographic
+    * order IS (n DESC, community ASC). No window anywhere: a round-1
+    * hub node with millions of distinct-labeled in-neighbors reduces
+    * to one candidate row per map partition BEFORE the shuffle, where
+    * the former row_number().over(partitionBy(dst)) funneled all of
+    * them through one reducer. Rounds are constant, so total cost is
+    * O(rounds · |E|/cluster).
+    *
+    * Node universe + label retention: the universe is src ∪ dst, and a
+    * node with no in-edges this round (source-only, or isolated by
+    * direction) KEEPS its current label via a left-join coalesce onto
+    * the label spine — on a symmetrized edge table (the registered
+    * usage) every node receives votes and the coalesce never fires, so
+    * results are bit-identical to the pure-update form; on asymmetric
+    * input the library form no longer silently drops source-only
+    * nodes after round 1. Each round's labels persist (consumed twice:
+    * vote join + spine), prior round unpersisted — the [[bfsDistances]]
+    * barrier pattern. */
   def labelPropagationOf(edges: DataFrame,
       iters: Int = LpIters): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     // persisted: every round reads the full edge table once
-    val e = edges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("src").as("node")).distinct()
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("community"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
       val cnt = e.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("community"))
         .agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dst"))
-        .orderBy(col("n").desc, col("community").asc)
-      labels = cnt.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("community"))
+      // argmax(n DESC, community ASC) == max(struct(n, -community)):
+      // partial-aggregates on the map side, so a hot dst never funnels
+      // its full candidate set through a single reducer
+      val upd = cnt.groupBy(col("dst"))
+        .agg(max(struct(col("n"), (-col("community")).as("negc"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.negc")).as("community"))
+      val next = labels.as("prev")
+        .join(upd.as("u"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("u.community"), col("prev.community"))
+            .as("community"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize the barrier before releasing the prior round
+      labels.unpersist(blocking = false)
+      labels = next
     }
     labels
   }

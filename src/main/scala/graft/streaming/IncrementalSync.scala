@@ -262,8 +262,16 @@ object IncrementalSync {
     * drives all three stages across micro-batches.
     *
     * `succeeds` sees the job columns (job_id, tenant_id, case_ref,
-    * priority, attempts); job identity is the deterministic encoding
-    * of the change event that spawned it. */
+    * priority, attempts); job identity is a deterministic 64-bit mix
+    * (xxhash64) of the change event that spawned it — an OPAQUE
+    * identity + ordering tiebreak, not an arithmetic encoding: the
+    * former stride packing (tenant·10⁶ + case·10³ + serial mod 10³)
+    * silently collided once case_ref ≥ 1000 bled into the next
+    * tenant's stride or serialno wrapped mod 1000. Distinct in-flight
+    * events now collide only at the 64-bit birthday bound (~n²/2⁶⁴ —
+    * negligible for any realistic in-flight job count), and the
+    * tenant/case identity a downstream consumer should key on rides
+    * alongside in its own columns. */
   def workerPipeline(updates: Dataset[SnapshotUpdate], stateDir: String,
                      outDir: String, succeeds: org.apache.spark.sql.Column,
                      maxAttempts: Int = 3)
@@ -276,8 +284,8 @@ object IncrementalSync {
       .foreachBatch { (batch: Dataset[ChangeEvent], batchId: Long) =>
         val jobs = batch.toDF()
           .select(
-            (col("tenant_id") * 1000000L + col("case_ref") * 1000L +
-              col("serialno") % 1000L).as("job_id"),
+            xxhash64(col("tenant_id"), col("case_ref"), col("serialno"))
+              .as("job_id"),
             col("tenant_id"), col("case_ref"),
             lit(1).as("priority"), lit(0).as("attempts"))
         retryBatch(jobs, batchId, stateDir, outDir, succeeds, maxAttempts)
@@ -766,19 +774,90 @@ object IncrementalSync {
     * are exactly the distinct serials per key in ascending order, each
     * carrying the previous distinct serial (or 0) — which is the DuckDB
     * window form the oracle states. */
-  def changeEventsBatch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  def changeEventsBatch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    detectChanges(changeUpdates(spark, dir)).toDF()
+
+  // -------------------------------------------------------------------
+  // The composed worker flagship in oracle-checkable batch form:
+  // ST1 change detection → ST3 retry ladder → session TTL buckets
+  // -------------------------------------------------------------------
+
+  /** [[workerPipeline]]'s three keyed-state stages composed in ONE batch
+    * plan, driver-gated like `e2e_flagship_lineage` (the round-11 ask):
+    *
+    *  1. **ST1 — change detection**: the SAME [[detectChanges]]
+    *     flatMapGroupsWithState operator the stream runs, batch-executed
+    *     over the lineitem-synthesized update stream (the
+    *     [[changeEventsBatch]] synthesis, duplicates included) — one
+    *     emitted event per NEW distinct serial per (tenant, case).
+    *  2. **ST3 — retry ladder, closed form**: each change event spawns a
+    *     job; the CRT-independent [[failsAt]] chain resolves the ladder
+    *     (`IncrementalSyncSpec` proves the closed form equals iterating
+    *     [[step]]). Job identity here is the ARITHMETIC encoding
+    *     case_ref·1000 + serialno — injective because this synthesis
+    *     bounds serialno ≤ 20 (pairs of ≤7 linenumbers × stride ≤ 5),
+    *     and oracle-replayable, which the streaming form's xxhash64
+    *     identity deliberately is not (unbounded domains there).
+    *  3. **Session buckets**: every attempt the ladder actually ran is
+    *     an activity touch (deterministic integer schedule: job spread
+    *     over a ~116-day window, retries 600 s apart), and Spark's
+    *     native `session_window` buckets each tenant's touches with a
+    *     30-minute idle gap — the batch shape of [[expireSessions]]'s
+    *     TTL state (session end = last activity + gap).
+    *
+    * A retry never splits a session (600 s backoff < 1800 s gap), so
+    * every job lands in exactly one bucket and the per-session distinct
+    * job/dead counts are well-defined. All-integer arithmetic end to
+    * end; the oracle replays ST1 as the distinct-serial window form,
+    * the ladder as the CASE chain, and the buckets as gaps-and-islands.
+    *
+    * Scale shape: stage 1 shuffles once on (tenant, case), stage 2 is
+    * per-row algebra, stage 3 shuffles once on tenant into the session
+    * window — three stages, two shuffles, no global window. */
+  def workerPipelineBatch(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gapS = 1800L     // session idle gap (30 min)
+    val backoffS = 600L  // retry backoff between attempts
+    val spreadS = 10000000L // ~116-day activity window
+    val jobs = detectChanges(changeUpdates(spark, dir)).toDF()
+      .select(col("tenant_id"),
+        (col("case_ref") * 1000L + col("serialno")).as("job_id"))
+      .withColumn("fs", firstSuccess)
+      .withColumn("am", coalesce(col("fs"), lit(3)))
+    val touches = jobs
+      .select(col("tenant_id"), col("job_id"), col("fs"),
+        explode(sequence(lit(1), col("am"))).as("attempt"))
+      .select(col("tenant_id"), col("job_id"), col("fs"),
+        timestamp_seconds((col("job_id") * 97L) % spreadS +
+          (col("attempt") - 1) * backoffS).as("ts"))
+    touches
+      .groupBy(col("tenant_id"),
+        session_window(col("ts"), s"$gapS seconds"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("job_id")).as("n_jobs"),
+        countDistinct(when(col("fs").isNull, col("job_id"))).as("n_dead"))
+      .select(col("tenant_id"),
+        col("session_window.start").cast("long").as("session_start_s"),
+        col("session_window.end").cast("long").as("session_end_s"),
+        col("n_touches"), col("n_jobs"), col("n_dead"))
+  }
+
+  /** The lineitem-synthesized multi-observation update stream shared by
+    * [[changeEventsBatch]] and [[workerPipelineBatch]]: pairs of
+    * linenumbers share a serial (duplicates, exercising the
+    * no-emit-on-equal rule), scaled by a per-case stride so serial
+    * values vary across cases. */
+  private def changeUpdates(spark: SparkSession,
+      dir: String): Dataset[SnapshotUpdate] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val updates = graft.Tables.lineitem(spark, dir)
+    graft.Tables.lineitem(spark, dir)
       .select(
         (col("l_orderkey") % 4).as("tenant_id"),
         col("l_orderkey").as("case_ref"),
-        // pairs of linenumbers share a serial (duplicates), scaled by a
-        // per-case stride so serial values vary across cases
         (floor((col("l_linenumber") + 1) / 2).cast("long") *
           (col("l_orderkey") % 5 + 1)).as("serialno"))
       .as[SnapshotUpdate]
-    detectChanges(updates).toDF()
   }
 
   // -------------------------------------------------------------------
@@ -915,6 +994,7 @@ object IncrementalSync {
 
   val queries: Map[String, Q] = Map(
     "st1_change_events" -> ((s, d) => changeEventsBatch(s, d)),
+    "st_worker_pipeline" -> ((s, d) => workerPipelineBatch(s, d)),
     "st3_retry_ladder" -> ((s, d) => retryLadderBatch(s, d)),
     "st5_cadence_plan" -> ((s, d) => syncCadencePlan(s, d)),
     "a12_worker_metrics" -> ((s, d) => workerMetricsBatch(s, d)))
@@ -940,6 +1020,48 @@ object IncrementalSync {
         |       coalesce(lag(serialno) OVER (
         |         PARTITION BY tenant_id, case_ref ORDER BY serialno), 0) AS prev_serialno
         |FROM d""".stripMargin,
+    // The composed flagship: ST1's distinct-serial window form → the
+    // ladder CASE chain → gaps-and-islands session buckets. Break rule
+    // diff >= gap matches session_window's half-open [start, last+gap);
+    // cumulative-ROWS session ids are tie-stable (a tie pair shares its
+    // break row's cumulative sum whichever of the two lag-orders first).
+    "st_worker_pipeline" ->
+      """WITH u AS (
+        |  SELECT l_orderkey % 4 AS tenant_id, l_orderkey AS case_ref,
+        |         ((l_linenumber + 1) // 2) * (l_orderkey % 5 + 1) AS serialno
+        |  FROM lineitem),
+        |d AS (SELECT DISTINCT tenant_id, case_ref, serialno FROM u),
+        |j AS (SELECT tenant_id, case_ref * 1000 + serialno AS job_id FROM d),
+        |f AS (
+        |  SELECT tenant_id, job_id,
+        |         CASE WHEN job_id % 5 <> 0 THEN 1
+        |              WHEN job_id % 7 >= 2 THEN 2
+        |              WHEN job_id % 11 >= 2 THEN 3 END AS fs
+        |  FROM j),
+        |touches AS (
+        |  SELECT tenant_id, job_id, fs,
+        |         (job_id * 97) % 10000000 + (a - 1) * 600 AS touch_s
+        |  FROM f CROSS JOIN range(1, 4) r(a)
+        |  WHERE a <= coalesce(fs, 3)),
+        |o AS (
+        |  SELECT tenant_id, job_id, fs, touch_s,
+        |         CASE WHEN touch_s - lag(touch_s) OVER (
+        |             PARTITION BY tenant_id ORDER BY touch_s) >= 1800
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM touches),
+        |s AS (
+        |  SELECT tenant_id, job_id, fs, touch_s,
+        |         sum(brk) OVER (PARTITION BY tenant_id ORDER BY touch_s
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT tenant_id,
+        |       CAST(min(touch_s) AS BIGINT) AS session_start_s,
+        |       CAST(max(touch_s) + 1800 AS BIGINT) AS session_end_s,
+        |       CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT job_id) AS BIGINT) AS n_jobs,
+        |       CAST(count(DISTINCT CASE WHEN fs IS NULL THEN job_id END)
+        |            AS BIGINT) AS n_dead
+        |FROM s GROUP BY tenant_id, sid""".stripMargin,
     "st3_retry_ladder" ->
       """WITH j AS (
         |  SELECT o_orderkey AS job_id, o_custkey % 4 AS tenant_id,

@@ -48,15 +48,21 @@ rng = np.random.default_rng(42)
 
 
 def tag_of(k: int) -> str:
-    """Copy 0 keeps the original text; copy k>0 gets a letters-only
-    base-26 suffix ("xb", "xc", ..., "xba", ...) — unique per copy for
-    ANY copy count, so cross-copy token equality stays impossible."""
+    """Copy 0 keeps the original text; copy k>0 gets an "x" marker plus
+    a base-25 suffix over an alphabet that EXCLUDES 'x' ("xb", "xc",
+    ..., "xba", ...). Every tag therefore contains exactly one 'x', at
+    its start, which makes the tag set genuinely suffix-free for ANY
+    copy count: tag1 a suffix of base2+tag2 would need an 'x' inside
+    tag2's digit tail, which the alphabet forbids. (With 'x' as a valid
+    base-26 digit, tag_of(599)="xxb" ended with tag_of(1)="xb" and
+    cross-copy tokens differing by a trailing 'x' could collide.)"""
     if k == 0:
         return ""
+    alphabet = "abcdefghijklmnopqrstuvwyz"  # 25 letters, no 'x'
     s = ""
     while k > 0:
-        s = chr(97 + k % 26) + s
-        k //= 26
+        s = alphabet[k % 25] + s
+        k //= 25
     return "x" + s
 
 
