@@ -135,7 +135,9 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
     * one `n > base·2^j` comparison per doubling, portable verbatim to
     * the SQL oracle (no floating-point log in either engine). Capped so
     * base + extras <= [[EmbLshPlanesMax]]. */
-  private def adaptivePlaneCount(n: Column, base: Int): Column =
+  // private[ml]: AdaptiveIndexSpec pins the one-plane-per-doubling ladder
+  // (base at n = EmbLshBaseCorpus, +1 per doubling, EmbLshPlanesMax cap)
+  private[ml] def adaptivePlaneCount(n: Column, base: Int): Column =
     (0 until (EmbLshPlanesMax - base)).map { j =>
       when(n > lit(EmbLshBaseCorpus) * lit(1L << j), 1).otherwise(0)
     }.foldLeft(lit(base).cast("int"))(_ + _)

@@ -439,7 +439,10 @@ object Similarity {
   val IvfIters = 1
   val IvfTrainStride = 3
 
-  private def seedCentroids(v: DataFrame): DataFrame = {
+  // private[ml]: AdaptiveIndexSpec pins the sqrt(n) stride at two corpus
+  // sizes so a constant-stride revert fails CI (it would pass every
+  // sf0.01 oracle while turning assignment Θ(n²/97) at scale)
+  private[ml] def seedCentroids(v: DataFrame): DataFrame = {
     // scalar anchor (broadcast 1-row cross join) keeps the count lazy
     // and the plan a single job — no driver-side action
     val stride = v.agg(

@@ -1,0 +1,41 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the scale-adaptive index knobs as FORMULAS of the corpus size
+  * (the round-11 verdict ask #7): both knobs are correctness-gated
+  * through oracles, but a regression reverting them to constants would
+  * pass every sf0.01 oracle — only at a 10-100x corpus would the fixed
+  * IVF stride turn assignment quadratic (measured 24x before it
+  * adapted) or the fixed LSH plane count flood the candidate shuffle
+  * (~780 vectors/bucket at 100x). These cases fail on any such revert. */
+class AdaptiveIndexSpec extends SparkSpec {
+
+  test("IVF coarse-list count: constant-stride seeds below sqrt crossover, " +
+    "~sqrt(n) lists beyond it (two corpus sizes)") {
+    def corpus(n: Long) = spark.range(n)
+      .select(col("id").as("vec_id"), array(lit(1L), lit(2L)).as("q"))
+    // n = 2000: stride = max(97, floor(sqrt(2000)) = 44) = 97
+    //   -> seeds at vec_id % 97 == 0: floor(1999/97) + 1 = 21 lists
+    assert(Similarity.seedCentroids(corpus(2000L)).count() === 21L)
+    // n = 40000: stride = max(97, floor(sqrt(40000)) = 200) = 200
+    //   -> floor(39999/200) + 1 = 200 lists. A constant-97 revert would
+    //   seed 413 here (and ~n/97 forever: Θ(n²/97) assignment at scale).
+    assert(Similarity.seedCentroids(corpus(40000L)).count() === 200L)
+  }
+
+  test("LSH plane count: base at the base corpus, one plane per doubling " +
+    "past it, capped at EmbLshPlanesMax") {
+    def planesAt(n: Long): Int = spark.range(1)
+      .select(Dedup.adaptivePlaneCount(lit(n), Dedup.EmbLshPlanes)
+        .as("pl")).head().getInt(0)
+    assert(Dedup.EmbLshBaseCorpus === 2048L)
+    assert(planesAt(2048L) === 8)   // at the base: base planes exactly
+    assert(planesAt(2049L) === 9)   // first doubling starts immediately...
+    assert(planesAt(4096L) === 9)   // ...and holds through the doubling
+    assert(planesAt(4097L) === 10)  // next doubling -> +1 plane
+    // 2^40 vectors: ladder caps at EmbLshPlanesMax, never beyond
+    assert(planesAt(1L << 40) === Dedup.EmbLshPlanesMax)
+  }
+}

@@ -82,6 +82,24 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache() // release the edge barrier
   }
 
+  test("label propagation: source-only nodes keep their labels on " +
+      "asymmetric edge input (library-form guard)") {
+    import spark.implicits._
+    // 5 -> 1, 5 -> 2, 1 <-> 2: node 5 never appears as dst, so it
+    // receives no votes in any round — the label spine must carry its
+    // own label forward instead of silently dropping it after round 1
+    // (the pre-round-12 pure-update form returned only {1, 2} here)
+    val edges = Seq((5L, 1L), (5L, 2L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagationOf(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 5L),
+      s"node universe must be src ∪ dst, retained every round: $got")
+    assert(got(5L) == 5L,
+      s"a node with no in-edges keeps its own label: $got")
+    spark.catalog.clearCache()
+  }
+
   test("triangles: each counted once on a known graph") {
     import spark.implicits._
     // 4-clique {1,2,3,4} (4 triangles), disjoint triangle {8,9,10},

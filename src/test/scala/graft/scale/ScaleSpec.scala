@@ -418,6 +418,96 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("LPA hub round: map-side argmax caps the max task far below the " +
+      "window form on a planted 40k-degree hub (task metrics)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    // ONE hub dst (node 0) with 40k distinct-labeled in-neighbors plus a
+    // 4k-edge tail. Round-1 labels are unique (label = node id), so the
+    // per-dst vote set is the full in-degree: a row_number window
+    // PARTITIONED BY dst funnels all 40k hub candidates through a single
+    // reducer task — UNLESS Spark's InferWindowGroupLimit rescues the
+    // rn = 1 pattern with a partial per-partition top-1 (it does, since
+    // 3.5). max(struct(n, -community)) partial-aggregates map-side by
+    // construction: the hub contributes at most one row per map partition
+    // to the final shuffle with NO dependence on that optimizer rule (or
+    // on its sort-per-partition machinery), which is why the library
+    // round uses it. The window arm below pins the rule OFF to exhibit
+    // the funnel this guard exists for; the argmax arm runs under the
+    // same conf and must stay flat.
+    val edges = ((1 to 40000).map(i => (i.toLong, 0L)) ++
+      (1 to 4000).map(i => (40000L + i.toLong, 44000L + (i % 4000).toLong)))
+      .toDF("src", "dst")
+    class MaxShuffleRead extends SparkListener {
+      @volatile var maxRecords = 0L
+      @volatile var tasks = 0
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          if (r > maxRecords) maxRecords = r
+          tasks += 1
+        }
+      }
+    }
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val l = new MaxShuffleRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var last = -1
+        var same = 0
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (same < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
+        }
+        l.maxRecords
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // AQE off (its skew splitting would blur the comparison); broadcast
+    // off (the label table must take the shuffled path both sides take
+    // at corpus scale); enough reduce partitions that tail dsts spread
+    withConf("spark.sql.adaptive.enabled", "false") {
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+       withConf("spark.sql.shuffle.partitions", "64") {
+        withConf("spark.sql.optimizer.windowGroupLimitThreshold", "-1") {
+        // the pre-round-12 round shape, inline: join + count + window
+        val windowMax = maxTaskShuffleRead {
+          val labels0 = edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node"))).distinct()
+            .select(col("node"), col("node").as("community"))
+          val cnt = edges.join(labels0, col("src") === col("node"))
+            .groupBy(col("dst"), col("community"))
+            .agg(count(lit(1)).as("n"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("dst"))
+            .orderBy(col("n").desc, col("community").asc)
+          cnt.withColumn("rn", org.apache.spark.sql.functions.row_number()
+              .over(w))
+            .filter(col("rn") === 1)
+            .select(col("dst").as("node"), col("community"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val argmaxMax = maxTaskShuffleRead {
+          val out = graft.operators.Graph.labelPropagationOf(edges, iters = 1)
+          out.write.format("noop").mode("overwrite").save()
+          // same vote outcome on the hub: all-n=1 tie breaks to the
+          // lowest community id among its in-neighbors
+          assert(out.filter(col("node") === 0L).head().getLong(1) == 1L)
+        }
+        assert(windowMax >= 40000L,
+          s"window hub task read only $windowMax records — skew not reproduced")
+        assert(argmaxMax <= windowMax / 8,
+          s"argmax max task read $argmaxMax vs window $windowMax — " +
+            "expected the hub fan-in to collapse map-side")
+        }
+       }
+      }
+    }
+    spark.catalog.clearCache() // release the LPA round barriers
+  }
+
   test("spread follows the session's parallelism and never forces an exchange on wide input") {
     val p = spark.sparkContext.defaultParallelism // 4 under this suite, not 32
     // narrow input (1 partition): spread widens to exactly defaultParallelism
