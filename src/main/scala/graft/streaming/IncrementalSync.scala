@@ -423,6 +423,76 @@ object IncrementalSync {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming strict-order funnel — keyed per-user step tracker
+  // -------------------------------------------------------------------
+
+  /** One funnel-relevant event arriving on the stream. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Per-user funnel state: the earliest strict-order completion time
+    * (epoch ms) of each step reached so far — a PREFIX of the step
+    * ladder, at most k longs per user, constant at unbounded input. */
+  final case class FunnelState(times_ms: Seq[Long])
+
+  /** One emitted step advancement — user X reached step N at ts. */
+  final case class FunnelAdvance(user_id: Long, step: Int,
+      event_type: String, ts: java.sql.Timestamp)
+
+  /** Streaming twin of the batch A25 strict-order funnel
+    * ([[graft.metrics.Dashboard.funnelConversionOf]]) — the incremental
+    * form with real production value: the batch join-ladder recomputes
+    * k sequential aggregates over the FULL event history every run,
+    * while this tracker carries one timestamp per reached step per user
+    * and advances the moment the qualifying event arrives.
+    *
+    * Semantics replayed exactly: step i counts only on the user's
+    * EARLIEST event of type steps(i) with ts STRICTLY after the step
+    * i−1 completion time (the re-anchored product-funnel rule). A
+    * single ascending-ts greedy pass computes that re-anchored min
+    * chain exactly — when events are visited in event-time order, the
+    * first qualifying event of the next pending step IS that step's
+    * min(ts) — so rows sort within each micro-batch, and across
+    * batches the state can only extend (a completed step's time never
+    * moves). In-order delivery across batches is the documented
+    * precondition, same as [[cusumStream]]: an event arriving in a
+    * LATER batch than a processed event with greater ts may be missed
+    * (compose with an upstream watermarked sort for exactness under
+    * bounded lateness). Emitted advances are append-only; the
+    * step-reach counts/conversions are a downstream aggregate of this
+    * advance log, and the batch twin proves equality in
+    * `IncrementalSyncSpec`. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"))
+      : Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val stepAt = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times_ms).getOrElse(Seq.empty)
+          val out = ArrayBuffer.empty[FunnelAdvance]
+          // ascending-ts greedy: ties cannot qualify (strict >), so
+          // equal-ts visit order is immaterial; non-step events drop
+          rows.toSeq.filter(r => stepAt.contains(r.event_type))
+            .sortBy(_.ts.getTime)
+            .foreach { r =>
+              val m = times.length
+              if (m < steps.length && r.event_type == steps(m) &&
+                  (m == 0 || r.ts.getTime > times.last)) {
+                times = times :+ r.ts.getTime
+                out += FunnelAdvance(uid, m + 1, r.event_type, r.ts)
+              }
+            }
+          if (times.nonEmpty) state.update(FunnelState(times))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup for a document feed: key on the content hash
     * (the reference's vector content_hash, database/models.py:81),
     * dropDuplicatesWithinWatermark so dedup state is EVICTED once the

@@ -629,6 +629,80 @@ class IncrementalSyncSpec extends SparkSpec {
     dates.zip(dates.tail).foreach { case (a, b) => assert(a.plusDays(1) == b) }
   }
 
+  test("streaming funnel: per-user step tracker carries state across " +
+    "micro-batches and equals the batch A25 join-ladder fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // (user, sec, type) — every funnel edge case, three time windows:
+    //   u1 full path in order; u2 view BEFORE signup (discarded) plus a
+    //   view at the signup's exact ts (strict > excludes it) plus a
+    //   later qualifying view; u3 signup only; u4 click before its view
+    //   (discarded), then completes; u5 duplicate signups and views
+    //   (earliest qualifying wins); u6 purchase first, never views —
+    //   stuck at signup; u7 advances ACROSS all three micro-batches —
+    //   the state-carry witness; u8 decoy event type ignored.
+    val batch1 = Seq( // secs 1-10
+      (1L, 1, "signup"), (1L, 3, "view"), (1L, 5, "click"),
+      (1L, 7, "purchase"),
+      (2L, 1, "view"), (2L, 2, "signup"), (2L, 2, "view"), (2L, 4, "view"),
+      (3L, 2, "signup"),
+      (4L, 2, "signup"), (4L, 3, "click"), (4L, 5, "view"), (4L, 6, "click"),
+      (5L, 1, "signup"), (5L, 2, "signup"), (5L, 2, "view"), (5L, 3, "view"),
+      (6L, 1, "purchase"), (6L, 2, "signup"), (6L, 3, "purchase"),
+      (7L, 9, "signup"), (8L, 1, "signup"), (8L, 2, "scroll"))
+    val batch2 = Seq( // secs 11-20
+      (4L, 11, "purchase"), (5L, 12, "click"), (7L, 13, "view"),
+      (8L, 14, "view"))
+    val batch3 = Seq( // secs 21-30
+      (7L, 21, "click"), (7L, 22, "purchase"), (5L, 23, "purchase"),
+      (8L, 24, "click"))
+    val all = batch1 ++ batch2 ++ batch3
+    // the batch A25 fold (join-ladder, oracle-checked at the registry)
+    // on the SAME events is the ground truth for step-reach counts
+    val batchDf = all.map { case (u, s, t) => (u, ts(s), t) }
+      .toDF("user_id", "ts", "event_type")
+    val want = graft.metrics.Dashboard.funnelConversionOf(batchDf)
+      .collect().map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users"))
+      .toMap
+    val input = MemoryStream[FunnelEvent]
+    val q = funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // shuffle WITHIN each batch (the tracker must sort); batches are
+      // in event-time order across boundaries (the documented
+      // precondition, as for cusumStream)
+      Seq(batch1, batch2, batch3).foreach { b =>
+        input.addData(scala.util.Random.shuffle(b)
+          .map { case (u, s, t) => FunnelEvent(u, ts(s), t) })
+        q.processAllAvailable()
+      }
+      val adv = spark.table("funnel").as[FunnelAdvance].collect()
+      // one advance per (user, step), never skipping a step
+      val byUser = adv.groupBy(_.user_id)
+      byUser.values.foreach { a =>
+        assert(a.map(_.step).sorted.toSeq == (1 to a.length).toSeq) }
+      // step-reach counts equal the batch join-ladder exactly
+      val gotCounts = (1 to 4).map(s =>
+        s -> adv.count(_.step == s).toLong).toMap
+      assert(gotCounts == want, s"stream $gotCounts vs batch $want")
+      // the re-anchored minimum chain is replayed: spot-pin the edges
+      val at = adv.map(a => (a.user_id, a.step) -> a.ts.getTime).toMap
+      assert(at((2L, 2)) == ts(4).getTime,
+        "same-ts view must not qualify (strict >); the sec-4 view does")
+      assert(at((5L, 1)) == ts(1).getTime &&
+        at((5L, 2)) == ts(2).getTime,
+        "earliest qualifying event wins on duplicates")
+      assert(!at.contains((6L, 2)), "purchase-first user stuck at signup")
+      // u7 advanced in every micro-batch: state carried, never restarted
+      assert((1 to 4).forall(s => at.contains((7L, s))))
+      assert(at((7L, 4)) == ts(22).getTime)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM: accumulator persists across micro-batches and " +
     "replays the batch t22 fold against the fitted mean") {
     import spark.implicits._
