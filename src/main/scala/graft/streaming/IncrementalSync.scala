@@ -493,6 +493,73 @@ object IncrementalSync {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming calendar-week retention — keyed per-user cohort tracker
+  // -------------------------------------------------------------------
+
+  /** One user-activity event arriving on the stream. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Per-user retention state: the Monday-truncated first-seen week
+    * (epoch days; MaxValue = unseen) and the weeks already emitted.
+    * Bounded by the user's DISTINCT active weeks — the calendar horizon
+    * a dashboard renders, never the event volume. */
+  final case class RetentionState(cohort_day: Long, seen_weeks: Seq[Long])
+
+  /** One emitted first-activity-of-week touch: user X of cohort C was
+    * active in week C + 7·offset. The A26 retention matrix is the
+    * count of these per (cohort, offset) — a downstream aggregate of
+    * this append-only log. */
+  final case class RetentionTouch(user_id: Long, cohort_day: Long,
+      week_offset: Long)
+
+  /** Monday-truncated week of an instant, as epoch days (UTC) — epoch
+    * day 4 (1970-01-05) is a Monday; floorDiv aligns all earlier and
+    * later days to their week's Monday, matching Spark's
+    * `date_trunc("week", ts)` under a UTC session. */
+  private[streaming] def mondayWeekDay(tsMs: Long): Long =
+    Math.floorDiv(Math.floorDiv(tsMs, 86400000L) - 4L, 7L) * 7L + 4L
+
+  /** Streaming twin of the batch A26 calendar-week retention cohorts
+    * ([[graft.metrics.Dashboard.retentionCohortsOf]]): the batch form
+    * recomputes two full-history aggregates every run, while this
+    * tracker keeps (cohort week, active weeks) per user and emits one
+    * touch the FIRST time a user is active in a new calendar week —
+    * the incremental shape of the worker-metrics A12 pattern. Cohort
+    * assignment is the user's first event's week, so in-order delivery
+    * across micro-batches is the documented precondition (as for
+    * [[cusumStream]] and [[funnelStream]]); within a batch rows fold
+    * in event-time order, so same-batch ordering is immaterial.
+    * `count(*)` over the emitted log grouped by (cohort_day,
+    * week_offset) equals the batch matrix exactly —
+    * `RetentionPropSpec` proves it on random corpora. */
+  def retentionStream(events: Dataset[UserEvent])
+      : Dataset[RetentionTouch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent],
+         state: GroupState[RetentionState]) =>
+          var st = state.getOption
+            .getOrElse(RetentionState(Long.MaxValue, Seq.empty))
+          var seen = st.seen_weeks.toSet
+          val out = ArrayBuffer.empty[RetentionTouch]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            val wk = mondayWeekDay(r.ts.getTime)
+            if (st.cohort_day == Long.MaxValue) st = st.copy(cohort_day = wk)
+            if (!seen.contains(wk)) {
+              seen += wk
+              out += RetentionTouch(uid, st.cohort_day,
+                (wk - st.cohort_day) / 7L)
+            }
+          }
+          state.update(RetentionState(st.cohort_day, seen.toSeq))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup for a document feed: key on the content hash
     * (the reference's vector content_hash, database/models.py:81),
     * dropDuplicatesWithinWatermark so dedup state is EVICTED once the
