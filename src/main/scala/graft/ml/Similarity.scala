@@ -170,10 +170,11 @@ object Similarity {
     * query's home or neighbor bucket in some table; dedup, rerank by
     * exact integer dot. Recall < 1 by construction; the ScalaTest suite
     * measures it against [[bruteForceTopK]]. */
-  def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def annTopK(spark: SparkSession, dir: String, k: Int = 10,
+      pred: Column => Column = isQuery): DataFrame = {
     val v = quantizedVectors(spark, dir).persist()
     val b = withBuckets(v)
-    val queries = withProbeBuckets(v.filter(isQuery(col("vec_id"))))
+    val queries = withProbeBuckets(v.filter(pred(col("vec_id"))))
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("tbl").as("qtbl"), col("bucket").as("qbucket"))
     val cand = b
@@ -237,6 +238,19 @@ object Similarity {
       k: Int = 10): DataFrame =
     recallReport(spark, bruteForceTopK(spark, dir, k, isPanelQuery),
       pqTopK(spark, dir, k, isPanelQuery))
+
+  /** Constant-panel twins of the LSH and IVF audits — the full audit
+    * family in production shape, one per serving arm, so a rollout
+    * watches every arm's recall at panel × corpus cost. */
+  def annRecallAuditFixedQ(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    recallReport(spark, bruteForceTopK(spark, dir, k, isPanelQuery),
+      annTopK(spark, dir, k, isPanelQuery))
+
+  def ivfRecallAuditFixedQ(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    recallReport(spark, bruteForceTopK(spark, dir, k, isPanelQuery),
+      ivfTopK(spark, dir, k, isPanelQuery))
 
   /** Public library form of the audit core: recall report of ANY
     * detector top-k frame against ANY truth top-k frame (both keyed
@@ -524,7 +538,8 @@ object Similarity {
   /** ANN via IVF: corpus vectors live in their single nearest centroid's
     * list; queries probe their `IvfProbes` nearest lists; candidates are
     * reranked by exact integer dot. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      pred: Column => Column = isQuery): DataFrame = {
     val v = graft.scale.Scale.spread(quantizedVectors(spark, dir)).persist()
     // trained (not just seeded) coarse quantizer; persist()ed because the
     // list build and the query probing both re-read it
@@ -532,7 +547,7 @@ object Similarity {
     val lists = assignTo(v, cents, probes = 1)
       .select(col("centroid_id"), col("vec_id"), col("q"))
     val queryLists = assignTo(
-      v.filter(isQuery(col("vec_id"))), cents, probes = IvfProbes)
+      v.filter(pred(col("vec_id"))), cents, probes = IvfProbes)
       .select(col("centroid_id"), col("vec_id").as("query_id"), col("q").as("qv"))
     val scored = lists
       .join(broadcast(queryLists), Seq("centroid_id"))
@@ -1164,6 +1179,8 @@ object Similarity {
     "sim_ivf_recall_audit" -> ((s, d) => ivfRecallAudit(s, d)),
     "sim_pq_recall_audit" -> ((s, d) => pqRecallAudit(s, d)),
     "sim_pq_recall_audit_fixedq" -> ((s, d) => pqRecallAuditFixedQ(s, d)),
+    "sim_recall_audit_fixedq" -> ((s, d) => annRecallAuditFixedQ(s, d)),
+    "sim_ivf_recall_audit_fixedq" -> ((s, d) => ivfRecallAuditFixedQ(s, d)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -1214,10 +1231,18 @@ object Similarity {
 
   private def pqRecallAuditOracle: String = recallAuditOracleFor(pqOracle)
 
-  /** Fixed-panel twin oracle: the SAME nested-arm construction with the
+  /** Fixed-panel twin oracles: the SAME nested-arm construction with the
     * panel predicate substituted into BOTH arms' query selection. */
   private def pqRecallAuditFixedQOracle: String =
     recallAuditOracleFor(pqOracleFor(panelQPred),
+      bruteForceOracleFor(panelQPred))
+
+  private def annRecallAuditFixedQOracle: String =
+    recallAuditOracleFor(annOracleFor(panelQPred),
+      bruteForceOracleFor(panelQPred))
+
+  private def ivfRecallAuditFixedQOracle: String =
+    recallAuditOracleFor(ivfOracleFor(panelQPred),
       bruteForceOracleFor(panelQPred))
 
   /** Replays [[topDirectionOf]]'s fixed-round power iteration: the same
@@ -1298,6 +1323,9 @@ object Similarity {
     * arithmetic. */
   private def annOracle: String = annOracleSql(tenantPrefixed = false)
 
+  private def annOracleFor(qpred: String => String): String =
+    annOracleSql(tenantPrefixed = false, qpred)
+
   /** Shared generator for [[annOracle]] and [[tenantAnnOracle]]: with
     * `tenantPrefixed`, every bucket expression gains the SAME high-bit
     * tenant prefix the Spark plan uses (`(vec_id // 7) % SimTenants`
@@ -1305,7 +1333,8 @@ object Similarity {
     * tenant — so candidate mining in the oracle, too, cannot cross
     * tenants. The flip mask only touches the low sign bits, so the
     * multi-probe XOR composes with the prefix unchanged. */
-  private def annOracleSql(tenantPrefixed: Boolean): String = {
+  private def annOracleSql(tenantPrefixed: Boolean,
+      qpred: String => String = defaultQPred): String = {
     def planeLit(t: Int, k: Int) = plane(t, k, LshPlanes).mkString("[", ", ", "]")
     def pfx(idCol: String) =
       if (tenantPrefixed)
@@ -1330,7 +1359,7 @@ object Similarity {
       s"""  SELECT vec_id, $t AS tbl, ${pfx("vec_id")}$bucket AS bucket, $flip AS flip
          |  FROM (SELECT vec_id,
          |           $ds
-         |        FROM q WHERE vec_id % 200 = 0)""".stripMargin
+         |        FROM q WHERE ${qpred("vec_id")})""".stripMargin
     }.mkString("\n  UNION ALL\n")
     // tenant_id sits SECOND, matching tenantAnnTopKOf's (query_id,
     // tenant_id, vec_id, dot, rank) — the driver compares by name, but
@@ -1486,7 +1515,9 @@ object Similarity {
        |       vec_id, dot, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 10""".stripMargin
 
-  private def ivfOracle: String =
+  private def ivfOracle: String = ivfOracleFor(defaultQPred)
+
+  private def ivfOracleFor(qpred: String => String): String =
     ivfListsPrefix + s""",
        |qlists AS (
        |  SELECT query_id, centroid_id FROM (
@@ -1494,7 +1525,7 @@ object Similarity {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM q v CROSS JOIN $centsCte c WHERE v.vec_id % 200 = 0) WHERE rn <= $IvfProbes),
+       |    FROM q v CROSS JOIN $centsCte c WHERE ${qpred("v.vec_id")}) WHERE rn <= $IvfProbes),
        |cand AS (
        |  SELECT DISTINCT ql.query_id, l.vec_id
        |  FROM qlists ql JOIN lists l ON ql.centroid_id = l.centroid_id
@@ -1759,6 +1790,8 @@ object Similarity {
     "sim_ivf_recall_audit" -> ivfRecallAuditOracle,
     "sim_pq_recall_audit" -> pqRecallAuditOracle,
     "sim_pq_recall_audit_fixedq" -> pqRecallAuditFixedQOracle,
+    "sim_recall_audit_fixedq" -> annRecallAuditFixedQOracle,
+    "sim_ivf_recall_audit_fixedq" -> ivfRecallAuditFixedQOracle,
     "emb_top_direction" -> topDirectionOracle(),
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
