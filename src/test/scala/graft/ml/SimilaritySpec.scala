@@ -298,6 +298,26 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("fixed-panel audit twins: on a corpus whose every query vector " +
+    "sits inside the panel, each twin equals its proportional gate form") {
+    // sf0.001 has 200 vectors, so the every-200th query subset ({0}) is
+    // a subset of the first-64-queries panel: the ONLY difference
+    // between twin and gate — the query predicate — selects identical
+    // sets, and the audits must be row-identical. A predicate drift in
+    // either the Spark forms or the panel arithmetic breaks this.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Similarity.pqRecallAuditFixedQ(spark, sf)) ==
+      rows(Similarity.pqRecallAudit(spark, sf)))
+    spark.catalog.clearCache()
+    assert(rows(Similarity.annRecallAuditFixedQ(spark, sf)) ==
+      rows(Similarity.annRecallAudit(spark, sf)))
+    spark.catalog.clearCache()
+    assert(rows(Similarity.ivfRecallAuditFixedQ(spark, sf)) ==
+      rows(Similarity.ivfRecallAudit(spark, sf)))
+    spark.catalog.clearCache()
+  }
+
   test("semantic prune: one row per vector; pruned set equals a brute-force " +
     "replay of the gate within the returned clusters") {
     import org.apache.spark.sql.functions._

@@ -703,6 +703,51 @@ class IncrementalSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel/retention edges: decoy-only and empty batches " +
+    "emit nothing and corrupt no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(1699833600000L + sec * 1000L)
+    val fin = MemoryStream[FunnelEvent]
+    val fq = funnelStream(fin.toDS())
+      .writeStream.format("memory").queryName("funnel_edges")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: decoys only — no advance, and crucially NO state row
+      // that would anchor a wrong step-0 time
+      fin.addData(Seq(FunnelEvent(1L, t(1), "scroll"),
+        FunnelEvent(1L, t(2), "hover")))
+      fq.processAllAvailable()
+      assert(spark.table("funnel_edges").count() == 0)
+      // batch 2: empty
+      fin.addData(Seq.empty[FunnelEvent])
+      fq.processAllAvailable()
+      // batch 3: the real signup still lands as step 1 at ITS OWN ts
+      fin.addData(Seq(FunnelEvent(1L, t(10), "signup")))
+      fq.processAllAvailable()
+      val adv = spark.table("funnel_edges").as[FunnelAdvance].collect()
+      assert(adv.toSeq == Seq(FunnelAdvance(1L, 1, "signup", t(10))))
+    } finally fq.stop()
+    val rin = MemoryStream[UserEvent]
+    val rq = retentionStream(rin.toDS())
+      .writeStream.format("memory").queryName("retention_edges")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rin.addData(Seq.empty[UserEvent])
+      rq.processAllAvailable()
+      assert(spark.table("retention_edges").count() == 0)
+      rin.addData(Seq(UserEvent(1L, t(10))))
+      rq.processAllAvailable()
+      val touches = spark.table("retention_edges").as[RetentionTouch]
+        .collect()
+      // cohort anchored at the first REAL event's week, offset 0
+      assert(touches.toSeq ==
+        Seq(RetentionTouch(1L, IncrementalSync.mondayWeekDay(t(10).getTime),
+          0L)))
+    } finally rq.stop()
+  }
+
   test("streaming CUSUM: accumulator persists across micro-batches and " +
     "replays the batch t22 fold against the fitted mean") {
     import spark.implicits._
