@@ -758,8 +758,11 @@ object Similarity {
           .select(col("q"), ArrayOps.dot_long(col("q"), vlit).as("s"))
           .select(posexplode(col("q")).as(Seq("j", "qj")), col("s"))
           // product is long-safe (≤ ~6.4e12/row); the SUM is not — cast
-          // to DECIMAL(38,0) so the accumulator is exact to 10³⁸ (the
-          // oracle sums in HUGEINT; both are exact, so parity holds)
+          // to DECIMAL(38,0) so the accumulator is exact to 10³⁸. The
+          // oracle keeps each round's w in HUGEINT (exact to 2¹²⁷) and
+          // casts to BIGINT only in the final w_raw projection, so both
+          // engines iterate exactly and fail loudly at the same place:
+          // the long-typed output column (longValueExact below)
           .groupBy("j")
           .agg(sum((col("qj") * col("s")).cast("decimal(38,0)")).as("w"))
           .collect()
@@ -1266,14 +1269,14 @@ object Similarity {
         |                    for i in range(1, len(qv) + 1)]) AS u
         |  FROM s$r),
         |w$r AS (
-        |  SELECT CAST(u.j AS INT) AS j, CAST(sum(u.qj * s) AS BIGINT) AS w
+        |  SELECT CAST(u.j AS INT) AS j, CAST(sum(u.qj * s) AS HUGEINT) AS w
         |  FROM u$r GROUP BY 1),
-        |m$r AS (SELECT greatest(max(abs(CAST(w AS HUGEINT))), 1) AS wmax
+        |m$r AS (SELECT greatest(max(abs(w)), 1) AS wmax
         |        FROM w$r)""".stripMargin
       if (r < rounds) sb ++= s""",
         |v$r AS (
         |  SELECT list(CAST(CAST(sign(w) AS HUGEINT)
-        |              * (abs(CAST(w AS HUGEINT)) * 1000 // wmax) AS BIGINT)
+        |              * (abs(w) * 1000 // wmax) AS BIGINT)
         |              ORDER BY j) AS v
         |  FROM w$r CROSS JOIN m$r),
         |s${r + 1} AS (
@@ -1281,9 +1284,9 @@ object Similarity {
         |  FROM q CROSS JOIN v$r)""".stripMargin
     }
     sb ++= s"""
-      |SELECT j AS dim, w AS w_raw,
+      |SELECT j AS dim, CAST(w AS BIGINT) AS w_raw,
       |       CAST(CAST(sign(w) AS HUGEINT)
-      |         * (abs(CAST(w AS HUGEINT)) * 1000 // wmax) AS BIGINT)
+      |         * (abs(w) * 1000 // wmax) AS BIGINT)
       |         AS v_milli
       |FROM w$rounds CROSS JOIN m$rounds""".stripMargin
     sb.toString

@@ -123,12 +123,25 @@ object Graph {
     * input the library form no longer silently drops source-only
     * nodes after round 1. Each round's labels persist (consumed twice:
     * vote join + spine), prior round unpersisted — the [[bfsDistances]]
-    * barrier pattern. */
+    * barrier pattern.
+    *
+    * Cache contract: the RETURNED frame is persisted and materialized
+    * (the final round's barrier) — callers read it for free but own its
+    * release (`.unpersist()` when done; Bench/Verify's per-query
+    * `clearCache()` covers the registered usage). The edge cache this
+    * method takes for its own rounds is released before returning —
+    * unless the CALLER had already persisted `edges` (e.g.
+    * [[communityIncidence]] sharing one edge cache across consumers),
+    * in which case the caller's cache is left untouched. */
   def labelPropagationOf(edges: DataFrame,
       iters: Int = LpIters): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // persisted: every round reads the full edge table once
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: every round reads the full edge table once. If the
+    // caller already cached this plan, reuse theirs (persist would be a
+    // no-op and unpersisting at the end would yank it from under them).
+    val callerCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (callerCached) edges
+            else edges.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("community"))
@@ -153,6 +166,10 @@ object Graph {
       labels.unpersist(blocking = false)
       labels = next
     }
+    // the final barrier already materialized `labels`; the edge cache
+    // has no further reader here, so a library caller doesn't leak one
+    // MEMORY_AND_DISK edge copy per invocation
+    if (!callerCached) e.unpersist(blocking = false)
     labels
   }
 

@@ -271,7 +271,18 @@ object IncrementalSync {
     * events now collide only at the 64-bit birthday bound (~n²/2⁶⁴ —
     * negligible for any realistic in-flight job count), and the
     * tenant/case identity a downstream consumer should key on rides
-    * alongside in its own columns. */
+    * alongside in its own columns.
+    *
+    * STATE-COMPATIBILITY BREAK (round 12): the switch from the
+    * arithmetic encoding to xxhash64 changes every job_id. A deployment
+    * upgrading in place must start a FRESH `stateDir` (or migrate):
+    * retryBatch rows persisted under the old ids never match the new
+    * ones, so old in-flight jobs would neither retry nor dead-letter —
+    * they'd sit orphaned in the carried state. Likewise any
+    * caller-supplied `succeeds` predicate that keyed on the old id's
+    * STRUCTURE (e.g. `job_id % k` bucketing by serialno) now sees
+    * uniformly-mixed bits and must key on the explicit
+    * tenant_id/case_ref columns instead. */
   def workerPipeline(updates: Dataset[SnapshotUpdate], stateDir: String,
                      outDir: String, succeeds: org.apache.spark.sql.Column,
                      maxAttempts: Int = 3)

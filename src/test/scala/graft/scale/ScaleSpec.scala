@@ -9,6 +9,74 @@ import graft.SparkSpec
   * dynamic partition overwrite touches only the delta's partitions. */
 class ScaleSpec extends SparkSpec {
 
+  /** Max per-task shuffle-read RECORDS across the jobs `body` triggers —
+    * the skew probe every task-metrics test in this suite shares.
+    *
+    * Scoped by job group (ADVICE r12): JobStart carries the group
+    * property plus the job's stage ids, and TaskEnd is filtered by stage
+    * membership, so a concurrent job on the shared session can never
+    * pollute the measurement. Completion detection is a SENTINEL job on
+    * the same ordered listener bus instead of a sleep-until-quiet loop:
+    * `body`'s actions are synchronous, so its jobs have all ended by the
+    * time the sentinel is submitted, and events are delivered in post
+    * order — when the sentinel's stage completes, every earlier probe
+    * event (JobStart, TaskEnd) has already been delivered. */
+  private var skewProbeSeq = 0
+  private def maxTaskShuffleRead(body: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+      SparkListenerStageCompleted, SparkListenerTaskEnd}
+    skewProbeSeq += 1
+    val group = s"skew-probe-$skewProbeSeq"
+    val sentinel = s"skew-probe-flush-$skewProbeSeq"
+    class GroupMaxShuffleRead extends SparkListener {
+      private val stages =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val byStage = scala.collection.concurrent.TrieMap[Int, Long]()
+      val names = scala.collection.concurrent.TrieMap[Int, String]()
+      @volatile var maxRecords = 0L
+      @volatile var probeJobs = 0
+      @volatile var flushed = false
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = if (js.properties == null) null
+                else js.properties.getProperty("spark.jobGroup.id")
+        if (g == group) { probeJobs += 1; js.stageIds.foreach(stages.add(_)) }
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && stages.contains(te.stageId)) {
+          val r = m.shuffleReadMetrics.recordsRead
+          if (r > maxRecords) maxRecords = r
+          if (r > byStage.getOrElse(te.stageId, -1L)) byStage(te.stageId) = r
+        }
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        if (stages.contains(sc.stageInfo.stageId))
+          names(sc.stageInfo.stageId) = sc.stageInfo.name.take(80)
+        if (sc.stageInfo.name.contains(sentinel)) flushed = true
+      }
+    }
+    val l = new GroupMaxShuffleRead
+    spark.sparkContext.addSparkListener(l)
+    try {
+      spark.sparkContext.setJobGroup(group, "skew probe")
+      body
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.setCallSite(sentinel)
+      try spark.sparkContext.parallelize(1 to 1, 1).count()
+      finally spark.sparkContext.clearCallSite()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!l.flushed && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(l.flushed, "listener bus did not deliver the sentinel in 30s")
+      assert(l.probeJobs > 0, "no job carried the probe's job group")
+      info("per-stage max reads: " + l.byStage.toSeq.sortBy(-_._2).take(6)
+        .map { case (s, r) => s"$s:$r:${l.names.getOrElse(s, "?")}" })
+      l.maxRecords
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
   test("salted counts equal plain counts on a skewed key") {
     import spark.implicits._
     // skewed: 90% of rows on one key
@@ -193,41 +261,12 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("salted join caps the hot task at ~1/salts of the unsalted hot task (task metrics)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import spark.implicits._
     // 40k rows on ONE key + 4k distinct tail: the unsalted SMJ funnels the
     // hot key through a single reducer task
     val big = (1 to 44000).map(i =>
       (if (i <= 40000) 1L else i.toLong, i.toLong)).toDF("key", "payload")
     val small = Seq((1L, "hot"), (42000L, "cold")).toDF("key", "label")
-    class MaxShuffleRead extends SparkListener {
-      @volatile var maxRecords = 0L
-      @volatile var tasks = 0
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          val r = m.shuffleReadMetrics.recordsRead
-          if (r > maxRecords) maxRecords = r
-          tasks += 1
-        }
-      }
-    }
-    def maxTaskShuffleRead(body: => Unit): Long = {
-      val l = new MaxShuffleRead
-      spark.sparkContext.addSparkListener(l)
-      try {
-        body
-        // listener delivery is async: wait until the task stream goes quiet
-        var last = -1
-        var same = 0
-        val deadline = System.nanoTime() + 10_000_000_000L
-        while (same < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(150)
-          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
-        }
-        l.maxRecords
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
     // AQE off: its own skew-join splitting would mask what salting does;
     // broadcast off: the comparison needs the shuffled-join path; enough
     // reduce partitions that distinct (key, salt) groups don't collide
@@ -259,7 +298,6 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("segmented as-of join splits a planted hot key's window ~buckets ways (task metrics)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import spark.implicits._
     // ONE hot user with 40k events 90s apart (~42 days) + a 4k-user tail:
     // the plain as-of window funnels the hot user through a single task
@@ -269,33 +307,6 @@ class ScaleSpec extends SparkSpec {
       .select($"user_id", timestamp_seconds($"secs").as("ts"), $"event_id")
     val probe = events.filter($"event_id" % 2 === 1)
     val build = events.filter($"event_id" % 2 === 0)
-    class MaxShuffleRead extends SparkListener {
-      @volatile var maxRecords = 0L
-      @volatile var tasks = 0
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          val r = m.shuffleReadMetrics.recordsRead
-          if (r > maxRecords) maxRecords = r
-          tasks += 1
-        }
-      }
-    }
-    def maxTaskShuffleRead(body: => Unit): Long = {
-      val l = new MaxShuffleRead
-      spark.sparkContext.addSparkListener(l)
-      try {
-        body
-        var last = -1
-        var same = 0
-        val deadline = System.nanoTime() + 10_000_000_000L
-        while (same < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(150)
-          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
-        }
-        l.maxRecords
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
     withConf("spark.sql.adaptive.enabled", "false") {
      withConf("spark.sql.shuffle.partitions", "64") {
       val plainMax = maxTaskShuffleRead {
@@ -343,7 +354,6 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("doc rarity's hot/cold DF split caps the stopword task (task metrics)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import spark.implicits._
     // every doc contains "the" (DF = n_docs) plus one unique token: the
     // naive DF join funnels all of "the"'s pair rows through one reducer.
@@ -354,41 +364,6 @@ class ScaleSpec extends SparkSpec {
     val nDocs = 40000
     val docs = (1 to nDocs).map(i => (i.toLong, s"the u$i"))
       .toDF("doc_id", "text")
-    class MaxShuffleRead extends SparkListener {
-      @volatile var maxRecords = 0L
-      @volatile var tasks = 0
-      val byStage = scala.collection.concurrent.TrieMap[Int, Long]()
-      val names = scala.collection.concurrent.TrieMap[Int, String]()
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        names(sc.stageInfo.stageId) = sc.stageInfo.name.take(80)
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          val r = m.shuffleReadMetrics.recordsRead
-          if (r > maxRecords) maxRecords = r
-          if (r > byStage.getOrElse(te.stageId, -1L)) byStage(te.stageId) = r
-          tasks += 1
-        }
-      }
-    }
-    def maxTaskShuffleRead(body: => Unit): Long = {
-      val l = new MaxShuffleRead
-      spark.sparkContext.addSparkListener(l)
-      try {
-        body
-        var last = -1
-        var same = 0
-        val deadline = System.nanoTime() + 10_000_000_000L
-        while (same < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(150)
-          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
-        }
-        info("per-stage max reads: " + l.byStage.toSeq.sortBy(-_._2).take(6)
-          .map { case (s, r) => s"$s:$r:${l.names.getOrElse(s, "?")}" })
-        l.maxRecords
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
     // AQE off (its skew splitting would mask the operator's own split);
     // auto-broadcast off (the naive DF table must take the shuffled path —
     // the split's hot arm still broadcasts via its explicit hint)
@@ -420,7 +395,6 @@ class ScaleSpec extends SparkSpec {
 
   test("LPA hub round: map-side argmax caps the max task far below the " +
       "window form on a planted 40k-degree hub (task metrics)") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import spark.implicits._
     // ONE hub dst (node 0) with 40k distinct-labeled in-neighbors plus a
     // 4k-edge tail. Round-1 labels are unique (label = node id), so the
@@ -438,33 +412,6 @@ class ScaleSpec extends SparkSpec {
     val edges = ((1 to 40000).map(i => (i.toLong, 0L)) ++
       (1 to 4000).map(i => (40000L + i.toLong, 44000L + (i % 4000).toLong)))
       .toDF("src", "dst")
-    class MaxShuffleRead extends SparkListener {
-      @volatile var maxRecords = 0L
-      @volatile var tasks = 0
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) {
-          val r = m.shuffleReadMetrics.recordsRead
-          if (r > maxRecords) maxRecords = r
-          tasks += 1
-        }
-      }
-    }
-    def maxTaskShuffleRead(body: => Unit): Long = {
-      val l = new MaxShuffleRead
-      spark.sparkContext.addSparkListener(l)
-      try {
-        body
-        var last = -1
-        var same = 0
-        val deadline = System.nanoTime() + 10_000_000_000L
-        while (same < 3 && System.nanoTime() < deadline) {
-          Thread.sleep(150)
-          if (l.tasks == last) same += 1 else { same = 0; last = l.tasks }
-        }
-        l.maxRecords
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
     // AQE off (its skew splitting would blur the comparison); broadcast
     // off (the label table must take the shuffled path both sides take
     // at corpus scale); enough reduce partitions that tail dsts spread
