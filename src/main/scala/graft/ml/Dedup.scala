@@ -53,7 +53,7 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     "curation_span_remove" -> ((s, d) => spanRemove(s, d)),
     "curation_pack_sequences" -> ((s, d) => packSequences(s, d)))
 
-  private[ml] val shingleCte: String =
+  private[graft] val shingleCte: String =
     """WITH t AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |  FROM documents),

@@ -63,6 +63,36 @@ private[graft] trait DedupShingleOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Train-side decontamination — the direction a corpus build ACTS on,
+    * where [[contaminationOf]] reports the eval side for audit: flag
+    * train documents whose df-capped shingle set is >= 50% CONTAINED in
+    * the union of the benchmark slice's shingles (eval = doc_id %
+    * `evalMod` == 0, the realistic "benchmark is a ~1% sliver of the
+    * corpus" shape). Containment, not an absolute shared count: with a
+    * shared template vocabulary every long doc eventually shares a few
+    * 3-grams with SOME benchmark doc, so an absolute threshold degrades
+    * to "drop everything" as the corpus grows, while the containment
+    * fraction is scale-free and flags exactly the near-dup twins of
+    * benchmark content. Both counts (shared and total) come from the
+    * same df-capped index, so hot-shingle drops cancel. Integer-exact
+    * (2·n_shared >= n_sh). Same inverted-index shape as the near-dup
+    * blockers; one persisted shingle index read by the hot-df pass and
+    * all three arms (sizes + both join sides). */
+  def trainContaminationOf(docs: DataFrame, evalMod: Long = 97L,
+                           dfCap: Int = 1000): DataFrame = {
+    val sh = shingleIndex(docs, dfCap)
+    val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
+      .select("hs").distinct()
+    val train = sh.filter(col("doc_id") % evalMod =!= 0)
+    val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    train.join(evalShingles, "hs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .filter(col("n_shared") * 2 >= col("n_sh"))
+      .select(col("doc_id"), col("n_shared"), col("n_sh"))
+  }
+
   /** Bloom-pruned decontamination — IDENTICAL result to
     * [[contaminationOf]] (so it shares its oracle), with the train side
     * pruned map-side before any shuffle: build a Bloom filter over the

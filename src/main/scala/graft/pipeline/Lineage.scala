@@ -109,11 +109,91 @@ object Lineage {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
 
+  /** The THIRD flagship (round-13 ask #4): the north-star LLM curation
+    * path — quality gate → exact dedup → benchmark decontamination →
+    * split assignment → sequence packing — composed end to end, closing
+    * with the bounded per-(split, shard) packing manifest a trainer's
+    * data loader consumes. [[trainingCorpus]] covers gate/dedup/split;
+    * this composes THROUGH the two stages it lacks: the contamination
+    * filter (the train-side mirror of curation_contamination) and the
+    * sharded bin packing (curation_pack_sequences' fill rule).
+    *
+    * Stage shapes, scale-first:
+    *  1. GATE: per-row integer token stats, pipelined into the scan —
+    *     no shuffle.
+    *  2. DEDUP: groupBy(md5(text)) with a map-side-combinable
+    *     min(struct(doc_id, …)) argmin — survivors ship one row per
+    *     map partition per group, never the group's members (the LPA
+    *     argmax pattern, chosen over trainingCorpus' window form).
+    *  3. DECONTAMINATE: [[graft.ml.Dedup.trainContaminationOf]]'s
+    *     inverted-index containment test against the benchmark slice
+    *     (doc_id % 97 == 0 — the realistic ~1% eval sliver; df-capped
+    *     shingles, one persisted frame), then a left_anti on the
+    *     survivor ids. The flagged predicate is a pure function of the
+    *     TEXT, and exact duplicates share text, so pruning survivors by
+    *     their own id is consistent: a survivor is contaminated iff
+    *     every member of its group is.
+    *  4. SPLIT: the serialOf hash bucket — a projection.
+    *  5. PACK: contiguous fill PARTITIONED BY (split, shard mod 8) —
+    *     bounded per-partition window state, never a global sort.
+    *  6. MANIFEST: per-(split, shard) docs/tokens/bins — ≤ 24 rows out.
+    * Everything is integer-exact, so the five curation stages replay
+    * bit-for-bit in the DuckDB oracle. */
+  def curationFlagship(spark: SparkSession, dir: String): DataFrame =
+    curationFlagshipOf(graft.Tables.documents(spark, dir))
+
+  def curationFlagshipOf(docs: DataFrame, budget: Int = 2048,
+                         shards: Int = 8): DataFrame = {
+    import graft.ml.{Dedup, TextOps}
+    // 1: corpus side (everything outside the ~1% benchmark slice) +
+    // Gopher-style integer gates (same thresholds as trainingCorpus)
+    val stats = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_len"))
+    val gated = stats.filter(col("n_toks") >= 10 &&
+      col("sum_len") >= col("n_toks") * 3 &&
+      col("sum_len") <= col("n_toks") * 10)
+    // 2: exact dedup — argmin survivor per content hash (doc_id is
+    // unique, so the struct comparison is decided by its first field)
+    val survivors = gated
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("n_toks"), col("source"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.n_toks").as("n_toks"),
+        col("m.source").as("source"))
+    // 3: drop survivors whose content overlaps the benchmark side
+    val contaminated = Dedup.trainContaminationOf(docs).select("doc_id")
+    val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4: split assignment — a pure projection
+    val bucket = graft.expr.Exprs.serialOf(col("doc_id")) % 100
+    val assigned = clean.select(col("doc_id"), col("n_toks"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"),
+      (col("doc_id") % shards).as("shard"))
+    // 5: sharded contiguous-fill packing — (cum - n) and budget are
+    // non-negative longs < 2^53: the double division is exact and the
+    // cast truncates = floor (the curation_pack_sequences precedent)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+    val packed = assigned
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("split"), col("shard"), col("n_toks"),
+        ((col("cum") - col("n_toks")) / lit(budget.toLong)).cast("long")
+          .as("bin"))
+    // 6: the manifest a data loader reads
+    packed.groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "e2e_flagship_lineage" -> ((s, d) => flagship(s, d)),
-    "e2e_training_corpus" -> ((s, d) => trainingCorpus(s, d)))
+    "e2e_training_corpus" -> ((s, d) => trainingCorpus(s, d)),
+    "e2e_curation_flagship" -> ((s, d) => curationFlagship(s, d)))
 
   /** The five stages replayed in SQL: recon CTEs (shared with the recon_*
     * oracles), the U1 summary arithmetic, a GROUP BY dedup, the portable
@@ -197,5 +277,59 @@ object Lineage {
         |  FROM d WHERE rn = 1)
         |SELECT source, split, count(*) AS n_docs,
         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
-        |FROM sv GROUP BY 1, 2""".stripMargin)
+        |FROM sv GROUP BY 1, 2""".stripMargin,
+    // the five curation stages replayed: the shared shingle CTE (string
+    // shingles vs the plan's 64-bit hashes — identical counts barring a
+    // 2^-64 collision, the curation_contamination precedent), train-side
+    // contamination, gate + md5 dedup, serialOf split, sharded packing
+    "e2e_curation_flagship" ->
+      s"""${graft.ml.Dedup.shingleCte},
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh
+        |       WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+        |cont AS (
+        |  SELECT sh.doc_id
+        |  FROM sh JOIN ev ON sh.s = ev.s JOIN sz ON sz.doc_id = sh.doc_id
+        |  GROUP BY sh.doc_id, sz.n_sh
+        |  HAVING 2 * count(*) >= sz.n_sh),
+        |tk AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |st AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(toks) AS BIGINT) AS n_toks,
+        |         CAST(coalesce(list_aggregate(
+        |           list_transform(toks, x -> len(x)), 'sum'), 0)
+        |           AS BIGINT) AS sum_len
+        |  FROM tk),
+        |g AS (
+        |  SELECT * FROM st
+        |  WHERE n_toks >= 10 AND sum_len >= 3 * n_toks
+        |    AND sum_len <= 10 * n_toks),
+        |d AS (
+        |  SELECT doc_id, n_toks,
+        |         row_number() OVER (PARTITION BY md5(text)
+        |                            ORDER BY doc_id) AS rn
+        |  FROM g),
+        |sv AS (
+        |  SELECT doc_id, n_toks FROM d
+        |  WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |asg AS (
+        |  SELECT doc_id, n_toks,
+        |         CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'
+        |              WHEN (doc_id * 48271) % 100000 % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         doc_id % 8 AS shard
+        |  FROM sv),
+        |c AS (
+        |  SELECT split, shard, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY split, shard
+        |                           ORDER BY doc_id) AS cum
+        |  FROM asg)
+        |SELECT split, CAST(shard AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(max((cum - n_toks) // 2048) + 1 AS BIGINT) AS n_bins
+        |FROM c GROUP BY 1, 2""".stripMargin)
 }

@@ -456,6 +456,31 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("train-side decontamination flags exactly the >=50%-contained " +
+    "near-dup of a benchmark doc") {
+    import spark.implicits._
+    val evalText = (1 to 20).map("a" + _).mkString(" ")  // 18 shingles
+    // one token changed mid-doc kills the 3 shingles covering it: 15/18
+    // shared >= 50% -> flagged
+    val nearDup = (1 to 20).map(i => if (i == 10) "X" else "a" + i)
+      .mkString(" ")
+    // two shared shingles (a1 a2 a3 / a2 a3 a4) out of 18: 2/18 < 50%
+    val lowOverlap = ((1 to 4).map("a" + _) ++ (1 to 16).map("u" + _))
+      .mkString(" ")
+    val unrelated = (1 to 20).map("z" + _).mkString(" ")
+    val docs = Seq(
+      (0L, evalText),     // 0 % 97 == 0: the benchmark slice
+      (1L, nearDup),
+      (2L, lowOverlap),
+      (3L, unrelated)).toDF("doc_id", "text")
+    val out = Dedup.trainContaminationOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_sh"))).toMap
+    assert(out == Map(1L -> (15L, 18L)),
+      s"expected only the near-dup flagged, got $out")
+    spark.catalog.clearCache()
+  }
+
   test("span removal cuts exactly the tokens covered by repeated k-grams") {
     import spark.implicits._
     val boiler = (1 to 10).map("b" + _).mkString(" ") // the repeated 10-gram
