@@ -29,8 +29,10 @@ object Graph {
   val RankUnit = 1000000L
 
   /** Undirected purchase edges with node ids disambiguated by type:
-    * customer c -> 10c, supplier s -> 10s+1. */
-  private def edgesOf(spark: SparkSession, dir: String): DataFrame = {
+    * customer c -> 10c, supplier s -> 10s+1. (Package-visible so the
+    * [[graft.scale.HubProbe]] skew probe can plant a mega-hub into the
+    * exact edge table the registered graph queries run on.) */
+  private[graft] def edgesOf(spark: SparkSession, dir: String): DataFrame = {
     // persist() the directed set: the undirected expansion and the degree
     // aggregate both read it, and a union of two full plan copies would
     // re-run the orders x lineitem join + distinct per branch. The
@@ -125,6 +127,21 @@ object Graph {
     * vote join + spine), prior round unpersisted — the [[bfsDistances]]
     * barrier pattern.
     *
+    * `symmetric = true` (round 13): the caller asserts every node in
+    * src ∪ dst has at least one in-edge — true by construction for any
+    * symmetrized edge table, e.g. [[edgesOf]]. Then the spine coalesce
+    * is a no-op (proof above) and its per-round join is DROPPED; output
+    * is bit-identical, and the argmax aggregate — the mega-hub skew
+    * guard — is the same physical shape in both paths.
+    *
+    * Round-13 measurement note: a fully LAZY chain (no per-round
+    * barriers) was tried here and is 1.5-2x SLOWER at the 10x scale-up
+    * than the barriered form, because the planner then sees
+    * aggregate-output size guesses instead of materialized label-cache
+    * stats and abandons the broadcast vote join. The barriers stay in
+    * both paths; the cheap wins are the spine skip and hashing the edge
+    * table on the join key once (see the repartition below).
+    *
     * Cache contract: the RETURNED frame is persisted and materialized
     * (the final round's barrier) — callers read it for free but own its
     * release (`.unpersist()` when done; Bench/Verify's per-query
@@ -134,33 +151,52 @@ object Graph {
     * [[communityIncidence]] sharing one edge cache across consumers),
     * in which case the caller's cache is left untouched. */
   def labelPropagationOf(edges: DataFrame,
-      iters: Int = LpIters): DataFrame = {
+      iters: Int = LpIters, symmetric: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // persisted: every round reads the full edge table once. If the
-    // caller already cached this plan, reuse theirs (persist would be a
-    // no-op and unpersisting at the end would yank it from under them).
+    // Hash-partitioned on src and persisted ONCE: every round's vote
+    // join then reads the edge side already co-located on its join key
+    // — the Pregel shape ([[pageRank]]): per round only the small
+    // (node, community) table moves. If the caller already cached an
+    // edge plan, reuse theirs untouched (persist would be a no-op and
+    // unpersisting at the end would yank it from under them).
     val callerCached = edges.storageLevel != StorageLevel.NONE
     val e = if (callerCached) edges
-            else edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .select(col("node"), col("node").as("community"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 1 to iters) {
+            else edges.repartition(col("src"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+    def voteArgmax(labels: DataFrame): DataFrame = {
       val cnt = e.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("community"))
         .agg(count(lit(1)).as("n"))
       // argmax(n DESC, community ASC) == max(struct(n, -community)):
       // partial-aggregates on the map side, so a hot dst never funnels
       // its full candidate set through a single reducer
-      val upd = cnt.groupBy(col("dst"))
+      cnt.groupBy(col("dst"))
         .agg(max(struct(col("n"), (-col("community")).as("negc"))).as("m"))
         .select(col("dst").as("node"), (-col("m.negc")).as("community"))
-      val next = labels.as("prev")
-        .join(upd.as("u"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("u.community"), col("prev.community"))
-            .as("community"))
+    }
+    // The per-round persist+count barriers below are load-bearing for
+    // PLAN QUALITY, not just lineage: a materialized label cache has
+    // known (small) stats, so each round's vote join gets planned
+    // against real sizes — broadcast while labels fit, co-partitioned
+    // shuffle join beyond — where a lazily chained iteration hands the
+    // planner aggregate-output guesses and was measured 1.5-2x slower
+    // at the 10x scale-up.
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("community"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    for (_ <- 1 to iters) {
+      val upd = voteArgmax(labels)
+      // symmetric input (caller-asserted: every node has an in-edge):
+      // the vote output IS the full node universe, so the label spine
+      // coalesce below would never fire — skip its join entirely
+      val next = (if (symmetric) upd
+        else labels.as("prev")
+          .join(upd.as("u"), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("u.community"), col("prev.community"))
+              .as("community")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize the barrier before releasing the prior round
       labels.unpersist(blocking = false)
@@ -175,7 +211,7 @@ object Graph {
 
   def labelPropagation(spark: SparkSession, dir: String,
       iters: Int = LpIters): DataFrame =
-    labelPropagationOf(edgesOf(spark, dir), iters).select(
+    labelPropagationOf(edgesOf(spark, dir), iters, symmetric = true).select(
       when(col("node") % 10 === 0, "customer").otherwise("supplier")
         .as("entity_type"),
       expr("node div 10").as("entity_id"),
@@ -199,6 +235,12 @@ object Graph {
     * subtraction after the divisions, so no negative floor-division
     * parity risk between engines. Σ contrib_micro is the partition's
     * modularity Q in micro.
+    *
+    * Input contract: `edges` must be the SYMMETRIZED (both-directions)
+    * representation of an undirected graph — Newman modularity is
+    * defined on undirected graphs, and the half-edge counts above
+    * assume it. That same contract lets the internal LPA take its
+    * barrier-free `symmetric` chain path.
     *
     * Scale shape: labels join onto the (re-used, persisted) edge table
     * once per endpoint — the standard two-hop pattern (shuffle by src,
@@ -239,9 +281,15 @@ object Graph {
     * both frames). */
   private def communityIncidence(edges: DataFrame, iters: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val e = edges
+    // hash-partitioned on src before caching: the internal LPA rounds
+    // and withC's first label join then find the edge side already
+    // co-located on the join key (m2 and the dst-side join are
+    // partitioning-agnostic)
+    val e = edges.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val labels = labelPropagationOf(e, iters).persist()
+    // symmetric: every communityIncidence caller passes the symmetrized
+    // purchase edges (edgesOf), so LPA skips the spine join
+    val labels = labelPropagationOf(e, iters, symmetric = true).persist()
     val m2 = e.agg(count(lit(1)).as("m2"))
     val withC = e
       .join(labels.select(col("node").as("src"), col("community").as("c_src")),
@@ -264,7 +312,8 @@ object Graph {
     * a community holding the WHOLE graph has min(vol, 2m − vol) = 0 and
     * reports NULL (nullif in both engines). Same plan shape as
     * modularity: two broadcast-ready label joins, bounded per-community
-    * aggregates, one broadcast scalar. */
+    * aggregates, one broadcast scalar. Same input contract too: `edges`
+    * must be a symmetrized undirected representation. */
   def conductanceOf(edges: DataFrame, iters: Int = LpIters): DataFrame = {
     val (labels, withC, m2) = communityIncidence(edges, iters)
     val degSum = withC.groupBy(col("c_src").as("community"))

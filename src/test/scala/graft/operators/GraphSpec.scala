@@ -82,6 +82,28 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache() // release the edge barrier
   }
 
+  test("label propagation: the symmetric chain path is bit-identical to " +
+      "the general spine path on symmetrized edges") {
+    import spark.implicits._
+    // random-ish undirected graph (ring + chords), symmetrized — the
+    // precondition of the fast path. Both paths must agree node-for-node
+    // at every round count, since the spine coalesce provably never
+    // fires when every node has an in-edge.
+    val und = (0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      Seq((0L, 13L), (5L, 27L), (11L, 33L), (2L, 21L), (8L, 30L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val general = Graph.labelPropagationOf(edges, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val chain = Graph.labelPropagationOf(edges, iters, symmetric = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(chain == general,
+        s"iters=$iters: chain path diverged from spine path")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("label propagation: source-only nodes keep their labels on " +
       "asymmetric edge input (library-form guard)") {
     import spark.implicits._

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Spot-bench runner: plain-JVM graft.Bench with build.sbt's add-opens set.
+# Usage: tools/run_bench.sh <sfdir> <xmx> [only-csv]
+#
+# -Dspark.buffer.pageSize=4m: on hosts where large single allocations are
+# slow (measured on kernel 6.18.5-fc-v20: G1 humongous allocations from
+# Tungsten's heap-scaled page size made identical passes swing 5s -> 25s
+# at -Xmx32g while -Xmx8g stayed flat), capping the Tungsten page at the
+# small-heap default restores flat pass times at any heap size without
+# changing plans or semantics. See BASELINE.md "Host re-qualification".
+set -u
+ADDOPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+if ps -C java -o pid= | grep -q .; then
+  echo "refusing: another java process is running" >&2; exit 2
+fi
+only="${3:-}"
+env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 ${only:+SPARK_GRAFT_ONLY="$only"} \
+  java $ADDOPENS -Dspark.sql.session.timeZone=UTC -Dspark.buffer.pageSize=4m \
+  -cp target/scala-2.13/classes:/opt/spark/jars/'*' -Xmx"$2" graft.Bench
