@@ -25,7 +25,7 @@ import graft.expr.Exprs
   * queries/oracles registration. Call sites are unchanged.
   */
 object TextOps extends TextTokenOps with TextQualityOps
-    with TextModelOps with TextCurationOps {
+    with TextModelOps with TextCurationOps with TextRetrievalOps {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -58,6 +58,8 @@ object TextOps extends TextTokenOps with TextQualityOps
     "curation_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "curation_anneal_schedule" -> ((s, d) => annealSchedule(s, d)),
     "text_boilerplate" -> ((s, d) => boilerplateStats(s, d)),
+    "text_prox_rerank_topk" -> ((s, d) => proxRerankTopk(s, d)),
+    "text_prox_rerank_audit" -> ((s, d) => proxRerankAudit(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -349,7 +351,9 @@ object TextOps extends TextTokenOps with TextQualityOps
         |       CAST(sum(bits_milli) AS BIGINT) // count(*) AS xent_milli
         |FROM bits GROUP BY doc_id""".stripMargin,
     "text_gopher_quality" -> gopherOracle,
-    "text_classifier_auc" -> classifierAucOracle) ++ moreOracles
+    "text_classifier_auc" -> classifierAucOracle,
+    "text_prox_rerank_topk" -> proxTopkOracle,
+    "text_prox_rerank_audit" -> proxAuditOracle) ++ moreOracles
 
   /** Composes [[classifierOracle]] (scores) and [[gopherOracle]]
     * (ground truth) as subqueries — their nested WITHs are scoped to

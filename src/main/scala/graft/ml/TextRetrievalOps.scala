@@ -1,0 +1,253 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Two-phase EXACT retrieval: upper-bound-pruned candidate generation
+  * followed by positional reranking — the production query-serving shape
+  * (candidate gen → expensive feature scoring → final ranking) expressed
+  * relationally, with a proof obligation that pruning loses nothing.
+  *
+  * The reference's retrieval tops out at keyword search; a training-data
+  * pipeline that mines RAG/contrastive examples needs ranked retrieval
+  * where the FINAL score carries features too expensive to compute for
+  * every candidate (here: term proximity, which needs per-occurrence
+  * positions). The standard engine answer (WAND / MaxScore) prunes with
+  * a cheap score upper bound and fully scores only survivors:
+  *
+  *  - cheap score  = BM25 (integer milli arithmetic, identical to
+  *    [[TextTokenOps.bm25Of]]),
+  *  - full score   = BM25 + proximity bonus `2000 div (1 + mindist)`
+  *    over the closest pair of DISTINCT query-term occurrences,
+  *  - upper bound  = BM25 + 1000 (the bonus cap, only for docs with ≥ 2
+  *    distinct query terms — a single-term doc has no pair).
+  *
+  * Safety: θ is the k-th best FULL score of the top-k docs by upper
+  * bound. Any doc with ub < θ has full ≤ ub < θ while k docs already
+  * score ≥ θ, so it cannot enter the top-k — and a pruned doc cannot
+  * even tie (full < θ), so doc_id tie-breaks are unaffected. The DuckDB
+  * oracle for the top-k is therefore the BRUTE-FORCE ranking (full
+  * scores for every candidate): the hash match IS the losslessness
+  * proof, re-run at every scale the driver checks. The audit twin
+  * replays the seed/θ/prune arithmetic itself.
+  *
+  * Scale shape: the candidate phase reads only docs containing a query
+  * term (`arrays_overlap` prunes before any explode — at 100 TB this is
+  * the postings read, a few terms out of the vocabulary); both
+  * sort-limits are TakeOrdered (no global window); the positional phase
+  * touches ≤ k seed docs + the survivors (measured ~k + a small margin),
+  * each via a broadcast semi-join on doc_id — O(k) expensive scoring
+  * regardless of corpus size.
+  */
+private[graft] trait TextRetrievalOps extends TextTokenOps {
+
+  /** Proximity bonus numerator; cap = 2000 div (1+1) = 1000 milli. */
+  val ProxNumMilli = 2000L
+  val ProxCapMilli = 1000L
+  val ProxTopK = 20
+
+  /** Per-candidate BM25 + upper bound for `terms` — one row per doc
+    * containing ≥ 1 query term: (doc_id, n_terms, bm25_milli, ub_milli).
+    * Arithmetic identical to [[bm25Of]] so the two rankings agree on the
+    * shared prefix of their formulas. */
+  private def candidateScores(docs: DataFrame, terms: Seq[String])
+      : DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
+      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
+    val termArr = array(terms.map(lit): _*)
+    val tf = docs
+      // postings read: only docs containing a query term survive the
+      // scan; everything else is never exploded
+      .filter(arrays_overlap(tokens(col("text")), termArr))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "tf",
+        s"${log2mExpr("2 * n_docs + 2")} - (${log2mExpr("2 * df + 1")}) AS idf_milli",
+        "tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 div avgdl_milli) div 1000)" +
+          " div 1000 AS den_milli")
+      .selectExpr("doc_id",
+        "idf_milli * (tf * 2200 * 1000 div den_milli) div 1000 AS contrib_milli")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_milli")).as("bm25_milli"))
+      .withColumn("ub_milli",
+        col("bm25_milli") +
+          when(col("n_terms") >= 2, lit(ProxCapMilli)).otherwise(lit(0L)))
+  }
+
+  /** Min distance between occurrences of two DIFFERENT query terms, for
+    * the docs in `ids` only (broadcast semi-join → positions exploded
+    * for O(|ids|) docs, not the corpus): (doc_id, mindist). Docs with
+    * < 2 distinct terms present produce no row. */
+  private def minDists(docs: DataFrame, terms: Seq[String],
+      ids: DataFrame): DataFrame = {
+    val pos = docs
+      .join(broadcast(ids.select("doc_id")), "doc_id")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin(terms: _*))
+    pos.as("a")
+      .join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.token") =!= col("b.token"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(abs(col("a.pos") - col("b.pos"))).as("mindist"))
+  }
+
+  private def fullScores(docs: DataFrame, terms: Seq[String],
+      cand: DataFrame): DataFrame =
+    cand
+      .join(minDists(docs, terms, cand), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_terms"), col("bm25_milli"),
+        coalesce(expr(s"$ProxNumMilli div (1 + mindist)"), lit(0L))
+          .as("prox_bonus_milli"))
+      .withColumn("full_milli", col("bm25_milli") + col("prox_bonus_milli"))
+
+  /** θ as a 1-row frame: the k-th best full score among the top-k docs
+    * by upper bound (= the min over the ≤ k seed rows). */
+  private def thetaOf(docs: DataFrame, terms: Seq[String],
+      cand: DataFrame, k: Int): DataFrame = {
+    val seed = cand.orderBy(col("ub_milli").desc, col("doc_id").asc).limit(k)
+    fullScores(docs, terms, seed).agg(min(col("full_milli")).as("theta_milli"))
+  }
+
+  /** Exact top-k by (full score desc, doc_id): prune by ub < θ, rerank
+    * survivors positionally. Oracle = brute force over all candidates. */
+  def proxRerankTopkOf(docs: DataFrame, terms: Seq[String],
+      k: Int = ProxTopK): DataFrame = {
+    // two consumers (θ seed + survivor filter): cache the candidate
+    // postings once (Bench/Verify's per-query clearCache releases it)
+    val cand = candidateScores(docs, terms).persist()
+    val survivors = cand
+      .crossJoin(broadcast(thetaOf(docs, terms, cand, k)))
+      .filter(col("ub_milli") >= col("theta_milli"))
+    fullScores(docs, terms, survivors)
+      .orderBy(col("full_milli").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "n_terms", "bm25_milli", "prox_bonus_milli",
+        "full_milli")
+  }
+
+  /** Pruning audit: corpus size, candidate count (docs holding ≥ 1 query
+    * term), survivor count (docs fully scored), θ. The production
+    * dashboard row — survivors ≈ k is the claim that the expensive phase
+    * stays O(k) as the corpus grows. */
+  def proxRerankAuditOf(docs: DataFrame, terms: Seq[String],
+      k: Int = ProxTopK): DataFrame = {
+    val cand = candidateScores(docs, terms).persist()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    cand
+      .crossJoin(broadcast(thetaOf(docs, terms, cand, k)))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("ub_milli") >= col("theta_milli"), 1L).otherwise(0L))
+          .as("n_survivors"),
+        max(col("theta_milli")).as("theta_milli"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("n_candidates"), col("n_survivors"),
+        col("theta_milli"))
+  }
+
+  /** Registered forms: the [[bm25]] query panel (one rare + two common
+    * terms), k = 20. */
+  def proxRerankTopk(spark: SparkSession, dir: String): DataFrame =
+    proxRerankTopkOf(Tables.documents(spark, dir),
+      Seq("dup", "vector", "window"))
+
+  def proxRerankAudit(spark: SparkSession, dir: String): DataFrame =
+    proxRerankAuditOf(Tables.documents(spark, dir),
+      Seq("dup", "vector", "window"))
+
+  /** Shared oracle CTEs: candidates with BM25 (the [[bm25Of]] oracle
+    * arithmetic verbatim) and full scores with the positional bonus
+    * (1-based positions; distances are base-invariant). */
+  private def proxCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(toks)) AS BIGINT) * 1000
+      |           // CAST(count(*) AS BIGINT) AS avgdl_milli
+      |  FROM d),
+      |t AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS token
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t WHERE token IN ('dup', 'vector', 'window')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |c AS (
+      |  SELECT doc_id,
+      |         ((length(bin(2 * n_docs + 2)) - 1) * 1000
+      |            + (2 * n_docs + 2) * 1000
+      |              // CAST(pow(2, length(bin(2 * n_docs + 2)) - 1) AS BIGINT) - 1000)
+      |         - ((length(bin(2 * df + 1)) - 1) * 1000
+      |            + (2 * df + 1) * 1000
+      |              // CAST(pow(2, length(bin(2 * df + 1)) - 1) AS BIGINT) - 1000)
+      |           AS idf_milli,
+      |         tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 // avgdl_milli) // 1000)
+      |           // 1000 AS den_milli,
+      |         tf
+      |  FROM tf JOIN df USING (token) CROSS JOIN s),
+      |bm AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(idf_milli * (tf * 2200 * 1000 // den_milli) // 1000)
+      |           AS BIGINT) AS bm25_milli
+      |  FROM c GROUP BY doc_id),
+      |idx AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d),
+      |pos AS (
+      |  SELECT doc_id, i AS pos, toks[i] AS token FROM idx
+      |  WHERE toks[i] IN ('dup', 'vector', 'window')),
+      |md AS (
+      |  SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS mindist
+      |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND a.token <> b.token
+      |  GROUP BY 1),
+      |f AS (
+      |  SELECT bm.doc_id, n_terms, bm25_milli,
+      |         CAST(coalesce(2000 // (1 + mindist), 0) AS BIGINT)
+      |           AS prox_bonus_milli,
+      |         bm25_milli + CAST(coalesce(2000 // (1 + mindist), 0) AS BIGINT)
+      |           AS full_milli
+      |  FROM bm LEFT JOIN md ON bm.doc_id = md.doc_id)""".stripMargin
+
+  /** Brute-force ranking: full scores for EVERY candidate. A hash match
+    * against the pruned Spark plan is the losslessness proof. */
+  protected def proxTopkOracle: String =
+    proxCtes +
+      """
+      |SELECT doc_id, n_terms, bm25_milli, prox_bonus_milli, full_milli
+      |FROM f ORDER BY full_milli DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Replays seed → θ → prune arithmetic exactly. */
+  protected def proxAuditOracle: String =
+    proxCtes +
+      """,
+      |ub AS (
+      |  SELECT doc_id, bm25_milli
+      |           + CASE WHEN n_terms >= 2 THEN 1000 ELSE 0 END AS ub_milli
+      |  FROM bm),
+      |seed AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |           row_number() OVER (ORDER BY ub_milli DESC, doc_id ASC) AS rn
+      |    FROM ub) WHERE rn <= 20),
+      |theta AS (
+      |  SELECT min(full_milli) AS theta_milli
+      |  FROM seed JOIN f USING (doc_id))
+      |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+      |       CAST((SELECT count(*) FROM bm) AS BIGINT) AS n_candidates,
+      |       CAST((SELECT count(*) FROM ub CROSS JOIN theta
+      |             WHERE ub_milli >= theta_milli) AS BIGINT) AS n_survivors,
+      |       (SELECT theta_milli FROM theta) AS theta_milli""".stripMargin
+}
