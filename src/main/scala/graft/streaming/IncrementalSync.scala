@@ -1035,6 +1035,89 @@ object IncrementalSync {
   }
 
   // -------------------------------------------------------------------
+  // Streaming heavy hitters — sharded Misra–Gries over the ingest stream
+  // -------------------------------------------------------------------
+
+  /** One token observation on the ingest stream (already exploded —
+    * callers flatMap document text through the module tokenizer). */
+  final case class TokenEvent(token: String)
+
+  /** One shard's Misra–Gries counter emitted after a micro-batch:
+    * `est` is the one-sided MG estimate (est ≤ true count ≤ est +
+    * n_seen/k), `n_seen` the shard's total token count so far, `seq`
+    * the shard's batch sequence (consumers keep the max-seq snapshot
+    * per shard). */
+  final case class MgCounter(shard: Int, token: String, est: Long,
+      n_seen: Long, seq: Long)
+
+  /** Counters as parallel Seqs; public like the other state classes —
+    * the encoder's generated code resolves accessors reflectively and
+    * a `private` class hides them from Janino. */
+  final case class MgState(tokens: Seq[String], counts: Seq[Long],
+      n_seen: Long, seq: Long)
+
+  /** Streaming twin of the batch `text_heavy_hitters` summary pass
+    * ([[graft.ml.TextOps.mgSummaryOf]]): the corpus-drift monitor that
+    * maintains, over an UNBOUNDED token stream, the candidate set that
+    * provably contains every token with global frequency > N/k — at
+    * k counters of state per shard, forever.
+    *
+    * Scale shape: tokens shard by hash(token) % `shards`, so a token's
+    * global count lives entirely in one shard and state partitions
+    * across executors like any keyed aggregation. The MG guarantee
+    * SURVIVES sharding at full strength: a token with global freq >
+    * N/k has freq > N_shard/k in its own shard (N_shard ≤ N), so
+    * k counters per shard suffice — shard count buys parallelism, not
+    * accuracy loss. Per batch each shard folds its tokens into the
+    * k-counter summary (decrement-all on overflow, the classic MG
+    * step) and re-emits its ≤ k counters stamped with a sequence
+    * number; the production consumer keeps the latest snapshot per
+    * shard and, as in the batch form, runs an exact recount join over
+    * the ≤ shards·k candidates to drop false positives. Arrival order
+    * shifts which NON-heavy tokens ride along (MG is order-sensitive
+    * below the threshold), but the containment guarantee is
+    * order-free — HeavyHitterStreamPropSpec proves it on random
+    * corpora under random batch splits. */
+  def heavyHittersStream(toks: Dataset[TokenEvent], k: Int,
+      shards: Int = 32): Dataset[MgCounter] = {
+    import toks.sparkSession.implicits._
+    require(k > 0 && shards > 0, "k and shards must be positive")
+    toks
+      .groupByKey(t => math.floorMod(t.token.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[TokenEvent],
+         state: GroupState[MgState]) =>
+          val prev = state.getOption
+            .getOrElse(MgState(Seq.empty, Seq.empty, 0L, 0L))
+          val counters = scala.collection.mutable.HashMap
+            .from(prev.tokens.zip(prev.counts))
+          var n = prev.n_seen
+          rows.foreach { r =>
+            n += 1L
+            counters.get(r.token) match {
+              case Some(c) => counters(r.token) = c + 1L
+              case None if counters.size < k => counters(r.token) = 1L
+              case None =>
+                val keys = counters.keys.toArray
+                var i = 0
+                while (i < keys.length) {
+                  val c = counters(keys(i)) - 1L
+                  if (c == 0L) counters.remove(keys(i))
+                  else counters(keys(i)) = c
+                  i += 1
+                }
+            }
+          }
+          val seq = prev.seq + 1L
+          val snap = counters.toSeq
+          state.update(MgState(snap.map(_._1), snap.map(_._2), n, seq))
+          snap.iterator
+            .map { case (t, c) => MgCounter(shard, t, c, n, seq) }
+      }
+  }
+
+  // -------------------------------------------------------------------
   // ST3 + A12 in oracle-checkable batch form
   // -------------------------------------------------------------------
 
