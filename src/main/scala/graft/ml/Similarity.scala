@@ -562,6 +562,74 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Incremental index maintenance: frozen-quantizer append + staleness
+  // -------------------------------------------------------------------
+
+  /** Append split: vec_id % 10 < 8 is the corpus the index was BUILT on;
+    * the remaining 20% arrives afterwards (the production append). */
+  val IvfAppendMod = 10L
+  val IvfAppendBaseLt = 8L
+
+  /** Incremental IVF maintenance audit — the operational question a
+    * vector index at 100 TB answers every ingest cycle: new vectors are
+    * APPENDED to the existing lists by assigning them to the FROZEN
+    * coarse quantizer (re-training on every append is a full O(n·c)
+    * rebuild; appending is |delta|·c), and a staleness gate decides when
+    * the cheap path has degraded enough to pay for a re-train. Two
+    * integer verdicts, both engine-replayable:
+    *
+    *  - `retrain_balance`: the fill skew after append —
+    *    max_list_after · n_lists > 4 · n_total means the hottest list
+    *    holds > 4x its fair share, so probe cost is skew-bound
+    *    (appends concentrating in few lists is the classic drift
+    *    signature when the corpus distribution moves);
+    *  - `retrain_quality`: assignment fit of the delta vs the base —
+    *    mean best-centroid dot of appended vectors below 90% of the
+    *    base members' (means via integral div, so the comparison
+    *    replays exactly; cross-multiplying raw sums would overflow
+    *    long at ~10^5 vectors).
+    *
+    * One row: (n_base, n_delta, n_lists, max_list_base, max_list_after,
+    * mean_cdot_base, mean_cdot_delta, retrain_balance, retrain_quality).
+    * The centroid count depends ONLY on the base (frozen quantizer —
+    * IvfAppendSpec pins that invariance and both gate polarities). */
+  def ivfAppendAuditOf(vectors: DataFrame): DataFrame = {
+    val v = graft.scale.Scale.spread(
+      vectors.select(col("vec_id"), Dedup.quantized(col("embedding")).as("q")))
+      .persist()
+    val base = v.filter(col("vec_id") % IvfAppendMod < IvfAppendBaseLt)
+    val delta = v.filter(col("vec_id") % IvfAppendMod >= IvfAppendBaseLt)
+    val cents = trainedCentroids(base).persist()
+    val ba = assignTo(base, cents, probes = 1)
+      .select(col("centroid_id"), col("cdot")).persist()
+    val da = assignTo(delta, cents, probes = 1)
+      .select(col("centroid_id"), col("cdot")).persist()
+    val nLists = cents.agg(count(lit(1)).as("n_lists"))
+    val bStats = ba.agg(count(lit(1)).as("n_base"),
+      expr("sum(cdot) div count(1)").as("mean_cdot_base"))
+    val dStats = da.agg(count(lit(1)).as("n_delta"),
+      expr("sum(cdot) div count(1)").as("mean_cdot_delta"))
+    val maxB = ba.groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_list_base"))
+    val maxA = ba.union(da).groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_list_after"))
+    bStats.crossJoin(broadcast(dStats))
+      .crossJoin(broadcast(nLists))
+      .crossJoin(broadcast(maxB))
+      .crossJoin(broadcast(maxA))
+      .select(col("n_base"), col("n_delta"), col("n_lists"),
+        col("max_list_base"), col("max_list_after"),
+        col("mean_cdot_base"), col("mean_cdot_delta"),
+        expr("CAST(CASE WHEN max_list_after * n_lists > 4 * (n_base + n_delta)" +
+          " THEN 1 ELSE 0 END AS BIGINT)").as("retrain_balance"),
+        expr("CAST(CASE WHEN mean_cdot_delta * 10 < mean_cdot_base * 9" +
+          " THEN 1 ELSE 0 END AS BIGINT)").as("retrain_quality"))
+  }
+
+  def ivfAppendAudit(spark: SparkSession, dir: String): DataFrame =
+    ivfAppendAuditOf(Tables.embeddings(spark, dir))
+
+  // -------------------------------------------------------------------
   // SemDeDup-style semantic prune: cluster, then near-dup within cluster
   // -------------------------------------------------------------------
 
@@ -1187,6 +1255,7 @@ object Similarity {
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "sim_ivf_append_audit" -> ((s, d) => ivfAppendAudit(s, d)),
     "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
@@ -1425,7 +1494,11 @@ object Similarity {
     * corpus assignment. [[ivfOracle]] and [[semanticPruneOracle]] both
     * splice onto this, so "the prune uses the SAME trained quantizer as
     * the index" is true by construction in the oracle too. */
-  private def ivfListsPrefix: String = {
+  /** `basePred` restricts which vectors the quantizer is trained on and
+    * which populate `lists` (default: all) — the append audit trains on
+    * the base split only, everything else keeps the full corpus. */
+  private def ivfListsPrefix(
+      basePred: String => String = _ => "TRUE"): String = {
     val qCte =
       """  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(round(
@@ -1470,11 +1543,13 @@ object Similarity {
        |$qCte),
        |st AS (
        |  SELECT greatest($IvfCentroidStride,
-       |           CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM q),
+       |           CAST(floor(sqrt(count(*))) AS BIGINT)) AS stride FROM q
+       |  WHERE ${basePred("vec_id")}),
        |seeds AS (
        |  SELECT vec_id AS centroid_id, qv AS cv FROM q, st
-       |  WHERE vec_id % stride = 0),
-       |samp AS (SELECT vec_id, qv FROM q WHERE vec_id % $IvfTrainStride = 0),
+       |  WHERE vec_id % stride = 0 AND ${basePred("vec_id")}),
+       |samp AS (SELECT vec_id, qv FROM q
+       |  WHERE vec_id % $IvfTrainStride = 0 AND ${basePred("vec_id")}),
        |$refineChain""".stripMargin +
     s"""lists AS (
        |  SELECT vec_id, centroid_id FROM (
@@ -1482,15 +1557,51 @@ object Similarity {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
        |                      c.centroid_id ASC) AS rn
-       |    FROM q v CROSS JOIN $centsCte c) WHERE rn = 1)""".stripMargin
+       |    FROM q v CROSS JOIN $centsCte c
+       |    WHERE ${basePred("v.vec_id")}) WHERE rn = 1)""".stripMargin
   }
+
+  /** Oracle for [[ivfAppendAudit]]: the shared prefix trained on the
+    * BASE split only (the frozen quantizer), then one full-corpus
+    * single-probe assignment WITH dots, split into base/delta
+    * aggregates and the two integer staleness gates. */
+  private def ivfAppendOracle: String =
+    ivfListsPrefix(id => s"$id % $IvfAppendMod < $IvfAppendBaseLt") + s""",
+       |aa AS (
+       |  SELECT vec_id, centroid_id, cdot FROM (
+       |    SELECT v.vec_id, c.centroid_id,
+       |           CAST(list_dot_product(v.qv, c.cv) AS BIGINT) AS cdot,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM q v CROSS JOIN $centsCte c) WHERE rn = 1),
+       |b AS (SELECT * FROM aa WHERE vec_id % $IvfAppendMod < $IvfAppendBaseLt),
+       |d AS (SELECT * FROM aa WHERE vec_id % $IvfAppendMod >= $IvfAppendBaseLt),
+       |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_base,
+       |              CAST(sum(cdot) // count(*) AS BIGINT) AS mean_cdot_base
+       |       FROM b),
+       |mb AS (SELECT CAST(max(n) AS BIGINT) AS max_list_base
+       |       FROM (SELECT count(*) AS n FROM b GROUP BY centroid_id)),
+       |sd AS (SELECT CAST(count(*) AS BIGINT) AS n_delta,
+       |              CAST(sum(cdot) // count(*) AS BIGINT) AS mean_cdot_delta
+       |       FROM d),
+       |sa AS (SELECT CAST(max(n) AS BIGINT) AS max_list_after
+       |       FROM (SELECT count(*) AS n FROM aa GROUP BY centroid_id)),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists FROM $centsCte)
+       |SELECT n_base, n_delta, n_lists, max_list_base, max_list_after,
+       |       mean_cdot_base, mean_cdot_delta,
+       |       CAST(CASE WHEN max_list_after * n_lists > 4 * (n_base + n_delta)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS retrain_balance,
+       |       CAST(CASE WHEN mean_cdot_delta * 10 < mean_cdot_base * 9
+       |            THEN 1 ELSE 0 END AS BIGINT) AS retrain_quality
+       |FROM sb CROSS JOIN mb CROSS JOIN sd CROSS JOIN sa CROSS JOIN nl""".stripMargin
 
   /** Oracle for [[tenantIvfTopK]]: the shared [[ivfListsPrefix]]
     * (tenant-GLOBAL quantizer — true in SQL exactly as in the plan)
     * plus the tenant-equality key on the candidate join, with the
     * registered binding's arithmetic tenant derivation. */
   private def tenantIvfOracle: String =
-    ivfListsPrefix + s""",
+    ivfListsPrefix() + s""",
        |qlists AS (
        |  SELECT query_id, centroid_id FROM (
        |    SELECT v.vec_id AS query_id, c.centroid_id,
@@ -1521,7 +1632,7 @@ object Similarity {
   private def ivfOracle: String = ivfOracleFor(defaultQPred)
 
   private def ivfOracleFor(qpred: String => String): String =
-    ivfListsPrefix + s""",
+    ivfListsPrefix() + s""",
        |qlists AS (
        |  SELECT query_id, centroid_id FROM (
        |    SELECT v.vec_id AS query_id, c.centroid_id,
@@ -1552,7 +1663,7 @@ object Similarity {
     * replays Dedup's integer cosine test. Bounded: dot <= ~1.01e8, so
     * 25·dot² <= 2.6e17 < 2^63 — exact in BIGINT. */
   private def semanticPruneOracle: String =
-    ivfListsPrefix + s""",
+    ivfListsPrefix() + s""",
        |pr AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM lists a
@@ -1751,6 +1862,7 @@ object Similarity {
     "sim_topk_tenant" -> tenantAnnOracle,
     "sim_topk_tenant_ivf" -> tenantIvfOracle,
     "sim_topk_ivf" -> ivfOracle,
+    "sim_ivf_append_audit" -> ivfAppendOracle,
     "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,
     "emb_norm_stats" ->
