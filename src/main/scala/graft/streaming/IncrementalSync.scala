@@ -1056,11 +1056,19 @@ object IncrementalSync {
   final case class MgState(tokens: Seq[String], counts: Seq[Long],
       n_seen: Long, seq: Long)
 
-  /** Streaming twin of the batch `text_heavy_hitters` summary pass
-    * ([[graft.ml.TextOps.mgSummaryOf]]): the corpus-drift monitor that
-    * maintains, over an UNBOUNDED token stream, the candidate set that
-    * provably contains every token with global frequency > N/k — at
-    * k counters of state per shard, forever.
+  /** Sharded keyed-state Misra–Gries — the second streaming form of the
+    * batch `text_heavy_hitters` pass, complementing [[heavyHitterStream]]
+    * (which maintains ONE global k-counter sketch via the Agarwal
+    * mergeability rule in foreachBatch + durable parquet state, error
+    * bound N/(k+1)). This form partitions the guarantee by token hash
+    * into the streaming STATE STORE: P·k counters across the cluster,
+    * no external state directory, exactly-once via checkpointed state
+    * instead of overwrite idempotency — and a P×-tighter per-token
+    * error bound (n_shard/k ≈ N/(P·k) on balanced vocabulary), because
+    * a shard only decrements against its own token subset. Pick the
+    * global-sketch form when the consumer wants one tiny portable
+    * summary table; pick this one when the monitor runs inside a
+    * stateful streaming job and accuracy-per-counter matters.
     *
     * Scale shape: tokens shard by hash(token) % `shards`, so a token's
     * global count lives entirely in one shard and state partitions
