@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -154,6 +155,104 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       .crossJoin(broadcast(nDocs))
       .select(col("n_docs"), col("n_candidates"), col("n_survivors"),
         col("theta_milli"))
+  }
+
+  // -------------------------------------------------------------------
+  // Batch (multi-query panel) form — production query serving
+  // -------------------------------------------------------------------
+
+  /** Batch two-phase retrieval for a PANEL of queries — the shape a
+    * training-data miner actually runs (thousands of queries against
+    * one corpus, not one at a time). One shared postings scan feeds
+    * every query; BM25/UB, the θ cut, and survivor pruning are all
+    * per-query (windows partitioned by query_id — bounded by candidate
+    * counts, never global); the positional phase explodes positions
+    * ONCE for the union of survivor docs and joins query-term
+    * membership, so its cost is O(Σ_q k_q) docs regardless of panel
+    * width or corpus size. Same safety theorem per query as
+    * [[proxRerankTopkOf]] — the oracle is brute force per query.
+    * Output: (query_id, doc_id, n_terms, bm25_milli, prox_bonus_milli,
+    * full_milli), top-k rows per query. */
+  def proxRerankPanelTopkOf(docs: DataFrame,
+      panel: Seq[(Long, Seq[String])], k: Int = ProxTopK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = panel.flatMap(_._2).distinct
+    val qterms = panel.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "token")
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
+      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
+    val termArr = array(allTerms.map(lit): _*)
+    // one postings scan for the whole panel
+    val tf = docs
+      .filter(arrays_overlap(tokens(col("text")), termArr))
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(allTerms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    // per-(query, doc) BM25 + upper bound; two consumers -> cache
+    val cand = tf.join(broadcast(df), "token")
+      .join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id", "tf",
+        s"${log2mExpr("2 * n_docs + 2")} - (${log2mExpr("2 * df + 1")}) AS idf_milli",
+        "tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 div avgdl_milli) div 1000)" +
+          " div 1000 AS den_milli")
+      .selectExpr("query_id", "doc_id",
+        "idf_milli * (tf * 2200 * 1000 div den_milli) div 1000 AS contrib_milli")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_milli")).as("bm25_milli"))
+      .withColumn("ub_milli",
+        col("bm25_milli") +
+          when(col("n_terms") >= 2, lit(ProxCapMilli)).otherwise(lit(0L)))
+      .persist()
+
+    // positions for a (query_id, doc_id) set: explode positions once
+    // over the DISTINCT doc side, then re-attach query membership
+    def minDistsFor(ids: DataFrame): DataFrame = {
+      val pos = docs
+        .join(broadcast(ids.select("doc_id").distinct()), "doc_id")
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .filter(col("token").isin(allTerms: _*))
+        .join(broadcast(qterms), "token")
+        .join(broadcast(ids.select("query_id", "doc_id").distinct()),
+          Seq("query_id", "doc_id"))
+      pos.as("a")
+        .join(pos.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.doc_id") === col("b.doc_id") &&
+            col("a.token") =!= col("b.token"))
+        .groupBy(col("a.query_id").as("query_id"),
+          col("a.doc_id").as("doc_id"))
+        .agg(min(abs(col("a.pos") - col("b.pos"))).as("mindist"))
+    }
+    def fullFor(c: DataFrame): DataFrame =
+      c.join(minDistsFor(c), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"), col("n_terms"),
+          col("bm25_milli"),
+          coalesce(expr(s"$ProxNumMilli div (1 + mindist)"), lit(0L))
+            .as("prox_bonus_milli"))
+        .withColumn("full_milli", col("bm25_milli") + col("prox_bonus_milli"))
+
+    val wUb = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_milli").desc, col("doc_id").asc)
+    val seeds = cand.withColumn("rn", row_number().over(wUb))
+      .filter(col("rn") <= k).drop("rn")
+    val theta = fullFor(seeds).groupBy("query_id")
+      .agg(min(col("full_milli")).as("theta_milli"))
+    val survivors = cand.join(broadcast(theta), "query_id")
+      .filter(col("ub_milli") >= col("theta_milli"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("full_milli").desc, col("doc_id").asc)
+    fullFor(survivors).withColumn("rn", row_number().over(wFull))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "n_terms", "bm25_milli",
+        "prox_bonus_milli", "full_milli")
   }
 
   /** Registered forms: the [[bm25]] query panel (one rare + two common

@@ -77,6 +77,25 @@ class ProxRerankSpec extends SparkSpec {
       s"pruning failed: $nSurv of $nCand candidates fully scored")
   }
 
+  test("panel form: each query's rows equal its single-query run over " +
+      "one shared postings scan") {
+    val panel = Seq(
+      1L -> Seq("dup", "vector", "window"),
+      2L -> Seq("vector", "alpha"),
+      3L -> Seq("filler", "beta", "dup"))
+    val got = TextOps.proxRerankPanelTopkOf(corpus, panel, k = 6)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.toSeq.drop(1)).toSeq).toMap
+    for ((qid, terms) <- panel) {
+      val single = TextOps.proxRerankTopkOf(corpus, terms, k = 6)
+        .collect().map(_.toSeq).toSeq
+      assert(got.getOrElse(qid, Seq.empty) == single,
+        s"query $qid diverged from its single-query run")
+    }
+    spark.catalog.clearCache() // panel form caches its candidate table
+  }
+
   test("empty corpus: empty top-k, zeroed audit with null theta") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.proxRerankTopkOf(empty, terms).count() == 0L)
