@@ -320,6 +320,95 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       |           AS full_milli
       |  FROM bm LEFT JOIN md ON bm.doc_id = md.doc_id)""".stripMargin
 
+  /** Registered panel: three queries over the synthetic vocabulary —
+    * the single-query family's terms plus two more drawn from the
+    * corpus's common tokens (one two-term query exercises the
+    * no-third-term shape). */
+  val ProxPanel: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("dup", "vector", "window"),
+    2L -> Seq("key", "table", "scan"),
+    3L -> Seq("batch", "join"))
+
+  def proxRerankPanel(spark: SparkSession, dir: String): DataFrame =
+    proxRerankPanelTopkOf(Tables.documents(spark, dir), ProxPanel)
+
+  /** Brute-force per-query oracle for the PANEL form, generated from
+    * [[ProxPanel]] so the two sides can never drift: full scores for
+    * every (query, candidate) pair, rank ≤ k per query. */
+  protected def proxPanelOracle: String = {
+    val union = ProxPanel.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val values = ProxPanel
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(toks)) AS BIGINT) * 1000
+       |           // CAST(count(*) AS BIGINT) AS avgdl_milli
+       |  FROM d),
+       |qt AS (
+       |  SELECT CAST(q AS BIGINT) AS query_id, token
+       |  FROM (VALUES $values) v(q, token)),
+       |t AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS token
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM t WHERE token IN ($union)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |c AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         ((length(bin(2 * n_docs + 2)) - 1) * 1000
+       |            + (2 * n_docs + 2) * 1000
+       |              // CAST(pow(2, length(bin(2 * n_docs + 2)) - 1) AS BIGINT) - 1000)
+       |         - ((length(bin(2 * df + 1)) - 1) * 1000
+       |            + (2 * df + 1) * 1000
+       |              // CAST(pow(2, length(bin(2 * df + 1)) - 1) AS BIGINT) - 1000)
+       |           AS idf_milli,
+       |         tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 // avgdl_milli) // 1000)
+       |           // 1000 AS den_milli,
+       |         tf
+       |  FROM tf JOIN df USING (token) JOIN qt USING (token) CROSS JOIN s),
+       |bm AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(sum(idf_milli * (tf * 2200 * 1000 // den_milli) // 1000)
+       |           AS BIGINT) AS bm25_milli
+       |  FROM c GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS token FROM idx
+       |  WHERE toks[i] IN ($union)),
+       |pq AS (
+       |  SELECT qt.query_id, p.doc_id, p.pos, p.token
+       |  FROM pos p JOIN qt USING (token)),
+       |md AS (
+       |  SELECT a.query_id, a.doc_id,
+       |         CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS mindist
+       |  FROM pq a JOIN pq b
+       |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       |       AND a.token <> b.token
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT bm.query_id, bm.doc_id, n_terms, bm25_milli,
+       |         CAST(coalesce(2000 // (1 + mindist), 0) AS BIGINT)
+       |           AS prox_bonus_milli,
+       |         bm25_milli + CAST(coalesce(2000 // (1 + mindist), 0) AS BIGINT)
+       |           AS full_milli
+       |  FROM bm LEFT JOIN md
+       |    ON bm.query_id = md.query_id AND bm.doc_id = md.doc_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY full_milli DESC, doc_id ASC) AS rn FROM f)
+       |SELECT query_id, doc_id, n_terms, bm25_milli, prox_bonus_milli,
+       |       full_milli
+       |FROM r WHERE rn <= $ProxTopK""".stripMargin
+  }
+
   /** Brute-force ranking: full scores for EVERY candidate. A hash match
     * against the pruned Spark plan is the losslessness proof. */
   protected def proxTopkOracle: String =
