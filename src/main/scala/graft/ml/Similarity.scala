@@ -605,6 +605,11 @@ object Similarity {
     val da = assignTo(delta, cents, probes = 1)
       .select(col("centroid_id"), col("cdot")).persist()
     val nLists = cents.agg(count(lit(1)).as("n_lists"))
+    // cdot is this library's one SIGNED dividend (appends anti-aligned
+    // with every centroid sum negative). Verified on the gate's DuckDB
+    // (1.0.0): `//` TRUNCATES toward zero exactly like Spark `div`
+    // (-5 // 4 = -1, -7 // 2 = -3), so the two engines agree on
+    // negative means too — no floor-vs-trunc skew to reconcile here.
     val bStats = ba.agg(count(lit(1)).as("n_base"),
       expr("sum(cdot) div count(1)").as("mean_cdot_base"))
     val dStats = da.agg(count(lit(1)).as("n_delta"),

@@ -61,6 +61,7 @@ object TextOps extends TextTokenOps with TextQualityOps
     "text_prox_rerank_topk" -> ((s, d) => proxRerankTopk(s, d)),
     "text_prox_rerank_audit" -> ((s, d) => proxRerankAudit(s, d)),
     "text_prox_rerank_panel" -> ((s, d) => proxRerankPanel(s, d)),
+    "text_prox_rerank_panel_wide" -> ((s, d) => proxRerankPanelWide(s, d)),
     "u3_extract_text" -> ((s, d) => extractTextQuery(s, d)))
 
   private def inList(words: Seq[String]): String =
@@ -355,7 +356,8 @@ object TextOps extends TextTokenOps with TextQualityOps
     "text_classifier_auc" -> classifierAucOracle,
     "text_prox_rerank_topk" -> proxTopkOracle,
     "text_prox_rerank_audit" -> proxAuditOracle,
-    "text_prox_rerank_panel" -> proxPanelOracle) ++ moreOracles
+    "text_prox_rerank_panel" -> proxPanelOracle,
+    "text_prox_rerank_panel_wide" -> proxPanelWideOracle) ++ moreOracles
 
   /** Composes [[classifierOracle]] (scores) and [[gopherOracle]]
     * (ground truth) as subqueries — their nested WITHs are scoped to

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,13 +34,23 @@ import graft.Tables
   * proof, re-run at every scale the driver checks. The audit twin
   * replays the seed/θ/prune arithmetic itself.
   *
-  * Scale shape: the candidate phase reads only docs containing a query
-  * term (`arrays_overlap` prunes before any explode — at 100 TB this is
-  * the postings read, a few terms out of the vocabulary); both
-  * sort-limits are TakeOrdered (no global window); the positional phase
-  * touches ≤ k seed docs + the survivors (measured ~k + a small margin),
-  * each via a broadcast semi-join on doc_id — O(k) expensive scoring
-  * regardless of corpus size.
+  * Scale shape: the corpus is tokenized EXACTLY ONCE into a persisted
+  * `(doc_id, toks, dl)` projection that the stats scan, the postings
+  * scan, and the positional scan all read (tokenizing is the dominant
+  * per-row cost — without the barrier CollapseProject re-inlines the
+  * split through the plan and each consumer re-tokenizes the corpus,
+  * the 3x the round-8 bench measured on the BM25 family). The candidate
+  * phase reads only docs containing a query term (`arrays_overlap`
+  * prunes before any explode — at 100 TB this is the postings read, a
+  * few terms out of the vocabulary); both sort-limits are TakeOrdered
+  * (no global window); the positional phase touches ≤ k seed docs + the
+  * survivors (measured ~k + a small margin) — O(k) expensive scoring
+  * regardless of corpus size. The θ-seed's doc-id set is bounded by k
+  * and broadcast-hinted; the SURVIVOR set is data-dependent (heavy
+  * score ties or a weak θ can inflate it), so that join carries no
+  * forced hint — AQE broadcasts it when it measures small and falls
+  * back to a shuffle join when it doesn't, instead of blowing the
+  * driver's broadcast limit at scale.
   */
 private[graft] trait TextRetrievalOps extends TextTokenOps {
 
@@ -49,23 +59,34 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
   val ProxCapMilli = 1000L
   val ProxTopK = 20
 
+  /** Tokenize-once barrier: `(doc_id, toks, dl)` — the projection every
+    * retrieval stage reads (same shape as [[Retrieval.tokenizedOf]]).
+    * Callers persist() it; Bench/Verify's per-query clearCache releases
+    * it. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+  /** 1-row (n_docs, avgdl_milli) off the tokenized projection. */
+  private def corpusStats(tdocs: DataFrame): DataFrame =
+    tdocs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_toks"))
+      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
+
   /** Per-candidate BM25 + upper bound for `terms` — one row per doc
     * containing ≥ 1 query term: (doc_id, n_terms, bm25_milli, ub_milli).
     * Arithmetic identical to [[bm25Of]] so the two rankings agree on the
     * shared prefix of their formulas. */
-  private def candidateScores(docs: DataFrame, terms: Seq[String])
+  private def candidateScores(tdocs: DataFrame, terms: Seq[String])
       : DataFrame = {
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
-      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
+    val stats = corpusStats(tdocs)
     val termArr = array(terms.map(lit): _*)
-    val tf = docs
+    val tf = tdocs
       // postings read: only docs containing a query term survive the
       // scan; everything else is never exploded
-      .filter(arrays_overlap(tokens(col("text")), termArr))
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("token"))
+      .filter(arrays_overlap(col("toks"), termArr))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
@@ -86,15 +107,18 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
   }
 
   /** Min distance between occurrences of two DIFFERENT query terms, for
-    * the docs in `ids` only (broadcast semi-join → positions exploded
-    * for O(|ids|) docs, not the corpus): (doc_id, mindist). Docs with
-    * < 2 distinct terms present produce no row. */
-  private def minDists(docs: DataFrame, terms: Seq[String],
-      ids: DataFrame): DataFrame = {
-    val pos = docs
-      .join(broadcast(ids.select("doc_id")), "doc_id")
+    * the docs in `ids` only (semi-join → positions exploded for O(|ids|)
+    * docs, not the corpus): (doc_id, mindist). Docs with < 2 distinct
+    * terms present produce no row. `bounded = true` (the ≤ k θ-seed)
+    * broadcast-hints the id set; the data-dependent survivor set leaves
+    * the strategy to AQE. */
+  private def minDists(tdocs: DataFrame, terms: Seq[String],
+      ids: DataFrame, bounded: Boolean): DataFrame = {
+    val idsOnly = ids.select("doc_id")
+    val pos = tdocs
+      .join(if (bounded) broadcast(idsOnly) else idsOnly, "doc_id")
       .select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        posexplode(col("toks")).as(Seq("pos", "token")))
       .filter(col("token").isin(terms: _*))
     pos.as("a")
       .join(pos.as("b"),
@@ -104,10 +128,10 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       .agg(min(abs(col("a.pos") - col("b.pos"))).as("mindist"))
   }
 
-  private def fullScores(docs: DataFrame, terms: Seq[String],
-      cand: DataFrame): DataFrame =
+  private def fullScores(tdocs: DataFrame, terms: Seq[String],
+      cand: DataFrame, bounded: Boolean): DataFrame =
     cand
-      .join(minDists(docs, terms, cand), Seq("doc_id"), "left")
+      .join(minDists(tdocs, terms, cand, bounded), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_terms"), col("bm25_milli"),
         coalesce(expr(s"$ProxNumMilli div (1 + mindist)"), lit(0L))
           .as("prox_bonus_milli"))
@@ -115,23 +139,26 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
 
   /** θ as a 1-row frame: the k-th best full score among the top-k docs
     * by upper bound (= the min over the ≤ k seed rows). */
-  private def thetaOf(docs: DataFrame, terms: Seq[String],
+  private def thetaOf(tdocs: DataFrame, terms: Seq[String],
       cand: DataFrame, k: Int): DataFrame = {
     val seed = cand.orderBy(col("ub_milli").desc, col("doc_id").asc).limit(k)
-    fullScores(docs, terms, seed).agg(min(col("full_milli")).as("theta_milli"))
+    fullScores(tdocs, terms, seed, bounded = true)
+      .agg(min(col("full_milli")).as("theta_milli"))
   }
 
   /** Exact top-k by (full score desc, doc_id): prune by ub < θ, rerank
     * survivors positionally. Oracle = brute force over all candidates. */
   def proxRerankTopkOf(docs: DataFrame, terms: Seq[String],
       k: Int = ProxTopK): DataFrame = {
+    // tokenize once for the stats, postings, and positional consumers
+    val tdocs = tokenized(docs).persist()
     // two consumers (θ seed + survivor filter): cache the candidate
     // postings once (Bench/Verify's per-query clearCache releases it)
-    val cand = candidateScores(docs, terms).persist()
+    val cand = candidateScores(tdocs, terms).persist()
     val survivors = cand
-      .crossJoin(broadcast(thetaOf(docs, terms, cand, k)))
+      .crossJoin(broadcast(thetaOf(tdocs, terms, cand, k)))
       .filter(col("ub_milli") >= col("theta_milli"))
-    fullScores(docs, terms, survivors)
+    fullScores(tdocs, terms, survivors, bounded = false)
       .orderBy(col("full_milli").desc, col("doc_id").asc)
       .limit(k)
       .select("doc_id", "n_terms", "bm25_milli", "prox_bonus_milli",
@@ -141,16 +168,20 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
   /** Pruning audit: corpus size, candidate count (docs holding ≥ 1 query
     * term), survivor count (docs fully scored), θ. The production
     * dashboard row — survivors ≈ k is the claim that the expensive phase
-    * stays O(k) as the corpus grows. */
+    * stays O(k) as the corpus grows. `n_survivors` is coalesced to 0 on
+    * an empty candidate set so the plan and the oracle's count(*) agree
+    * on empty input. */
   def proxRerankAuditOf(docs: DataFrame, terms: Seq[String],
       k: Int = ProxTopK): DataFrame = {
-    val cand = candidateScores(docs, terms).persist()
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tdocs = tokenized(docs).persist()
+    val cand = candidateScores(tdocs, terms).persist()
+    val nDocs = tdocs.agg(count(lit(1)).as("n_docs"))
     cand
-      .crossJoin(broadcast(thetaOf(docs, terms, cand, k)))
+      .crossJoin(broadcast(thetaOf(tdocs, terms, cand, k)))
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("ub_milli") >= col("theta_milli"), 1L).otherwise(0L))
-          .as("n_survivors"),
+        coalesce(
+          sum(when(col("ub_milli") >= col("theta_milli"), 1L).otherwise(0L)),
+          lit(0L)).as("n_survivors"),
         max(col("theta_milli")).as("theta_milli"))
       .crossJoin(broadcast(nDocs))
       .select(col("n_docs"), col("n_candidates"), col("n_survivors"),
@@ -163,14 +194,16 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
 
   /** Batch two-phase retrieval for a PANEL of queries — the shape a
     * training-data miner actually runs (thousands of queries against
-    * one corpus, not one at a time). One shared postings scan feeds
-    * every query; BM25/UB, the θ cut, and survivor pruning are all
-    * per-query (windows partitioned by query_id — bounded by candidate
-    * counts, never global); the positional phase explodes positions
-    * ONCE for the union of survivor docs and joins query-term
-    * membership, so its cost is O(Σ_q k_q) docs regardless of panel
-    * width or corpus size. Same safety theorem per query as
-    * [[proxRerankTopkOf]] — the oracle is brute force per query.
+    * one corpus, not one at a time). One shared tokenized projection and
+    * one postings scan feed every query; BM25/UB, the θ cut, and
+    * survivor pruning are all per-query (windows partitioned by
+    * query_id — bounded by candidate counts, never global; at
+    * production panel widths the window work parallelizes across
+    * queries); the positional phase explodes positions ONCE for the
+    * union of survivor docs and joins query-term membership, so its
+    * cost is O(Σ_q k_q) docs regardless of panel width or corpus size.
+    * Same safety theorem per query as [[proxRerankTopkOf]] — the oracle
+    * is brute force per query.
     * Output: (query_id, doc_id, n_terms, bm25_milli, prox_bonus_milli,
     * full_milli), top-k rows per query. */
   def proxRerankPanelTopkOf(docs: DataFrame,
@@ -180,16 +213,14 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
     val allTerms = panel.flatMap(_._2).distinct
     val qterms = panel.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
       .toDF("query_id", "token")
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(tokens(col("text"))).cast("long")).as("n_toks"))
-      .select(col("n_docs"), expr("n_toks * 1000 div n_docs").as("avgdl_milli"))
+    // tokenize once; the stats, postings, and positional scans share it
+    val tdocs = tokenized(docs).persist()
+    val stats = corpusStats(tdocs)
     val termArr = array(allTerms.map(lit): _*)
     // one postings scan for the whole panel
-    val tf = docs
-      .filter(arrays_overlap(tokens(col("text")), termArr))
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
-        explode(tokens(col("text"))).as("token"))
+    val tf = tdocs
+      .filter(arrays_overlap(col("toks"), termArr))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isin(allTerms: _*))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
@@ -212,15 +243,19 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       .persist()
 
     // positions for a (query_id, doc_id) set: explode positions once
-    // over the DISTINCT doc side, then re-attach query membership
-    def minDistsFor(ids: DataFrame): DataFrame = {
-      val pos = docs
-        .join(broadcast(ids.select("doc_id").distinct()), "doc_id")
+    // over the DISTINCT doc side, then re-attach query membership.
+    // `bounded` as in [[minDists]]: seeds (≤ k·|panel| rows) hint
+    // broadcast; the data-dependent survivor set is left to AQE.
+    def minDistsFor(ids: DataFrame, bounded: Boolean): DataFrame = {
+      val docIds = ids.select("doc_id").distinct()
+      val pairIds = ids.select("query_id", "doc_id").distinct()
+      val pos = tdocs
+        .join(if (bounded) broadcast(docIds) else docIds, "doc_id")
         .select(col("doc_id"),
-          posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+          posexplode(col("toks")).as(Seq("pos", "token")))
         .filter(col("token").isin(allTerms: _*))
         .join(broadcast(qterms), "token")
-        .join(broadcast(ids.select("query_id", "doc_id").distinct()),
+        .join(if (bounded) broadcast(pairIds) else pairIds,
           Seq("query_id", "doc_id"))
       pos.as("a")
         .join(pos.as("b"),
@@ -231,8 +266,8 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
           col("a.doc_id").as("doc_id"))
         .agg(min(abs(col("a.pos") - col("b.pos"))).as("mindist"))
     }
-    def fullFor(c: DataFrame): DataFrame =
-      c.join(minDistsFor(c), Seq("query_id", "doc_id"), "left")
+    def fullFor(c: DataFrame, bounded: Boolean): DataFrame =
+      c.join(minDistsFor(c, bounded), Seq("query_id", "doc_id"), "left")
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           col("bm25_milli"),
           coalesce(expr(s"$ProxNumMilli div (1 + mindist)"), lit(0L))
@@ -243,13 +278,14 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       .orderBy(col("ub_milli").desc, col("doc_id").asc)
     val seeds = cand.withColumn("rn", row_number().over(wUb))
       .filter(col("rn") <= k).drop("rn")
-    val theta = fullFor(seeds).groupBy("query_id")
+    val theta = fullFor(seeds, bounded = true).groupBy("query_id")
       .agg(min(col("full_milli")).as("theta_milli"))
     val survivors = cand.join(broadcast(theta), "query_id")
       .filter(col("ub_milli") >= col("theta_milli"))
     val wFull = Window.partitionBy(col("query_id"))
       .orderBy(col("full_milli").desc, col("doc_id").asc)
-    fullFor(survivors).withColumn("rn", row_number().over(wFull))
+    fullFor(survivors, bounded = false)
+      .withColumn("rn", row_number().over(wFull))
       .filter(col("rn") <= k)
       .select("query_id", "doc_id", "n_terms", "bm25_milli",
         "prox_bonus_milli", "full_milli")
@@ -329,16 +365,47 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
     2L -> Seq("key", "table", "scan"),
     3L -> Seq("batch", "join"))
 
+  /** The documents generator's full common vocabulary (30 common tokens
+    * + the rare `dup`), sorted — the pool [[ProxPanelWide]] draws from.
+    * Terms absent at some scale merely contribute no postings. */
+  val ProxVocabulary: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** Production-width panel: 64 queries generated deterministically
+    * from [[ProxVocabulary]] (the same constant the generated oracle
+    * reads, so the two sides cannot drift) — three terms per query from
+    * coprime strides over the vocabulary, every fourth query truncated
+    * to two terms to keep the no-third-term shape in the mix. This is
+    * the width at which the shared-postings-scan amortization claim is
+    * real: the postings scan, df mine, and tokenize barrier are paid
+    * once for all 64 queries, and the per-query windows parallelize
+    * across the panel instead of funneling into one partition. */
+  val ProxPanelWide: Seq[(Long, Seq[String])] = (0 until 64).map { i =>
+    val n = ProxVocabulary.size
+    val ts = Seq(
+      ProxVocabulary((i * 7 + 1) % n),
+      ProxVocabulary((i * 11 + 3) % n),
+      ProxVocabulary((i * 13 + 5) % n)).distinct
+    (101L + i) -> (if (i % 4 == 3) ts.take(2) else ts)
+  }
+
   def proxRerankPanel(spark: SparkSession, dir: String): DataFrame =
     proxRerankPanelTopkOf(Tables.documents(spark, dir), ProxPanel)
 
-  /** Brute-force per-query oracle for the PANEL form, generated from
-    * [[ProxPanel]] so the two sides can never drift: full scores for
-    * every (query, candidate) pair, rank ≤ k per query. */
-  protected def proxPanelOracle: String = {
-    val union = ProxPanel.flatMap(_._2).distinct
+  def proxRerankPanelWide(spark: SparkSession, dir: String): DataFrame =
+    proxRerankPanelTopkOf(Tables.documents(spark, dir), ProxPanelWide)
+
+  /** Brute-force per-query oracle for a PANEL form, generated from the
+    * same panel constant the Spark side runs so the two sides can never
+    * drift: full scores for every (query, candidate) pair, rank ≤ k per
+    * query. */
+  protected def proxPanelOracleFor(panel: Seq[(Long, Seq[String])]): String = {
+    val union = panel.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
-    val values = ProxPanel
+    val values = panel
       .flatMap { case (q, ts) => ts.distinct.map(t => s"($q, '$t')") }
       .mkString(", ")
     s"""WITH d AS (
@@ -408,6 +475,9 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
        |       full_milli
        |FROM r WHERE rn <= $ProxTopK""".stripMargin
   }
+
+  protected def proxPanelOracle: String = proxPanelOracleFor(ProxPanel)
+  protected def proxPanelWideOracle: String = proxPanelOracleFor(ProxPanelWide)
 
   /** Brute-force ranking: full scores for EVERY candidate. A hash match
     * against the pruned Spark plan is the losslessness proof. */

@@ -101,7 +101,9 @@ class ProxRerankSpec extends SparkSpec {
     assert(TextOps.proxRerankTopkOf(empty, terms).count() == 0L)
     val a = TextOps.proxRerankAuditOf(empty, terms).head()
     assert(a.getLong(0) == 0L && a.getLong(1) == 0L)
-    assert(a.isNullAt(2) && a.isNullAt(3))
+    // n_survivors is 0 (not NULL) so the plan agrees with the oracle's
+    // count(*) on empty input; theta (min over zero rows) stays NULL
+    assert(a.getLong(2) == 0L && a.isNullAt(3))
   }
 
   test("single-term corpus: no pair exists, bonuses are all zero, " +
