@@ -635,6 +635,146 @@ object Similarity {
     ivfAppendAuditOf(Tables.embeddings(spark, dir))
 
   // -------------------------------------------------------------------
+  // Incremental re-train: split overflowing lists, keep the rest frozen
+  // -------------------------------------------------------------------
+
+  /** Maintenance trigger (2× fair share) vs. alarm gate (4× — the
+    * [[ivfAppendAuditOf]] `retrain_balance` threshold). The hysteresis
+    * is what makes the guarantee provable: splitting every list above
+    * 2× into `s = ⌈m·L / (2N)⌉` rank-contiguous chunks (L lists, N
+    * vectors) bounds every chunk by ⌈2N/L⌉, and the list count grows by
+    * Σ(s−1) ≤ L/2, so post-maintenance `max·L' ≤ (2N/L + 1)·1.5L =
+    * 3N + 1.5L ≤ 4N` whenever the fair share N/L ≥ 1.5 — true for any
+    * real index (ours is ≥ [[IvfCentroidStride]]). A trigger AT the
+    * alarm threshold would leave no such margin. */
+  val IvfSplitTriggerX = 2L
+  val IvfAlarmX = 4L
+
+  /** The split decision + act for ONE overflowing list, relationally:
+    * order its members along the direction of the member FARTHEST from
+    * the centroid (min assignment dot — the drift direction that caused
+    * the overflow; ties by vec_id) and cut the rank order into `s`
+    * equal contiguous chunks. A 1-D k-means along the principal drift
+    * axis: deterministic, integer-exact, and engine-replayable where a
+    * full Lloyd re-train of the hot list is neither. Non-overflowing
+    * lists and the quantizer itself stay FROZEN — the maintenance cost
+    * is proportional to the overflow mass, not the corpus.
+    *
+    * Returns per-member rows (vec_id, centroid_id, chunk): the
+    * post-maintenance list identity is (centroid_id, chunk), chunk 0
+    * for every untouched list. The per-list window sorts only the
+    * overflowing lists' members — the hottest list IS the work item,
+    * and that funnel is exactly what the split removes for every query
+    * after this one. */
+  def ivfSplitListsOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    val parts = splitParts(base, delta)
+    parts.splitMembers.unionByName(parts.keptMembers)
+  }
+
+  private case class SplitParts(aa: DataFrame, sized: DataFrame,
+      nLists: DataFrame, nTotal: DataFrame,
+      splitMembers: DataFrame, keptMembers: DataFrame)
+
+  /** Shared internals: frozen quantizer trained on `base`, full
+    * assignment of base ∪ delta, 2× trigger, per-list split. */
+  private def splitParts(base: DataFrame, delta: DataFrame): SplitParts = {
+    val vb = graft.scale.Scale.spread(
+      base.select(col("vec_id"), Dedup.quantized(col("embedding")).as("q")))
+      .persist()
+    // the delta is an append batch, not a scan (the registered binding
+    // derives it with a join), so Scale.spread's scan-only contract
+    // excludes it — and an append batch is delta-sized, not
+    // corpus-sized, so it needs no spreading
+    val vd = delta.select(col("vec_id"), Dedup.quantized(col("embedding")).as("q"))
+    val cents = trainedCentroids(vb).persist()
+    val aa = assignTo(vb.unionByName(vd), cents, probes = 1).persist()
+    val nLists = cents.agg(count(lit(1)).as("n_lists"))
+    val nTotal = aa.agg(count(lit(1)).as("n_total"))
+    val sized = aa.groupBy("centroid_id").agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(nLists)).crossJoin(broadcast(nTotal))
+      .withColumn("overflow",
+        col("m") * col("n_lists") > lit(IvfSplitTriggerX) * col("n_total"))
+      .withColumn("s", when(col("overflow"), expr(
+          s"(m * n_lists + $IvfSplitTriggerX * n_total - 1)" +
+            s" div ($IvfSplitTriggerX * n_total)"))
+        .otherwise(lit(1L)))
+      .persist()
+    val over = sized.filter(col("overflow")).select("centroid_id", "m", "s")
+    // split axis seed: the member farthest from its centroid
+    val seedA = aa.join(broadcast(over.select("centroid_id")), "centroid_id")
+      .groupBy("centroid_id")
+      .agg(min_by(col("q"), struct(col("cdot"), col("vec_id"))).as("aq"))
+    val wList = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    val splitMembers = aa.join(broadcast(over), "centroid_id")
+      .join(broadcast(seedA), "centroid_id")
+      .withColumn("adot", dot(col("q"), col("aq")))
+      .withColumn("rn", row_number().over(wList))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("(rn - 1) * s div m").as("chunk"))
+    val keptMembers = aa
+      .join(broadcast(sized.filter(!col("overflow")).select("centroid_id")),
+        "centroid_id")
+      .select(col("vec_id"), col("centroid_id"), lit(0L).as("chunk"))
+    SplitParts(aa, sized, nLists, nTotal, splitMembers, keptMembers)
+  }
+
+  /** The maintenance audit row — closes the loop [[ivfAppendAuditOf]]
+    * opens: the append audit decides WHEN the cheap frozen-quantizer
+    * append has degraded; this runs the act (split the hot lists, keep
+    * the rest frozen) and proves the balance alarm is off afterwards.
+    * One row: (n_total, n_lists, n_overflow, n_lists_after,
+    * max_list_before, max_list_after, alarm_before, alarm_after) —
+    * alarm_after = 0 is GUARANTEED (see [[IvfSplitTriggerX]]) whenever
+    * fair share ≥ 1.5; IvfAppendSpec pins it on planted pathologies. */
+  def ivfSplitMaintenanceOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    val parts = splitParts(base, delta)
+    val beforeStats = parts.sized.agg(
+      max(col("m")).as("max_list_before"),
+      sum(when(col("overflow"), 1L).otherwise(0L)).as("n_overflow"),
+      sum(when(col("overflow"), col("s") - 1).otherwise(0L))
+        .as("n_splits_added"))
+    val afterMax = parts.splitMembers.unionByName(parts.keptMembers)
+      .groupBy("centroid_id", "chunk").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("max_list_after"))
+    parts.nTotal.crossJoin(broadcast(parts.nLists))
+      .crossJoin(broadcast(beforeStats))
+      .crossJoin(broadcast(afterMax))
+      .select(col("n_total"), col("n_lists"), col("n_overflow"),
+        (col("n_lists") + col("n_splits_added")).as("n_lists_after"),
+        col("max_list_before"), col("max_list_after"),
+        expr(s"CAST(CASE WHEN max_list_before * n_lists >" +
+          s" $IvfAlarmX * n_total THEN 1 ELSE 0 END AS BIGINT)")
+          .as("alarm_before"),
+        expr(s"CAST(CASE WHEN max_list_after * (n_lists + n_splits_added) >" +
+          s" $IvfAlarmX * n_total THEN 1 ELSE 0 END AS BIGINT)")
+          .as("alarm_after"))
+  }
+
+  /** Registered binding: the real corpus is the base; the delta is a
+    * PLANTED hot-drift append — [[IvfDriftClones]] re-arrivals of the
+    * anchor vector's embedding at fresh ids (the classic drift
+    * signature: near-identical new content flooding one list). The
+    * plant is what makes the split path EXERCISED on the driver's real
+    * data at every checked scale — the un-drifted corpus is balanced
+    * (append audit measures 1.1× fair share), so maintenance on it
+    * would be a no-op row proving nothing. Oracle replays the clone
+    * union verbatim. */
+  val IvfDriftClones = 400L
+  val IvfDriftIdBase = 100000L
+
+  def ivfSplitMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchor = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("aemb"))
+    val drift = emb.filter(col("vec_id") < IvfDriftClones)
+      .crossJoin(broadcast(anchor))
+      .select((col("vec_id") + IvfDriftIdBase).as("vec_id"),
+        col("aemb").as("embedding"))
+    ivfSplitMaintenanceOf(emb, drift)
+  }
+
+  // -------------------------------------------------------------------
   // SemDeDup-style semantic prune: cluster, then near-dup within cluster
   // -------------------------------------------------------------------
 
@@ -1261,6 +1401,7 @@ object Similarity {
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "sim_ivf_append_audit" -> ((s, d) => ivfAppendAudit(s, d)),
+    "sim_ivf_split_maintenance" -> ((s, d) => ivfSplitMaintenance(s, d)),
     "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
@@ -1501,16 +1642,20 @@ object Similarity {
     * the index" is true by construction in the oracle too. */
   /** `basePred` restricts which vectors the quantizer is trained on and
     * which populate `lists` (default: all) — the append audit trains on
-    * the base split only, everything else keeps the full corpus. */
+    * the base split only, everything else keeps the full corpus.
+    * `source` is the relation the vectors come from (default the
+    * embeddings table; the split-maintenance oracle passes the
+    * clone-drift union). */
   private def ivfListsPrefix(
-      basePred: String => String = _ => "TRUE"): String = {
+      basePred: String => String = _ => "TRUE",
+      source: String = "embeddings"): String = {
     val qCte =
-      """  SELECT vec_id,
+      s"""  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(round(
         |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
         |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
         |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings""".stripMargin
+        |  FROM $source""".stripMargin
     // one Lloyd round = assign-to-prev -> dim sums -> renormalize ->
     // left-join carry-through; cents_0 is the seed table
     def round(i: Int): String = {
@@ -1600,6 +1745,81 @@ object Similarity {
        |       CAST(CASE WHEN mean_cdot_delta * 10 < mean_cdot_base * 9
        |            THEN 1 ELSE 0 END AS BIGINT) AS retrain_quality
        |FROM sb CROSS JOIN mb CROSS JOIN sd CROSS JOIN sa CROSS JOIN nl""".stripMargin
+
+  /** Oracle for [[ivfSplitMaintenance]]: the shared prefix over the
+    * clone-drift UNION (trained on base ids only — the frozen
+    * quantizer), full assignment with dots, the 2× trigger, the
+    * farthest-member split axis, rank-contiguous chunking, and both
+    * alarm verdicts — every step integral, replaying [[splitParts]]
+    * decision for decision. */
+  private def ivfSplitOracle: String = {
+    val driftSource =
+      s"""(SELECT vec_id, embedding FROM embeddings
+         |   UNION ALL
+         |   SELECT e.vec_id + $IvfDriftIdBase AS vec_id, a.embedding
+         |   FROM embeddings e CROSS JOIN
+         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+         |   WHERE e.vec_id < $IvfDriftClones)""".stripMargin
+    ivfListsPrefix(id => s"$id < $IvfDriftIdBase", driftSource) + s""",
+       |aa AS (
+       |  SELECT vec_id, centroid_id, cdot, qv FROM (
+       |    SELECT v.vec_id, c.centroid_id, v.qv,
+       |           CAST(list_dot_product(v.qv, c.cv) AS BIGINT) AS cdot,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY CAST(list_dot_product(v.qv, c.cv) AS BIGINT) DESC,
+       |                      c.centroid_id ASC) AS rn
+       |    FROM q v CROSS JOIN $centsCte c) WHERE rn = 1),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists FROM $centsCte),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM aa),
+       |szx AS (
+       |  SELECT centroid_id, m,
+       |         m * n_lists > $IvfSplitTriggerX * n_total AS overflow,
+       |         CASE WHEN m * n_lists > $IvfSplitTriggerX * n_total
+       |              THEN (m * n_lists + $IvfSplitTriggerX * n_total - 1)
+       |                   // ($IvfSplitTriggerX * n_total)
+       |              ELSE 1 END AS s
+       |  FROM (SELECT centroid_id, CAST(count(*) AS BIGINT) AS m
+       |        FROM aa GROUP BY 1) CROSS JOIN nl CROSS JOIN tot),
+       |seed AS (
+       |  SELECT centroid_id, qv AS aq FROM (
+       |    SELECT a.centroid_id, a.qv,
+       |           row_number() OVER (PARTITION BY a.centroid_id
+       |             ORDER BY a.cdot ASC, a.vec_id ASC) AS rn
+       |    FROM aa a JOIN szx USING (centroid_id) WHERE szx.overflow)
+       |  WHERE rn = 1),
+       |sm AS (
+       |  SELECT centroid_id, vec_id, (rn - 1) * s // m AS chunk FROM (
+       |    SELECT a.centroid_id, a.vec_id, szx.s, szx.m,
+       |           row_number() OVER (PARTITION BY a.centroid_id
+       |             ORDER BY CAST(list_dot_product(a.qv, seed.aq) AS BIGINT) DESC,
+       |                      a.vec_id ASC) AS rn
+       |    FROM aa a JOIN szx USING (centroid_id) JOIN seed USING (centroid_id)
+       |    WHERE szx.overflow)),
+       |km AS (
+       |  SELECT a.centroid_id, a.vec_id, CAST(0 AS BIGINT) AS chunk
+       |  FROM aa a JOIN szx USING (centroid_id) WHERE NOT szx.overflow),
+       |aft AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS max_list_after FROM (
+       |    SELECT centroid_id, chunk, count(*) AS n
+       |    FROM (SELECT * FROM sm UNION ALL SELECT * FROM km)
+       |    GROUP BY 1, 2)),
+       |bef AS (
+       |  SELECT CAST(max(m) AS BIGINT) AS max_list_before,
+       |         CAST(sum(CASE WHEN overflow THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_overflow,
+       |         CAST(sum(CASE WHEN overflow THEN s - 1 ELSE 0 END) AS BIGINT)
+       |           AS n_splits_added
+       |  FROM szx)
+       |SELECT n_total, n_lists, n_overflow,
+       |       n_lists + n_splits_added AS n_lists_after,
+       |       max_list_before, max_list_after,
+       |       CAST(CASE WHEN max_list_before * n_lists > $IvfAlarmX * n_total
+       |            THEN 1 ELSE 0 END AS BIGINT) AS alarm_before,
+       |       CAST(CASE WHEN max_list_after * (n_lists + n_splits_added) >
+       |                      $IvfAlarmX * n_total
+       |            THEN 1 ELSE 0 END AS BIGINT) AS alarm_after
+       |FROM tot CROSS JOIN nl CROSS JOIN bef CROSS JOIN aft""".stripMargin
+  }
 
   /** Oracle for [[tenantIvfTopK]]: the shared [[ivfListsPrefix]]
     * (tenant-GLOBAL quantizer — true in SQL exactly as in the plan)
@@ -1868,6 +2088,7 @@ object Similarity {
     "sim_topk_tenant_ivf" -> tenantIvfOracle,
     "sim_topk_ivf" -> ivfOracle,
     "sim_ivf_append_audit" -> ivfAppendOracle,
+    "sim_ivf_split_maintenance" -> ivfSplitOracle,
     "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,
     "emb_norm_stats" ->
