@@ -23,6 +23,7 @@ object SparkEntry {
       graft.expr.ExprQueries.queries ++ graft.pipeline.CaseDocs.queries ++
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
       graft.ml.Similarity.queries ++ graft.ml.Retrieval.queries ++
+      graft.ml.RagFlagship.queries ++
       graft.ml.Curation.queries ++ graft.ml.Multimodal.queries ++
       graft.ml.EntityResolution.queries ++
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.expr.ExprQueries.oracles ++ graft.pipeline.CaseDocs.oracles ++
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
       graft.ml.Similarity.oracles ++ graft.ml.Retrieval.oracles ++
+      graft.ml.RagFlagship.oracles ++
       graft.ml.Curation.oracles ++ graft.ml.Multimodal.oracles ++
       graft.ml.EntityResolution.oracles ++
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++

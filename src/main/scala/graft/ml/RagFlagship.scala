@@ -1,0 +1,329 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** E2E RAG-serving flagship — the READ-path twin of the curation
+  * flagship (graft.pipeline.Lineage.e2e_curation_flagship): the full
+  * query-serving pipeline a retrieval-augmented consumer runs against a
+  * curated corpus, composed as ONE integer-exact plan:
+  *
+  *  1. query mining — every 200th document is a query (the fixture the
+  *     whole sim/retrieval family shares); its lexical form is its top-3
+  *     distinctive keywords ([[Retrieval.queryKeywordsOf]]), its
+  *     semantic form its aligned embedding;
+  *  2. lexical arm — TWO-PHASE exact retrieval ([[TextRetrievalOps]]'s
+  *     WAND/MaxScore shape, here with DATA-DERIVED terms): BM25 + the
+  *     proximity upper bound, per-query θ from the top-k seeds' full
+  *     scores, positional rerank of survivors only, top-50 per query;
+  *  3. semantic arm — exact cosine top-50
+  *     ([[Similarity.bruteForceTopKOf]]);
+  *  4. fusion — Reciprocal Rank Fusion over the two arms' ranks
+  *     ([[Retrieval.hybridRrfOf]]'s arithmetic);
+  *  5. diversification — MMR over the fused top-[[Similarity.MmrPool]]
+  *     pool ([[Similarity.mmrSelect]] with rel = the RRF score and
+  *     pairwise sims from the quantized embeddings), final
+  *     [[Similarity.MmrK]] per query.
+  *
+  * The DuckDB oracle is the BRUTE-FORCE composition: full (BM25 +
+  * proximity) scores for every lexical candidate — so a hash match
+  * proves the θ-prune lossless inside the composition — then the same
+  * fusion and the same generated MMR rounds. Every stage is integral
+  * (milli BM25, integer positions, integer RRF, integer dots), so the
+  * pipeline replays bit-for-bit.
+  *
+  * Scale shape, per stage: the corpus tokenizes ONCE (persisted
+  * projection); keyword mining's df shuffle is vocabulary-bounded; the
+  * lexical postings explode is pruned to query-term matches before any
+  * shuffle; the positional phase touches only θ-seeds + survivors
+  * (O(Σ_q k_q) docs); the semantic arm broadcasts the query side and
+  * scans the corpus once; fusion joins two ≤ 50·|queries|-row arm
+  * tables; MMR's quadratic fold runs per query over a ≤ 30-row pool.
+  * Nothing downstream of the two arm scans ever touches the corpus
+  * again.
+  */
+object RagFlagship {
+
+  /** Per-arm candidate depth (shared with [[Retrieval.ArmDepth]]). */
+  private val ArmDepth = Retrieval.ArmDepth
+
+  /** Library surface: serve every query in `docs`/`embs` (aligned ids,
+    * query predicate id % 200 = 0). Output: (query_id, sel_rank,
+    * doc_id, rrf_milli, mmr) — [[Similarity.MmrK]] rows per query. */
+  def ragServeOf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // -- stage 1: tokenize once; mine each query's lexical form --------
+    val tdocs = Retrieval.tokenizedOf(docs).persist()
+    val qk = Retrieval.queryKeywordsOf(tdocs).persist()
+
+    // -- stage 2: lexical arm (two-phase exact, derived terms) ---------
+    // candidates: BM25 + the proximity upper bound; two consumers
+    // (θ seed + survivor filter) -> cache
+    val cand = Retrieval.bm25PerQueryOf(tdocs, qk)
+      .withColumn("ub_milli", col("bm25_milli") +
+        when(col("n_terms") >= 2, lit(TextOps.ProxCapMilli))
+          .otherwise(lit(0L)))
+      .persist()
+    // positions for a (query_id, doc_id) set — the derived-term twin of
+    // the panel form's positional phase: explode positions once for the
+    // distinct doc side, re-attach query membership through the mined
+    // keyword table. `bounded` marks the ≤ k·|queries| θ-seed set
+    // (broadcast-hinted); the data-dependent survivor set is left to AQE.
+    //
+    // LINEAR kernel, not the pairwise self-join: the minimum distance
+    // over different-token occurrence pairs is always achieved by a
+    // pair ADJACENT in position-sorted order (walking between any
+    // different-token pair, the token must change at some consecutive
+    // step, and that step's distance is ≤ the pair's), so one lag
+    // window over (query, doc, pos) computes the same value in
+    // O(p log p) per doc where the self-join is O(p²). With this
+    // corpus's common-term queries the θ-prune keeps thousands of
+    // survivors per query (honest WAND behavior on low-discrimination
+    // terms), and the quadratic kernel was the measured hot spot: the
+    // whole flagship dropped ~19 s → ~13 s steady at sf0.1 on swapping
+    // it (post-reboot host). Value-identical, so the brute-force
+    // oracle needs no change.
+    def minDistsFor(ids: DataFrame, bounded: Boolean): DataFrame = {
+      val docIds = ids.select("doc_id").distinct()
+      val pairIds = ids.select("query_id", "doc_id").distinct()
+      val pos = tdocs
+        .join(if (bounded) broadcast(docIds) else docIds, "doc_id")
+        .select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "token")))
+        .join(broadcast(qk), "token")
+        .join(if (bounded) broadcast(pairIds) else pairIds,
+          Seq("query_id", "doc_id"))
+      val w = Window.partitionBy(col("query_id"), col("doc_id"))
+        .orderBy(col("pos"))
+      pos
+        .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+        .withColumn("prev_tok", lag(col("token"), 1).over(w))
+        .filter(col("prev_tok").isNotNull &&
+          col("token") =!= col("prev_tok"))
+        .groupBy("query_id", "doc_id")
+        .agg(min(col("pos") - col("prev_pos")).as("mindist"))
+    }
+    def fullFor(c: DataFrame, bounded: Boolean): DataFrame =
+      c.join(minDistsFor(c, bounded), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"),
+          (col("bm25_milli") +
+            coalesce(expr(s"${TextOps.ProxNumMilli} div (1 + mindist)"),
+              lit(0L))).as("full_milli"))
+    val wUb = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub_milli").desc, col("doc_id").asc)
+    val seeds = cand.withColumn("rn", row_number().over(wUb))
+      .filter(col("rn") <= ArmDepth).drop("rn")
+    val theta = fullFor(seeds, bounded = true).groupBy("query_id")
+      .agg(min(col("full_milli")).as("theta_milli"))
+    val survivors = cand.join(broadcast(theta), "query_id")
+      .filter(col("ub_milli") >= col("theta_milli"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("full_milli").desc, col("doc_id").asc)
+    val lexTop = fullFor(survivors, bounded = false)
+      .withColumn("lex_rank", row_number().over(wFull))
+      .filter(col("lex_rank") <= ArmDepth)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+
+    // -- stage 3: semantic arm ------------------------------------------
+    val semTop = Similarity.bruteForceTopKOf(
+      embs, embs.filter(col("vec_id") % 200 === 0), ArmDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+
+    // -- stage 4: RRF fusion --------------------------------------------
+    val fused = lexTop.join(semTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr(s"1000000 div (${Retrieval.RrfK} + lex_rank)"), lit(0L))
+          + coalesce(expr(s"1000000 div (${Retrieval.RrfK} + sem_rank)"),
+            lit(0L)))
+
+    // -- stage 5: pool + MMR diversification ----------------------------
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("doc_id").asc)
+    val pool = fused.withColumn("pool_rank", row_number().over(wPool))
+      .filter(col("pool_rank") <= Similarity.MmrPool)
+      .select("query_id", "doc_id", "rrf_milli")
+    val qemb = embs.select(col("vec_id"),
+      Dedup.quantized(col("embedding")).as("qv"))
+    val cands = pool
+      .join(qemb, pool("doc_id") === qemb("vec_id"))
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        col("rrf_milli").as("rel"), col("qv"))
+      .as[Similarity.MmrCand]
+    Similarity.mmrSelect(cands)
+      .select(col("query_id"), col("sel_rank"), col("vec_id").as("doc_id"),
+        col("rel").as("rrf_milli"), col("mmr"))
+  }
+
+  def ragServe(spark: SparkSession, dir: String): DataFrame =
+    ragServeOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "e2e_rag_serving" -> ((s, d) => ragServe(s, d)))
+
+  /** Brute-force composed oracle: keyword mining + full lexical scores
+    * for EVERY candidate (no θ — the Spark plan's prune must be
+    * lossless inside the composition) + exact semantic arm + RRF + the
+    * generated MMR rounds with rel = the RRF score. The keyword CTEs
+    * and both arms replay [[Retrieval]]'s hybrid oracle; the proximity
+    * bonus replays [[TextRetrievalOps]]'s; the MMR chain replays
+    * [[Similarity]]'s — the composition is new, every ingredient is the
+    * already-proven arithmetic. */
+  private def ragOracle: String = {
+    def log2m(x: String): String =
+      s"(length(bin($x)) - 1) * 1000" +
+        s" + ($x) * 1000 // CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - 1000"
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    val lambda = Similarity.MmrLambdaMilli
+    val oneMinus = 1000L - lambda
+    val sb = new StringBuilder
+    sb ++= s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |ta AS (SELECT doc_id, unnest(toks) AS token FROM d),
+       |tfa AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ta WHERE token NOT IN $stop GROUP BY 1, 2),
+       |dfa AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfa GROUP BY 1),
+       |qt AS (
+       |  SELECT doc_id AS query_id, token FROM (
+       |    SELECT tfa.doc_id, tfa.token,
+       |           row_number() OVER (PARTITION BY tfa.doc_id
+       |             ORDER BY tfa.tf DESC, dfa.df ASC, tfa.token ASC) AS r
+       |    FROM tfa JOIN dfa USING (token) WHERE tfa.doc_id % 200 = 0)
+       |  WHERE r <= ${Retrieval.QueryTerms}),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(toks)) AS BIGINT) * 1000
+       |           // CAST(count(*) AS BIGINT) AS avgdl_milli
+       |  FROM d),
+       |tl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS token
+       |       FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tl WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |c AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         ${log2m("2 * n_docs + 2")} - (${log2m("2 * df + 1")}) AS idf_milli,
+       |         tf * 1000 + 1200 * (250 + 750 * (dl * 1000000 // avgdl_milli) // 1000)
+       |           // 1000 AS den_milli,
+       |         tf
+       |  FROM tf JOIN qt USING (token) JOIN dfq USING (token) CROSS JOIN s
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(sum(idf_milli * (tf * 2200 * 1000 // den_milli) // 1000)
+       |           AS BIGINT) AS bm25_milli
+       |  FROM c GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS token FROM idx
+       |  WHERE toks[i] IN (SELECT token FROM qt)),
+       |pq AS (
+       |  SELECT qt.query_id, p.doc_id, p.pos, p.token
+       |  FROM pos p JOIN qt USING (token)),
+       |md AS (
+       |  SELECT a.query_id, a.doc_id,
+       |         CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS mindist
+       |  FROM pq a JOIN pq b
+       |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       |       AND a.token <> b.token
+       |  GROUP BY 1, 2),
+       |lexf AS (
+       |  SELECT lex.query_id, lex.doc_id,
+       |         lex.bm25_milli
+       |           + CAST(coalesce(${TextOps.ProxNumMilli} // (1 + mindist), 0)
+       |               AS BIGINT) AS full_milli
+       |  FROM lex LEFT JOIN md
+       |    ON lex.query_id = md.query_id AND lex.doc_id = md.doc_id),
+       |lext AS (
+       |  SELECT query_id, doc_id, CAST(r AS INT) AS lex_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY full_milli DESC, doc_id ASC) AS r FROM lexf)
+       |  WHERE r <= $ArmDepth),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(
+       |           CAST(x AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |             list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |             (a, b) -> a + b)) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sem AS (
+       |  SELECT qs.vec_id AS query_id, cp.vec_id AS doc_id,
+       |         CAST(list_dot_product(qs.qv, cp.qv) AS BIGINT) AS dot
+       |  FROM q qs JOIN q cp ON qs.vec_id % 200 = 0 AND cp.vec_id <> qs.vec_id),
+       |semt AS (
+       |  SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, doc_id ASC) AS r FROM sem)
+       |  WHERE r <= $ArmDepth),
+       |f AS (
+       |  SELECT coalesce(lext.query_id, semt.query_id) AS query_id,
+       |         coalesce(lext.doc_id, semt.doc_id) AS doc_id,
+       |         CAST(coalesce(1000000 // (${Retrieval.RrfK} + lex_rank), 0)
+       |            + coalesce(1000000 // (${Retrieval.RrfK} + sem_rank), 0)
+       |              AS BIGINT) AS rrf_milli
+       |  FROM lext FULL OUTER JOIN semt
+       |    ON lext.query_id = semt.query_id AND lext.doc_id = semt.doc_id),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, p.doc_id, p.rrf_milli AS rel, q.qv FROM (
+       |    SELECT query_id, doc_id, rrf_milli,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rrf_milli DESC, doc_id ASC) AS pr
+       |    FROM f) p JOIN q ON q.vec_id = p.doc_id
+       |  WHERE pr <= ${Similarity.MmrPool}),
+       |sims AS MATERIALIZED (
+       |  SELECT a.query_id, a.doc_id AS ai, b.doc_id AS bi,
+       |         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, doc_id, rel, $lambda * rel AS mmr, 1 AS sel_rank
+       |  FROM (SELECT query_id, doc_id, rel,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY rel DESC, doc_id ASC) AS rn
+       |        FROM cand) WHERE rn = 1)""".stripMargin
+    for (t <- 2 to Similarity.MmrK) {
+      val prev = s"sel${t - 1}"
+      sb ++= s""",
+        |ms$t AS (
+        |  SELECT m.query_id, m.ai AS doc_id, max(m.sim) AS maxsim
+        |  FROM sims m JOIN $prev s
+        |    ON m.query_id = s.query_id AND m.bi = s.doc_id
+        |  GROUP BY 1, 2),
+        |pick$t AS (
+        |  SELECT query_id, doc_id, rel, mmr, $t AS sel_rank FROM (
+        |    SELECT c.query_id, c.doc_id, c.rel,
+        |           $lambda * c.rel - $oneMinus * ms$t.maxsim AS mmr,
+        |           row_number() OVER (
+        |             PARTITION BY c.query_id
+        |             ORDER BY $lambda * c.rel - $oneMinus * ms$t.maxsim DESC,
+        |                      c.doc_id ASC) AS rn
+        |    FROM cand c
+        |    JOIN ms$t ON ms$t.query_id = c.query_id AND ms$t.doc_id = c.doc_id
+        |    ANTI JOIN $prev s
+        |      ON s.query_id = c.query_id AND s.doc_id = c.doc_id)
+        |  WHERE rn = 1),
+        |sel$t AS MATERIALIZED (
+        |  SELECT * FROM $prev UNION ALL
+        |  SELECT query_id, doc_id, rel, mmr, sel_rank FROM pick$t)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT query_id, CAST(sel_rank AS INT) AS sel_rank, doc_id,
+      |       rel AS rrf_milli, mmr
+      |FROM sel${Similarity.MmrK}""".stripMargin
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "e2e_rag_serving" -> ragOracle)
+}

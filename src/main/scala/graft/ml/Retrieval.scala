@@ -112,7 +112,9 @@ object Retrieval {
       .selectExpr("query_id", "doc_id",
         "idf_milli * (tf * 2200 * 1000 div den_milli) div 1000 AS contrib_milli")
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("contrib_milli")).as("bm25_milli"))
+      // n_terms (distinct query terms present) rides along so two-phase
+      // consumers (the RAG flagship) can build the proximity upper bound
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_milli")).as("bm25_milli"))
   }
 
   /** Library surface: RRF-fused hybrid top-k. `docs` = (doc_id, text),

@@ -1104,6 +1104,17 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("dot").as("rel"),
         col("q").as("qv"))
       .as[MmrCand]
+    mmrSelect(cands, k, lambdaMilli)
+  }
+
+  /** The greedy MMR fold over an ALREADY-BUILT candidate pool — public
+    * so composed serving pipelines (the RAG flagship) can diversify a
+    * fused ranking whose relevance is not a raw dot product (e.g. RRF
+    * scores). Same per-key bounded fold as [[mmrTopKOf]]. */
+  def mmrSelect(cands: org.apache.spark.sql.Dataset[MmrCand],
+      k: Int = MmrK, lambdaMilli: Long = MmrLambdaMilli): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
     cands.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val cs = it.toArray.sortBy(_.vec_id) // ascending scan = lowest-id tie-break
       val n = cs.length

@@ -45,6 +45,7 @@ class RegistrySpec extends SparkSpec {
       graft.expr.ExprQueries.queries, graft.pipeline.CaseDocs.queries,
       graft.ml.TextOps.queries, graft.ml.Dedup.queries,
       graft.ml.Similarity.queries, graft.ml.Retrieval.queries,
+      graft.ml.RagFlagship.queries,
       graft.ml.Curation.queries, graft.ml.Multimodal.queries,
       graft.ml.EntityResolution.queries,
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
