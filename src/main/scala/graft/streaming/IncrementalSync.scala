@@ -179,6 +179,103 @@ object IncrementalSync {
       .select("job_id", "tenant_id", "case_ref", "priority", "attempts")
   }
 
+  // -------------------------------------------------------------------
+  // State migration: pre-round-12 arithmetic job ids → xxhash64 ids
+  // -------------------------------------------------------------------
+
+  /** Decode/classify plan over an old-format carried backlog — the
+    * deterministic core of [[migrateRetryState]], registered as a query
+    * so the gate replays the decision arithmetic. The pre-round-12 id
+    * packed `tenant·10⁶ + case_ref·10³ + serialno mod 10³`
+    * (the encoding the round-12 break note at [[workerPipeline]]
+    * retired); the carried row's EXPLICIT tenant/case columns are
+    * authoritative, so the serial residue recovers as
+    * `job_id − tenant·10⁶ − case_ref·10³` and must land in [0, 1000).
+    * A residue outside that range means the id no longer matches the
+    * row's own identity columns — state garbled by a consumer that
+    * keyed on the old id's structure, exactly the failure mode the
+    * break note warns about — and such rows are QUARANTINED rather
+    * than silently re-keyed. Output: the carried columns + the decoded
+    * residue + the action verdict. */
+  def classifyLegacyJobs(jobs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    jobs.select(col("job_id").as("old_job_id"), col("tenant_id"),
+      col("case_ref"), col("priority"), col("attempts"),
+      (col("job_id") - col("tenant_id") * 1000000L
+        - col("case_ref") * 1000L).as("serial_residue"))
+      .withColumn("action",
+        when(col("serial_residue") >= 0L && col("serial_residue") < 1000L,
+          "migrate").otherwise("quarantine"))
+  }
+
+  /** Migrate a pre-round-12 `stateDir` in place of starting fresh: the
+    * carried backlog's arithmetic ids are re-keyed to
+    * `xxhash64(tenant_id, case_ref, serial_residue)` — bit-identical to
+    * the id [[workerPipeline]] mints for the same change event whenever
+    * serialno < 1000, and a stable unique in-flight identity in every
+    * case (the old id had already collapsed serialno mod 10³, so
+    * nothing more is recoverable). Decodable rows land in
+    * `newStateDir/backlog/batch=N` under the old manifest frontier (so
+    * the next micro-batch's strictly-below read carries them exactly
+    * like any surviving backlog); garbled rows land in
+    * `newStateDir/quarantine/batch=N` for operator review instead of
+    * silently re-entering the ladder. StateMigrationSpec proves a
+    * planted old-format dir resumes retries through [[retryBatch]]
+    * after migration. */
+  def migrateRetryState(spark: SparkSession, oldStateDir: String,
+                        newStateDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mdir = new java.io.File(s"$oldStateDir/manifest")
+    require(mdir.exists(), s"no manifest under $oldStateDir")
+    val latestRow = spark.read.parquet(mdir.toString)
+      .agg(max(col("batch")).cast("long")).collect().head
+    require(!latestRow.isNullAt(0), s"empty manifest under $oldStateDir")
+    val latest = latestRow.getLong(0)
+    val classified = classifyLegacyJobs(
+      retryBacklog(spark, oldStateDir, below = Long.MaxValue)).persist()
+    classified.filter(col("action") === "migrate")
+      .select(
+        xxhash64(col("tenant_id"), col("case_ref"), col("serial_residue"))
+          .as("job_id"),
+        col("tenant_id"), col("case_ref"), col("priority"), col("attempts"))
+      .write.mode("overwrite").parquet(s"$newStateDir/backlog/batch=$latest")
+    classified.filter(col("action") === "quarantine")
+      .write.mode("overwrite")
+      .parquet(s"$newStateDir/quarantine/batch=$latest")
+    Seq(latest).toDF("done")
+      .write.mode("overwrite").parquet(s"$newStateDir/manifest/batch=$latest")
+    classified.unpersist()
+    ()
+  }
+
+  /** Registered binding for [[classifyLegacyJobs]]: a deterministic
+    * old-format backlog derived from orders — tenant/case/serial from
+    * order arithmetic, ids packed with the retired stride encoding, and
+    * every 13th id garbled by +5000 (the structure-keyed-consumer
+    * corruption the quarantine path exists for; the offset pushes the
+    * residue out of [0, 1000) without colliding with an honest id). */
+  def migrateLegacyBatch(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val legacy = graft.Tables.orders(spark, dir)
+      .select(
+        (col("o_custkey") % 4).as("tenant_id"),
+        (col("o_orderkey") % 1500).as("case_ref"),
+        ((col("o_orderkey") * 7) % 1000).as("serial"),
+        (col("o_orderkey") % 3 + 1).cast("int").as("priority"),
+        (col("o_orderkey") % 3).cast("int").as("attempts"),
+        col("o_orderkey"))
+      .select(
+        ((col("tenant_id") * 1000000L) + (col("case_ref") * 1000L)
+          + col("serial")
+          + when(col("o_orderkey") % 13 === 0, 5000L).otherwise(0L))
+          .as("job_id"),
+        col("tenant_id"), col("case_ref"), col("priority"), col("attempts"))
+    classifyLegacyJobs(legacy)
+  }
+
   /** ST3 made continuous: the retry/dead-letter queue as a streaming
     * pipeline. Each micro-batch unions its arrivals with the durable
     * backlog, applies the SAME policy as [[step]] — success passes
@@ -1236,9 +1333,30 @@ object IncrementalSync {
     "st_worker_pipeline" -> ((s, d) => workerPipelineBatch(s, d)),
     "st3_retry_ladder" -> ((s, d) => retryLadderBatch(s, d)),
     "st5_cadence_plan" -> ((s, d) => syncCadencePlan(s, d)),
+    "st_migrate_legacy" -> ((s, d) => migrateLegacyBatch(s, d)),
     "a12_worker_metrics" -> ((s, d) => workerMetricsBatch(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "st_migrate_legacy" ->
+      """WITH j AS (
+        |  SELECT o_custkey % 4 AS tenant_id, o_orderkey % 1500 AS case_ref,
+        |         (o_orderkey * 7) % 1000 AS serial,
+        |         CAST(o_orderkey % 3 + 1 AS INT) AS priority,
+        |         CAST(o_orderkey % 3 AS INT) AS attempts,
+        |         o_orderkey
+        |  FROM orders),
+        |l AS (
+        |  SELECT tenant_id * 1000000 + case_ref * 1000 + serial
+        |           + CASE WHEN o_orderkey % 13 = 0 THEN 5000 ELSE 0 END
+        |           AS job_id,
+        |         tenant_id, case_ref, priority, attempts
+        |  FROM j)
+        |SELECT job_id AS old_job_id, tenant_id, case_ref, priority, attempts,
+        |       job_id - tenant_id * 1000000 - case_ref * 1000 AS serial_residue,
+        |       CASE WHEN job_id - tenant_id * 1000000 - case_ref * 1000 >= 0
+        |             AND job_id - tenant_id * 1000000 - case_ref * 1000 < 1000
+        |            THEN 'migrate' ELSE 'quarantine' END AS action
+        |FROM l""".stripMargin,
     "st5_cadence_plan" ->
       """WITH b AS (SELECT date_trunc('day', max(ts)) AS base FROM events),
         |d AS (SELECT unnest(range(1, 29)) AS day_offset FROM b)
