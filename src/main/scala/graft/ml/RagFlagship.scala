@@ -50,16 +50,31 @@ object RagFlagship {
   /** Per-arm candidate depth (shared with [[Retrieval.ArmDepth]]). */
   private val ArmDepth = Retrieval.ArmDepth
 
-  /** Library surface: serve every query in `docs`/`embs` (aligned ids,
-    * query predicate id % 200 = 0). Output: (query_id, sel_rank,
-    * doc_id, rrf_milli, mmr) — [[Similarity.MmrK]] rows per query. */
-  def ragServeOf(docs: DataFrame, embs: DataFrame): DataFrame = {
+  /** Corpus-proportional query predicate (the sim/retrieval family
+    * fixture) and its FIXED-PANEL twin: the proportional form co-scales
+    * queries with the corpus — quadratic under co-scaling, correct for
+    * an occasional exhaustive serve (measured ~20x at the second
+    * decade), unaffordable as the continuously-run shape — while the
+    * fixed 64-query panel keeps serving cost panel × corpus, linear in
+    * the corpus forever. Same constant and reasoning as the sim
+    * family's `_fixedq` twins. */
+  private def isQuery(id: org.apache.spark.sql.Column) = id % 200 === 0
+  private val FixedPanelSize = 64
+  private def isPanelQuery(id: org.apache.spark.sql.Column) =
+    isQuery(id) && id < lit(FixedPanelSize * 200L)
+
+  /** Library surface: serve every query in `docs`/`embs` (aligned ids)
+    * selected by `qpred`. Output: (query_id, sel_rank, doc_id,
+    * rrf_milli, mmr) — [[Similarity.MmrK]] rows per query. */
+  def ragServeOf(docs: DataFrame, embs: DataFrame,
+      qpred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        isQuery): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     // -- stage 1: tokenize once; mine each query's lexical form --------
     val tdocs = Retrieval.tokenizedOf(docs).persist()
-    val qk = Retrieval.queryKeywordsOf(tdocs).persist()
+    val qk = Retrieval.queryKeywordsOf(tdocs, pred = qpred).persist()
 
     // -- stage 2: lexical arm (two-phase exact, derived terms) ---------
     // candidates: BM25 + the proximity upper bound; two consumers
@@ -131,7 +146,7 @@ object RagFlagship {
 
     // -- stage 3: semantic arm ------------------------------------------
     val semTop = Similarity.bruteForceTopKOf(
-      embs, embs.filter(col("vec_id") % 200 === 0), ArmDepth)
+      embs, embs.filter(qpred(col("vec_id"))), ArmDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("sem_rank"))
 
@@ -163,10 +178,15 @@ object RagFlagship {
   def ragServe(spark: SparkSession, dir: String): DataFrame =
     ragServeOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
+  def ragServeFixedQ(spark: SparkSession, dir: String): DataFrame =
+    ragServeOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      isPanelQuery)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "e2e_rag_serving" -> ((s, d) => ragServe(s, d)))
+    "e2e_rag_serving" -> ((s, d) => ragServe(s, d)),
+    "e2e_rag_serving_fixedq" -> ((s, d) => ragServeFixedQ(s, d)))
 
   /** Brute-force composed oracle: keyword mining + full lexical scores
     * for EVERY candidate (no θ — the Spark plan's prune must be
@@ -176,7 +196,12 @@ object RagFlagship {
     * bonus replays [[TextRetrievalOps]]'s; the MMR chain replays
     * [[Similarity]]'s — the composition is new, every ingredient is the
     * already-proven arithmetic. */
-  private def ragOracle: String = {
+  private def ragOracle: String = ragOracleFor(c => s"$c % 200 = 0")
+
+  private def ragOracleFixedQ: String = ragOracleFor(
+    c => s"$c % 200 = 0 AND $c < ${FixedPanelSize * 200L}")
+
+  private def ragOracleFor(qpred: String => String): String = {
     def log2m(x: String): String =
       s"(length(bin($x)) - 1) * 1000" +
         s" + ($x) * 1000 // CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - 1000"
@@ -197,7 +222,7 @@ object RagFlagship {
        |    SELECT tfa.doc_id, tfa.token,
        |           row_number() OVER (PARTITION BY tfa.doc_id
        |             ORDER BY tfa.tf DESC, dfa.df ASC, tfa.token ASC) AS r
-       |    FROM tfa JOIN dfa USING (token) WHERE tfa.doc_id % 200 = 0)
+       |    FROM tfa JOIN dfa USING (token) WHERE ${qpred("tfa.doc_id")})
        |  WHERE r <= ${Retrieval.QueryTerms}),
        |s AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -260,7 +285,7 @@ object RagFlagship {
        |sem AS (
        |  SELECT qs.vec_id AS query_id, cp.vec_id AS doc_id,
        |         CAST(list_dot_product(qs.qv, cp.qv) AS BIGINT) AS dot
-       |  FROM q qs JOIN q cp ON qs.vec_id % 200 = 0 AND cp.vec_id <> qs.vec_id),
+       |  FROM q qs JOIN q cp ON ${qpred("qs.vec_id")} AND cp.vec_id <> qs.vec_id),
        |semt AS (
        |  SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
@@ -325,5 +350,6 @@ object RagFlagship {
   }
 
   val oracles: Map[String, String] = Map(
-    "e2e_rag_serving" -> ragOracle)
+    "e2e_rag_serving" -> ragOracle,
+    "e2e_rag_serving_fixedq" -> ragOracleFixedQ)
 }

@@ -66,13 +66,14 @@ object Retrieval {
     * vocabulary-bounded, not corpus-bounded. Per-doc tf is computed
     * only for the pre-filtered query docs (1/200 of the corpus), and
     * that tiny side broadcasts into the df lookup. */
-  def queryKeywordsOf(tdocs: DataFrame, n: Int = QueryTerms): DataFrame = {
+  def queryKeywordsOf(tdocs: DataFrame, n: Int = QueryTerms,
+      pred: Column => Column = isQuery): DataFrame = {
     val notStop = !col("token").isin(TextOps.stopwords.map(lit): _*)
     val dfreq = tdocs
       .select(explode(array_distinct(col("toks"))).as("token"))
       .filter(notStop)
       .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
-    val tf = tdocs.filter(isQuery(col("doc_id")))
+    val tf = tdocs.filter(pred(col("doc_id")))
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .filter(notStop)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))

@@ -1380,8 +1380,15 @@ object IncrementalSync {
     // The composed flagship: ST1's distinct-serial window form → the
     // ladder CASE chain → gaps-and-islands session buckets. Break rule
     // diff >= gap matches session_window's half-open [start, last+gap);
-    // cumulative-ROWS session ids are tie-stable (a tie pair shares its
-    // break row's cumulative sum whichever of the two lag-orders first).
+    // BOTH windows order by (touch_s, job_id) — a TOTAL order. touch_s
+    // alone is NOT tie-stable: when a session break lands on a tied
+    // timestamp, the cumulative-ROWS frame seats the tie PARTNER in the
+    // old or the new session depending on which of the pair the engine
+    // happens to order first (only one of the two orders puts the break
+    // row's brk inside the partner's frame), while Spark's
+    // session_window always seats both in the new session. Round 14
+    // caught this as an INTERMITTENT hash mismatch — DuckDB's parallel
+    // execution order varies run to run on tied keys.
     "st_worker_pipeline" ->
       """WITH u AS (
         |  SELECT l_orderkey % 4 AS tenant_id, l_orderkey AS case_ref,
@@ -1403,12 +1410,13 @@ object IncrementalSync {
         |o AS (
         |  SELECT tenant_id, job_id, fs, touch_s,
         |         CASE WHEN touch_s - lag(touch_s) OVER (
-        |             PARTITION BY tenant_id ORDER BY touch_s) >= 1800
+        |             PARTITION BY tenant_id ORDER BY touch_s, job_id) >= 1800
         |           THEN 1 ELSE 0 END AS brk
         |  FROM touches),
         |s AS (
         |  SELECT tenant_id, job_id, fs, touch_s,
-        |         sum(brk) OVER (PARTITION BY tenant_id ORDER BY touch_s
+        |         sum(brk) OVER (PARTITION BY tenant_id
+        |                        ORDER BY touch_s, job_id
         |                        ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM o)
         |SELECT tenant_id,
