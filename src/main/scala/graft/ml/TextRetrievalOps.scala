@@ -111,7 +111,17 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
     * docs, not the corpus): (doc_id, mindist). Docs with < 2 distinct
     * terms present produce no row. `bounded = true` (the ≤ k θ-seed)
     * broadcast-hints the id set; the data-dependent survivor set leaves
-    * the strategy to AQE. */
+    * the strategy to AQE.
+    *
+    * LINEAR kernel (round 14, ported from [[RagFlagship]]): the minimum
+    * distance over different-token occurrence pairs is always achieved
+    * by a pair ADJACENT in position-sorted order — between any
+    * different-token pair the token must change at some consecutive
+    * step, whose distance is ≤ the pair's — so one lag window over
+    * (doc, pos) computes the identical value in O(p log p) per doc
+    * where the pairwise self-join is O(p²). Matters exactly when θ
+    * prunes weakly (common-term queries keep many survivors).
+    * Value-identical, so the brute-force oracle is unchanged. */
   private def minDists(tdocs: DataFrame, terms: Seq[String],
       ids: DataFrame, bounded: Boolean): DataFrame = {
     val idsOnly = ids.select("doc_id")
@@ -120,12 +130,13 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       .select(col("doc_id"),
         posexplode(col("toks")).as(Seq("pos", "token")))
       .filter(col("token").isin(terms: _*))
-    pos.as("a")
-      .join(pos.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("a.token") =!= col("b.token"))
-      .groupBy(col("a.doc_id").as("doc_id"))
-      .agg(min(abs(col("a.pos") - col("b.pos"))).as("mindist"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos
+      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .withColumn("prev_tok", lag(col("token"), 1).over(w))
+      .filter(col("prev_tok").isNotNull && col("token") =!= col("prev_tok"))
+      .groupBy("doc_id")
+      .agg(min(col("pos") - col("prev_pos")).as("mindist"))
   }
 
   private def fullScores(tdocs: DataFrame, terms: Seq[String],
@@ -246,6 +257,10 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
     // over the DISTINCT doc side, then re-attach query membership.
     // `bounded` as in [[minDists]]: seeds (≤ k·|panel| rows) hint
     // broadcast; the data-dependent survivor set is left to AQE.
+    // Same LINEAR adjacent-pair kernel as [[minDists]], per (query,
+    // doc) — a token shared by two of one query's terms cannot occur
+    // (one token row joins ≤ 1 term per query), so position rows are
+    // unique per (query_id, doc_id, pos) and the lag order is total.
     def minDistsFor(ids: DataFrame, bounded: Boolean): DataFrame = {
       val docIds = ids.select("doc_id").distinct()
       val pairIds = ids.select("query_id", "doc_id").distinct()
@@ -257,14 +272,15 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
         .join(broadcast(qterms), "token")
         .join(if (bounded) broadcast(pairIds) else pairIds,
           Seq("query_id", "doc_id"))
-      pos.as("a")
-        .join(pos.as("b"),
-          col("a.query_id") === col("b.query_id") &&
-            col("a.doc_id") === col("b.doc_id") &&
-            col("a.token") =!= col("b.token"))
-        .groupBy(col("a.query_id").as("query_id"),
-          col("a.doc_id").as("doc_id"))
-        .agg(min(abs(col("a.pos") - col("b.pos"))).as("mindist"))
+      val w = Window.partitionBy(col("query_id"), col("doc_id"))
+        .orderBy(col("pos"))
+      pos
+        .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+        .withColumn("prev_tok", lag(col("token"), 1).over(w))
+        .filter(col("prev_tok").isNotNull &&
+          col("token") =!= col("prev_tok"))
+        .groupBy("query_id", "doc_id")
+        .agg(min(col("pos") - col("prev_pos")).as("mindist"))
     }
     def fullFor(c: DataFrame, bounded: Boolean): DataFrame =
       c.join(minDistsFor(c, bounded), Seq("query_id", "doc_id"), "left")
