@@ -56,12 +56,13 @@ object RagFlagship {
     * an occasional exhaustive serve (measured ~20x at the second
     * decade), unaffordable as the continuously-run shape — while the
     * fixed 64-query panel keeps serving cost panel × corpus, linear in
-    * the corpus forever. Same constant and reasoning as the sim
-    * family's `_fixedq` twins. */
-  private def isQuery(id: org.apache.spark.sql.Column) = id % 200 === 0
-  private val FixedPanelSize = 64
+    * the corpus forever. The predicate and panel size are the SHARED
+    * fixture constants ([[Retrieval.isQuery]] /
+    * [[Retrieval.FixedPanelSize]]) — one home, so the "same fixture as
+    * the sim `_fixedq` twins" claim cannot drift. */
+  private def isQuery(id: org.apache.spark.sql.Column) = Retrieval.isQuery(id)
   private def isPanelQuery(id: org.apache.spark.sql.Column) =
-    isQuery(id) && id < lit(FixedPanelSize * 200L)
+    isQuery(id) && id < lit(Retrieval.FixedPanelSize * Retrieval.QueryStride)
 
   /** Library surface: serve every query in `docs`/`embs` (aligned ids)
     * selected by `qpred`. Output: (query_id, sel_rank, doc_id,
@@ -84,47 +85,18 @@ object RagFlagship {
         when(col("n_terms") >= 2, lit(TextOps.ProxCapMilli))
           .otherwise(lit(0L)))
       .persist()
-    // positions for a (query_id, doc_id) set — the derived-term twin of
-    // the panel form's positional phase: explode positions once for the
-    // distinct doc side, re-attach query membership through the mined
-    // keyword table. `bounded` marks the ≤ k·|queries| θ-seed set
-    // (broadcast-hinted); the data-dependent survivor set is left to AQE.
-    //
-    // LINEAR kernel, not the pairwise self-join: the minimum distance
-    // over different-token occurrence pairs is always achieved by a
-    // pair ADJACENT in position-sorted order (walking between any
-    // different-token pair, the token must change at some consecutive
-    // step, and that step's distance is ≤ the pair's), so one lag
-    // window over (query, doc, pos) computes the same value in
-    // O(p log p) per doc where the self-join is O(p²). With this
-    // corpus's common-term queries the θ-prune keeps thousands of
-    // survivors per query (honest WAND behavior on low-discrimination
-    // terms), and the quadratic kernel was the measured hot spot: the
-    // whole flagship dropped ~19 s → ~13 s steady at sf0.1 on swapping
-    // it (post-reboot host). Value-identical, so the brute-force
-    // oracle needs no change.
-    def minDistsFor(ids: DataFrame, bounded: Boolean): DataFrame = {
-      val docIds = ids.select("doc_id").distinct()
-      val pairIds = ids.select("query_id", "doc_id").distinct()
-      val pos = tdocs
-        .join(if (bounded) broadcast(docIds) else docIds, "doc_id")
-        .select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("pos", "token")))
-        .join(broadcast(qk), "token")
-        .join(if (bounded) broadcast(pairIds) else pairIds,
-          Seq("query_id", "doc_id"))
-      val w = Window.partitionBy(col("query_id"), col("doc_id"))
-        .orderBy(col("pos"))
-      pos
-        .withColumn("prev_pos", lag(col("pos"), 1).over(w))
-        .withColumn("prev_tok", lag(col("token"), 1).over(w))
-        .filter(col("prev_tok").isNotNull &&
-          col("token") =!= col("prev_tok"))
-        .groupBy("query_id", "doc_id")
-        .agg(min(col("pos") - col("prev_pos")).as("mindist"))
-    }
+    // positional phase: THE shared panel kernel
+    // ([[TextRetrievalOps.panelMinDists]] — linear adjacent-pair lag
+    // window; the equivalence proof and the bounded-broadcast contract
+    // live there), with the mined keyword table as the membership frame
+    // and no literal prune (terms are data-derived). The quadratic
+    // self-join this replaced was the measured hot spot here: θ prunes
+    // weakly on common-term queries (thousands of survivors — honest
+    // WAND behavior), and the swap took the flagship ~19 s → ~13 s
+    // steady at sf0.1, value-identical.
     def fullFor(c: DataFrame, bounded: Boolean): DataFrame =
-      c.join(minDistsFor(c, bounded), Seq("query_id", "doc_id"), "left")
+      c.join(TextOps.panelMinDists(tdocs, qk, Nil, c, bounded),
+          Seq("query_id", "doc_id"), "left")
         .select(col("query_id"), col("doc_id"),
           (col("bm25_milli") +
             coalesce(expr(s"${TextOps.ProxNumMilli} div (1 + mindist)"),
@@ -196,10 +168,12 @@ object RagFlagship {
     * bonus replays [[TextRetrievalOps]]'s; the MMR chain replays
     * [[Similarity]]'s — the composition is new, every ingredient is the
     * already-proven arithmetic. */
-  private def ragOracle: String = ragOracleFor(c => s"$c % 200 = 0")
+  private def ragOracle: String =
+    ragOracleFor(c => s"$c % ${Retrieval.QueryStride} = 0")
 
   private def ragOracleFixedQ: String = ragOracleFor(
-    c => s"$c % 200 = 0 AND $c < ${FixedPanelSize * 200L}")
+    c => s"$c % ${Retrieval.QueryStride} = 0" +
+      s" AND $c < ${Retrieval.FixedPanelSize * Retrieval.QueryStride}")
 
   private def ragOracleFor(qpred: String => String): String = {
     def log2m(x: String): String =

@@ -31,8 +31,16 @@ import graft.Tables
   */
 object Retrieval {
 
+  /** THE shared query-fixture constants — every-`QueryStride`-th
+    * document/vector is a "query", and the fixed-panel twins cap the
+    * panel at the first [[FixedPanelSize]] queries. One home
+    * ([[Similarity]] and [[RagFlagship]] reference these) so the
+    * "same fixture" claim across the `_fixedq` families cannot drift. */
+  private[ml] val QueryStride = 200L
+  private[ml] val FixedPanelSize = 64
+
   /** Query-document predicate — matches Similarity's ANN family. */
-  private def isQuery(id: Column): Column = id % 200 === 0
+  private[ml] def isQuery(id: Column): Column = id % QueryStride === 0
 
   /** RRF smoothing constant (K = 60, the value the original paper and
     * every production fusion default to). */

@@ -30,8 +30,9 @@ import graft.functions.ArrayOps
   */
 object Similarity {
 
-  /** Query-vector predicate: every 200th vector is a "query". */
-  private def isQuery(id: Column): Column = id % 200 === 0
+  /** Query-vector predicate: every 200th vector is a "query"
+    * ([[Retrieval.QueryStride]] — the shared fixture constant). */
+  private def isQuery(id: Column): Column = Retrieval.isQuery(id)
 
   /** Fixed-panel variant: the first [[FixedPanelSize]] query vectors only
     * (vec_id ∈ {0, 200, …, 12600}). The panel is CONSTANT as the corpus
@@ -40,9 +41,9 @@ object Similarity {
     * under co-scaling, the one near-quadratic row in the two-decade
     * bench matrix), while this panel keeps it panel × corpus — linear in
     * the corpus, the number a rollout dashboard can afford to watch. */
-  private val FixedPanelSize = 64
+  private val FixedPanelSize = Retrieval.FixedPanelSize
   private def isPanelQuery(id: Column): Column =
-    isQuery(id) && id < lit(FixedPanelSize * 200L)
+    isQuery(id) && id < lit(FixedPanelSize * Retrieval.QueryStride)
 
   private def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -759,17 +760,25 @@ object Similarity {
     * data at every checked scale — the un-drifted corpus is balanced
     * (append audit measures 1.1× fair share), so maintenance on it
     * would be a no-op row proving nothing. Oracle replays the clone
-    * union verbatim. */
+    * union verbatim.
+    *
+    * Clone ids start at `max(vec_id) + 1` — DATA-DERIVED (the synth
+    * scale-up's own id rule), never a constant: a fixed base sat below
+    * real ids at the 100x scale-up (max 199,999), which would both
+    * collide clone ids with real vectors (silently collapsed by the
+    * per-id argmax on BOTH engines) and desynchronize the oracle's
+    * base predicate from the Spark binding's base frame. */
   val IvfDriftClones = 400L
-  val IvfDriftIdBase = 100000L
 
   def ivfSplitMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val idBase = emb.agg((max(col("vec_id")) + 1L).as("id_base"))
     val anchor = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("aemb"))
     val drift = emb.filter(col("vec_id") < IvfDriftClones)
       .crossJoin(broadcast(anchor))
-      .select((col("vec_id") + IvfDriftIdBase).as("vec_id"),
+      .crossJoin(broadcast(idBase))
+      .select((col("vec_id") + col("id_base")).as("vec_id"),
         col("aemb").as("embedding"))
     ivfSplitMaintenanceOf(emb, drift)
   }
@@ -1767,11 +1776,13 @@ object Similarity {
     val driftSource =
       s"""(SELECT vec_id, embedding FROM embeddings
          |   UNION ALL
-         |   SELECT e.vec_id + $IvfDriftIdBase AS vec_id, a.embedding
+         |   SELECT e.vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+         |          a.embedding
          |   FROM embeddings e CROSS JOIN
          |     (SELECT embedding FROM embeddings WHERE vec_id = 0) a
          |   WHERE e.vec_id < $IvfDriftClones)""".stripMargin
-    ivfListsPrefix(id => s"$id < $IvfDriftIdBase", driftSource) + s""",
+    ivfListsPrefix(
+      id => s"$id <= (SELECT max(vec_id) FROM embeddings)", driftSource) + s""",
        |aa AS (
        |  SELECT vec_id, centroid_id, cdot, qv FROM (
        |    SELECT v.vec_id, c.centroid_id, v.qv,

@@ -203,6 +203,49 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
   // Batch (multi-query panel) form — production query serving
   // -------------------------------------------------------------------
 
+  /** THE shared panel positional kernel — the one implementation both
+    * the literal-panel form below and [[RagFlagship]]'s data-derived
+    * lexical arm call (a second copy of this kernel is how a tie-order
+    * or hinting fix forks one arm's semantics from the other's).
+    * Positions for a (query_id, doc_id) id set: explode positions once
+    * over the DISTINCT doc side, prune to `termPrune` when the caller
+    * has a literal term list (skips the membership join for non-terms),
+    * re-attach query membership through `qterms` (query_id, token),
+    * then the LINEAR adjacent-pair kernel: min distance over
+    * different-token occurrence pairs is always achieved by a pair
+    * adjacent in position-sorted order (between any different-token
+    * pair the token must change at some consecutive step, whose
+    * distance is ≤ the pair's), so one lag window per (query, doc)
+    * computes the pairwise min in O(p log p) — positions are unique per
+    * (query_id, doc_id, pos) since one token row joins ≤ 1 term of a
+    * query, so the lag order is total. `bounded` marks a ≤ k·|panel|
+    * θ-seed set (broadcast-hinted); a data-dependent survivor set is
+    * left to AQE. */
+  private[ml] def panelMinDists(tdocs: DataFrame, qterms: DataFrame,
+      termPrune: Seq[String], ids: DataFrame, bounded: Boolean): DataFrame = {
+    val docIds = ids.select("doc_id").distinct()
+    val pairIds = ids.select("query_id", "doc_id").distinct()
+    val exploded = tdocs
+      .join(if (bounded) broadcast(docIds) else docIds, "doc_id")
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "token")))
+    val pos = (if (termPrune.nonEmpty)
+        exploded.filter(col("token").isin(termPrune: _*))
+      else exploded)
+      .join(broadcast(qterms), "token")
+      .join(if (bounded) broadcast(pairIds) else pairIds,
+        Seq("query_id", "doc_id"))
+    val w = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos"))
+    pos
+      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
+      .withColumn("prev_tok", lag(col("token"), 1).over(w))
+      .filter(col("prev_tok").isNotNull &&
+        col("token") =!= col("prev_tok"))
+      .groupBy("query_id", "doc_id")
+      .agg(min(col("pos") - col("prev_pos")).as("mindist"))
+  }
+
   /** Batch two-phase retrieval for a PANEL of queries — the shape a
     * training-data miner actually runs (thousands of queries against
     * one corpus, not one at a time). One shared tokenized projection and
@@ -253,37 +296,9 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
           when(col("n_terms") >= 2, lit(ProxCapMilli)).otherwise(lit(0L)))
       .persist()
 
-    // positions for a (query_id, doc_id) set: explode positions once
-    // over the DISTINCT doc side, then re-attach query membership.
-    // `bounded` as in [[minDists]]: seeds (≤ k·|panel| rows) hint
-    // broadcast; the data-dependent survivor set is left to AQE.
-    // Same LINEAR adjacent-pair kernel as [[minDists]], per (query,
-    // doc) — a token shared by two of one query's terms cannot occur
-    // (one token row joins ≤ 1 term per query), so position rows are
-    // unique per (query_id, doc_id, pos) and the lag order is total.
-    def minDistsFor(ids: DataFrame, bounded: Boolean): DataFrame = {
-      val docIds = ids.select("doc_id").distinct()
-      val pairIds = ids.select("query_id", "doc_id").distinct()
-      val pos = tdocs
-        .join(if (bounded) broadcast(docIds) else docIds, "doc_id")
-        .select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("pos", "token")))
-        .filter(col("token").isin(allTerms: _*))
-        .join(broadcast(qterms), "token")
-        .join(if (bounded) broadcast(pairIds) else pairIds,
-          Seq("query_id", "doc_id"))
-      val w = Window.partitionBy(col("query_id"), col("doc_id"))
-        .orderBy(col("pos"))
-      pos
-        .withColumn("prev_pos", lag(col("pos"), 1).over(w))
-        .withColumn("prev_tok", lag(col("token"), 1).over(w))
-        .filter(col("prev_tok").isNotNull &&
-          col("token") =!= col("prev_tok"))
-        .groupBy("query_id", "doc_id")
-        .agg(min(col("pos") - col("prev_pos")).as("mindist"))
-    }
     def fullFor(c: DataFrame, bounded: Boolean): DataFrame =
-      c.join(minDistsFor(c, bounded), Seq("query_id", "doc_id"), "left")
+      c.join(panelMinDists(tdocs, qterms, allTerms, c, bounded),
+          Seq("query_id", "doc_id"), "left")
         .select(col("query_id"), col("doc_id"), col("n_terms"),
           col("bm25_milli"),
           coalesce(expr(s"$ProxNumMilli div (1 + mindist)"), lit(0L))

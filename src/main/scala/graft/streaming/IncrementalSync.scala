@@ -216,15 +216,28 @@ object IncrementalSync {
     * serialno < 1000, and a stable unique in-flight identity in every
     * case (the old id had already collapsed serialno mod 10³, so
     * nothing more is recoverable). Decodable rows land in
-    * `newStateDir/backlog/batch=N` under the old manifest frontier (so
-    * the next micro-batch's strictly-below read carries them exactly
-    * like any surviving backlog); garbled rows land in
+    * `newStateDir/backlog/batch=N`; garbled rows land in
     * `newStateDir/quarantine/batch=N` for operator review instead of
-    * silently re-entering the ladder. StateMigrationSpec proves a
-    * planted old-format dir resumes retries through [[retryBatch]]
-    * after migration. */
+    * silently re-entering the ladder.
+    *
+    * THE FRONTIER MUST SIT STRICTLY BELOW THE RESUMING STREAM'S FIRST
+    * batchId, or the migrated backlog is never read (retryBacklog reads
+    * strictly below) and is eventually clobbered by the stream's own
+    * partition overwrite when its batchIds catch up. Two deployment
+    * shapes, so the parking batch is explicit:
+    *  - resuming with the OLD checkpoint (batchIds continue above the
+    *    old frontier): omit `resumeFrom` — state parks at the old
+    *    manifest frontier, exactly where the stream left it;
+    *  - resuming with a FRESH checkpoint (batchIds restart at 0 — the
+    *    natural move after a breaking upgrade): pass
+    *    `resumeFrom = Some(firstBatchId)` (usually `Some(0L)`) — state
+    *    parks at `firstBatchId - 1` so the very first micro-batch
+    *    carries it.
+    * StateMigrationSpec proves a planted old-format dir resumes retries
+    * through [[retryBatch]] in BOTH shapes. */
   def migrateRetryState(spark: SparkSession, oldStateDir: String,
-                        newStateDir: String): Unit = {
+                        newStateDir: String,
+                        resumeFrom: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val mdir = new java.io.File(s"$oldStateDir/manifest")
@@ -233,6 +246,7 @@ object IncrementalSync {
       .agg(max(col("batch")).cast("long")).collect().head
     require(!latestRow.isNullAt(0), s"empty manifest under $oldStateDir")
     val latest = latestRow.getLong(0)
+    val parkAt = resumeFrom.map(_ - 1L).getOrElse(latest)
     val classified = classifyLegacyJobs(
       retryBacklog(spark, oldStateDir, below = Long.MaxValue)).persist()
     classified.filter(col("action") === "migrate")
@@ -240,12 +254,12 @@ object IncrementalSync {
         xxhash64(col("tenant_id"), col("case_ref"), col("serial_residue"))
           .as("job_id"),
         col("tenant_id"), col("case_ref"), col("priority"), col("attempts"))
-      .write.mode("overwrite").parquet(s"$newStateDir/backlog/batch=$latest")
+      .write.mode("overwrite").parquet(s"$newStateDir/backlog/batch=$parkAt")
     classified.filter(col("action") === "quarantine")
       .write.mode("overwrite")
-      .parquet(s"$newStateDir/quarantine/batch=$latest")
-    Seq(latest).toDF("done")
-      .write.mode("overwrite").parquet(s"$newStateDir/manifest/batch=$latest")
+      .parquet(s"$newStateDir/quarantine/batch=$parkAt")
+    Seq(parkAt).toDF("done")
+      .write.mode("overwrite").parquet(s"$newStateDir/manifest/batch=$parkAt")
     classified.unpersist()
     ()
   }

@@ -41,7 +41,9 @@ class RagServingSpec extends SparkSpec {
     (4L, unit(2)),
     (5L, unit(3, 2f))).toDF("vec_id", "embedding")
 
-  private def served = RagFlagship.ragServeOf(docs, embs).collect()
+  // lazy val: the five-stage pipeline runs ONCE for the three tests
+  // that read it (a def re-built and re-collected it per test)
+  private lazy val served = RagFlagship.ragServeOf(docs, embs).collect()
     .map(r => (r.getAs[Int]("sel_rank"), r.getAs[Long]("doc_id"),
       r.getAs[Long]("rrf_milli"), r.getAs[Long]("mmr")))
     .sortBy(_._1)

@@ -82,6 +82,31 @@ class StateMigrationSpec extends SparkSpec {
       "job C dead-letters at the cap")
   }
 
+  test("fresh-checkpoint resume: migrating with resumeFrom=0 parks the " +
+      "state below batch 0, and the FIRST micro-batch carries it") {
+    // after a breaking upgrade the natural deployment starts a new
+    // checkpoint, so batchIds restart at 0 — without the explicit
+    // parking batch the migrated backlog would sit at the OLD frontier,
+    // never be read (strictly-below rule), and eventually be clobbered
+    // by the stream's own partition overwrite
+    val old = plantOldState()
+    val nu = java.nio.file.Files.createTempDirectory("graft-mig-new3").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-mig-out3").toString
+    IncrementalSync.migrateRetryState(spark, old, nu, resumeFrom = Some(0L))
+    IncrementalSync.retryBatch(Seq.empty[Job].toDF(), batchId = 0L,
+      stateDir = nu, outDir = out, succeeds = col("case_ref") === 1L)
+    val ok = spark.read.parquet(s"$out/succeeded/batch=0")
+      .collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(mintId(2, 1, 7)),
+      "carried job A completes in the very first batch")
+    val retried = IncrementalSync.retryBacklog(spark, nu, below = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(retried == Map(mintId(3, 2, 9) -> ((3, 2))))
+    val dead = spark.read.parquet(s"$out/dead/batch=0")
+      .collect().map(_.getLong(0))
+    assert(dead.toSeq == Seq(mintId(1, 2, 0)))
+  }
+
   test("classifyLegacyJobs decode: residue recovers serial mod 1000 for " +
       "every honest encode, any case_ref") {
     // case_ref >= 1000 bled into the tenant stride under the OLD
