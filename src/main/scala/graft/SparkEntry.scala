@@ -29,7 +29,8 @@ object SparkEntry {
       graft.pipeline.Enricher.queries ++ graft.operators.Temporal.queries ++
       graft.operators.Graph.queries ++ graft.operators.Layout.queries ++
       graft.streaming.IncrementalSync.queries ++
-      graft.pipeline.Lineage.queries ++ graft.plans.DataQuality.queries
+      graft.pipeline.Lineage.queries ++ graft.pipeline.Takedown.queries ++
+      graft.plans.DataQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.pipeline.Enricher.oracles ++ graft.operators.Temporal.oracles ++
       graft.operators.Graph.oracles ++ graft.operators.Layout.oracles ++
       graft.streaming.IncrementalSync.oracles ++
-      graft.pipeline.Lineage.oracles ++ graft.plans.DataQuality.oracles
+      graft.pipeline.Lineage.oracles ++ graft.pipeline.Takedown.oracles ++
+      graft.plans.DataQuality.oracles
 }

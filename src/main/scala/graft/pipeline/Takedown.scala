@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Dedup, TextOps}
+
+/** Right-to-be-forgotten (takedown) propagation — the governance twin of
+  * [[Lineage.curationFlagshipOf]]. A production corpus at 100 TB receives
+  * revocation lists continuously (opt-outs, DMCA, license pulls); the
+  * naive response re-runs the whole curation pipeline, the correct one
+  * recomputes ONLY the derived artifacts a revoked document actually
+  * touches. The reference handles per-case deletion imperatively
+  * (etl/flows/process_case.py clears one case's Redis vectors per call);
+  * this is the set-at-once relational form over the curation state.
+  *
+  * Revoked set: `doc_id % 131 == 5` — the deterministic stand-in for the
+  * uploaded revocation list (~0.8% of the corpus, the realistic monthly
+  * opt-out sliver). Downstream artifacts touched by a revocation:
+  *
+  *  - EXACT-DEDUP CLUSTERS: a revoked non-representative member changes
+  *    nothing (the representative's text stays published); a revoked
+  *    REPRESENTATIVE forces a re-election (the min-id non-revoked member
+  *    takes over) or, when every member is revoked, drops the cluster.
+  *  - PACKED SHARDS: the curation flagship places each representative in
+  *    a (split, shard) packing partition keyed on its doc_id. A dropped
+  *    cluster removes a row from its shard; a re-elected one MOVES the
+  *    cluster — the new representative's doc_id lands in a (possibly)
+  *    different split and shard. Either way the shard's packed bins
+  *    shift, so every touched shard must be rebuilt — and only those.
+  *
+  * Scale shape, stage by stage:
+  *  1. One groupBy(md5(text)) carries a DUAL argmin — min(struct(doc_id))
+  *     is the OLD representative, min(struct(revoked, doc_id)) the NEW
+  *     one — so election and re-election ride the flagship's existing
+  *     dedup shuffle; zero extra passes over the corpus to find
+  *     successors (both aggregates are map-side combinable).
+  *  2. Everything after the aggregate filters to SURVIVOR-IMPACTING
+  *     clusters first (old representative revoked), so the
+  *     decontamination join and the shard-event union are
+  *     O(|revoked clusters|), not O(corpus).
+  *  3. The manifest is bounded by |splits| x |shards| rows — only DIRTY
+  *     shards appear; absent shards need no rebuild. A trainer's data
+  *     loader consumes exactly this list.
+  *
+  * The decontamination membership test (text-pure, so a cluster is
+  * contaminated iff its representative is) is recomputed here for
+  * self-containment; a deployed pipeline joins the PERSISTED flagship
+  * manifest instead, making the whole takedown O(|revoked| + |MV|).
+  * Every step is integer-exact, so both queries replay in DuckDB.
+  */
+object Takedown {
+
+  /** Revocation predicate parameters (the stand-in revocation list). */
+  val RevokeMod = 131L
+  val RevokeRem = 5L
+
+  /** Packing shard count — must match [[Lineage.curationFlagshipOf]]. */
+  val Shards = 8
+
+  private def revoked(id: Column): Column = id % RevokeMod === RevokeRem
+
+  /** Split assignment of a representative id — the flagship's rule. */
+  private def splitOf(id: Column): Column = {
+    val b = graft.expr.Exprs.serialOf(id) % 100
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** Corpus-side gate — identical thresholds to the curation flagship
+    * (the takedown operates on the same gated corpus state). */
+  private def gatedOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_len"))
+      .filter(col("n_toks") >= 10 &&
+        col("sum_len") >= col("n_toks") * 3 &&
+        col("sum_len") <= col("n_toks") * 10)
+
+  /** Per-cluster dual argmin: old representative (min doc_id), new
+    * representative (min doc_id among non-revoked members, NULL when the
+    * whole cluster is revoked), plus membership counts. `n_toks` is a
+    * cluster constant (exact dedup — identical text), so min() is just
+    * "the" value. ONE shuffle; both argmins combine map-side. */
+  private[graft] def clustersOf(docs: DataFrame): DataFrame = {
+    val rv = when(revoked(col("doc_id")), 1L).otherwise(0L)
+    gatedOf(docs)
+      .select(md5(col("text")).as("h"), col("doc_id"), col("n_toks"),
+        rv.as("rv"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("n_toks"))).as("om"),
+        min(struct(col("rv"), col("doc_id"))).as("nm"),
+        sum(col("rv")).as("n_rv"), count(lit(1)).as("n_mem"))
+      .select(col("om.doc_id").as("old_id"), col("om.n_toks").as("n_toks"),
+        when(col("nm.rv") === 0, col("nm.doc_id")).as("new_id"),
+        col("n_rv"), col("n_mem"))
+  }
+
+  /** Survivor-impacting clusters that actually live in the packed shards:
+    * old representative revoked, cluster not decontaminated away. The
+    * revocation filter comes FIRST so the contamination anti-join runs on
+    * the revoked sliver only. */
+  private def impactedOf(docs: DataFrame): DataFrame = {
+    val touched = clustersOf(docs).filter(revoked(col("old_id")))
+    val cont = Dedup.trainContaminationOf(docs)
+      .select(col("doc_id").as("old_id"))
+    touched.join(cont, Seq("old_id"), "left_anti")
+  }
+
+  /** Shard events: one OUT row at the old location per impacted cluster;
+    * one IN row at the new location when a successor exists. */
+  private def eventsOf(impacted: DataFrame): DataFrame = {
+    val out = impacted.select(
+      splitOf(col("old_id")).as("split"),
+      (col("old_id") % Shards).as("shard"),
+      lit(1L).as("n_out"),
+      when(col("new_id").isNull, 1L).otherwise(0L).as("n_dropped"),
+      lit(0L).as("n_in"),
+      col("n_toks").as("tok_out"), lit(0L).as("tok_in"))
+    val in = impacted.filter(col("new_id").isNotNull).select(
+      splitOf(col("new_id")).as("split"),
+      (col("new_id") % Shards).as("shard"),
+      lit(0L).as("n_out"), lit(0L).as("n_dropped"), lit(1L).as("n_in"),
+      lit(0L).as("tok_out"), col("n_toks").as("tok_in"))
+    out.unionByName(in)
+  }
+
+  /** The rebuild manifest: per dirty (split, shard) — representatives
+    * leaving (n_out: dropped or moved away), clusters dropped outright,
+    * representatives arriving (n_in), and the token flow. Shards absent
+    * from the output are untouched and keep their packed bins. */
+  def manifestOf(docs: DataFrame): DataFrame =
+    eventsOf(impactedOf(docs))
+      .groupBy("split", "shard")
+      .agg(sum(col("n_out")).as("n_out"),
+        sum(col("n_dropped")).as("n_dropped"),
+        sum(col("n_in")).as("n_in"),
+        sum(col("tok_out")).as("tok_out"),
+        sum(col("tok_in")).as("tok_in"))
+      .withColumn("tok_delta", col("tok_in") - col("tok_out"))
+
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(graft.Tables.documents(spark, dir))
+
+  /** One-row takedown audit — the numbers a governance report carries:
+    * how many gated documents the revocation list hits, how many clusters
+    * it touches at all, how many lose their REPRESENTATIVE (the only ones
+    * whose artifacts change), dropped vs re-elected, how many re-elections
+    * actually RELOCATE the cluster to a different (split, shard), and how
+    * many packing partitions must rebuild. The cluster frame is persisted
+    * once and read by both the totals and the impact arms. */
+  def auditOf(docs: DataFrame): DataFrame = {
+    val clusters = clustersOf(docs).persist()
+    val totals = clusters.agg(
+      coalesce(sum(col("n_rv")), lit(0L)).as("n_revoked_docs"),
+      coalesce(sum(when(col("n_rv") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_clusters_touched"))
+    val cont = Dedup.trainContaminationOf(docs)
+      .select(col("doc_id").as("old_id"))
+    val impacted = clusters.filter(revoked(col("old_id")))
+      .join(cont, Seq("old_id"), "left_anti").persist()
+    val moved = col("new_id").isNotNull &&
+      (splitOf(col("new_id")) =!= splitOf(col("old_id")) ||
+        col("new_id") % Shards =!= col("old_id") % Shards)
+    val impact = impacted.agg(
+      count(lit(1)).as("n_survivor_hits"),
+      coalesce(sum(when(col("new_id").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_clusters_dropped"),
+      coalesce(sum(when(col("new_id").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_reelected"),
+      coalesce(sum(when(moved, 1L).otherwise(0L)), lit(0L))
+        .as("n_relocated"))
+    val dirty = eventsOf(impacted).agg(
+      countDistinct(struct(col("split"), col("shard")))
+        .as("n_shards_dirty"))
+    totals.crossJoin(broadcast(impact)).crossJoin(broadcast(dirty))
+  }
+
+  def audit(spark: SparkSession, dir: String): DataFrame =
+    auditOf(graft.Tables.documents(spark, dir))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "takedown_manifest" -> ((s, d) => manifest(s, d)),
+    "takedown_audit" -> ((s, d) => audit(s, d)))
+
+  /** Shared oracle CTE chain: contamination (the flagship's ev/sz/cont),
+    * gate, dual-argmin clusters (`cl`), survivor-impacting clean set
+    * (`cln`), shard events (`evt`). */
+  private def takedownCtes: String =
+    s"""${Dedup.shingleCte},
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh
+       |       WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+       |cont AS (
+       |  SELECT sh.doc_id
+       |  FROM sh JOIN ev ON sh.s = ev.s JOIN sz ON sz.doc_id = sh.doc_id
+       |  GROUP BY sh.doc_id, sz.n_sh
+       |  HAVING 2 * count(*) >= sz.n_sh),
+       |tk AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |st AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(toks) AS BIGINT) AS n_toks,
+       |         CAST(coalesce(list_aggregate(
+       |           list_transform(toks, x -> len(x)), 'sum'), 0)
+       |           AS BIGINT) AS sum_len
+       |  FROM tk),
+       |g AS (
+       |  SELECT * FROM st
+       |  WHERE n_toks >= 10 AND sum_len >= 3 * n_toks
+       |    AND sum_len <= 10 * n_toks),
+       |cl AS (
+       |  SELECT md5(text) AS h,
+       |         min(doc_id) AS old_id,
+       |         min(CASE WHEN doc_id % $RevokeMod = $RevokeRem THEN NULL
+       |                  ELSE doc_id END) AS new_id,
+       |         CAST(sum(CASE WHEN doc_id % $RevokeMod = $RevokeRem
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rv,
+       |         CAST(count(*) AS BIGINT) AS n_mem,
+       |         min(n_toks) AS n_toks
+       |  FROM g GROUP BY 1),
+       |cln AS (
+       |  SELECT * FROM cl
+       |  WHERE old_id % $RevokeMod = $RevokeRem
+       |    AND old_id NOT IN (SELECT doc_id FROM cont)),
+       |evt AS (
+       |  SELECT CASE WHEN (old_id * 48271) % 100000 % 100 < 80 THEN 'train'
+       |              WHEN (old_id * 48271) % 100000 % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         old_id % $Shards AS shard,
+       |         1 AS n_out,
+       |         CASE WHEN new_id IS NULL THEN 1 ELSE 0 END AS n_dropped,
+       |         0 AS n_in, n_toks AS tok_out, 0 AS tok_in
+       |  FROM cln
+       |  UNION ALL
+       |  SELECT CASE WHEN (new_id * 48271) % 100000 % 100 < 80 THEN 'train'
+       |              WHEN (new_id * 48271) % 100000 % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         new_id % $Shards AS shard,
+       |         0, 0, 1, 0, n_toks
+       |  FROM cln WHERE new_id IS NOT NULL)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "takedown_manifest" ->
+      s"""$takedownCtes
+         |SELECT split, CAST(shard AS BIGINT) AS shard,
+         |       CAST(sum(n_out) AS BIGINT) AS n_out,
+         |       CAST(sum(n_dropped) AS BIGINT) AS n_dropped,
+         |       CAST(sum(n_in) AS BIGINT) AS n_in,
+         |       CAST(sum(tok_out) AS BIGINT) AS tok_out,
+         |       CAST(sum(tok_in) AS BIGINT) AS tok_in,
+         |       CAST(sum(tok_in) - sum(tok_out) AS BIGINT) AS tok_delta
+         |FROM evt GROUP BY 1, 2""".stripMargin,
+    "takedown_audit" ->
+      s"""$takedownCtes,
+         |tot AS (
+         |  SELECT CAST(coalesce(sum(n_rv), 0) AS BIGINT) AS n_revoked_docs,
+         |         CAST(coalesce(sum(CASE WHEN n_rv > 0 THEN 1 ELSE 0 END), 0)
+         |           AS BIGINT) AS n_clusters_touched
+         |  FROM cl),
+         |imp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_survivor_hits,
+         |         CAST(coalesce(sum(CASE WHEN new_id IS NULL THEN 1 ELSE 0 END),
+         |           0) AS BIGINT) AS n_clusters_dropped,
+         |         CAST(coalesce(sum(CASE WHEN new_id IS NOT NULL THEN 1 ELSE 0
+         |           END), 0) AS BIGINT) AS n_reelected,
+         |         CAST(coalesce(sum(CASE WHEN new_id IS NOT NULL AND (
+         |             new_id % $Shards <> old_id % $Shards OR
+         |             (CASE WHEN (new_id * 48271) % 100000 % 100 < 80 THEN 'train'
+         |                   WHEN (new_id * 48271) % 100000 % 100 < 90 THEN 'val'
+         |                   ELSE 'test' END) <>
+         |             (CASE WHEN (old_id * 48271) % 100000 % 100 < 80 THEN 'train'
+         |                   WHEN (old_id * 48271) % 100000 % 100 < 90 THEN 'val'
+         |                   ELSE 'test' END)) THEN 1 ELSE 0 END), 0)
+         |           AS BIGINT) AS n_relocated
+         |  FROM cln),
+         |dq AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_shards_dirty
+         |  FROM (SELECT DISTINCT split, shard FROM evt))
+         |SELECT * FROM tot CROSS JOIN imp CROSS JOIN dq""".stripMargin)
+}
