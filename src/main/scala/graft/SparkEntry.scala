@@ -19,7 +19,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReconcileQueries.queries ++ DashboardQueries.queries ++
+    ReconcileQueries.queries ++ graft.sync.Ivm.queries ++
+      DashboardQueries.queries ++
       graft.expr.ExprQueries.queries ++ graft.pipeline.CaseDocs.queries ++
       graft.ml.TextOps.queries ++ graft.ml.Dedup.queries ++
       graft.ml.Similarity.queries ++ graft.ml.Retrieval.queries ++
@@ -35,7 +36,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReconcileQueries.oracles ++ DashboardQueries.oracles ++
+    ReconcileQueries.oracles ++ graft.sync.Ivm.oracles ++
+      DashboardQueries.oracles ++
       graft.expr.ExprQueries.oracles ++ graft.pipeline.CaseDocs.oracles ++
       graft.ml.TextOps.oracles ++ graft.ml.Dedup.oracles ++
       graft.ml.Similarity.oracles ++ graft.ml.Retrieval.oracles ++
