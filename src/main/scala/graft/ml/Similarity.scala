@@ -784,6 +784,61 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Index takedown: tombstone vs compact under a revocation list
+  // -------------------------------------------------------------------
+
+  /** Revocation predicate — the SAME list the document-side
+    * [[graft.pipeline.Takedown]] propagates (vec_id % 131 == 5; a spec
+    * pins the constants equal), so one governance event drives both the
+    * corpus and the index maintenance. */
+  val TakedownMod = 131L
+  val TakedownRem = 5L
+
+  /** Compaction trigger: rewrite a list when revoked rows are >= 1/8 of
+    * it — below that, tombstones (skip-at-read markers) cost less than
+    * the rewrite; above it, the read-side waste compounds every query. */
+  val TakedownCompactDenom = 8L
+
+  /** Index-side takedown audit — the tombstone-vs-compact decision a
+    * vector index makes per inverted list when a revocation list lands:
+    * lists barely touched keep tombstones (delete markers the scanner
+    * skips — O(1) per revocation), lists past the 1/8 waste threshold
+    * are rewritten (compaction cost proportional to the LIST, never the
+    * corpus). One row: totals, lists hit, the compact/tombstone split,
+    * tombstones left resident vs rows reclaimed, and the largest live
+    * list after deletion. One full-corpus assignment (the index build's
+    * own pass), one bounded per-list aggregate — the decision adds
+    * nothing beyond a flag fold to the existing build shape. */
+  def ivfTakedownAuditOf(vectors: DataFrame): DataFrame = {
+    val v = graft.scale.Scale.spread(
+      vectors.select(col("vec_id"), Dedup.quantized(col("embedding")).as("q")))
+      .persist()
+    val cents = trainedCentroids(v).persist()
+    val pl = assignTo(v, cents, probes = 1)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("vec_id") % TakedownMod === TakedownRem, 1L)
+          .otherwise(0L)).as("r"))
+    val compact = col("r") > 0 &&
+      col("r") * TakedownCompactDenom >= col("m")
+    val tombstone = col("r") > 0 &&
+      col("r") * TakedownCompactDenom < col("m")
+    pl.agg(
+      sum(col("m")).as("n_total"),
+      sum(col("r")).as("n_revoked"),
+      count(lit(1)).as("n_lists"),
+      sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_lists_hit"),
+      sum(when(compact, 1L).otherwise(0L)).as("n_lists_compact"),
+      sum(when(tombstone, 1L).otherwise(0L)).as("n_lists_tombstone"),
+      sum(when(tombstone, col("r")).otherwise(0L)).as("n_tombstones_kept"),
+      sum(when(compact, col("r")).otherwise(0L)).as("n_reclaimed"),
+      max(col("m") - col("r")).as("max_live_list"))
+  }
+
+  def ivfTakedownAudit(spark: SparkSession, dir: String): DataFrame =
+    ivfTakedownAuditOf(Tables.embeddings(spark, dir))
+
+  // -------------------------------------------------------------------
   // SemDeDup-style semantic prune: cluster, then near-dup within cluster
   // -------------------------------------------------------------------
 
@@ -1422,6 +1477,7 @@ object Similarity {
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
     "sim_ivf_append_audit" -> ((s, d) => ivfAppendAudit(s, d)),
     "sim_ivf_split_maintenance" -> ((s, d) => ivfSplitMaintenance(s, d)),
+    "sim_ivf_takedown_audit" -> ((s, d) => ivfTakedownAudit(s, d)),
     "sim_topk_mmr" -> ((s, d) => mmrTopK(s, d)),
     "dedup_semantic_prune" -> ((s, d) => semanticPrune(s, d)),
     "emb_label_outliers" -> ((s, d) => labelOutliers(s, d)),
@@ -1876,6 +1932,32 @@ object Similarity {
        |       vec_id, dot, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Oracle for [[ivfTakedownAudit]]: the shared full-corpus prefix,
+    * per-list member/revoked counts, and the same 1/8 compaction
+    * threshold — every verdict a pure integer fold over `lists`. */
+  private def ivfTakedownOracle: String =
+    ivfListsPrefix() + s""",
+       |pl AS (
+       |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(CASE WHEN vec_id % $TakedownMod = $TakedownRem
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS r
+       |  FROM lists GROUP BY 1)
+       |SELECT CAST(sum(m) AS BIGINT) AS n_total,
+       |       CAST(sum(r) AS BIGINT) AS n_revoked,
+       |       CAST(count(*) AS BIGINT) AS n_lists,
+       |       CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_lists_hit,
+       |       CAST(sum(CASE WHEN r > 0 AND r * $TakedownCompactDenom >= m
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lists_compact,
+       |       CAST(sum(CASE WHEN r > 0 AND r * $TakedownCompactDenom < m
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lists_tombstone,
+       |       CAST(sum(CASE WHEN r > 0 AND r * $TakedownCompactDenom < m
+       |                     THEN r ELSE 0 END) AS BIGINT) AS n_tombstones_kept,
+       |       CAST(sum(CASE WHEN r > 0 AND r * $TakedownCompactDenom >= m
+       |                     THEN r ELSE 0 END) AS BIGINT) AS n_reclaimed,
+       |       CAST(max(m - r) AS BIGINT) AS max_live_list
+       |FROM pl""".stripMargin
+
   private def ivfOracle: String = ivfOracleFor(defaultQPred)
 
   private def ivfOracleFor(qpred: String => String): String =
@@ -2111,6 +2193,7 @@ object Similarity {
     "sim_topk_ivf" -> ivfOracle,
     "sim_ivf_append_audit" -> ivfAppendOracle,
     "sim_ivf_split_maintenance" -> ivfSplitOracle,
+    "sim_ivf_takedown_audit" -> ivfTakedownOracle,
     "sim_topk_mmr" -> mmrOracle,
     "dedup_semantic_prune" -> semanticPruneOracle,
     "emb_norm_stats" ->
