@@ -181,11 +181,65 @@ object Takedown {
   def audit(spark: SparkSession, dir: String): DataFrame =
     auditOf(graft.Tables.documents(spark, dir))
 
+  /** Packing budget — must match [[Lineage.curationFlagshipOf]]. */
+  val PackBudget = 2048L
+
+  /** The ACT to the manifest's decision (the pattern
+    * [[graft.ml.Similarity.ivfSplitListsOf]] sets for the index family):
+    * re-pack ONLY the dirty shards. Post-takedown representative = the
+    * dual argmin's `new_id` for EVERY cluster (untouched clusters
+    * re-elect themselves: their min member is non-revoked), so one
+    * aggregate yields both the dirty-shard list and the repaired
+    * content. The repack window partitions by (split, shard) and the
+    * dirty semi-join (broadcast — the dirty list is bounded by
+    * |splits|·|shards|) prunes untouched shards BEFORE the window, so
+    * the repair cost is proportional to the dirty shards' content, not
+    * the corpus. Output: the post-takedown packing manifest per dirty
+    * (split, shard); a dirty shard whose content vanished produces no
+    * row (the shard file is deleted, not rewritten).
+    *
+    * TakedownRepackSpec proves the incremental-repair theorem this rests
+    * on: this output equals a FULL curation-flagship rebuild on the
+    * revocation-filtered corpus restricted to dirty shards, and the
+    * rebuild is bit-identical to the original manifest on every clean
+    * shard — the dirty set is complete. */
+  def repackOf(docs: DataFrame): DataFrame = {
+    val clusters = clustersOf(docs).persist()
+    val cont = Dedup.trainContaminationOf(docs).select("doc_id").persist()
+    val impacted = clusters.filter(revoked(col("old_id")))
+      .join(cont.withColumnRenamed("doc_id", "old_id"), Seq("old_id"),
+        "left_anti")
+    val dirty = eventsOf(impacted).select("split", "shard").distinct()
+    val post = clusters.filter(col("new_id").isNotNull)
+      .join(cont.withColumnRenamed("doc_id", "new_id"), Seq("new_id"),
+        "left_anti")
+      .select(col("new_id").as("doc_id"), col("n_toks"))
+    val assigned = post
+      .select(col("doc_id"), col("n_toks"),
+        splitOf(col("doc_id")).as("split"),
+        (col("doc_id") % Shards).as("shard"))
+      .join(broadcast(dirty), Seq("split", "shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+    assigned
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("split"), col("shard"), col("n_toks"),
+        ((col("cum") - col("n_toks")) / lit(PackBudget)).cast("long")
+          .as("bin"))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+  }
+
+  def repack(spark: SparkSession, dir: String): DataFrame =
+    repackOf(graft.Tables.documents(spark, dir))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "takedown_manifest" -> ((s, d) => manifest(s, d)),
-    "takedown_audit" -> ((s, d) => audit(s, d)))
+    "takedown_audit" -> ((s, d) => audit(s, d)),
+    "takedown_repack" -> ((s, d) => repack(s, d)))
 
   /** Shared oracle CTE chain: contamination (the flagship's ev/sz/cont),
     * gate, dual-argmin clusters (`cl`), survivor-impacting clean set
@@ -283,5 +337,31 @@ object Takedown {
          |dq AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_shards_dirty
          |  FROM (SELECT DISTINCT split, shard FROM evt))
-         |SELECT * FROM tot CROSS JOIN imp CROSS JOIN dq""".stripMargin)
+         |SELECT * FROM tot CROSS JOIN imp CROSS JOIN dq""".stripMargin,
+    "takedown_repack" ->
+      s"""$takedownCtes,
+         |dirty AS (SELECT DISTINCT split, shard FROM evt),
+         |post AS (
+         |  SELECT new_id AS doc_id, n_toks FROM cl
+         |  WHERE new_id IS NOT NULL
+         |    AND new_id NOT IN (SELECT doc_id FROM cont)),
+         |asg AS (
+         |  SELECT doc_id, n_toks,
+         |         CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'
+         |              WHEN (doc_id * 48271) % 100000 % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         doc_id % $Shards AS shard
+         |  FROM post),
+         |da AS (SELECT asg.* FROM asg JOIN dirty USING (split, shard)),
+         |cm AS (
+         |  SELECT split, shard, n_toks,
+         |         sum(n_toks) OVER (PARTITION BY split, shard
+         |                           ORDER BY doc_id) AS cum
+         |  FROM da)
+         |SELECT split, CAST(shard AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(max((cum - n_toks) // $PackBudget) + 1 AS BIGINT)
+         |         AS n_bins
+         |FROM cm GROUP BY 1, 2""".stripMargin)
 }

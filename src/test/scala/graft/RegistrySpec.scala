@@ -51,6 +51,7 @@ class RegistrySpec extends SparkSpec {
       graft.pipeline.Enricher.queries, graft.operators.Temporal.queries,
       graft.operators.Graph.queries, graft.operators.Layout.queries,
       graft.streaming.IncrementalSync.queries, graft.pipeline.Lineage.queries,
+      graft.pipeline.Takedown.queries, graft.sync.Ivm.queries,
       graft.plans.DataQuality.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
