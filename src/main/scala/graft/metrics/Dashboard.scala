@@ -968,15 +968,23 @@ object Dashboard {
   val CmsDepth = 3
   val CmsWidth = 64
 
+  /** The a15d sketch's hash family, shared so other consumers (the IVM
+    * cell-merge refresh) provably sketch into the SAME grid. */
+  private[graft] val CmsP = 1000000007L
+  private[graft] val CmsA = Seq(1315423911L, 2654435761L, 97787L)
+  private[graft] val CmsB = Seq(31L, 151L, 997L)
+
+  /** (depth, bucket) pairs of `key` in the a15d grid, as an array ready
+    * to explode — one definition for every CMS consumer. */
+  private[graft] def cmsBuckets(key: Column): Column = {
+    val g = ((key % CmsP) + CmsP) % CmsP // non-negative residue
+    array((0 until CmsDepth).map(d => struct(lit(d).as("depth"),
+      (((g * CmsA(d)) % CmsP + CmsB(d)) % CmsP % CmsWidth).as("bucket"))): _*)
+  }
+
   def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
-    val P = 1000000007L
-    val A = Seq(1315423911L, 2654435761L, 97787L)
-    val B = Seq(31L, 151L, 997L)
-    val g = ((col("user_id") % P) + P) % P // non-negative residue
-    def bucket(d: Int): Column = ((g * A(d)) % P + B(d)) % P % CmsWidth
     val withBuckets = Tables.events(spark, dir)
-      .select(col("user_id"), explode(array((0 until CmsDepth).map(d =>
-        struct(lit(d).as("depth"), bucket(d).as("bucket"))): _*)).as("e"))
+      .select(col("user_id"), explode(cmsBuckets(col("user_id"))).as("e"))
       .select(col("user_id"), col("e.depth").as("depth"),
         col("e.bucket").as("bucket"))
     val cells = withBuckets

@@ -147,11 +147,38 @@ object Ivm {
       .crossJoin(broadcast(after)).crossJoin(broadcast(vanished))
   }
 
+  /** Sketches are LINEAR, so they refresh exactly like count/sum: fold
+    * the signed changelog into the a15d count-min grid (same hash
+    * family via [[graft.metrics.Dashboard.cmsBuckets]]) — no fact
+    * rescan, cells-sized join inputs, cells drained to zero drop out.
+    * The oracle rebuilds the grid from the post-changelog state, so the
+    * hash match is the linearity proof: CMS(base) ⊕ CMS(changelog) ==
+    * CMS(new state), cell for cell. Same-key update pairs cancel in the
+    * key sketch before they ever reach it. */
+  def cmsMergeRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.metrics.Dashboard
+    val orders = graft.Tables.orders(spark, dir)
+    val baseCells = orders.filter(col("o_orderkey") % 13 =!= 0)
+      .select(explode(Dashboard.cmsBuckets(col("o_custkey"))).as("e"))
+      .groupBy(col("e.depth").as("depth"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val deltaCells = changelogOf(orders)
+      .select(col("sign"), explode(Dashboard.cmsBuckets(col("k"))).as("e"))
+      .groupBy(col("e.depth").as("depth"), col("e.bucket").as("bucket"))
+      .agg(sum(col("sign")).as("dcnt"))
+    baseCells.join(deltaCells, Seq("depth", "bucket"), "full_outer")
+      .select(col("depth").cast("long").as("depth"), col("bucket"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+          .as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "ivm_merge_refresh" -> ((s, d) => mergeRefresh(s, d)),
     "ivm_touched_minmax" -> ((s, d) => touchedMinMax(s, d)),
+    "ivm_cms_merge" -> ((s, d) => cmsMergeRefresh(s, d)),
     "ivm_audit" -> ((s, d) => audit(s, d)))
 
   /** Post-changelog state in SQL — the oracle recomputes from here with
@@ -215,5 +242,24 @@ object Ivm {
          |vc AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_vanished
          |       FROM bk WHERE k NOT IN (SELECT k FROM nk))
          |SELECT * FROM cc CROSS JOIN tk CROSS JOIN bc
-         |CROSS JOIN ac CROSS JOIN vc""".stripMargin)
+         |CROSS JOIN ac CROSS JOIN vc""".stripMargin,
+    // the a15d hash family verbatim (Dashboard.cmsBuckets), rebuilt from
+    // the post-changelog state — zero merge algebra on this side
+    "ivm_cms_merge" ->
+      s"""$newStateCte,
+         |g AS (SELECT ((k % 1000000007) + 1000000007) % 1000000007 AS gv
+         |      FROM ns),
+         |b AS (
+         |  SELECT d.d AS depth,
+         |         CASE d.d
+         |           WHEN 0 THEN (gv * 1315423911 % 1000000007 + 31)
+         |                       % 1000000007 % 64
+         |           WHEN 1 THEN (gv * 2654435761 % 1000000007 + 151)
+         |                       % 1000000007 % 64
+         |           ELSE (gv * 97787 % 1000000007 + 997) % 1000000007 % 64
+         |         END AS bucket
+         |  FROM g CROSS JOIN (VALUES (0), (1), (2)) d(d))
+         |SELECT CAST(depth AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM b GROUP BY 1, 2""".stripMargin)
 }

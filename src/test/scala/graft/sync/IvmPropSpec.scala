@@ -75,6 +75,23 @@ class IvmPropSpec extends SparkSpec {
     assert(Ivm.mergeOf(baseMv, wipe.toDF("k", "sign", "v")).count() == 0)
   }
 
+  test("CMS cell merge equals a grid rebuild from the new state") {
+    import org.apache.spark.sql.functions._
+    val merged = Ivm.cmsMergeRefresh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("depth"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val rebuilt = Ivm.newStateOf(graft.Tables.orders(spark, sf))
+      .select(explode(graft.metrics.Dashboard.cmsBuckets(col("k"))).as("e"))
+      .groupBy(col("e.depth").cast("long").as("depth"),
+        col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getAs[Long]("depth"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(merged == rebuilt)
+    assert(merged.nonEmpty)
+  }
+
   test("registered fixture: merge output never rescans post-changelog " +
     "facts yet matches their recompute") {
     val merged = Ivm.mergeRefresh(spark, sf).collect()
