@@ -1,7 +1,15 @@
 package graft.sync
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A signed changelog row: +1 insert, -1 delete (updates are a pair). */
+case class MvDelta(k: Long, sign: Long, v: Long)
+
+/** A live MV row emitted by the streaming maintainer; n == 0 is the
+  * deletion tombstone a sink uses to drop the key. */
+case class MvLive(k: Long, n: Long, s: Long)
 
 /** Incremental view maintenance (IVM) — the batch twin of the streaming
   * watermark sync: keep a materialized aggregate current by merging a
@@ -145,6 +153,26 @@ object Ivm {
       .agg(count(lit(1)).as("n_keys_vanished"))
     counts.crossJoin(broadcast(touched)).crossJoin(broadcast(before))
       .crossJoin(broadcast(after)).crossJoin(broadcast(vanished))
+  }
+
+  /** The STREAMING MV maintainer — [[mergeOf]]'s fold as keyed state
+    * over a changelog stream, so the view stays current per micro-batch
+    * instead of per refresh cycle. Same algebra, same drop-at-zero
+    * semantics (emitted as an n == 0 tombstone the sink deletes on);
+    * IvmStreamSpec proves the final streamed MV equals the batch merge
+    * under random micro-batch splits of the same changelog — the
+    * batch/stream equivalence every twin in this library carries. */
+  def mvStreamOf(deltas: Dataset[MvDelta]): Dataset[MvLive] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: Long, rows: Iterator[MvDelta], state: GroupState[MvLive]) => {
+          val cur = state.getOption.getOrElse(MvLive(k, 0L, 0L))
+          val folded = rows.foldLeft(cur)((st, r) =>
+            MvLive(k, st.n + r.sign, st.s + r.sign * r.v))
+          state.update(folded)
+          Iterator(folded)
+        })
   }
 
   /** Sketches are LINEAR, so they refresh exactly like count/sum: fold

@@ -343,6 +343,53 @@ class PlanSpec extends SparkSpec {
       s"determinant counts must combine map-side:\n$plan")
   }
 
+  test("takedown: the dual argmin rides ONE aggregate (old and new " +
+    "representatives in the same functions list), no cartesian") {
+    val df = graft.pipeline.Takedown.manifestOf(
+      graft.Tables.documents(spark, sf))
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    // both argmins and the revoked sum must appear inside a single
+    // HashAggregate functions=[...] bracket — a second pass over the
+    // corpus to find successors is exactly what this design avoids
+    val dual = "functions=\\[[^\\]]*partial_min\\([^\\]]*partial_min\\(".r
+    assert(dual.findFirstIn(plan).isDefined,
+      s"dual argmin must share one partial aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("takedown repack: dirty-shard prune broadcasts before a " +
+    "partitioned (never global) packing window") {
+    val df = graft.pipeline.Takedown.repackOf(
+      graft.Tables.documents(spark, sf))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded dirty list must broadcast:\n$plan")
+    assert(plan.contains("windowspecdefinition(split"),
+      s"packing window must partition by (split, shard):\n$plan")
+  }
+
+  test("ivm merge: full-outer join of two MV-sized aggregates, " +
+    "map-side partial aggregation on both inputs") {
+    val df = graft.sync.Ivm.mergeRefresh(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("FullOuter"), plan)
+    // both the base MV and the changelog fold partial-aggregate before
+    // their exchange — the merge never shuffles fact-sized data
+    assert("partial_sum".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ivm touched-key minmax: the delta-bounded key set broadcasts " +
+    "so untouched keys never shuffle") {
+    val df = graft.sync.Ivm.touchedMinMax(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("bucketed tables join with NO exchange on the join keys: bucketing " +
     "is the write-once co-location that kills the repeated-join shuffle") {
     import org.apache.spark.sql.functions._
