@@ -1935,7 +1935,7 @@ object Similarity {
   /** Oracle for [[ivfTakedownAudit]]: the shared full-corpus prefix,
     * per-list member/revoked counts, and the same 1/8 compaction
     * threshold — every verdict a pure integer fold over `lists`. */
-  private def ivfTakedownOracle: String =
+  private[graft] def ivfTakedownOracle: String =
     ivfListsPrefix() + s""",
        |pl AS (
        |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS m,

@@ -234,12 +234,82 @@ object Takedown {
   def repack(spark: SparkSession, dir: String): DataFrame =
     repackOf(graft.Tables.documents(spark, dir))
 
+  /** Lexical-index takedown — the third artifact class (after packed
+    * shards and IVF lists): per-token postings lose their revoked
+    * entries. Same economics as the vector index, decided with the SAME
+    * 1/8 waste threshold ([[graft.ml.Similarity.TakedownCompactDenom]]):
+    * barely-touched postings keep tombstones, heavily-hit postings are
+    * rewritten. One extra signal is lexical-only: removing entries
+    * shifts document frequencies, so BM25 idf values drift —
+    * `n_idf_refresh` counts tokens whose live df drops more than 10%
+    * (integer form: (m - r) * 10 < m * 9), the set whose cached idf a
+    * serving tier must recompute. One postings build (the index's own
+    * distinct-token explode), one bounded per-token aggregate. */
+  def postingsAuditOf(docs: DataFrame): DataFrame = {
+    val denom = graft.ml.Similarity.TakedownCompactDenom
+    val pl = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("m"),
+        sum(when(revoked(col("doc_id")), 1L).otherwise(0L)).as("r"))
+    val hit = col("r") > 0
+    val rewrite = hit && col("r") * denom >= col("m")
+    val tomb = hit && col("r") * denom < col("m")
+    val idfShift = hit && (col("m") - col("r")) * 10 < col("m") * 9
+    pl.agg(
+      count(lit(1)).as("n_tokens"),
+      coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L))
+        .as("n_tokens_hit"),
+      sum(col("m")).as("n_postings_total"),
+      coalesce(sum(col("r")), lit(0L)).as("n_postings_revoked"),
+      coalesce(sum(when(rewrite, 1L).otherwise(0L)), lit(0L))
+        .as("n_postings_rewrite"),
+      coalesce(sum(when(tomb, 1L).otherwise(0L)), lit(0L))
+        .as("n_postings_tombstone"),
+      coalesce(sum(when(tomb, col("r")).otherwise(0L)), lit(0L))
+        .as("n_tombstoned_entries"),
+      coalesce(sum(when(rewrite, col("r")).otherwise(0L)), lit(0L))
+        .as("n_reclaimed_entries"),
+      coalesce(sum(when(idfShift, 1L).otherwise(0L)), lit(0L))
+        .as("n_idf_refresh"))
+  }
+
+  def postingsAudit(spark: SparkSession, dir: String): DataFrame =
+    postingsAuditOf(graft.Tables.documents(spark, dir))
+
+  /** The unified governance report — ONE revocation event propagated
+    * through all three artifact classes in one plan: the corpus audit
+    * (clusters, shards), the lexical index (postings, idf refresh), and
+    * the vector index (inverted lists), each arm a bounded one-row
+    * aggregate cross-joined broadcast. The e2e_curation_flagship
+    * pattern on the governance path: what a compliance dashboard reads
+    * after a takedown batch lands. */
+  def e2eFlagship(spark: SparkSession, dir: String): DataFrame = {
+    val docAudit = audit(spark, dir)
+    val postAudit = postingsAudit(spark, dir)
+    val ivfAudit = graft.ml.Similarity
+      .ivfTakedownAuditOf(graft.Tables.embeddings(spark, dir))
+      .select(col("n_total").as("ivf_n_vectors"),
+        col("n_revoked").as("ivf_n_revoked"),
+        col("n_lists").as("ivf_n_lists"),
+        col("n_lists_hit").as("ivf_n_lists_hit"),
+        col("n_lists_compact").as("ivf_n_lists_compact"),
+        col("n_lists_tombstone").as("ivf_n_lists_tombstone"),
+        col("n_tombstones_kept").as("ivf_n_tombstones_kept"),
+        col("n_reclaimed").as("ivf_n_reclaimed"),
+        col("max_live_list").as("ivf_max_live_list"))
+    docAudit.crossJoin(broadcast(postAudit)).crossJoin(broadcast(ivfAudit))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "takedown_manifest" -> ((s, d) => manifest(s, d)),
     "takedown_audit" -> ((s, d) => audit(s, d)),
-    "takedown_repack" -> ((s, d) => repack(s, d)))
+    "takedown_repack" -> ((s, d) => repack(s, d)),
+    "takedown_postings_audit" -> ((s, d) => postingsAudit(s, d)),
+    "e2e_takedown_flagship" -> ((s, d) => e2eFlagship(s, d)))
 
   /** Shared oracle CTE chain: contamination (the flagship's ev/sz/cont),
     * gate, dual-argmin clusters (`cl`), survivor-impacting clean set
@@ -300,7 +370,85 @@ object Takedown {
        |         0, 0, 1, 0, n_toks
        |  FROM cln WHERE new_id IS NOT NULL)""".stripMargin
 
+  private def auditOracle: String =
+    s"""$takedownCtes,
+       |tot AS (
+       |  SELECT CAST(coalesce(sum(n_rv), 0) AS BIGINT) AS n_revoked_docs,
+       |         CAST(coalesce(sum(CASE WHEN n_rv > 0 THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS n_clusters_touched
+       |  FROM cl),
+       |imp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_survivor_hits,
+       |         CAST(coalesce(sum(CASE WHEN new_id IS NULL THEN 1 ELSE 0 END),
+       |           0) AS BIGINT) AS n_clusters_dropped,
+       |         CAST(coalesce(sum(CASE WHEN new_id IS NOT NULL THEN 1 ELSE 0
+       |           END), 0) AS BIGINT) AS n_reelected,
+       |         CAST(coalesce(sum(CASE WHEN new_id IS NOT NULL AND (
+       |             new_id % $Shards <> old_id % $Shards OR
+       |             (CASE WHEN (new_id * 48271) % 100000 % 100 < 80 THEN 'train'
+       |                   WHEN (new_id * 48271) % 100000 % 100 < 90 THEN 'val'
+       |                   ELSE 'test' END) <>
+       |             (CASE WHEN (old_id * 48271) % 100000 % 100 < 80 THEN 'train'
+       |                   WHEN (old_id * 48271) % 100000 % 100 < 90 THEN 'val'
+       |                   ELSE 'test' END)) THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS n_relocated
+       |  FROM cln),
+       |dq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_shards_dirty
+       |  FROM (SELECT DISTINCT split, shard FROM evt))
+       |SELECT * FROM tot CROSS JOIN imp CROSS JOIN dq""".stripMargin
+
+  /** The postings audit replayed: distinct tokens per doc, per-token
+    * member/revoked folds, the shared 1/8 threshold, the 10% idf gate. */
+  private def postingsOracle: String = {
+    val denom = graft.ml.Similarity.TakedownCompactDenom
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_filter(string_split(text, ' '),
+       |                                   x -> x <> '')) AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |pl AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(CASE WHEN doc_id % $RevokeMod = $RevokeRem
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS r
+       |  FROM p GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END), 0)
+       |         AS BIGINT) AS n_tokens_hit,
+       |       CAST(sum(m) AS BIGINT) AS n_postings_total,
+       |       CAST(coalesce(sum(r), 0) AS BIGINT) AS n_postings_revoked,
+       |       CAST(coalesce(sum(CASE WHEN r > 0 AND r * $denom >= m
+       |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_postings_rewrite,
+       |       CAST(coalesce(sum(CASE WHEN r > 0 AND r * $denom < m
+       |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_postings_tombstone,
+       |       CAST(coalesce(sum(CASE WHEN r > 0 AND r * $denom < m
+       |         THEN r ELSE 0 END), 0) AS BIGINT) AS n_tombstoned_entries,
+       |       CAST(coalesce(sum(CASE WHEN r > 0 AND r * $denom >= m
+       |         THEN r ELSE 0 END), 0) AS BIGINT) AS n_reclaimed_entries,
+       |       CAST(coalesce(sum(CASE WHEN r > 0 AND (m - r) * 10 < m * 9
+       |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_idf_refresh
+       |FROM pl""".stripMargin
+  }
+
+  /** The three audit oracles cross-joined — one row, every artifact
+    * class, IVF columns renamed exactly as the plan renames them. */
+  private def e2eOracle: String =
+    s"""SELECT * FROM ($auditOracle) doc_side
+       |CROSS JOIN ($postingsOracle) lex_side
+       |CROSS JOIN (
+       |  SELECT n_total AS ivf_n_vectors, n_revoked AS ivf_n_revoked,
+       |         n_lists AS ivf_n_lists, n_lists_hit AS ivf_n_lists_hit,
+       |         n_lists_compact AS ivf_n_lists_compact,
+       |         n_lists_tombstone AS ivf_n_lists_tombstone,
+       |         n_tombstones_kept AS ivf_n_tombstones_kept,
+       |         n_reclaimed AS ivf_n_reclaimed,
+       |         max_live_list AS ivf_max_live_list
+       |  FROM (${graft.ml.Similarity.ivfTakedownOracle}) iv) vec_side""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "takedown_postings_audit" -> postingsOracle,
+    "e2e_takedown_flagship" -> e2eOracle,
     "takedown_manifest" ->
       s"""$takedownCtes
          |SELECT split, CAST(shard AS BIGINT) AS shard,
@@ -311,33 +459,7 @@ object Takedown {
          |       CAST(sum(tok_in) AS BIGINT) AS tok_in,
          |       CAST(sum(tok_in) - sum(tok_out) AS BIGINT) AS tok_delta
          |FROM evt GROUP BY 1, 2""".stripMargin,
-    "takedown_audit" ->
-      s"""$takedownCtes,
-         |tot AS (
-         |  SELECT CAST(coalesce(sum(n_rv), 0) AS BIGINT) AS n_revoked_docs,
-         |         CAST(coalesce(sum(CASE WHEN n_rv > 0 THEN 1 ELSE 0 END), 0)
-         |           AS BIGINT) AS n_clusters_touched
-         |  FROM cl),
-         |imp AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_survivor_hits,
-         |         CAST(coalesce(sum(CASE WHEN new_id IS NULL THEN 1 ELSE 0 END),
-         |           0) AS BIGINT) AS n_clusters_dropped,
-         |         CAST(coalesce(sum(CASE WHEN new_id IS NOT NULL THEN 1 ELSE 0
-         |           END), 0) AS BIGINT) AS n_reelected,
-         |         CAST(coalesce(sum(CASE WHEN new_id IS NOT NULL AND (
-         |             new_id % $Shards <> old_id % $Shards OR
-         |             (CASE WHEN (new_id * 48271) % 100000 % 100 < 80 THEN 'train'
-         |                   WHEN (new_id * 48271) % 100000 % 100 < 90 THEN 'val'
-         |                   ELSE 'test' END) <>
-         |             (CASE WHEN (old_id * 48271) % 100000 % 100 < 80 THEN 'train'
-         |                   WHEN (old_id * 48271) % 100000 % 100 < 90 THEN 'val'
-         |                   ELSE 'test' END)) THEN 1 ELSE 0 END), 0)
-         |           AS BIGINT) AS n_relocated
-         |  FROM cln),
-         |dq AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_shards_dirty
-         |  FROM (SELECT DISTINCT split, shard FROM evt))
-         |SELECT * FROM tot CROSS JOIN imp CROSS JOIN dq""".stripMargin,
+    "takedown_audit" -> auditOracle,
     "takedown_repack" ->
       s"""$takedownCtes,
          |dirty AS (SELECT DISTINCT split, shard FROM evt),

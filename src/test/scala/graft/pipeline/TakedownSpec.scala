@@ -82,6 +82,47 @@ class TakedownSpec extends SparkSpec {
     assert(r.getAs[Long]("n_shards_dirty") == 0)
   }
 
+  test("postings audit: rewrite vs tombstone vs idf-refresh polarities") {
+    import spark.implicits._
+    // 'common' in docs 1..16 (doc 5 revoked): 1*8 < 16 -> tombstone,
+    //   live df drops 1/16 < 10% -> no idf refresh;
+    // 'rare' in docs 5+6: 1*8 >= 2 -> rewrite, df halves -> idf refresh;
+    // 'clean' in docs 7+8: untouched
+    val docs = (1L to 16L).map { id =>
+      val extra = if (id == 5 || id == 6) " rare" else ""
+      val extra2 = if (id == 7 || id == 8) " clean" else ""
+      (id, s"common$extra$extra2")
+    }.toDF("doc_id", "text")
+    val r = Takedown.postingsAuditOf(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 3)
+    assert(r.getAs[Long]("n_tokens_hit") == 2)
+    assert(r.getAs[Long]("n_postings_total") == 20)
+    assert(r.getAs[Long]("n_postings_revoked") == 2)
+    assert(r.getAs[Long]("n_postings_rewrite") == 1)   // rare
+    assert(r.getAs[Long]("n_postings_tombstone") == 1) // common
+    assert(r.getAs[Long]("n_tombstoned_entries") == 1)
+    assert(r.getAs[Long]("n_reclaimed_entries") == 1)
+    assert(r.getAs[Long]("n_idf_refresh") == 1)        // rare only
+  }
+
+  test("e2e governance flagship: one row carrying all three audits") {
+    val row = Takedown.e2eFlagship(spark, sf).collect()(0)
+    assert(row.length == 25)
+    // the composed arms equal their standalone queries
+    val doc = Takedown.audit(spark, sf).collect()(0)
+    Seq("n_revoked_docs", "n_clusters_touched", "n_survivor_hits",
+      "n_shards_dirty").foreach { c =>
+      assert(row.getAs[Long](c) == doc.getAs[Long](c), c)
+    }
+    val post = Takedown.postingsAudit(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_postings_revoked") ==
+      post.getAs[Long]("n_postings_revoked"))
+    val ivf = graft.ml.Similarity.ivfTakedownAudit(spark, sf).collect()(0)
+    assert(row.getAs[Long]("ivf_n_revoked") == ivf.getAs[Long]("n_revoked"))
+    assert(row.getAs[Long]("ivf_n_lists_hit") ==
+      ivf.getAs[Long]("n_lists_hit"))
+  }
+
   test("manifest and audit agree on real testdata") {
     val docs = graft.Tables.documents(spark, sf)
     val m = Takedown.manifestOf(docs)
