@@ -1,9 +1,23 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ml.{Dedup, TextOps}
+
+/** A revocation arriving on the governance feed. */
+case class Revocation(doc_id: Long)
+
+/** A packing-shard delta emitted by the streaming takedown: `delta` +1
+  * seats representative `rep` in (split, shard), -1 removes it. */
+case class ShardDelta(split: String, shard: Long, delta: Long, rep: Long,
+    n_toks: Long)
+
+/** Keyed takedown state: the cluster's full member list (bounded — an
+  * exact-dup cluster is small) and the ids revoked so far. */
+case class ClusterTakedownState(members: Seq[Long], n_toks: Long,
+    revoked: Set[Long])
 
 /** Right-to-be-forgotten (takedown) propagation — the governance twin of
   * [[Lineage.curationFlagshipOf]]. A production corpus at 100 TB receives
@@ -300,6 +314,61 @@ object Takedown {
         col("n_reclaimed").as("ivf_n_reclaimed"),
         col("max_live_list").as("ivf_max_live_list"))
     docAudit.crossJoin(broadcast(postAudit)).crossJoin(broadcast(ivfAudit))
+  }
+
+  /** Driver-side twin of [[splitOf]] for the streaming state function. */
+  private[graft] def splitOfId(id: Long): String = {
+    val b = (id * 48271L) % 100000L % 100L
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
+
+  /** STREAMING takedown — revocations arrive continuously on the
+    * governance feed instead of as a monthly batch, and the packed-shard
+    * state must stay current without re-running even the incremental
+    * batch repair per event. A stream-static join attaches each revoked
+    * id to its cluster's (bounded) member list from the deployed
+    * manifest; keyed state per cluster accumulates the revoked set and
+    * re-elects on every change, emitting packing-shard DELTAS (+1 seat /
+    * -1 removal) the shard maintainer applies. Re-sent revocations are
+    * absorbed by the set (exactly-once effect without sink-side dedup);
+    * a revoked NON-representative emits nothing. TakedownStreamSpec
+    * proves the NET of the emitted deltas equals the batch takedown's
+    * final shard state under random splits AND orders of the feed —
+    * including chained re-elections (A -> B revoked later -> C), which
+    * the batch form collapses to a single move. `members` is the
+    * deployed cluster-membership table (h, doc_id, n_toks), i.e. packed
+    * clusters only — decontaminated ones never shipped. */
+  def takedownStreamOf(revocations: Dataset[Revocation],
+      members: DataFrame): Dataset[ShardDelta] = {
+    import revocations.sparkSession.implicits._
+    val byDoc = members
+      .groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"),
+        min(col("n_toks")).as("n_toks"))
+      .join(members.select(col("h"), col("doc_id")), Seq("h"))
+    val joined = revocations.join(byDoc, Seq("doc_id"))
+      .select(col("h"), col("doc_id"), col("ms"), col("n_toks"))
+      .as[(String, Long, Seq[Long], Long)]
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (h: String, rows: Iterator[(String, Long, Seq[Long], Long)],
+         state: GroupState[ClusterTakedownState]) => {
+          val rs = rows.toSeq
+          val st = state.getOption.getOrElse(
+            ClusterTakedownState(rs.head._3, rs.head._4, Set.empty))
+          val prevRep = st.members.find(m => !st.revoked.contains(m))
+          val nowRevoked = st.revoked ++ rs.map(_._2)
+          val newRep = st.members.find(m => !nowRevoked.contains(m))
+          state.update(st.copy(revoked = nowRevoked))
+          if (prevRep == newRep) Iterator.empty
+          else {
+            val out = prevRep.map(r =>
+              ShardDelta(splitOfId(r), r % Shards, -1L, r, st.n_toks))
+            val in = newRep.map(r =>
+              ShardDelta(splitOfId(r), r % Shards, 1L, r, st.n_toks))
+            (out.toSeq ++ in.toSeq).iterator
+          }
+        })
   }
 
   type Q = (SparkSession, String) => DataFrame
