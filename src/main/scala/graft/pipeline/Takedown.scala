@@ -97,19 +97,23 @@ object Takedown {
     * representative (min doc_id among non-revoked members, NULL when the
     * whole cluster is revoked), plus membership counts. `n_toks` is a
     * cluster constant (exact dedup — identical text), so min() is just
-    * "the" value. ONE shuffle; both argmins combine map-side. */
+    * "the" value. ONE shuffle; both argmins combine map-side — and all
+    * five aggregates are HASH-aggregable: the conditional
+    * min(CASE WHEN not revoked THEN doc_id END) is a plain long min
+    * (null-skipping gives "smallest non-revoked member" for free, the
+    * exact formula the oracle uses), where a min(struct(...)) or
+    * min_by(_, struct(...)) form falls back to SortAggregate and sorts
+    * the whole corpus by its 32-char content hash on both sides of the
+    * exchange (struct aggregation buffers are not hash-mutable). */
   private[graft] def clustersOf(docs: DataFrame): DataFrame = {
     val rv = when(revoked(col("doc_id")), 1L).otherwise(0L)
     gatedOf(docs)
       .select(md5(col("text")).as("h"), col("doc_id"), col("n_toks"),
         rv.as("rv"))
       .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("n_toks"))).as("om"),
-        min(struct(col("rv"), col("doc_id"))).as("nm"),
+      .agg(min(col("doc_id")).as("old_id"), min(col("n_toks")).as("n_toks"),
+        min(when(col("rv") === 0, col("doc_id"))).as("new_id"),
         sum(col("rv")).as("n_rv"), count(lit(1)).as("n_mem"))
-      .select(col("om.doc_id").as("old_id"), col("om.n_toks").as("n_toks"),
-        when(col("nm.rv") === 0, col("nm.doc_id")).as("new_id"),
-        col("n_rv"), col("n_mem"))
   }
 
   /** Survivor-impacting clusters that actually live in the packed shards:

@@ -350,11 +350,18 @@ class PlanSpec extends SparkSpec {
     df.collect() // finalize AQE
     val plan = planOf(df)
     // both argmins and the revoked sum must appear inside a single
-    // HashAggregate functions=[...] bracket — a second pass over the
-    // corpus to find successors is exactly what this design avoids
-    val dual = "functions=\\[[^\\]]*partial_min\\([^\\]]*partial_min\\(".r
+    // functions=[...] bracket — a second pass over the corpus to find
+    // successors is exactly what this design avoids — and the bracket
+    // must belong to a HASH aggregate: the conditional-min encoding
+    // (min(CASE WHEN not revoked THEN doc_id END)) keeps it off the
+    // SortAggregate fallback that a struct-valued min would take,
+    // which sorts the corpus by its content hash around the exchange
+    val dual = ("functions=\\[[^\\]]*partial_min\\([^\\]]*" +
+      "partial_min\\([^\\]]*partial_min\\(").r
     assert(dual.findFirstIn(plan).isDefined,
       s"dual argmin must share one partial aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"cluster election must hash-aggregate, not sort:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
