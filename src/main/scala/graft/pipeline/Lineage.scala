@@ -156,13 +156,17 @@ object Lineage {
     val gated = stats.filter(col("n_toks") >= 10 &&
       col("sum_len") >= col("n_toks") * 3 &&
       col("sum_len") <= col("n_toks") * 10)
-    // 2: exact dedup — argmin survivor per content hash (doc_id is
-    // unique, so the struct comparison is decided by its first field)
+    // 2: exact dedup — argmin survivor per content hash. doc_id is
+    // unique and n_toks is a cluster constant (identical text), so two
+    // plain mins ARE the argmin — and plain long mins hash-aggregate,
+    // where the earlier min(struct(doc_id, n_toks, source)) fell back
+    // to SortAggregate (struct buffers are not hash-mutable) and sorted
+    // the corpus by its content hash around the dedup exchange (the
+    // takedown family's measured 15% repack win at 100x; source was a
+    // dead column downstream)
     val survivors = gated
       .groupBy(md5(col("text")).as("h"))
-      .agg(min(struct(col("doc_id"), col("n_toks"), col("source"))).as("m"))
-      .select(col("m.doc_id").as("doc_id"), col("m.n_toks").as("n_toks"),
-        col("m.source").as("source"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_toks")).as("n_toks"))
     // 3: drop survivors whose content overlaps the benchmark side
     val contaminated = Dedup.trainContaminationOf(docs).select("doc_id")
     val clean = survivors.join(contaminated, Seq("doc_id"), "left_anti")

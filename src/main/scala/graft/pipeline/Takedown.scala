@@ -44,9 +44,10 @@ case class ClusterTakedownState(members: Seq[Long], n_toks: Long,
   *    shift, so every touched shard must be rebuilt — and only those.
   *
   * Scale shape, stage by stage:
-  *  1. One groupBy(md5(text)) carries a DUAL argmin — min(struct(doc_id))
-  *     is the OLD representative, min(struct(revoked, doc_id)) the NEW
-  *     one — so election and re-election ride the flagship's existing
+  *  1. One groupBy(md5(text)) carries a DUAL argmin — min(doc_id) is
+  *     the OLD representative, the null-skipping
+  *     min(CASE WHEN not revoked THEN doc_id END) the NEW one — so
+  *     election and re-election ride the flagship's existing
   *     dedup shuffle; zero extra passes over the corpus to find
   *     successors (both aggregates are map-side combinable).
   *  2. Everything after the aggregate filters to SURVIVOR-IMPACTING
