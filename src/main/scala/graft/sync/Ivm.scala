@@ -115,13 +115,17 @@ object Ivm {
   /** min/max refresh under deletes: re-aggregate ONLY the keys touched
     * by a negative changelog entry, from the new state, semi-joined so
     * untouched keys never leave the scan. Keys whose rows all vanished
-    * produce no row (the MV entry is deleted). */
+    * produce no row (the MV entry is deleted). The touched set carries
+    * NO forced broadcast hint: it is delta-bounded, not k-bounded (a
+    * backfill changelog can touch every key), so AQE picks broadcast
+    * when the delta measures small and falls back to a shuffle join
+    * when it doesn't — the round-13 survivor-set convention. */
   def touchedMinMax(spark: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.orders(spark, dir)
     val touched = changelogOf(orders).filter(col("sign") < 0)
       .select("k").distinct()
     newStateOf(orders)
-      .join(broadcast(touched), Seq("k"))
+      .join(touched, Seq("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_orders"),
         min(col("v")).as("min_cents"), max(col("v")).as("max_cents"))

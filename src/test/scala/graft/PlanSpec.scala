@@ -389,10 +389,10 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("ivm touched-key minmax: the delta-bounded key set broadcasts " +
-    "so untouched keys never shuffle") {
+  test("ivm touched-key minmax: AQE broadcasts the small touched set " +
+    "(no forced hint — a backfill delta may not be broadcastable)") {
     val df = graft.sync.Ivm.touchedMinMax(spark, sf)
-    df.collect()
+    df.collect() // finalize AQE — the hint-free join must still broadcast here
     val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
