@@ -1,8 +1,9 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.Tables
 
@@ -153,6 +154,38 @@ object RagFlagship {
   def ragServeFixedQ(spark: SparkSession, dir: String): DataFrame =
     ragServeOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
       isPanelQuery)
+
+  /** STREAMING serving twin — the read-path symmetry close: queries
+    * arrive as a continuous id feed instead of a panel, and each
+    * micro-batch is served against the STATIC curated state (tokenized
+    * corpus, postings, embeddings) by the same composed plan the batch
+    * flagship runs. The form is `foreachBatch` stream-static, because
+    * one serve is itself a multi-stage DAG (two ranking windows, two
+    * arms, fusion, an iterative MMR) that no single stateful streaming
+    * operator expresses — the reference's on-demand per-case serve
+    * (api/routes/search.py) has exactly this shape, one bounded request
+    * batch against a static index. The per-batch `collect()` is the
+    * bounded driver control fold convention: a serving micro-batch IS
+    * the query-id panel (≤ panel width), never corpus data.
+    *
+    * Batch-decomposability makes the twin exact, not approximate: every
+    * serve stage is per-query (keyword mining, BM25, θ/survivors,
+    * semantic top-k, RRF, MMR all partition by query_id) while the
+    * corpus-global inputs (df, avgdl, n_docs) do not depend on WHICH
+    * queries are in flight — so the union of micro-batch serve outputs
+    * over ANY split of a panel equals the one-shot batch serve.
+    * RagStreamSpec mechanizes that equality against [[ragServeFixedQ]]
+    * under random splits of the fixed panel. */
+  def ragServeStreamOf(queryIds: Dataset[Long], docs: DataFrame,
+      embs: DataFrame)(sink: DataFrame => Unit): StreamingQuery =
+    queryIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Long], _: Long) =>
+        val ids = batch.distinct().collect()
+        if (ids.nonEmpty)
+          sink(ragServeOf(docs, embs, c => c.isInCollection(ids)))
+      }
+      .start()
 
   type Q = (SparkSession, String) => DataFrame
 

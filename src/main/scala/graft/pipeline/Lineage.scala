@@ -121,10 +121,15 @@ object Lineage {
     * Stage shapes, scale-first:
     *  1. GATE: per-row integer token stats, pipelined into the scan —
     *     no shuffle.
-    *  2. DEDUP: groupBy(md5(text)) with a map-side-combinable
-    *     min(struct(doc_id, …)) argmin — survivors ship one row per
-    *     map partition per group, never the group's members (the LPA
-    *     argmax pattern, chosen over trainingCorpus' window form).
+    *  2. DEDUP: groupBy(md5(text)) with TWO PLAIN LONG MINS as the
+    *     argmin — doc_id is unique and n_toks a cluster constant, so
+    *     min(doc_id)/min(n_toks) elect the survivor exactly, and plain
+    *     long mins HASH-aggregate where a min(struct(...)) buffer falls
+    *     back to SortAggregate (struct buffers are not hash-mutable)
+    *     and sorts the corpus by content hash around the exchange.
+    *     Survivors ship one combined row per map partition per group,
+    *     never the group's members (chosen over trainingCorpus' window
+    *     form; PlanSpec refuses SortAggregate here).
     *  3. DECONTAMINATE: [[graft.ml.Dedup.trainContaminationOf]]'s
     *     inverted-index containment test against the benchmark slice
     *     (doc_id % 97 == 0 — the realistic ~1% eval sliver; df-capped
@@ -148,9 +153,9 @@ object Lineage {
     // 1: corpus side (everything outside the ~1% benchmark slice) +
     // Gopher-style integer gates (same thresholds as trainingCorpus)
     val stats = docs.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), col("source"), col("text"),
+      .select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"), col("text"),
+      .select(col("doc_id"), col("text"),
         size(col("toks")).cast("long").as("n_toks"),
         expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_len"))
     val gated = stats.filter(col("n_toks") >= 10 &&

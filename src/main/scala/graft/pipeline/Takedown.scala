@@ -106,8 +106,16 @@ object Takedown {
     * min_by(_, struct(...)) form falls back to SortAggregate and sorts
     * the whole corpus by its 32-char content hash on both sides of the
     * exchange (struct aggregation buffers are not hash-mutable). */
-  private[graft] def clustersOf(docs: DataFrame): DataFrame = {
-    val rv = when(revoked(col("doc_id")), 1L).otherwise(0L)
+  private[graft] def clustersOf(docs: DataFrame): DataFrame =
+    clustersOf(docs, revoked)
+
+  /** Revocation-predicate-generalized form: the registered queries fix
+    * `rev` to the stand-in list ([[revoked]]); the property specs sweep
+    * it (varied moduli, dense backfill-shaped lists) to pin the merge
+    * algebra beyond the one registered shape. */
+  private[graft] def clustersOf(docs: DataFrame,
+      rev: Column => Column): DataFrame = {
+    val rv = when(rev(col("doc_id")), 1L).otherwise(0L)
     gatedOf(docs)
       .select(md5(col("text")).as("h"), col("doc_id"), col("n_toks"),
         rv.as("rv"))
@@ -169,7 +177,10 @@ object Takedown {
     * whose artifacts change), dropped vs re-elected, how many re-elections
     * actually RELOCATE the cluster to a different (split, shard), and how
     * many packing partitions must rebuild. The cluster frame is persisted
-    * once and read by both the totals and the impact arms. */
+    * once and read by both the totals and the impact arms; per repo
+    * convention the caches are session-scoped — Bench/Verify's per-query
+    * `clearCache()` releases them (a long-lived server would `unpersist`
+    * after its final action instead). */
   def auditOf(docs: DataFrame): DataFrame = {
     val clusters = clustersOf(docs).persist()
     val totals = clusters.agg(
@@ -253,6 +264,100 @@ object Takedown {
   def repack(spark: SparkSession, dir: String): DataFrame =
     repackOf(graft.Tables.documents(spark, dir))
 
+  /** Takedown → IVM composition: the last derived-artifact class a
+    * revocation had not yet propagated to is the MATERIALIZED
+    * AGGREGATES — the per-(split, shard) corpus MV (n_docs, n_tokens) a
+    * capacity planner and a trainer's sampler read (the reference's
+    * dashboard aggregates, monitoring/dashboard.py:250-286, are exactly
+    * such MVs, recomputed from scratch every cycle). At 100 TB a
+    * takedown batch must refresh that MV WITHOUT a corpus rescan: the
+    * revocation list becomes the signed changelog its cluster drops and
+    * re-elections imply — the −1/+1 shard events [[eventsOf]] already
+    * derives, re-read as (key, sign, value) rows — and
+    * [[graft.sync.Ivm.mergeOf]] folds them into the deployed MV. The
+    * merge's inputs are MV-sized and delta-sized; the corpus is touched
+    * only by the cluster election the takedown already runs, so the
+    * refresh is O(|revoked sliver| + |MV|).
+    *
+    * The oracle recomputes the MV from the POST-takedown corpus with
+    * ZERO merge algebra (post-takedown representatives grouped by
+    * location), so the hash match machine-proves base ⊕
+    * revocation-changelog == recompute — the [[graft.sync.Ivm]]
+    * contract with the changelog produced by GOVERNANCE instead of CDC.
+    * Consistency note: contamination is text-pure and exact-dup members
+    * share text, so base (old_id ∉ cont), changelog (old_id ∉ cont) and
+    * oracle (new_id ∉ cont) prune the SAME clusters. A within-shard
+    * re-election nets to a zero delta in the changelog fold (same key,
+    * −n_toks + n_toks) — correct, since the MV is representative-
+    * agnostic. Caches are session-scoped per repo convention
+    * (Bench/Verify's per-query `clearCache()`). */
+  def mvRefreshOf(docs: DataFrame): DataFrame = mvRefreshOf(docs, revoked)
+
+  private[graft] def mvRefreshOf(docs: DataFrame,
+      rev: Column => Column): DataFrame = {
+    val clusters = clustersOf(docs, rev).persist()
+    val cont = Dedup.trainContaminationOf(docs).select("doc_id").persist()
+    val key = (id: Column) =>
+      struct(splitOf(id).as("split"), (id % Shards).cast("long").as("shard"))
+    // the deployed base MV: PRE-takedown representatives by location
+    val base = clusters
+      .join(cont.withColumnRenamed("doc_id", "old_id"), Seq("old_id"),
+        "left_anti")
+      .groupBy(key(col("old_id")).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("s"))
+    // revocations → signed deltas: the shard events ARE the changelog
+    val impacted = clusters.filter(rev(col("old_id")))
+      .join(cont.withColumnRenamed("doc_id", "old_id"), Seq("old_id"),
+        "left_anti")
+    val changelog = eventsOf(impacted).select(
+      struct(col("split"), col("shard").cast("long").as("shard")).as("k"),
+      (col("n_in") - col("n_out")).as("sign"),
+      (col("tok_in") + col("tok_out")).as("v"))
+    graft.sync.Ivm.mergeOf(base, changelog)
+      .select(col("k.split").as("split"), col("k.shard").as("shard"),
+        col("n").as("n_docs"), col("s").as("n_tokens"))
+  }
+
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame =
+    mvRefreshOf(graft.Tables.documents(spark, dir))
+
+  /** Governance under the SERVING index: the postings takedown audit
+    * re-pointed at the wide-panel index — the exact fixture
+    * [[graft.ml.TextOps.ProxPanelWide]]'s 64-query serve reads (same
+    * full-raw-corpus scope as the serve and [[postingsAuditOf]], same
+    * term union, so the governance and serving surfaces share ONE index
+    * fixture and cannot drift apart). Output is per-TOKEN — bounded by
+    * the panel vocabulary, ≤ 31 rows — carrying live/revoked postings
+    * membership, the shared 1/8 tombstone-vs-rewrite decision, and the
+    * 10% idf-refresh flag: the per-postings work order a takedown batch
+    * hands the serving tier, where [[postingsAuditOf]] reports
+    * whole-index totals. */
+  def postingsPanelAuditOf(docs: DataFrame): DataFrame = {
+    val denom = graft.ml.Similarity.TakedownCompactDenom
+    val terms = graft.ml.TextOps.ProxPanelWide.flatMap(_._2).distinct
+    val termArr = array(terms.map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      // the serving scan's own prune: only docs holding a panel term
+      // are ever exploded
+      .filter(arrays_overlap(col("toks"), termArr))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("m"),
+        sum(when(revoked(col("doc_id")), 1L).otherwise(0L)).as("r"))
+      .select(col("token"), col("m"), col("r"),
+        when(col("r") === 0, "clean")
+          .when(col("r") * denom >= col("m"), "rewrite")
+          .otherwise("tombstone").as("action"),
+        when(col("r") > 0 && (col("m") - col("r")) * 10 < col("m") * 9, 1L)
+          .otherwise(0L).as("idf_refresh"))
+  }
+
+  def postingsPanelAudit(spark: SparkSession, dir: String): DataFrame =
+    postingsPanelAuditOf(graft.Tables.documents(spark, dir))
+
   /** Lexical-index takedown — the third artifact class (after packed
     * shards and IVF lists): per-token postings lose their revoked
     * entries. Same economics as the vector index, decided with the SAME
@@ -263,7 +368,17 @@ object Takedown {
     * `n_idf_refresh` counts tokens whose live df drops more than 10%
     * (integer form: (m - r) * 10 < m * 9), the set whose cached idf a
     * serving tier must recompute. One postings build (the index's own
-    * distinct-token explode), one bounded per-token aggregate. */
+    * distinct-token explode), one bounded per-token aggregate.
+    *
+    * SCOPE — deliberately the FULL raw corpus, unlike the gated/
+    * corpus-side doc and IVF arms: the lexical index serves SEARCH
+    * (the bm25/retrieval family indexes every document, eval slice
+    * included — a user can query anything ingested), while shards and
+    * IVF lists hold only the curated training corpus. A revocation
+    * must therefore purge the WIDER surface on the lexical side; the
+    * wide-panel twin [[postingsPanelAuditOf]] shares this scope. The
+    * e2eFlagship's three arms consequently count revocations over
+    * their own artifact's corpus scope — by design, not by accident. */
   def postingsAuditOf(docs: DataFrame): DataFrame = {
     val denom = graft.ml.Similarity.TakedownCompactDenom
     val pl = docs
@@ -383,6 +498,8 @@ object Takedown {
     "takedown_audit" -> ((s, d) => audit(s, d)),
     "takedown_repack" -> ((s, d) => repack(s, d)),
     "takedown_postings_audit" -> ((s, d) => postingsAudit(s, d)),
+    "takedown_postings_panel" -> ((s, d) => postingsPanelAudit(s, d)),
+    "takedown_mv_refresh" -> ((s, d) => mvRefresh(s, d)),
     "e2e_takedown_flagship" -> ((s, d) => e2eFlagship(s, d)))
 
   /** Shared oracle CTE chain: contamination (the flagship's ev/sz/cont),
@@ -520,8 +637,52 @@ object Takedown {
        |         max_live_list AS ivf_max_live_list
        |  FROM (${graft.ml.Similarity.ivfTakedownOracle}) iv) vec_side""".stripMargin
 
+  /** Generated from the same panel constant the plan reads, so the two
+    * sides cannot drift (the proxPanelOracleFor convention). */
+  private def postingsPanelOracle: String = {
+    val denom = graft.ml.Similarity.TakedownCompactDenom
+    val union = graft.ml.TextOps.ProxPanelWide.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_filter(string_split(text, ' '),
+       |                                   x -> x <> '')) AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |pl AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(CASE WHEN doc_id % $RevokeMod = $RevokeRem
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS r
+       |  FROM p WHERE token IN ($union) GROUP BY 1)
+       |SELECT token, m, r,
+       |       CASE WHEN r = 0 THEN 'clean'
+       |            WHEN r * $denom >= m THEN 'rewrite'
+       |            ELSE 'tombstone' END AS action,
+       |       CAST(CASE WHEN r > 0 AND (m - r) * 10 < m * 9
+       |            THEN 1 ELSE 0 END AS BIGINT) AS idf_refresh
+       |FROM pl""".stripMargin
+  }
+
+  /** The MV recomputed from the post-takedown corpus — no merge algebra
+    * anywhere on this side. */
+  private def mvRefreshOracle: String =
+    s"""$takedownCtes,
+       |post AS (
+       |  SELECT new_id AS doc_id, n_toks FROM cl
+       |  WHERE new_id IS NOT NULL
+       |    AND new_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT CASE WHEN (doc_id * 48271) % 100000 % 100 < 80 THEN 'train'
+       |            WHEN (doc_id * 48271) % 100000 % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(doc_id % $Shards AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM post GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "takedown_postings_audit" -> postingsOracle,
+    "takedown_postings_panel" -> postingsPanelOracle,
+    "takedown_mv_refresh" -> mvRefreshOracle,
     "e2e_takedown_flagship" -> e2eOracle,
     "takedown_manifest" ->
       s"""$takedownCtes

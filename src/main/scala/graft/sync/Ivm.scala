@@ -133,6 +133,14 @@ object Ivm {
         col("min_cents"), col("max_cents"))
   }
 
+  /** Spec/ops probe: distinct keys the fixture changelog touches with a
+    * delete — the measured stat [[touchedMinMax]]'s no-hint broadcast
+    * expectation rests on (PlanSpec asserts it is far under the pinned
+    * broadcast threshold before asserting the AQE plan choice). */
+  private[graft] def touchedKeysCount(spark: SparkSession, dir: String): Long =
+    changelogOf(graft.Tables.orders(spark, dir))
+      .filter(col("sign") < 0).select("k").distinct().count()
+
   /** One-row refresh audit — the "work proportional to the delta" claim
     * in numbers: changelog composition, touched vs total keys, and how
     * many MV entries vanish. */

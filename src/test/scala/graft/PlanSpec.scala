@@ -389,12 +389,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("takedown mv refresh: hash-aggregated cluster election feeding an " +
+    "MV-sized full-outer merge — no SortAggregate, no cartesian, and the " +
+    "corpus never rescanned on the merge side") {
+    val df = graft.pipeline.Takedown.mvRefresh(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the merge core: base MV ⊕ signed deltas over the composite key
+    assert(plan.contains("FullOuter"), plan)
+    // election rides hash aggregation (the curation/takedown convention)
+    assert(!plan.contains("SortAggregate"),
+      s"cluster election must hash-aggregate, not sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ivm touched-key minmax: AQE broadcasts the small touched set " +
     "(no forced hint — a backfill delta may not be broadcastable)") {
-    val df = graft.sync.Ivm.touchedMinMax(spark, sf)
-    df.collect() // finalize AQE — the hint-free join must still broadcast here
-    val plan = planOf(df)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // The expectation is tied to the stats that justify it: pin the
+    // broadcast threshold to the stock default (so a session-conf shift
+    // can't silently change the bar) and assert the fixture's touched
+    // set actually measures far under it — ~8 bytes/key leaves orders
+    // of magnitude of headroom, so AQE choosing broadcast is implied by
+    // the measured delta size, not by luck of the testdata scale.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val nTouched = graft.sync.Ivm.touchedKeysCount(spark, sf)
+      assert(nTouched > 0 && nTouched * 8L < 10485760L / 4,
+        s"fixture drifted: $nTouched touched keys no longer clearly " +
+          "broadcastable — re-pick the fixture or drop the plan assertion")
+      val df = graft.sync.Ivm.touchedMinMax(spark, sf)
+      df.collect() // finalize AQE — hint-free join must still broadcast
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("bucketed tables join with NO exchange on the join keys: bucketing " +

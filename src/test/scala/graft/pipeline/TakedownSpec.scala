@@ -141,4 +141,71 @@ class TakedownSpec extends SparkSpec {
     val total = docs.count()
     assert(a.getAs[Long]("n_survivor_hits") <= total / 50)
   }
+
+  test("mv refresh on planted geometry: re-election keeps the cluster " +
+    "seated (relocated), drop removes it, members/contamination inert") {
+    val got = Takedown.mvRefreshOf(planted).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    // post-takedown representatives: R -> 150, D dropped, U -> 20,
+    // M -> 30 (member-only revocation), X decontaminated away. Every
+    // planted text is 10 tokens.
+    val reps = Seq(150L, 20L, 30L)
+    val want = reps.groupBy(id => (splitOf(id), id % 8))
+      .map { case (k, ids) => k -> (ids.size.toLong, ids.size * 10L) }
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
+  test("mv refresh equals the post-takedown recompute on real testdata " +
+    "and the refreshed totals reconcile with the manifest's token flow") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Takedown.mvRefreshOf(docs).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got.nonEmpty)
+    // independent driver-side recompute (zero merge algebra): the
+    // post-takedown representative set, located and folded in Scala
+    val cont = graft.ml.Dedup.trainContaminationOf(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val post = Takedown.clustersOf(docs)
+      .filter(col("new_id").isNotNull).select("new_id", "n_toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot { case (id, _) => cont(id) }
+    val want = post.groupBy { case (id, _) =>
+      (Takedown.splitOfId(id), id % 8) }
+      .map { case (k, rows) => k -> (rows.size.toLong, rows.map(_._2).sum) }
+    assert(got == want)
+    // and the MV delta equals the manifest's declared token flow
+    val tokDelta = Takedown.manifestOf(docs)
+      .agg(coalesce(sum(col("tok_delta")), lit(0L))).collect()(0).getLong(0)
+    val baseTotal = {
+      val cl = Takedown.clustersOf(docs)
+        .filter(col("old_id").isNotNull).select("old_id", "n_toks")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filterNot { case (id, _) => cont(id) }
+      cl.map(_._2).sum
+    }
+    assert(got.values.map(_._2).sum == baseTotal + tokDelta)
+    spark.catalog.clearCache()
+  }
+
+  test("postings panel audit: per-token rows bounded by the wide-panel " +
+    "vocabulary, consistent with the whole-index audit's thresholds") {
+    val terms = graft.ml.TextOps.ProxPanelWide.flatMap(_._2).distinct
+    val rows = Takedown.postingsPanelAuditOf(
+      graft.Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty && rows.length <= terms.size)
+    assert(rows.forall(r => terms.contains(r.getAs[String]("token"))))
+    rows.foreach { r =>
+      val (m, rv) = (r.getAs[Long]("m"), r.getAs[Long]("r"))
+      val denom = graft.ml.Similarity.TakedownCompactDenom
+      val want =
+        if (rv == 0) "clean"
+        else if (rv * denom >= m) "rewrite" else "tombstone"
+      assert(r.getAs[String]("action") == want, r.toString)
+      val wantIdf = if (rv > 0 && (m - rv) * 10 < m * 9) 1L else 0L
+      assert(r.getAs[Long]("idf_refresh") == wantIdf, r.toString)
+    }
+  }
 }

@@ -92,6 +92,35 @@ class IvmPropSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("revocation-shaped changelogs: the takedown MV refresh (signed " +
+    "deltas from cluster drops/re-elections through mergeOf) equals the " +
+    "post-takedown recompute for varied revocation lists") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val cont = graft.ml.Dedup.trainContaminationOf(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sparse sliver shapes (the registered fixture among them) plus the
+    // dense backfill shape (half the corpus revoked) — the case where a
+    // delta-bounded changelog is NOT small relative to the MV
+    for ((m, r) <- Seq((131L, 5L), (7L, 3L), (11L, 0L), (2L, 1L))) {
+      val rev = (c: org.apache.spark.sql.Column) => c % m === r
+      val got = graft.pipeline.Takedown.mvRefreshOf(docs, rev).collect()
+        .map(x => (x.getAs[String]("split"), x.getAs[Long]("shard")) ->
+          (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toMap
+      val post = graft.pipeline.Takedown.clustersOf(docs, rev)
+        .filter(col("new_id").isNotNull).select("new_id", "n_toks")
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+        .filterNot { case (id, _) => cont(id) }
+      val want = post.groupBy { case (id, _) =>
+        (graft.pipeline.Takedown.splitOfId(id), id % 8) }
+        .map { case (k, rows) =>
+          k -> (rows.size.toLong, rows.map(_._2).sum) }
+      assert(got == want, s"revocation shape id % $m == $r diverged")
+      assert(got.nonEmpty, s"degenerate fixture at id % $m == $r")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("registered fixture: merge output never rescans post-changelog " +
     "facts yet matches their recompute") {
     val merged = Ivm.mergeRefresh(spark, sf).collect()
