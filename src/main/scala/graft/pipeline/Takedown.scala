@@ -491,6 +491,32 @@ object Takedown {
         })
   }
 
+  /** Split-name index for the bounded MV key encoding (3 splits). */
+  private[graft] def splitIndexOf(split: String): Long = split match {
+    case "train" => 0L
+    case "val" => 1L
+    case _ => 2L
+  }
+
+  /** Bridge from the streaming takedown's shard deltas to the streaming
+    * MV maintainer's signed changelog — the composed STREAMING form of
+    * [[mvRefreshOf]]: a production deployment runs [[takedownStreamOf]]
+    * against the revocation feed, ships its deltas over a topic, and
+    * the MV maintainer ([[graft.sync.Ivm.mvStreamOf]]) folds them, so
+    * the per-(split, shard) corpus MV stays current continuously
+    * instead of per takedown batch. Each ShardDelta(delta = ±1,
+    * n_toks) is exactly one MvDelta(sign = ±1, v = n_toks); the key
+    * encoding k = splitIndex · Shards + shard is exact and bounded
+    * (3 · 8 keys), decodable by the sink. TakedownStreamSpec proves the
+    * composed chain's final MV equals the batch truth under random
+    * splits AND orders of the feed, chained re-elections included. */
+  def shardDeltasAsMvDeltas(ds: Dataset[ShardDelta])
+      : Dataset[graft.sync.MvDelta] = {
+    import ds.sparkSession.implicits._
+    ds.map(d => graft.sync.MvDelta(
+      splitIndexOf(d.split) * Shards + d.shard, d.delta, d.n_toks))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(

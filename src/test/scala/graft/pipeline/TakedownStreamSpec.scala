@@ -79,6 +79,73 @@ class TakedownStreamSpec extends SparkSpec {
     }
   }
 
+  test("composed streaming governance -> MV chain: takedown deltas fed " +
+    "through the streaming MV maintainer reach the batch-truth MV") {
+    implicit val sqlCtx = spark.sqlContext
+    val members = memberRows.toDF("h", "doc_id", "n_toks")
+    val revokedSet = feed.toSet
+    // batch truth: per-(split, shard) count and token sum of the final
+    // (post-takedown) representatives
+    val finalReps = memberRows.groupBy(_._1).toSeq.flatMap { case (_, ms) =>
+      ms.map(m => (m._2, m._3)).sortBy(_._1).find(m => !revokedSet(m._1))
+    }
+    val want = finalReps
+      .groupBy { case (r, _) =>
+        Takedown.splitIndexOf(Takedown.splitOfId(r)) * 8 + r % 8 }
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    for (seed <- Seq(13L, 9090L)) {
+      val rnd = new scala.util.Random(seed)
+      // stage 1: the takedown stream emits shard deltas per micro-batch
+      var emitted = Vector.empty[ShardDelta]
+      val ms = MemoryStream[Revocation]
+      val q = Takedown.takedownStreamOf(ms.toDS(), members).writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[ShardDelta], _: Long) =>
+            emitted ++= df.collect()
+        }
+        .start()
+      try {
+        val sliced = feed.map(id => (rnd.nextInt(3), id))
+        (0 until 3).foreach { b =>
+          ms.addData(rnd.shuffle(sliced.filter(_._1 == b).map(t =>
+            Revocation(t._2))))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // stage 2: the MV maintainer folds the deploy-time seatings (the
+      // initial representatives as +1 seat deltas — the pre-takedown MV
+      // entering over the topic, the IvmStreamSpec convention) plus the
+      // emitted takedown deltas, through the adapter, in feed order
+      val baseSeed = memberRows.groupBy(_._1).toSeq.map { case (_, cm) =>
+        cm.map(m => (m._2, m._3)).minBy(_._1)
+      }.map { case (r, t) =>
+        ShardDelta(Takedown.splitOfId(r), r % 8, 1L, r, t)
+      }
+      val live = scala.collection.mutable.Map[Long, (Long, Long)]()
+      val ms2 = MemoryStream[ShardDelta]
+      val q2 = graft.sync.Ivm
+        .mvStreamOf(Takedown.shardDeltasAsMvDeltas(ms2.toDS()))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[graft.sync.MvLive], _: Long) =>
+            df.collect().foreach { r =>
+              if (r.n == 0) live.remove(r.k) else live(r.k) = (r.n, r.s)
+            }
+        }
+        .start()
+      try {
+        ms2.addData(baseSeed)
+        q2.processAllAvailable()
+        emitted.grouped(3).foreach { g =>
+          ms2.addData(g); q2.processAllAvailable()
+        }
+      } finally q2.stop()
+      assert(live.toMap == want, s"seed $seed: composed MV diverged")
+    }
+  }
+
   test("members table shape matches the batch clusters it deploys from") {
     // the deployed member table's n_toks is a cluster constant — the
     // streaming state's min() pick equals any member's value
