@@ -274,12 +274,22 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
          |            WHEN (coalesce(cl.cluster_id, d.doc_id) * 48271) % 100000 % 100 < 90 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
+    // The adaptive sample ladder replayed verbatim (integer product, one
+    // ×2 per doubling past the base corpus; hash-threshold membership) —
+    // sf0.01/sf0.1 fall below the base, so the oracle there is the FULL
+    // exact pair set; at 10x/100x both engines select the identical
+    // bounded sample.
     "dedup_embedding_pairs" ->
-      s"""$embQuantCte
+      s"""$embQuantCte,
+         |smod AS (SELECT CAST($embSampleLadderSql AS BIGINT) AS m FROM s),
+         |sv AS (
+         |  SELECT s.vec_id, s.qv, s.nsq FROM s, smod
+         |  WHERE ((s.vec_id * $EmbPairsSampleMul + $EmbPairsSampleAdd)
+         |         % $EmbPairsSamplePrime) * m < $EmbPairsSamplePrime)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE) /
          |         (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-         |FROM s a JOIN s b ON a.vec_id < b.vec_id
+         |FROM sv a JOIN sv b ON a.vec_id < b.vec_id
          |WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
          |  AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) *
          |      CAST(list_dot_product(a.qv, b.qv) AS BIGINT) * 25 > a.nsq * b.nsq * 4""".stripMargin,
@@ -500,6 +510,13 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
          |FROM ev JOIN tr ON ev.s = tr.s
          |GROUP BY ev.doc_id
          |HAVING count(*) >= 3""".stripMargin)
+
+  /** The [[adaptiveSampleMod]] ladder as SQL — the same integer product,
+    * one ×2 per corpus doubling past [[EmbPairsSampleBase]]. */
+  private def embSampleLadderSql: String =
+    (0 until EmbPairsSampleSteps).map { j =>
+      s"(CASE WHEN count(*) > ${EmbPairsSampleBase * (1L << j)} THEN 2 ELSE 1 END)"
+    }.mkString(" * ")
 
   /** Shared quantization CTE: L2-normalize, scale by 1e4, round to
     * BIGINT — byte-identical to [[quantized]]. */

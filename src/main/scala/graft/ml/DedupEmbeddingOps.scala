@@ -47,20 +47,66 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
       .select(col("vec_id"), col("q"),
         ArrayOps.dot_long(col("q"), col("q")).as("nsq"))
 
-  /** EXACT cos>0.4 pairs via a distributed tile self-join.
+  // Scale-honest sampling for the exactness yardstick: Θ(n²) all-pairs
+  // at the noise-level gate can never finish at the second decade
+  // (500k vectors ≈ 2.5e11 candidate pairs filled the 100x sweep
+  // host's disk in shuffle spill — BENCH_sf10_spot.json r15), so the
+  // registered yardstick runs on a DETERMINISTIC doc-id sample whose
+  // size is held ~constant by the same corpus-doubling integer ladder
+  // as the LSH plane count: the sample modulus doubles per doubling
+  // past EmbPairsSampleBase, so the kept fraction is ~1/2^ceil(log2(n/
+  // base)) and the sampled all-pairs work is bounded at every decade.
+  // Membership is a pure integer hash of vec_id ((id·c + a) mod p,
+  // Knuth multiplicative constant, prime modulus) — portable verbatim
+  // to the SQL oracle, stable across runs, and NESTED across decades
+  // (the threshold form means the 100x sample is a subset of the 10x
+  // sample over the same ids). Below the base corpus the modulus is 1
+  // and the yardstick is the full exact all-pairs — sf0.01 and sf0.1
+  // are unsampled, so the correctness gate still checks the complete
+  // pair set there.
+  val EmbPairsSampleBase = 4096L
+  val EmbPairsSampleSteps = 20
+  private[ml] val EmbPairsSampleMul = 2654435761L
+  private[ml] val EmbPairsSampleAdd = 12345L
+  private[ml] val EmbPairsSamplePrime = 1000003L
+
+  /** Sample modulus as a pure integer product ladder — one ×2 per
+    * corpus doubling past [[EmbPairsSampleBase]] (no FP log in either
+    * engine; AdaptiveIndexSpec pins the formula). */
+  private[ml] def adaptiveSampleMod(n: Column): Column =
+    (0 until EmbPairsSampleSteps).map { j =>
+      when(n > lit(EmbPairsSampleBase) * lit(1L << j), lit(2L))
+        .otherwise(lit(1L))
+    }.foldLeft(lit(1L))(_ * _)
+
+  /** Deterministic threshold-sample membership at rate ~1/smod:
+    * hash(id)·smod < prime. The threshold form makes samples NESTED in
+    * smod (larger corpus ⊂ smaller corpus's sample over shared ids). */
+  private[ml] def sampleGate(id: Column, smod: Column): Column =
+    ((id * lit(EmbPairsSampleMul) + lit(EmbPairsSampleAdd))
+      % lit(EmbPairsSamplePrime)) * smod < lit(EmbPairsSamplePrime)
+
+  /** EXACT cos>0.4 pairs via a distributed tile self-join, over the
+    * adaptive deterministic sample above (full corpus below
+    * [[EmbPairsSampleBase]]).
     *
     * Exact all-pairs similarity at a noise-level gate (0.4 in 64-d is
     * barely above orthogonal) is inherently Θ(n²) work — no blocking
     * scheme separates cos≈0.42 pairs from cos≈0 noise with usable recall
     * (sign-LSH ρ ≈ 0.66 at this gate; measured on this corpus: 50%
-    * recall at 23% candidate fraction). What CAN scale is the plan
-    * shape: instead of one driver-broadcast nested loop, each vector is
-    * hashed to one of B tiles and replicated across a tile-pair key, so
-    * the pair space becomes B(B+1)/2 independent equi-join tasks — a
-    * plain hash shuffle, per-task work n²/B² with bounded memory, no
-    * broadcast of the corpus. B follows the session's parallelism.
-    * [[embeddingLshPairsOf]] below is the subquadratic approximate form
-    * for thresholds where blocking actually works.
+    * recall at 23% candidate fraction). The sample ladder is what makes
+    * the yardstick scale-HONEST: exactness is preserved within the
+    * sample (this is still the zero-miss reference the blocked arms are
+    * audited against), while the work stays ~[[EmbPairsSampleBase]]²
+    * at any corpus size instead of Θ(n²). The plan shape is also
+    * scale-safe: instead of one driver-broadcast nested loop, each
+    * sampled vector is hashed to one of B tiles and replicated across a
+    * tile-pair key, so the pair space becomes B(B+1)/2 independent
+    * equi-join tasks — a plain hash shuffle, per-task work s²/B² with
+    * bounded memory, no broadcast of the corpus. B follows the
+    * session's parallelism. [[embeddingLshPairsOf]] below is the
+    * subquadratic approximate form over the FULL corpus for thresholds
+    * where blocking actually works.
     *
     * A pair (x in tile i, y in tile j, i <= j) meets exactly once: at
     * tile key (i, j), x arriving via the a-side explode (i..B-1) and y
@@ -69,7 +115,15 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
   def embeddingPairsOf(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
     val tiles = math.max(4, math.min(64, spark.sparkContext.defaultParallelism))
-    val sq = quantizedWithNorm(graft.scale.Scale.spread(vectors))
+    // the ladder reads ONE corpus count (vec_id column only — pruned
+    // scan), broadcast as the 1-row scalar-anchor idiom; the gate then
+    // prunes BEFORE quantization, so the interpreted quantize HOF runs
+    // over the bounded sample, not the corpus
+    val smod = vectors.agg(adaptiveSampleMod(count(lit(1))).as("smod"))
+    val sampled = graft.scale.Scale.spread(vectors)
+      .crossJoin(broadcast(smod))
+      .filter(sampleGate(col("vec_id"), col("smod")))
+    val sq = quantizedWithNorm(sampled)
       .withColumn("tile", pmod(xxhash64(col("vec_id")), lit(tiles.toLong)))
       .persist() // quantize HOF is interpreted; both join sides re-read this
     val aSide = sq

@@ -70,7 +70,22 @@ object RagFlagship {
     * rrf_milli, mmr) — [[Similarity.MmrK]] rows per query. */
   def ragServeOf(docs: DataFrame, embs: DataFrame,
       qpred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        isQuery): DataFrame = {
+        isQuery): DataFrame =
+    ragServeWithHandles(docs, embs, qpred)._1
+
+  /** [[ragServeOf]] plus its persisted intermediates, for callers that
+    * must release them after their terminal action — the streaming twin
+    * serves an unbounded sequence of micro-batches, and each serve's
+    * plan embeds that batch's id list, so without per-batch unpersist
+    * the cache grows one (tokenized-corpus + keywords + candidates)
+    * triple per batch forever. Batch callers keep the module cache
+    * contract (Bench/Verify clearCache() between queries) via
+    * [[ragServeOf]]. The handles must not be released before the
+    * caller's final action on the returned frame — its lazy plan still
+    * reads them. */
+  private[ml] def ragServeWithHandles(docs: DataFrame, embs: DataFrame,
+      qpred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (DataFrame, Seq[DataFrame]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -143,9 +158,10 @@ object RagFlagship {
       .select(col("query_id"), col("doc_id").as("vec_id"),
         col("rrf_milli").as("rel"), col("qv"))
       .as[Similarity.MmrCand]
-    Similarity.mmrSelect(cands)
+    val out = Similarity.mmrSelect(cands)
       .select(col("query_id"), col("sel_rank"), col("vec_id").as("doc_id"),
         col("rel").as("rrf_milli"), col("mmr"))
+    (out, Seq(tdocs, qk, cand))
   }
 
   def ragServe(spark: SparkSession, dir: String): DataFrame =
@@ -175,15 +191,33 @@ object RagFlagship {
     * queries are in flight — so the union of micro-batch serve outputs
     * over ANY split of a panel equals the one-shot batch serve.
     * RagStreamSpec mechanizes that equality against [[ragServeFixedQ]]
-    * under random splits of the fixed panel. */
+    * under random splits of the fixed panel.
+    *
+    * Delivery semantics: AT-LEAST-ONCE per query id. Dedup is
+    * per-micro-batch only (`distinct()` below); an id re-sent in a
+    * later batch is served again — the serving answer is deterministic
+    * against the static state, so the re-serve is a harmless identical
+    * row set, but the union-equals-batch equality above is stated for
+    * DISJOINT feeds. Callers needing exactly-once union semantics must
+    * dedup the feed upstream (e.g. dropDuplicates over a keyed state).
+    *
+    * Cache lifecycle: each serve persists its per-batch intermediates
+    * (tokenized corpus, keywords, candidates — their plans embed the
+    * batch's id list, so they are NOT shared across batches); they are
+    * released after the sink's action returns, so a long-running feed
+    * holds at most one batch's cache at a time. */
   def ragServeStreamOf(queryIds: Dataset[Long], docs: DataFrame,
       embs: DataFrame)(sink: DataFrame => Unit): StreamingQuery =
     queryIds.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Long], _: Long) =>
         val ids = batch.distinct().collect()
-        if (ids.nonEmpty)
-          sink(ragServeOf(docs, embs, c => c.isInCollection(ids)))
+        if (ids.nonEmpty) {
+          val (out, handles) =
+            ragServeWithHandles(docs, embs, c => c.isInCollection(ids))
+          try sink(out)
+          finally handles.foreach(_.unpersist(blocking = false))
+        }
       }
       .start()
 

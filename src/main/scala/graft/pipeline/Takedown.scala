@@ -491,11 +491,17 @@ object Takedown {
         })
   }
 
-  /** Split-name index for the bounded MV key encoding (3 splits). */
+  /** Split-name index for the bounded MV key encoding (3 splits).
+    * Unknown names FAIL FAST instead of silently aliasing into the
+    * 'test' cell — a malformed ShardDelta would otherwise corrupt the
+    * MV key encoding where no audit looks. */
   private[graft] def splitIndexOf(split: String): Long = split match {
     case "train" => 0L
     case "val" => 1L
-    case _ => 2L
+    case "test" => 2L
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown split name '$other' (expected train/val/test)")
   }
 
   /** Bridge from the streaming takedown's shard deltas to the streaming

@@ -38,4 +38,22 @@ class AdaptiveIndexSpec extends SparkSpec {
     // 2^40 vectors: ladder caps at EmbLshPlanesMax, never beyond
     assert(planesAt(1L << 40) === Dedup.EmbLshPlanesMax)
   }
+
+  test("exactness-yardstick sample modulus: 1 up to the base corpus, " +
+    "doubling per corpus doubling past it") {
+    def modAt(n: Long): Long = spark.range(1)
+      .select(Dedup.adaptiveSampleMod(lit(n)).as("m")).head().getLong(0)
+    assert(Dedup.EmbPairsSampleBase === 4096L)
+    assert(modAt(500L) === 1L)    // sf0.01: unsampled — full exact pairs
+    assert(modAt(2000L) === 1L)   // sf0.1: unsampled — full exact pairs
+    assert(modAt(4096L) === 1L)   // at the base: still full
+    assert(modAt(4097L) === 2L)   // first doubling starts immediately...
+    assert(modAt(8192L) === 2L)   // ...and holds through the doubling
+    assert(modAt(8193L) === 4L)   // next doubling -> ×2
+    assert(modAt(20000L) === 8L)  // 10x synthetic corpus -> 1-in-8
+    assert(modAt(200000L) === 64L) // 100x synthetic corpus -> 1-in-64
+    // a 2^40 corpus: ladder caps at 2^EmbPairsSampleSteps — the sample
+    // never exceeds ~prime/2^steps selectivity, work stays bounded
+    assert(modAt(1L << 40) === (1L << Dedup.EmbPairsSampleSteps))
+  }
 }

@@ -290,6 +290,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("tiled embedding pairs equal the naive theta-join exactly") {
+    // sf0.01 sits below EmbPairsSampleBase, so the registered yardstick
+    // is UNSAMPLED here and must equal the full naive pair set
     val emb = graft.Tables.embeddings(spark, sf)
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
@@ -298,6 +300,31 @@ class DedupSpec extends SparkSpec {
     assert(tiled == naive,
       s"tiled plan changed the result: missing=${naive.diff(tiled).take(5)} " +
         s"extra=${tiled.diff(naive).take(5)}")
+    spark.catalog.clearCache()
+  }
+
+  test("above the base corpus the yardstick is exact all-pairs OVER the " +
+    "deterministic hash sample (membership + pair set both replayed)") {
+    import spark.implicits._
+    // 10,000 synthetic 4-d vectors: past one doubling of the base ->
+    // smod = 4, expected sample ~2,500
+    val n = 10000L
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      array(Seq(1, 3, 7, 11).map(m =>
+        (pmod(col("id") * m, lit(17L)) - lit(8L)).cast("float")): _*)
+        .as("embedding"))
+    // replay the gate in plain Scala: smod = 4 at n = 10,000
+    val keep = (0L until n).filter(id =>
+      ((id * 2654435761L + 12345L) % 1000003L) * 4L < 1000003L)
+    assert(keep.size > 2000 && keep.size < 3000, s"sample=${keep.size}")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val sampledTiled = asSet(Dedup.embeddingPairsOf(vecs))
+    val naiveOnSample = asSet(Dedup.embeddingPairsExactOf(
+      vecs.filter(col("vec_id").isInCollection(keep))))
+    assert(sampledTiled == naiveOnSample,
+      s"missing=${naiveOnSample.diff(sampledTiled).take(5)} " +
+        s"extra=${sampledTiled.diff(naiveOnSample).take(5)}")
     spark.catalog.clearCache()
   }
 
