@@ -427,11 +427,33 @@ object Multimodal {
           col("doc_id") % CrossModalQueryStride === 0),
       Tables.embeddings(spark, dir), k)
 
+  /** Fixed-panel production twin of [[crossModalTopK]]: the first
+    * [[graft.ml.Retrieval.FixedPanelSize]] query images only — constant
+    * as the corpus grows, so the serve is panel × corpus (linear in the
+    * corpus) where the proportional stride form co-scales queries with
+    * the corpus (the 100× sweep's single largest row, 1345 s — an
+    * exhaustive-gate shape, not a serving shape). Same fixture-size
+    * constant as the sim/retrieval `_fixedq` family. */
+  def crossModalTopKFixedQ(spark: SparkSession, dir: String,
+      k: Int = CrossModalK): DataFrame =
+    crossModalTopKOf(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") % CrossModalQueryStride === 0 &&
+          col("doc_id") <
+            lit(Retrieval.FixedPanelSize.toLong * CrossModalQueryStride)),
+      Tables.embeddings(spark, dir), k)
+
   /** Generated oracle for [[crossModalTopK]]: histogram, the inlined
     * projection matrix, the quantize_vec replay (sequential double sum,
     * round-half-away, zero-norm guard — the trainedCentroids oracle
     * convention), and the windowed top-k. */
-  private def crossModalOracle: String = {
+  private def crossModalOracle: String = crossModalOracleFor("")
+
+  private def crossModalOracleFixedQ: String = crossModalOracleFor(
+    s" AND doc_id < ${Retrieval.FixedPanelSize.toLong * CrossModalQueryStride}")
+
+  private def crossModalOracleFor(extraPred: String): String = {
     val vExprs = (0 until 64).map { d =>
       (0 until 16).map(j => s"hist[${j + 1}] * (${crossProj(j, d)})")
         .mkString(" + ")
@@ -443,7 +465,7 @@ object Multimodal {
        |                                  c -> unicode(c)::BIGINT // 16)
        |         END AS px
        |  FROM documents
-       |  WHERE doc_id % 3 = 0 AND doc_id % $CrossModalQueryStride = 0),
+       |  WHERE doc_id % 3 = 0 AND doc_id % $CrossModalQueryStride = 0$extraPred),
        |h AS (
        |  SELECT doc_id,
        |         [CAST(len(list_filter(px, x -> x = j)) AS BIGINT)
@@ -496,7 +518,9 @@ object Multimodal {
     "multimodal_audio_frames" -> ((s, d) => audioFrames(s, d)),
     "multimodal_voice_segments" -> ((s, d) => voiceSegments(s, d)),
     "multimodal_motion" -> ((s, d) => motionDeltas(s, d)),
-    "multimodal_crossmodal_topk" -> ((s, d) => crossModalTopK(s, d)))
+    "multimodal_crossmodal_topk" -> ((s, d) => crossModalTopK(s, d)),
+    "multimodal_crossmodal_topk_fixedq" ->
+      ((s, d) => crossModalTopKFixedQ(s, d)))
 
   // multimodal_features: the stub decode is integer arithmetic over the
   // UTF-8 payload bytes, and the corpus is ASCII (verified across all SFs),
@@ -506,6 +530,7 @@ object Multimodal {
   // before the final float32 narrowing, mirroring decodeStub exactly.
   val oracles: Map[String, String] = Map(
     "multimodal_crossmodal_topk" -> crossModalOracle,
+    "multimodal_crossmodal_topk_fixedq" -> crossModalOracleFixedQ,
     "multimodal_phash_pairs" ->
       """WITH img AS (
         |  SELECT doc_id,

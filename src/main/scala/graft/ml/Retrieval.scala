@@ -42,6 +42,12 @@ object Retrieval {
   /** Query-document predicate — matches Similarity's ANN family. */
   private[ml] def isQuery(id: Column): Column = id % QueryStride === 0
 
+  /** Fixed-panel twin predicate: the first [[FixedPanelSize]] queries
+    * only — constant as the corpus grows (the production serving
+    * shape; see [[Similarity]]'s panel scaladoc). */
+  private[ml] def isPanelQuery(id: Column): Column =
+    isQuery(id) && id < lit(FixedPanelSize * QueryStride)
+
   /** RRF smoothing constant (K = 60, the value the original paper and
     * every production fusion default to). */
   val RrfK = 60
@@ -130,13 +136,14 @@ object Retrieval {
     * `embs` = (vec_id, embedding) with vec_id aligned to doc_id. A
     * document absent from one arm's top-[[ArmDepth]] contributes 0 from
     * that arm (standard RRF over truncated lists). */
-  def hybridRrfOf(docs: DataFrame, embs: DataFrame, k: Int = 10): DataFrame = {
+  def hybridRrfOf(docs: DataFrame, embs: DataFrame, k: Int = 10,
+      pred: Column => Column = isQuery): DataFrame = {
     // tokenize the corpus ONCE; both lexical stages read this projection
     val tdocs = tokenizedOf(docs).persist()
     // keyword mining scans the corpus for df; persist the tiny result so
     // its two consumers in the BM25 arm (distinct term set, scoring join)
     // don't each recompute that scan
-    val qk = queryKeywordsOf(tdocs).persist()
+    val qk = queryKeywordsOf(tdocs, pred = pred).persist()
     val lex = bm25PerQueryOf(tdocs, qk)
     val wl = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_milli").desc, col("doc_id").asc)
@@ -144,7 +151,7 @@ object Retrieval {
       .filter(col("lex_rank") <= ArmDepth)
       .select("query_id", "doc_id", "lex_rank")
     val semTop = Similarity
-      .bruteForceTopKOf(embs, embs.filter(isQuery(col("vec_id"))), ArmDepth)
+      .bruteForceTopKOf(embs, embs.filter(pred(col("vec_id"))), ArmDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("sem_rank"))
     val wf = Window.partitionBy(col("query_id"))
@@ -161,16 +168,31 @@ object Retrieval {
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
     hybridRrfOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
+  /** Fixed-panel production twin — the constant 64-query panel keeps
+    * BOTH arms panel-bounded (keyword mining's tf side, the BM25
+    * scoring joins, the semantic broadcast) where the proportional form
+    * co-scales queries with the corpus. */
+  def hybridRrfFixedQ(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      pred = isPanelQuery)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)))
+    "sim_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "sim_hybrid_rrf_fixedq" -> ((s, d) => hybridRrfFixedQ(s, d)))
 
   /** DuckDB `//` is the same integral divide as Spark `div`; `log2m`
     * replays [[TextOps.log2mExpr]]; the quantized-vector CTE is the
     * sim_topk_bruteforce oracle's. Every window order is total (unique
     * tie-break column last), so ranks are engine-independent. */
-  private def hybridOracle: String = {
+  private def hybridOracle: String =
+    hybridOracleFor(c => s"$c % $QueryStride = 0")
+
+  private def hybridOracleFixedQ: String = hybridOracleFor(
+    c => s"$c % $QueryStride = 0 AND $c < ${FixedPanelSize * QueryStride}")
+
+  private def hybridOracleFor(qpred: String => String): String = {
     def log2m(x: String): String =
       s"(length(bin($x)) - 1) * 1000" +
         s" + ($x) * 1000 // CAST(pow(2, length(bin($x)) - 1) AS BIGINT) - 1000"
@@ -188,7 +210,7 @@ object Retrieval {
        |    SELECT tfa.doc_id, tfa.token,
        |           row_number() OVER (PARTITION BY tfa.doc_id
        |             ORDER BY tfa.tf DESC, dfa.df ASC, tfa.token ASC) AS r
-       |    FROM tfa JOIN dfa USING (token) WHERE tfa.doc_id % 200 = 0)
+       |    FROM tfa JOIN dfa USING (token) WHERE ${qpred("tfa.doc_id")})
        |  WHERE r <= $QueryTerms),
        |s AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -229,7 +251,7 @@ object Retrieval {
        |sem AS (
        |  SELECT qs.vec_id AS query_id, cp.vec_id AS doc_id,
        |         CAST(list_dot_product(qs.qv, cp.qv) AS BIGINT) AS dot
-       |  FROM q qs JOIN q cp ON qs.vec_id % 200 = 0 AND cp.vec_id <> qs.vec_id),
+       |  FROM q qs JOIN q cp ON ${qpred("qs.vec_id")} AND cp.vec_id <> qs.vec_id),
        |semt AS (
        |  SELECT query_id, doc_id, CAST(r AS INT) AS sem_rank FROM (
        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
@@ -251,5 +273,6 @@ object Retrieval {
   }
 
   val oracles: Map[String, String] = Map(
-    "sim_hybrid_rrf" -> hybridOracle)
+    "sim_hybrid_rrf" -> hybridOracle,
+    "sim_hybrid_rrf_fixedq" -> hybridOracleFixedQ)
 }

@@ -1150,9 +1150,10 @@ object Similarity {
     * per-key logic no Column expression expresses. The corpus-sized part
     * (candidate generation) stays declarative in [[bruteForceTopKOf]]. */
   def mmrTopK(spark: SparkSession, dir: String, pool: Int = MmrPool,
-      k: Int = MmrK, lambdaMilli: Long = MmrLambdaMilli): DataFrame = {
+      k: Int = MmrK, lambdaMilli: Long = MmrLambdaMilli,
+      pred: Column => Column = isQuery): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    mmrTopKOf(emb, emb.filter(isQuery(col("vec_id"))), pool, k, lambdaMilli)
+    mmrTopKOf(emb, emb.filter(pred(col("vec_id"))), pool, k, lambdaMilli)
   }
 
   /** Library surface: MMR over arbitrary (vec_id, embedding) corpus +
@@ -1224,7 +1225,9 @@ object Similarity {
     * `λ·rel − (1−λ)·maxsim`, and picks the window argmax with the same
     * (score desc, vec_id asc) tie-break. All BIGINT arithmetic —
     * identical to the Spark fold's. */
-  private def mmrOracle: String = {
+  private def mmrOracle: String = mmrOracleFor(defaultQPred)
+
+  private def mmrOracleFor(qpred: String => String): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH q AS MATERIALIZED (
       |  SELECT vec_id,
@@ -1236,7 +1239,7 @@ object Similarity {
       |scored AS (
       |  SELECT qs.vec_id AS query_id, c.vec_id,
       |         CAST(list_dot_product(qs.qv, c.qv) AS BIGINT) AS rel
-      |  FROM q qs JOIN q c ON qs.vec_id % 200 = 0 AND c.vec_id <> qs.vec_id),
+      |  FROM q qs JOIN q c ON ${qpred("qs.vec_id")} AND c.vec_id <> qs.vec_id),
       |cand AS MATERIALIZED (
       |  SELECT query_id, r.vec_id, rel, q.qv FROM (
       |    SELECT query_id, vec_id, rel,
@@ -1472,6 +1475,15 @@ object Similarity {
     "sim_pq_recall_audit_fixedq" -> ((s, d) => pqRecallAuditFixedQ(s, d)),
     "sim_recall_audit_fixedq" -> ((s, d) => annRecallAuditFixedQ(s, d)),
     "sim_ivf_recall_audit_fixedq" -> ((s, d) => ivfRecallAuditFixedQ(s, d)),
+    // Fixed-panel PRODUCTION twins of the serving arms (same fixture as
+    // the recall-audit twins): the proportional forms co-scale queries
+    // with the corpus — the occasional exhaustive gate, quadratic under
+    // co-scaling by construction — while these serve the constant
+    // 64-query panel at panel × corpus cost, linear in the corpus, the
+    // shape a deployment actually runs continuously.
+    "sim_topk_ann_fixedq" -> ((s, d) => annTopK(s, d, pred = isPanelQuery)),
+    "sim_topk_pq_fixedq" -> ((s, d) => pqTopK(s, d, pred = isPanelQuery)),
+    "sim_topk_mmr_fixedq" -> ((s, d) => mmrTopK(s, d, pred = isPanelQuery)),
     "sim_topk_tenant" -> ((s, d) => tenantAnnTopK(s, d)),
     "sim_topk_tenant_ivf" -> ((s, d) => tenantIvfTopK(s, d)),
     "sim_topk_ivf" -> ((s, d) => ivfTopK(s, d)),
@@ -2238,6 +2250,11 @@ object Similarity {
     "sim_pq_recall_audit_fixedq" -> pqRecallAuditFixedQOracle,
     "sim_recall_audit_fixedq" -> annRecallAuditFixedQOracle,
     "sim_ivf_recall_audit_fixedq" -> ivfRecallAuditFixedQOracle,
+    // fixed-panel serving twins: the per-arm oracles with the panel
+    // predicate substituted — same generated SQL, same arithmetic
+    "sim_topk_ann_fixedq" -> annOracleFor(panelQPred),
+    "sim_topk_pq_fixedq" -> pqOracleFor(panelQPred),
+    "sim_topk_mmr_fixedq" -> mmrOracleFor(panelQPred),
     "emb_top_direction" -> topDirectionOracle(),
     // Exact while every intermediate stays under 2^53 (list_dot_product
     // sums in double): true at the driver's sf0.01 and the sf0.1 gate;
