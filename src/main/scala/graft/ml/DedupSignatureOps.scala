@@ -217,6 +217,87 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     simhashPairsOf(Tables.documents(spark, dir), maxHamming)
 
   // -------------------------------------------------------------------
+  // Adaptive-width blocking (the corpus-doubling knob, as for the
+  // embedding LSH planes): with the FIXED pigeonhole layout the random
+  // same-chunk candidate mass grows n²/2^width — measured 374 s
+  // (simhash) / 304 s (winnow) at the 100x sweep. Production widens the
+  // BLOCK KEY with log n instead: +1 key bit (simhash) / +1 gram char
+  // (winnow) per corpus doubling past the base, holding the random
+  // collision mass ~constant. The trade is the standard (AND, OR)
+  // exchange: the widened key watches more signal bits per chunk, so
+  // the PROVEN pigeonhole radius of the fixed form becomes a measured
+  // recall at the gate (true near-dups concentrate far fewer flips
+  // than the adversarial bound; DedupAdaptiveSpec measures both arms
+  // against their fixed-width twins). Base 4096 => sf0.01 is below the
+  // ladder and the adaptive forms are bit-identical to the fixed ones
+  // at the correctness gate.
+  // -------------------------------------------------------------------
+
+  val AdaptWidthBase = 4096L
+  val AdaptWidthSteps = 12
+
+  /** ceil(log2(n / base)) as a pure integer comparison count — the same
+    * ladder as Dedup.adaptiveSampleMod / adaptivePlaneCount, evaluated
+    * driver-side from one bounded count (the width is a compile-time
+    * plan constant: it parameterizes generated chunk structs and the
+    * winnowing kernel, where a data-dependent loop bound would buy
+    * nothing). */
+  private[ml] def adaptWidthStepsFor(n: Long): Int =
+    (0 until AdaptWidthSteps).count(j => n > AdaptWidthBase * (1L << j))
+
+  /** [[simhashPairsOf]] with the chunk key widened by `extraBits`
+    * signature bits per chunk: chunk i additionally watches the
+    * `extraBits` bits cyclically FOLLOWING its base range, so two docs
+    * collide on chunk i only if they agree on base + extension — random
+    * collisions drop 2x per extra bit while a true near-dup pair
+    * still collides unless a flip lands in every widened window. */
+  def simhashPairsAdaptiveOf(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val e = adaptWidthStepsFor(docs.count())
+    simhashPairsAdaptiveOfSigs(simhashOf(docs), maxHamming, e)
+  }
+
+  /** Blocking + verification with `extraBits` extension bits per chunk
+    * (0 reproduces [[simhashPairsOfSigs]] exactly). */
+  def simhashPairsAdaptiveOfSigs(sh: DataFrame, maxHamming: Int,
+      extraBits: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val nChunks = maxHamming + 1
+    val w = 64 / nChunks // last chunk absorbs the remainder bits
+    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1L
+    val chunkArr = array((0 until nChunks).map { i =>
+      val width = if (i == nChunks - 1) 64 - w * (nChunks - 1) else w
+      val base = shiftright(col("simhash"), i * w).bitwiseAND(lit(mask(width)))
+      // extension bit j = signature bit (chunkEnd + j) mod 64, placed at
+      // key bit width + j — injective in (base, ext), so the candidate
+      // equality relation is exactly "agree on all watched bits"
+      val key = (0 until extraBits).foldLeft(base) { (acc, j) =>
+        val pos = (i * w + width + j) % 64
+        acc.bitwiseOR(shiftleft(
+          shiftright(col("simhash"), pos).bitwiseAND(lit(1L)),
+          width + j))
+      }
+      struct(lit(i).as("chunk"), key.as("ch"))
+    }: _*)
+    val chunks = sh
+      .select(col("doc_id"), col("simhash"), explode(chunkArr).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsAdaptive(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsAdaptiveOf(Tables.documents(spark, dir))
+
+  // -------------------------------------------------------------------
   // Winnowing fingerprints (char-level rolling hash; spec-verified)
   // -------------------------------------------------------------------
 
@@ -250,6 +331,45 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
 
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
     winnowPairsOf(Tables.documents(spark, dir))
+
+  /** [[winnowPairsOf]] with the GRAM widened by the corpus-doubling
+    * ladder: +1 codepoint per doubling past [[AdaptWidthBase]] (the
+    * winnowing analog of the simhash key bit — each extra gram char
+    * divides random gram collisions by the effective alphabet, so
+    * incidental fingerprint df stays flat where the fixed 12-gram's
+    * bucket occupancy grows with n). The declared trade is the
+    * winnowing guarantee length: a shared substring must now reach
+    * k+w-1 = (12+steps)+16-1 chars to be certain of a shared
+    * fingerprint; true near-dups share far longer runs, so gate recall
+    * holds (measured in DedupAdaptiveSpec). Window stays 16 — density
+    * (how many fingerprints per doc) is a recall resource, selectivity
+    * (how rare each fingerprint is) is the scale knob. */
+  def winnowPairsAdaptiveOf(docs: DataFrame, threshold: Double = 0.5,
+                            dfCap: Int = 1000): DataFrame = {
+    val k = 12 + adaptWidthStepsFor(docs.count())
+    val fp = graft.scale.Scale.spread(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow_poly_fingerprints(
+          col("text"), k = k)).as("f"))
+    val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("f")
+    val idx = fp.join(broadcast(hot), Seq("f"), "left_anti").persist()
+    val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
+  def winnowPairsAdaptive(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsAdaptiveOf(Tables.documents(spark, dir))
 
   /** Blocker audit — the recall report a dedup pipeline keeps on its
     * dashboard: the LOSSLESS prefix-filter join ([[prefixFilterPairsOf]],
