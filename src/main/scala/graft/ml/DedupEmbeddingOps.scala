@@ -72,19 +72,21 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
 
   /** Sample modulus as a pure integer product ladder — one ×2 per
     * corpus doubling past [[EmbPairsSampleBase]] (no FP log in either
-    * engine; AdaptiveIndexSpec pins the formula). */
-  private[ml] def adaptiveSampleMod(n: Column): Column =
+    * engine; AdaptiveIndexSpec pins the formula). Evaluated driver-side
+    * from one bounded count (the [[adaptWidthStepsFor]] convention):
+    * inlining the modulus as a literal keeps the gate a plain codegen
+    * Filter on the scan — no scalar-anchor join in the plan at all. */
+  private[ml] def sampleModFor(n: Long): Long =
     (0 until EmbPairsSampleSteps).map { j =>
-      when(n > lit(EmbPairsSampleBase) * lit(1L << j), lit(2L))
-        .otherwise(lit(1L))
-    }.foldLeft(lit(1L))(_ * _)
+      if (n > EmbPairsSampleBase * (1L << j)) 2L else 1L
+    }.product
 
   /** Deterministic threshold-sample membership at rate ~1/smod:
     * hash(id)·smod < prime. The threshold form makes samples NESTED in
     * smod (larger corpus ⊂ smaller corpus's sample over shared ids). */
-  private[ml] def sampleGate(id: Column, smod: Column): Column =
+  private[ml] def sampleGate(id: Column, smod: Long): Column =
     ((id * lit(EmbPairsSampleMul) + lit(EmbPairsSampleAdd))
-      % lit(EmbPairsSamplePrime)) * smod < lit(EmbPairsSamplePrime)
+      % lit(EmbPairsSamplePrime)) * lit(smod) < lit(EmbPairsSamplePrime)
 
   /** EXACT cos>0.4 pairs via a distributed tile self-join, over the
     * adaptive deterministic sample above (full corpus below
@@ -116,13 +118,13 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
     val spark = vectors.sparkSession
     val tiles = math.max(4, math.min(64, spark.sparkContext.defaultParallelism))
     // the ladder reads ONE corpus count (vec_id column only — pruned
-    // scan), broadcast as the 1-row scalar-anchor idiom; the gate then
-    // prunes BEFORE quantization, so the interpreted quantize HOF runs
-    // over the bounded sample, not the corpus
-    val smod = vectors.agg(adaptiveSampleMod(count(lit(1))).as("smod"))
+    // scan) as a bounded driver control fold; inlined as a literal, the
+    // gate is a plain codegen Filter that prunes BEFORE quantization,
+    // so the interpreted quantize HOF runs over the bounded sample, not
+    // the corpus — and the pair plan stays join-free upstream
+    val smod = sampleModFor(vectors.count())
     val sampled = graft.scale.Scale.spread(vectors)
-      .crossJoin(broadcast(smod))
-      .filter(sampleGate(col("vec_id"), col("smod")))
+      .filter(sampleGate(col("vec_id"), smod))
     val sq = quantizedWithNorm(sampled)
       .withColumn("tile", pmod(xxhash64(col("vec_id")), lit(tiles.toLong)))
       .persist() // quantize HOF is interpreted; both join sides re-read this

@@ -41,8 +41,7 @@ class AdaptiveIndexSpec extends SparkSpec {
 
   test("exactness-yardstick sample modulus: 1 up to the base corpus, " +
     "doubling per corpus doubling past it") {
-    def modAt(n: Long): Long = spark.range(1)
-      .select(Dedup.adaptiveSampleMod(lit(n)).as("m")).head().getLong(0)
+    def modAt(n: Long): Long = Dedup.sampleModFor(n)
     assert(Dedup.EmbPairsSampleBase === 4096L)
     assert(modAt(500L) === 1L)    // sf0.01: unsampled — full exact pairs
     assert(modAt(2000L) === 1L)   // sf0.1: unsampled — full exact pairs
