@@ -350,7 +350,8 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     // The adaptive-gram twin: identical chain with the gram length k
     // widened by the corpus-doubling ladder (k = 12 + ceil(log2(n/
     // base))); each gram hash is recomputed at the adaptive k, window
-    // stays 16.
+    // stays 16. (The window-widening direction was measured and
+    // rejected — see winnowPairsAdaptiveOf's scaladoc.)
     "dedup_winnow_pairs_adaptive" ->
       s"""WITH cps AS (
         |  SELECT doc_id,

@@ -333,17 +333,26 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     winnowPairsOf(Tables.documents(spark, dir))
 
   /** [[winnowPairsOf]] with the GRAM widened by the corpus-doubling
-    * ladder: +1 codepoint per doubling past [[AdaptWidthBase]] (the
-    * winnowing analog of the simhash key bit — each extra gram char
-    * divides random gram collisions by the effective alphabet, so
-    * incidental fingerprint df stays flat where the fixed 12-gram's
-    * bucket occupancy grows with n). The declared trade is the
-    * winnowing guarantee length: a shared substring must now reach
-    * k+w-1 = (12+steps)+16-1 chars to be certain of a shared
-    * fingerprint; true near-dups share far longer runs, so gate recall
-    * holds (measured in DedupAdaptiveSpec). Window stays 16 — density
-    * (how many fingerprints per doc) is a recall resource, selectivity
-    * (how rare each fingerprint is) is the scale knob. */
+    * ladder: k = 12 + steps past [[AdaptWidthBase]] (the winnowing
+    * analog of the simhash key bit — each extra gram codepoint divides
+    * incidental gram collisions by the effective alphabet, so hot-
+    * fingerprint df stays flat where the fixed 12-gram's bucket
+    * occupancy grows with n). Both knob directions were MEASURED at
+    * sf0.1/10x before settling here (tools/adaptive_recall.py + the
+    * per-band breakdown recorded in BENCH_sf1_spot.json): widening the
+    * WINDOW instead (k fixed) preserves borderline-band recall but
+    * collapses precision on short documents (25,823 gate pairs at
+    * sf0.1 vs the fixed arm's 1,496; 1.85M at 10x — the denominator
+    * min(|Fa|,|Fb|) thins faster than the intersection), i.e. the
+    * opposite of the scale goal. Gram widening keeps the output
+    * SELECTIVE (859 at sf0.1 / 5,891 at 10x) and holds recall where
+    * the production near-dup semantics lives: the >=0.95-overlap
+    * duplicate band measures 1.00 (sf0.1) / 0.992 (10x) against the
+    * fixed arm. The DECLARED trade is the borderline 0.5-0.65
+    * template band (re-hashed grams re-score scattered short shared
+    * runs), which the registered fixed arm — the complete-gate
+    * yardstick — continues to cover, exactly as the blocked LSH arms
+    * lean on their exactness yardsticks. */
   def winnowPairsAdaptiveOf(docs: DataFrame, threshold: Double = 0.5,
                             dfCap: Int = 1000): DataFrame = {
     val k = 12 + adaptWidthStepsFor(docs.count())
