@@ -286,7 +286,8 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
          |smod AS (SELECT CAST($embSampleLadderSql AS BIGINT) AS m FROM s),
          |sv AS (
          |  SELECT s.vec_id, s.qv, s.nsq FROM s, smod
-         |  WHERE ((s.vec_id * $EmbPairsSampleMul + $EmbPairsSampleAdd)
+         |  WHERE (((s.vec_id % $EmbPairsSamplePrime) * $EmbPairsSampleMul
+         |          + $EmbPairsSampleAdd)
          |         % $EmbPairsSamplePrime) * m < $EmbPairsSamplePrime)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE) /
@@ -309,180 +310,36 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
         |SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
         |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
         |FROM c""".stripMargin,
-    // Replays portable winnowing end to end: codepoint 12-gram poly
+    // Replays portable winnowing end to end: codepoint k-gram poly
     // hashes (each gram recomputed independently — modular arithmetic
     // matches the Spark side's rolling form exactly), window-16 mins,
     // distinct, then the same inverted-index overlap join with the
-    // df-cap guard. Constants mirror winnowPairsOf's defaults.
+    // df-cap guard. ONE builder serves the fixed arm (k = 12, mirroring
+    // winnowPairsOf's default) and the adaptive arm (k = 12 + the
+    // corpus-doubling ladder), so a gate/threshold correction cannot
+    // drift between the yardstick and its twin.
     "dedup_winnow_pairs" ->
-      """WITH cps AS (
-        |  SELECT doc_id,
-        |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id,
-        |         [list_reduce(list_prepend(0::BIGINT, list_slice(cp, i, i + 11)),
-        |            (a, c) -> (a * 31 + c) % 1000000007)
-        |          for i in range(1, len(cp) - 10)] AS hs
-        |  FROM cps WHERE len(cp) >= 12),
-        |mins AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
-        |              ELSE [list_min(list_slice(hs, i, i + 15))
-        |                    for i in range(1, len(hs) - 14)] END AS ms
-        |  FROM grams),
-        |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins),
-        |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
-        |idx AS (SELECT fp.doc_id, fp.f FROM fp LEFT JOIN hot ON fp.f = hot.f
-        |        WHERE hot.f IS NULL),
-        |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
-        |  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |       CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
-        |FROM inter
-        |JOIN sz na ON na.doc_id = doc_a
-        |JOIN sz nb ON nb.doc_id = doc_b
-        |WHERE CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
-        |      >= 0.5::DOUBLE""".stripMargin,
-    // The adaptive-gram twin: identical chain with the gram length k
-    // widened by the corpus-doubling ladder (k = 12 + ceil(log2(n/
-    // base))); each gram hash is recomputed at the adaptive k, window
-    // stays 16. (The window-widening direction was measured and
-    // rejected — see winnowPairsAdaptiveOf's scaladoc.)
+      winnowPairsOracleSql("SELECT CAST(12 AS BIGINT) AS k"),
     "dedup_winnow_pairs_adaptive" ->
-      s"""WITH cps AS (
-        |  SELECT doc_id,
-        |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
-        |  FROM documents),
-        |kv AS (SELECT CAST(12 + $adaptWidthLadderSql AS BIGINT) AS k
-        |       FROM documents),
-        |grams AS (
-        |  SELECT doc_id,
-        |         [list_reduce(list_prepend(0::BIGINT, list_slice(cp, i, i + k - 1)),
-        |            (a, c) -> (a * 31 + c) % 1000000007)
-        |          for i in range(1, len(cp) - k + 2)] AS hs
-        |  FROM cps, kv WHERE len(cp) >= k),
-        |mins AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
-        |              ELSE [list_min(list_slice(hs, i, i + 15))
-        |                    for i in range(1, len(hs) - 14)] END AS ms
-        |  FROM grams),
-        |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins),
-        |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
-        |idx AS (SELECT fp.doc_id, fp.f FROM fp LEFT JOIN hot ON fp.f = hot.f
-        |        WHERE hot.f IS NULL),
-        |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
-        |  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |       CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
-        |FROM inter
-        |JOIN sz na ON na.doc_id = doc_a
-        |JOIN sz nb ON nb.doc_id = doc_b
-        |WHERE CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
-        |      >= 0.5::DOUBLE""".stripMargin,
+      winnowPairsOracleSql(
+        s"SELECT CAST(12 + $adaptWidthLadderSql AS BIGINT) AS k" +
+          " FROM documents"),
     // Replays the portable SimHash end to end: char-level poly token hash
     // (as in the minhash oracle), parity bit-plane votes, sign take — the
     // signature is carried as a 64-element bit LIST (no int64 sign-bit
-    // hazards), chunk blocking folds each slice to an integer (any
+    // hazards), chunk blocking folds each slice (plus the e adaptive
+    // extension bits cyclically following it) to an integer (any
     // bijective encoding gives the identical candidate set), and
-    // verification counts differing bits. Constants mirror
-    // simhashPairsOfSigs at the default maxHamming=6: 7 chunks of 9 bits,
-    // the last absorbing 10.
+    // verification counts differing bits. ONE builder serves both arms:
+    // the fixed form is e = 0 (7 chunks of 9 bits, the last absorbing
+    // 10 — simhashPairsOfSigs at the default maxHamming=6), the
+    // adaptive form draws e from the corpus-doubling ladder.
     "dedup_simhash_pairs" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(toks) AS s FROM t WHERE len(toks) > 0),
-        |hs AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_prepend(0::BIGINT,
-        |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
-        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
-        |  FROM tok),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN ((h*h % 1000000007) * (2*b + 1) + h * (4*b + 7)
-        |                        + 40503 * (b + 1)) % 1000000007 % 2 = 1
-        |                  THEN 1 ELSE -1 END) AS v
-        |  FROM hs, range(0, 64) r(b)
-        |  GROUP BY doc_id, b),
-        |bits AS (
-        |  SELECT doc_id,
-        |         list(CASE WHEN v > 0 THEN 1::BIGINT ELSE 0::BIGINT END ORDER BY b) AS bits
-        |  FROM votes GROUP BY doc_id),
-        |chunks AS (
-        |  SELECT doc_id, c,
-        |         list_reduce(list_prepend(0::BIGINT,
-        |           list_slice(bits, c*9 + 1, CASE WHEN c = 6 THEN 64 ELSE c*9 + 9 END)),
-        |           (a, v) -> a * 2 + v) AS ch
-        |  FROM bits, range(0, 7) rc(c)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM chunks a JOIN chunks b
-        |    ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |       CAST(len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) AS INT) AS hamming
-        |FROM cand
-        |JOIN bits ba ON ba.doc_id = doc_a
-        |JOIN bits bb ON bb.doc_id = doc_b
-        |WHERE len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) <= 6""".stripMargin,
-    // The adaptive-width twin: the same signature chain, with each
-    // chunk's fold extended by e = ceil(log2(n/base)) signature bits
-    // taken cyclically after the chunk's base range — the corpus-
-    // doubling key-width knob. Any bijective (base, ext) encoding gives
-    // the identical candidate equality relation, so the list fold here
-    // and the shift/or fold on the Spark side agree exactly.
+      simhashPairsOracleSql("SELECT CAST(0 AS BIGINT) AS e"),
     "dedup_simhash_pairs_adaptive" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |ext AS (SELECT CAST($adaptWidthLadderSql AS BIGINT) AS e FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(toks) AS s FROM t WHERE len(toks) > 0),
-        |hs AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_prepend(0::BIGINT,
-        |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
-        |           (a, c) -> (a * 31 + c) % 1000000007) AS h
-        |  FROM tok),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN ((h*h % 1000000007) * (2*b + 1) + h * (4*b + 7)
-        |                        + 40503 * (b + 1)) % 1000000007 % 2 = 1
-        |                  THEN 1 ELSE -1 END) AS v
-        |  FROM hs, range(0, 64) r(b)
-        |  GROUP BY doc_id, b),
-        |bits AS (
-        |  SELECT doc_id,
-        |         list(CASE WHEN v > 0 THEN 1::BIGINT ELSE 0::BIGINT END ORDER BY b) AS bits
-        |  FROM votes GROUP BY doc_id),
-        |chunks AS (
-        |  SELECT doc_id, c,
-        |         list_reduce(list_prepend(0::BIGINT,
-        |           list_concat(
-        |             list_slice(bits, c*9 + 1, CASE WHEN c = 6 THEN 64 ELSE c*9 + 9 END),
-        |             [bits[1 + ((CASE WHEN c = 6 THEN 64 ELSE c*9 + 9 END) + j) % 64]
-        |              for j in range(0, e)])),
-        |           (a, v) -> a * 2 + v) AS ch
-        |  FROM bits, range(0, 7) rc(c), ext),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM chunks a JOIN chunks b
-        |    ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |       CAST(len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) AS INT) AS hamming
-        |FROM cand
-        |JOIN bits ba ON ba.doc_id = doc_a
-        |JOIN bits bb ON bb.doc_id = doc_b
-        |WHERE len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) <= 6""".stripMargin,
+      simhashPairsOracleSql(
+        s"SELECT CAST($adaptWidthLadderSql AS BIGINT) AS e" +
+          " FROM documents"),
     "dedup_minhash_pairs" ->
       s"""$minhashSigCte,
          |cand AS (
@@ -615,6 +472,92 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     (0 until AdaptWidthSteps).map { j =>
       s"(CASE WHEN count(*) > ${AdaptWidthBase * (1L << j)} THEN 1 ELSE 0 END)"
     }.mkString(" + ")
+
+  /** One winnowing-pair oracle chain for the fixed and adaptive arms,
+    * parameterized on the gram-length scalar CTE body (`kSelect` must
+    * yield one row, column `k`). */
+  private def winnowPairsOracleSql(kSelect: String): String =
+    s"""WITH cps AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
+      |  FROM documents),
+      |kv AS ($kSelect),
+      |grams AS (
+      |  SELECT doc_id,
+      |         [list_reduce(list_prepend(0::BIGINT, list_slice(cp, i, i + k - 1)),
+      |            (a, c) -> (a * 31 + c) % 1000000007)
+      |          for i in range(1, len(cp) - k + 2)] AS hs
+      |  FROM cps, kv WHERE len(cp) >= k),
+      |mins AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(hs) <= 16 THEN [list_min(hs)]
+      |              ELSE [list_min(list_slice(hs, i, i + 15))
+      |                    for i in range(1, len(hs) - 14)] END AS ms
+      |  FROM grams),
+      |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins),
+      |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
+      |idx AS (SELECT fp.doc_id, fp.f FROM fp LEFT JOIN hot ON fp.f = hot.f
+      |        WHERE hot.f IS NULL),
+      |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+      |  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
+      |FROM inter
+      |JOIN sz na ON na.doc_id = doc_a
+      |JOIN sz nb ON nb.doc_id = doc_b
+      |WHERE CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+      |      >= 0.5::DOUBLE""".stripMargin
+
+  /** One simhash-pair oracle chain for the fixed and adaptive arms,
+    * parameterized on the extension-bit scalar CTE body (`eSelect` must
+    * yield one row, column `e`; e = 0 reproduces the fixed blocking —
+    * range(0, 0) is empty, so the concat folds the bare chunk slice). */
+  private def simhashPairsOracleSql(eSelect: String): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |ext AS ($eSelect),
+      |tok AS (
+      |  SELECT doc_id, unnest(toks) AS s FROM t WHERE len(toks) > 0),
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(1, len(s) + 1), i -> unicode(s[i])::BIGINT)),
+      |           (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |  FROM tok),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN ((h*h % 1000000007) * (2*b + 1) + h * (4*b + 7)
+      |                        + 40503 * (b + 1)) % 1000000007 % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS v
+      |  FROM hs, range(0, 64) r(b)
+      |  GROUP BY doc_id, b),
+      |bits AS (
+      |  SELECT doc_id,
+      |         list(CASE WHEN v > 0 THEN 1::BIGINT ELSE 0::BIGINT END ORDER BY b) AS bits
+      |  FROM votes GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, c,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_concat(
+      |             list_slice(bits, c*9 + 1, CASE WHEN c = 6 THEN 64 ELSE c*9 + 9 END),
+      |             [bits[1 + ((CASE WHEN c = 6 THEN 64 ELSE c*9 + 9 END) + j) % 64]
+      |              for j in range(0, e)])),
+      |           (a, v) -> a * 2 + v) AS ch
+      |  FROM bits, range(0, 7) rc(c), ext),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.ch = b.ch AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |       CAST(len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) AS INT) AS hamming
+      |FROM cand
+      |JOIN bits ba ON ba.doc_id = doc_a
+      |JOIN bits bb ON bb.doc_id = doc_b
+      |WHERE len(list_filter(range(1, 65), i -> ba.bits[i] <> bb.bits[i])) <= 6""".stripMargin
 
   /** Shared quantization CTE: L2-normalize, scale by 1e4, round to
     * BIGINT — byte-identical to [[quantized]]. */

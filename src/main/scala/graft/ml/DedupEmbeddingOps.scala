@@ -83,9 +83,16 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
 
   /** Deterministic threshold-sample membership at rate ~1/smod:
     * hash(id)·smod < prime. The threshold form makes samples NESTED in
-    * smod (larger corpus ⊂ smaller corpus's sample over shared ids). */
+    * smod (larger corpus ⊂ smaller corpus's sample over shared ids).
+    * The id is reduced mod the prime BEFORE the multiply — same
+    * residues (modular arithmetic), but the product stays < 2^52 for
+    * ANY 64-bit id, where the unreduced form overflows Long past
+    * id ≈ 3.5e9: Spark would wrap silently (negative remainder passes
+    * the gate unconditionally — sample unbounded) while DuckDB errors,
+    * so engine and oracle would diverge exactly at design scale. */
   private[ml] def sampleGate(id: Column, smod: Long): Column =
-    ((id * lit(EmbPairsSampleMul) + lit(EmbPairsSampleAdd))
+    (((id % lit(EmbPairsSamplePrime)) * lit(EmbPairsSampleMul)
+      + lit(EmbPairsSampleAdd))
       % lit(EmbPairsSamplePrime)) * lit(smod) < lit(EmbPairsSamplePrime)
 
   /** EXACT cos>0.4 pairs via a distributed tile self-join, over the

@@ -185,32 +185,11 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
   /** Blocking + verification over a precomputed (doc_id, simhash) frame —
     * the unit DedupSpec plants adversarial signatures into (pairs at
     * exactly `maxHamming` with flips spread one-per-chunk of the OLD
-    * fixed blocking must still surface). */
-  def simhashPairsOfSigs(sh: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
-    val nChunks = maxHamming + 1
-    val w = 64 / nChunks // last chunk absorbs the remainder bits
-    def mask(width: Int): Long = if (width >= 64) -1L else (1L << width) - 1L
-    val chunkArr = array((0 until nChunks).map { i =>
-      val width = if (i == nChunks - 1) 64 - w * (nChunks - 1) else w
-      struct(lit(i).as("chunk"),
-        shiftright(col("simhash"), i * w).bitwiseAND(lit(mask(width))).as("ch"))
-    }: _*)
-    val chunks = sh
-      .select(col("doc_id"), col("simhash"), explode(chunkArr).as("cc"))
-      .select(col("doc_id"), col("simhash"),
-        col("cc.chunk").as("chunk"), col("cc.ch").as("ch"))
-    val cand = chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand.select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
+    * fixed blocking must still surface). The zero-extension-bit case of
+    * [[simhashPairsAdaptiveOfSigs]] (DedupAdaptiveSpec pins the
+    * bit-identity), delegated so the chunk layout lives in one place. */
+  def simhashPairsOfSigs(sh: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsAdaptiveOfSigs(sh, maxHamming, extraBits = 0)
 
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 6): DataFrame =
@@ -308,10 +287,11 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     * (Winnow.winnow_poly_fingerprints), so the registered query carries a
     * full DuckDB oracle that recomputes every gram hash and window min. */
   def winnowPairsOf(docs: DataFrame, threshold: Double = 0.5,
-                    dfCap: Int = 1000): DataFrame = {
+                    dfCap: Int = 1000, k: Int = 12): DataFrame = {
     val fp = graft.scale.Scale.spread(docs)
       .select(col("doc_id"),
-        explode(graft.functions.Winnow.winnow_poly_fingerprints(col("text"))).as("f"))
+        explode(graft.functions.Winnow.winnow_poly_fingerprints(
+          col("text"), k = k)).as("f"))
     val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("f")
     val idx = fp.join(broadcast(hot), Seq("f"), "left_anti").persist()
@@ -354,28 +334,9 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     * yardstick — continues to cover, exactly as the blocked LSH arms
     * lean on their exactness yardsticks. */
   def winnowPairsAdaptiveOf(docs: DataFrame, threshold: Double = 0.5,
-                            dfCap: Int = 1000): DataFrame = {
-    val k = 12 + adaptWidthStepsFor(docs.count())
-    val fp = graft.scale.Scale.spread(docs)
-      .select(col("doc_id"),
-        explode(graft.functions.Winnow.winnow_poly_fingerprints(
-          col("text"), k = k)).as("f"))
-    val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("f")
-    val idx = fp.join(broadcast(hot), Seq("f"), "left_anti").persist()
-    val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    idx.as("a")
-      .join(idx.as("b"),
-        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          least(col("na"), col("nb")).cast("double")).as("overlap"))
-      .filter(col("overlap") >= threshold)
-  }
+                            dfCap: Int = 1000): DataFrame =
+    winnowPairsOf(docs, threshold, dfCap,
+      k = 12 + adaptWidthStepsFor(docs.count()))
 
   def winnowPairsAdaptive(spark: SparkSession, dir: String): DataFrame =
     winnowPairsAdaptiveOf(Tables.documents(spark, dir))

@@ -313,9 +313,10 @@ class DedupSpec extends SparkSpec {
       array(Seq(1, 3, 7, 11).map(m =>
         (pmod(col("id") * m, lit(17L)) - lit(8L)).cast("float")): _*)
         .as("embedding"))
-    // replay the gate in plain Scala: smod = 4 at n = 10,000
+    // replay the gate in plain Scala: smod = 4 at n = 10,000 (id is
+    // reduced mod the prime before the multiply, as in the kernel)
     val keep = (0L until n).filter(id =>
-      ((id * 2654435761L + 12345L) % 1000003L) * 4L < 1000003L)
+      (((id % 1000003L) * 2654435761L + 12345L) % 1000003L) * 4L < 1000003L)
     assert(keep.size > 2000 && keep.size < 3000, s"sample=${keep.size}")
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
