@@ -314,15 +314,18 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     // hashes (each gram recomputed independently — modular arithmetic
     // matches the Spark side's rolling form exactly), window-16 mins,
     // distinct, then the same inverted-index overlap join with the
-    // df-cap guard. ONE builder serves the fixed arm (k = 12, mirroring
-    // winnowPairsOf's default) and the adaptive arm (k = 12 + the
-    // corpus-doubling ladder), so a gate/threshold correction cannot
-    // drift between the yardstick and its twin.
+    // df-cap guard. ONE builder serves the fixed arm (k = 12 / cap 1000,
+    // mirroring winnowPairsOf's defaults) and the adaptive arm (k = 12 +
+    // the corpus-doubling ladder, cap = 1000 halved per doubling floored
+    // at 8), so a gate/threshold correction cannot drift between the
+    // yardstick and its twin.
     "dedup_winnow_pairs" ->
-      winnowPairsOracleSql("SELECT CAST(12 AS BIGINT) AS k"),
+      winnowPairsOracleSql(
+        "SELECT CAST(12 AS BIGINT) AS k, CAST(1000 AS BIGINT) AS dfcap"),
     "dedup_winnow_pairs_adaptive" ->
       winnowPairsOracleSql(
-        s"SELECT CAST(12 + $adaptWidthLadderSql AS BIGINT) AS k" +
+        s"SELECT CAST(12 + $adaptWidthLadderSql AS BIGINT) AS k," +
+          s" CAST($adaptDfCapLadderSql AS BIGINT) AS dfcap" +
           " FROM documents"),
     // Replays the portable SimHash end to end: char-level poly token hash
     // (as in the minhash oracle), parity bit-plane votes, sign take — the
@@ -473,9 +476,20 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
       s"(CASE WHEN count(*) > ${AdaptWidthBase * (1L << j)} THEN 1 ELSE 0 END)"
     }.mkString(" + ")
 
+  /** [[adaptDfCapFor]] as SQL: the base cap integer-divided by the same
+    * ladder as a ×2 product (1000 >> steps == 1000 // 2^steps for
+    * non-negative operands), floored at [[WinnowDfCapFloor]]. */
+  private def adaptDfCapLadderSql: String = {
+    val pow2 = (0 until AdaptWidthSteps).map { j =>
+      s"(CASE WHEN count(*) > ${AdaptWidthBase * (1L << j)} THEN 2 ELSE 1 END)"
+    }.mkString(" * ")
+    s"GREATEST($WinnowDfCapBase // ($pow2), $WinnowDfCapFloor)"
+  }
+
   /** One winnowing-pair oracle chain for the fixed and adaptive arms,
-    * parameterized on the gram-length scalar CTE body (`kSelect` must
-    * yield one row, column `k`). */
+    * parameterized on the scalar CTE body (`kSelect` must yield one
+    * row with columns `k` — gram length — and `dfcap` — the hot-
+    * fingerprint document-frequency cap). */
   private def winnowPairsOracleSql(kSelect: String): String =
     s"""WITH cps AS (
       |  SELECT doc_id,
@@ -495,7 +509,8 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
       |                    for i in range(1, len(hs) - 14)] END AS ms
       |  FROM grams),
       |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins),
-      |hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
+      |hot AS (SELECT f FROM fp GROUP BY f
+      |        HAVING count(*) > (SELECT dfcap FROM kv)),
       |idx AS (SELECT fp.doc_id, fp.f FROM fp LEFT JOIN hot ON fp.f = hot.f
       |        WHERE hot.f IS NULL),
       |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),

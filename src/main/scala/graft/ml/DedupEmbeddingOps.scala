@@ -156,7 +156,10 @@ private[graft] trait DedupEmbeddingOps extends DedupClusterOps {
   }
 
   /** Naive O(n²) theta-join form — spec-only equality yardstick for the
-    * tiled plan ([[embeddingPairsOf]] must return the identical set). */
+    * tiled plan. Below [[EmbPairsSampleBase]] vectors [[embeddingPairsOf]]
+    * must return the identical set; above it the tiled plan runs the
+    * deterministic vec_id sample, so equality holds restricted to the
+    * sampled ids (DedupSpec checks exactly that). */
   def embeddingPairsExactOf(vectors: DataFrame): DataFrame = {
     val sq = quantizedWithNorm(vectors)
     val scored = sq.as("a")

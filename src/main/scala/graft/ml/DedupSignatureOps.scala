@@ -214,6 +214,8 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
 
   val AdaptWidthBase = 4096L
   val AdaptWidthSteps = 12
+  val WinnowDfCapBase = 1000
+  val WinnowDfCapFloor = 16
 
   /** ceil(log2(n / base)) as a pure integer comparison count — the same
     * ladder as Dedup.adaptiveSampleMod / adaptivePlaneCount, evaluated
@@ -223,6 +225,24 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     * nothing). */
   private[ml] def adaptWidthStepsFor(n: Long): Int =
     (0 until AdaptWidthSteps).count(j => n > AdaptWidthBase * (1L << j))
+
+  /** Adaptive df-cap: [[WinnowDfCapBase]] HALVED per corpus doubling past
+    * [[AdaptWidthBase]], floored at [[WinnowDfCapFloor]] — the inverse
+    * rung of the same ladder (sample modulus ×2, simhash key +1 bit,
+    * winnow gram +1 codepoint, df-cap ÷2). Rationale: a boilerplate
+    * fingerprint's df grows WITH the corpus (fixed template share s ⇒
+    * df = s·n), so under a fixed absolute cap its pair mass (s·n)²
+    * grows quadratically until s·n crosses the cap — measured 726M of
+    * the 855M candidate rows at 100× sat in the df 101–400 band, far
+    * below the fixed 1000. Halving the cap per doubling shrinks the
+    * surviving template share 4× per doubling, pinning the join to the
+    * rare-fingerprint mass (true near-dups have df ≈ cluster size; the
+    * floor keeps clusters ≤ 16 visible — the synthetic corpus' exact
+    * clusters max at 2 at every decade, and the 100× cap scan measured
+    * the duplicate-band hit count FLAT from cap 16 through cap 1000:
+    * 25,654 / 25,646 / 25,669 / 25,689 at caps 16/64/125/1000). */
+  private[ml] def adaptDfCapFor(n: Long): Int =
+    math.max(WinnowDfCapBase >> adaptWidthStepsFor(n), WinnowDfCapFloor)
 
   /** [[simhashPairsOf]] with the chunk key widened by `extraBits`
     * signature bits per chunk: chunk i additionally watches the
@@ -332,11 +352,35 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     * template band (re-hashed grams re-score scattered short shared
     * runs), which the registered fixed arm — the complete-gate
     * yardstick — continues to cover, exactly as the blocked LSH arms
-    * lean on their exactness yardsticks. */
-  def winnowPairsAdaptiveOf(docs: DataFrame, threshold: Double = 0.5,
-                            dfCap: Int = 1000): DataFrame =
-    winnowPairsOf(docs, threshold, dfCap,
-      k = 12 + adaptWidthStepsFor(docs.count()))
+    * lean on their exactness yardsticks.
+    *
+    * Round-17: the df-cap rides the SAME ladder ([[adaptDfCapFor]]:
+    * ÷2 per doubling, floor 8). Gram widening alone left the decade-2
+    * growth to BOILERPLATE fingerprints — genuine shared substrings
+    * longer than any realistic k, whose df grows with the corpus but
+    * sat under the fixed 1000 cap (at 100x: 726M of the 855M candidate
+    * pair rows came from the df 101-400 band; 136-156 s in the r16
+    * sweeps). The shrinking cap cuts exactly that band while the
+    * >=0.95 duplicate band (df ~ cluster size, i.e. tiny) keeps its
+    * fingerprints: measured vs the fixed arm, 1.00 at sf0.1 and
+    * 0.9911 at 10x — and at 100x the cap is FREE (dup-band hits flat
+    * 25.6-25.7k from cap 16 through the r16 arm's 1000). The 100x
+    * measurement also surfaced a pre-existing property this round
+    * DOCUMENTS rather than introduces: the GRAM widening itself (k=19
+    * at 100x, unchanged since r16) re-scores template pairs whose
+    * shared runs are shorter than the widened gram, so ~16% of the
+    * fixed arm's 100x >=0.95 band (30,703 pairs) scores below the 0.5
+    * gate at k=19 under ANY cap — the r16 arm measured 25,689/30,703
+    * there, this arm 25,654 (99.86% of it, at 4% of the candidate
+    * mass). The registered fixed arm remains the complete-gate
+    * yardstick for consumers that need those boilerplate-run pairs.
+    * Both ladder knobs are replayed verbatim by the DuckDB oracle
+    * (Dedup.winnowPairsOracleSql). */
+  def winnowPairsAdaptiveOf(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val n = docs.count()
+    winnowPairsOf(docs, threshold, dfCap = adaptDfCapFor(n),
+      k = 12 + adaptWidthStepsFor(n))
+  }
 
   def winnowPairsAdaptive(spark: SparkSession, dir: String): DataFrame =
     winnowPairsAdaptiveOf(Tables.documents(spark, dir))

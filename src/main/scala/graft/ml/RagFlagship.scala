@@ -198,8 +198,9 @@ object RagFlagship {
     * later batch is served again — the serving answer is deterministic
     * against the static state, so the re-serve is a harmless identical
     * row set, but the union-equals-batch equality above is stated for
-    * DISJOINT feeds. Callers needing exactly-once union semantics must
-    * dedup the feed upstream (e.g. dropDuplicates over a keyed state).
+    * DISJOINT feeds. Callers needing exactly-once union semantics use
+    * [[ragServeExactlyOnceStreamOf]] — the documented escape hatch,
+    * a keyed-state dropDuplicates upstream of this sink.
     *
     * Cache lifecycle: each serve persists its per-batch intermediates
     * (tokenized corpus, keywords, candidates — their plans embed the
@@ -220,6 +221,21 @@ object RagFlagship {
         }
       }
       .start()
+
+  /** [[ragServeStreamOf]] with EXACTLY-ONCE union semantics per query
+    * id: a stateful `dropDuplicates` on the id ahead of the serving
+    * sink, so an id re-sent in a later micro-batch (an impatient
+    * client, an at-least-once upstream topic) is served exactly once
+    * and union-equals-batch holds for OVERLAPPING feeds too
+    * (RagStreamSpec proves it on overlapping panel splits). State is
+    * one state-store entry per distinct id ever served — bounded by
+    * the id universe, not the feed length; a deployment with an
+    * unbounded id space and an event-time column would add
+    * `withWatermark` so expired ids age out of the store (and accepts
+    * a re-serve past the watermark — the standard trade). */
+  def ragServeExactlyOnceStreamOf(queryIds: Dataset[Long], docs: DataFrame,
+      embs: DataFrame)(sink: DataFrame => Unit): StreamingQuery =
+    ragServeStreamOf(queryIds.dropDuplicates("value"), docs, embs)(sink)
 
   type Q = (SparkSession, String) => DataFrame
 

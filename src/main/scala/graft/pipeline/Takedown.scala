@@ -515,7 +515,16 @@ object Takedown {
     * encoding k = splitIndex · Shards + shard is exact and bounded
     * (3 · 8 keys), decodable by the sink. TakedownStreamSpec proves the
     * composed chain's final MV equals the batch truth under random
-    * splits AND orders of the feed, chained re-elections included. */
+    * splits AND orders of the feed, chained re-elections included.
+    *
+    * Failure mode (deliberate): [[splitIndexOf]] THROWS on an unknown
+    * split name, so one malformed ShardDelta record terminates the
+    * whole MV-maintenance streaming query rather than silently
+    * mis-bucketing into a real split's cell — restart resumes from the
+    * checkpoint after the feed is repaired. A deployment that values
+    * availability over fail-fast should filter/dead-letter unknown
+    * splits UPSTREAM of this bridge; the MV key encoding itself stays
+    * strict on purpose. */
   def shardDeltasAsMvDeltas(ds: Dataset[ShardDelta])
       : Dataset[graft.sync.MvDelta] = {
     import ds.sparkSession.implicits._

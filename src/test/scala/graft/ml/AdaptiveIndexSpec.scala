@@ -51,8 +51,11 @@ class AdaptiveIndexSpec extends SparkSpec {
     assert(modAt(8193L) === 4L)   // next doubling -> ×2
     assert(modAt(20000L) === 8L)  // 10x synthetic corpus -> 1-in-8
     assert(modAt(200000L) === 64L) // 100x synthetic corpus -> 1-in-64
-    // a 2^40 corpus: ladder caps at 2^EmbPairsSampleSteps — the sample
-    // never exceeds ~prime/2^steps selectivity, work stays bounded
+    // a 2^40 corpus: ladder caps at 2^EmbPairsSampleSteps — past
+    // base·2^steps the kept FRACTION is constant (1/2^steps), so the
+    // sample grows linearly with n again; its O(s²) pair work is
+    // bounded for any realistic corpus (≤ ~4e9 vectors at steps = 12),
+    // and the steps constant is the dial if that ceiling ever moves
     assert(modAt(1L << 40) === (1L << Dedup.EmbPairsSampleSteps))
   }
 }

@@ -31,6 +31,17 @@ class DedupAdaptiveSpec extends SparkSpec {
     assert(steps(1L << 40) === Dedup.AdaptWidthSteps) // capped
   }
 
+  test("adaptive df-cap ladder: 1000 below the base, halved per corpus " +
+    "doubling, floored at 16") {
+    def cap(n: Long) = Dedup.adaptDfCapFor(n)
+    assert(cap(500L) === 1000)    // sf0.01: fixed cap -> bit-identical arm
+    assert(cap(4096L) === 1000)   // at the base: still fixed
+    assert(cap(5000L) === 500)    // sf0.1 (1 step)
+    assert(cap(50000L) === 62)    // 10x synthetic corpus (4 steps)
+    assert(cap(500000L) === 16)   // 100x (7 steps: 1000 >> 7 = 7 -> floor)
+    assert(cap(1L << 40) === 16)  // floor holds past the ladder cap
+  }
+
   test("below the base corpus the adaptive arms equal the fixed arms " +
     "exactly (sf0.01 pair sets)") {
     def pairSet(df: org.apache.spark.sql.DataFrame) = df

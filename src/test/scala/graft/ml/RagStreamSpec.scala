@@ -48,4 +48,41 @@ class RagStreamSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("exactly-once serve: OVERLAPPING feeds still union to the batch " +
+    "serve — each re-sent id is served exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+    val embs = graft.Tables.embeddings(spark, sf)
+    val want = keys(RagFlagship.ragServeFixedQ(spark, sf).collect())
+    assert(want.nonEmpty)
+    spark.catalog.clearCache()
+    val panel = (0 until Retrieval.FixedPanelSize)
+      .map(_.toLong * Retrieval.QueryStride)
+    // three micro-batches with deliberate overlap: the middle batch
+    // re-sends half of batch 1, the last re-sends the whole panel —
+    // at-least-once ragServeStreamOf would serve re-sent ids again
+    // (duplicating their rows in the union); the keyed-state dedup
+    // must collapse every id to exactly one serve
+    val feeds = Seq(
+      panel.take(24),
+      panel.slice(12, 48), // overlaps 12..23
+      panel)               // overlaps everything
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val ms = MemoryStream[Long]
+    val q = RagFlagship.ragServeExactlyOnceStreamOf(ms.toDS(), docs, embs) {
+      df => got ++= keys(df.collect())
+    }
+    try {
+      feeds.foreach { f =>
+        ms.addData(f)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // equality (not multiset-superset): a duplicated serve would add
+    // duplicate rows and break this
+    assert(got.sorted.toSeq == want,
+      "overlapping feeds diverged from the batch serve under exactly-once")
+    spark.catalog.clearCache()
+  }
 }

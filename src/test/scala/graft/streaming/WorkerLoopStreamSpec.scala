@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.pipeline.{Revocation, ShardDelta, Takedown}
 
-/** The composed streaming worker loop, end to end (the reference's
-  * etl/worker.py:112-206 semantics): ingest batches flow through the
+/** The composed streaming worker loop, end to end — this repo's own
+  * components on one interleaved timeline (the reference has no such
+  * composed loop; its etl/worker.py is a queue job poller with
+  * per-job-type dispatch, which [[graft.sources.Adapters]] models
+  * separately): ingest batches flow through the
   * durable near-dup ADMISSION index, a REVOCATION arrives on the
   * governance feed mid-stream, SERVES interleave with both, and the
   * per-(split, shard) corpus MV is maintained continuously from the
@@ -187,6 +190,155 @@ class WorkerLoopStreamSpec extends SparkSpec {
         assert(!serve2Docs.contains(r),
           s"revoked doc $r still served after takedown")
       }
+    } finally {
+      admitQ.stop()
+      mvQ.stop()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("checkpoint recovery: the composed loop stopped and restarted " +
+    "mid-timeline (between an admission and a revocation) keeps all " +
+    "three invariants") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-worker-rs").toString
+    val docsAll = graft.Tables.documents(spark, sf)
+    val embsAll = graft.Tables.embeddings(spark, sf)
+    val universe = docsAll.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(1).split(" ").count(_.nonEmpty).toLong)))
+      .toMap
+    def mvTruth(curated: Set[Long]): Map[Long, (Long, Long)] =
+      curated.groupBy(id =>
+        Takedown.splitIndexOf(Takedown.splitOfId(id)) * 8 + id % 8)
+        .map { case (k, ids) =>
+          k -> (ids.size.toLong, ids.toSeq.map(universe(_)._2).sum)
+        }
+    def seatDeltas(ids: Set[Long]): Seq[ShardDelta] = ids.toSeq.sorted.map(
+      id => ShardDelta(Takedown.splitOfId(id), id % 8, 1L, id, universe(id)._2))
+
+    // both stateful queries get DURABLE checkpoints so a restart resumes
+    // offsets (admission: which ingest batches are committed) and state
+    // (MV: the flatMapGroupsWithState store) instead of replaying from
+    // scratch — the worker-restart contract the reference's poller gets
+    // from its queue's visibility timeout
+    val mvLive = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val mvFeed = MemoryStream[ShardDelta]
+    def startMv() = graft.sync.Ivm
+      .mvStreamOf(Takedown.shardDeltasAsMvDeltas(mvFeed.toDS()))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/mvckpt")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[graft.sync.MvLive], _: Long) =>
+          df.collect().foreach { r =>
+            if (r.n == 0) mvLive.remove(r.k) else mvLive(r.k) = (r.n, r.s)
+          }
+      }
+      .start()
+    IncrementalSync.seedAdmissionIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$dir/index")
+    val ingest = MemoryStream[(Long, String)]
+    def startAdmit() = IncrementalSync.admissionPipeline(
+      ingest.toDS().toDF("doc_id", "text"), s"$dir/index", s"$dir/out")
+    def admittedNow(): Map[Long, (String, Option[Long])] =
+      spark.read.parquet(s"$dir/out/verdicts").collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("status"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))))
+      }.toMap
+
+    var admitQ = startAdmit()
+    var mvQ = startMv()
+    try {
+      // ---- phase A: ingest + seat batch 1, then CRASH the worker -----
+      val batch1 = (0L until 200L).map(id => (id, universe(id)._1))
+      ingest.addData(batch1)
+      admitQ.processAllAvailable()
+      val a1 = admittedNow().collect { case (id, ("admit", _)) => id }.toSet
+      assert(a1.nonEmpty)
+      mvFeed.addData(seatDeltas(a1))
+      mvQ.processAllAvailable()
+      assert(mvLive.toMap == mvTruth(a1), "MV drifted before the restart")
+      admitQ.stop()
+      mvQ.stop()
+
+      // ---- arrivals while the worker is DOWN -------------------------
+      // novel docs + exact copies of pre-restart admissions: the copies
+      // can only be rejected if the durable index (and the checkpoint's
+      // batch frontier) survived the restart
+      val dupSrcs = a1.toSeq.sorted.filter(universe(_)._2 >= 5).take(5)
+      val batch2 = (200L until 400L).map(id => (id, universe(id)._1)) ++
+        dupSrcs.zipWithIndex.map { case (src, i) => (20000L + i, universe(src)._1) }
+      ingest.addData(batch2)
+
+      // ---- RESTART from the checkpoints ------------------------------
+      admitQ = startAdmit()
+      mvQ = startMv()
+      admitQ.processAllAvailable()
+      val verdicts = admittedNow()
+      // invariant 2 across the restart: copies of admitted docs rejected
+      dupSrcs.zipWithIndex.foreach { case (src, i) =>
+        val (status, dupOf) = verdicts(20000L + i)
+        assert(status == "reject" && dupOf.contains(src),
+          s"post-restart copy of admitted $src not rejected: ${verdicts(20000L + i)}")
+      }
+      // pre-restart verdicts survive unchanged (no replay duplication:
+      // one verdict row per doc id)
+      assert(batch1.map(_._1).forall(id => verdicts.contains(id)))
+      val a12 = verdicts.collect { case (id, ("admit", _)) => id }.toSet
+      assert(a1.subsetOf(a12) && !a12.exists(_ >= 20000L))
+      mvFeed.addData(seatDeltas(a12 -- a1))
+      mvQ.processAllAvailable()
+      // invariant 3: the restarted MV state resumed, not restarted at 0
+      assert(mvLive.toMap == mvTruth(a12), "MV drifted across the restart")
+
+      // ---- the revocation the restart interrupted --------------------
+      val revoked = (a12 -- a1).toSeq.sorted.take(3)
+      assert(revoked.nonEmpty)
+      val members = a12.toSeq.sorted
+        .map(id => (s"d$id", id, universe(id)._2)).toDF("h", "doc_id", "n_toks")
+      var tdDeltas = Vector.empty[ShardDelta]
+      val revFeed = MemoryStream[Revocation]
+      val tdQ = Takedown.takedownStreamOf(revFeed.toDS(), members)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ShardDelta],
+                         _: Long) => tdDeltas ++= df.collect() }
+        .start()
+      try {
+        revFeed.addData(revoked.map(Revocation(_)))
+        tdQ.processAllAvailable()
+      } finally tdQ.stop()
+      mvFeed.addData(tdDeltas)
+      mvQ.processAllAvailable()
+      val curated = a12 -- revoked
+      assert(mvLive.toMap == mvTruth(curated),
+        "MV drifted after the post-restart revocation")
+
+      // ---- invariant 1: a serve sees admitted-minus-revoked ----------
+      val qids = a1.toSeq.sorted.take(3)
+      val docsC = docsAll.filter(col("doc_id").isInCollection(curated))
+      val embsC = embsAll.filter(col("vec_id").isInCollection(curated))
+      val got = scala.collection.mutable.ArrayBuffer[String]()
+      val resultDocs = scala.collection.mutable.Set[Long]()
+      val qFeed = MemoryStream[Long]
+      val q = graft.ml.RagFlagship.ragServeStreamOf(qFeed.toDS(), docsC,
+        embsC) { df =>
+        val rows = df.collect()
+        got ++= keys(rows)
+        resultDocs ++= rows.map(_.getAs[Long]("doc_id"))
+      }
+      try {
+        qFeed.addData(qids)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(resultDocs.subsetOf(curated),
+        s"serve leaked non-curated docs: ${resultDocs.diff(curated)}")
+      assert(resultDocs.intersect(revoked.toSet).isEmpty,
+        "a revoked doc surfaced in the post-restart serve")
+      val want = keys(graft.ml.RagFlagship
+        .ragServeOf(docsC, embsC, c => c.isInCollection(qids)).collect())
+      assert(got.sorted.toSeq == want,
+        "post-restart stream serve != batch serve")
     } finally {
       admitQ.stop()
       mvQ.stop()

@@ -2,6 +2,13 @@
 # Spot-bench runner: plain-JVM graft.Bench with build.sbt's add-opens set.
 # Usage: tools/run_bench.sh <sfdir> <xmx> [only-csv]
 #
+# Full-registry runs write their complete per-query map + pass arrays to
+# tmp/bench_full_last.json (gitignored). The committed anchor
+# BENCH_FULL.json is only written when SPARK_GRAFT_ANCHOR=1 is exported
+# (round 17: the unconditional write dirtied four rounds' trees and got
+# one contended run committed) — export it ONLY for a deliberate idle
+# re-anchor run, then run tools/anchor_guard.py before committing.
+#
 # -Dspark.buffer.pageSize=4m: on hosts where large single allocations are
 # slow (measured on kernel 6.18.5-fc-v20: G1 humongous allocations from
 # Tungsten's heap-scaled page size made identical passes swing 5s -> 25s
