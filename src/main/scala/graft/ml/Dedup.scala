@@ -314,19 +314,18 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     // hashes (each gram recomputed independently — modular arithmetic
     // matches the Spark side's rolling form exactly), window-16 mins,
     // distinct, then the same inverted-index overlap join with the
-    // df-cap guard. ONE builder serves the fixed arm (k = 12 / cap 1000,
-    // mirroring winnowPairsOf's defaults) and the adaptive arm (k = 12 +
-    // the corpus-doubling ladder, cap = 1000 halved per doubling floored
-    // at 8), so a gate/threshold correction cannot drift between the
-    // yardstick and its twin.
+    // df-cap guard. The fixed arm interpolates [[WinnowDfCapBase]]
+    // (winnowPairsOf's default) so a base-cap change cannot
+    // desynchronize Spark from the oracle; the adaptive arm replays the
+    // round-18 candidate-bounded twin — identical k-12 grams and capped
+    // score index, candidates from the halving-ladder rare join UNION
+    // the prefix rescue ([[DedupSignatureOps.winnowPairsAdaptiveOf]]'s
+    // scaladoc has the losslessness argument).
     "dedup_winnow_pairs" ->
       winnowPairsOracleSql(
-        "SELECT CAST(12 AS BIGINT) AS k, CAST(1000 AS BIGINT) AS dfcap"),
-    "dedup_winnow_pairs_adaptive" ->
-      winnowPairsOracleSql(
-        s"SELECT CAST(12 + $adaptWidthLadderSql AS BIGINT) AS k," +
-          s" CAST($adaptDfCapLadderSql AS BIGINT) AS dfcap" +
-          " FROM documents"),
+        s"SELECT CAST(12 AS BIGINT) AS k," +
+          s" CAST($WinnowDfCapBase AS BIGINT) AS dfcap"),
+    "dedup_winnow_pairs_adaptive" -> winnowPairsAdaptiveOracleSql,
     // Replays the portable SimHash end to end: char-level poly token hash
     // (as in the minhash oracle), parity bit-plane votes, sign take — the
     // signature is carried as a 64-element bit LIST (no int64 sign-bit
@@ -463,22 +462,27 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
          |HAVING count(*) >= 3""".stripMargin)
 
   /** The [[adaptiveSampleMod]] ladder as SQL — the same integer product,
-    * one ×2 per corpus doubling past [[EmbPairsSampleBase]]. */
-  private def embSampleLadderSql: String =
+    * one ×2 per corpus doubling past [[EmbPairsSampleBase]] (shared with
+    * the crossmodal parent's query-side sample, [[Multimodal]]). */
+  private[ml] def embSampleLadderSql: String =
     (0 until EmbPairsSampleSteps).map { j =>
       s"(CASE WHEN count(*) > ${EmbPairsSampleBase * (1L << j)} THEN 2 ELSE 1 END)"
     }.mkString(" * ")
 
   /** [[adaptWidthStepsFor]] as SQL: +1 per corpus doubling past
-    * [[AdaptWidthBase]] — shared by the adaptive simhash/winnow oracles. */
+    * [[AdaptWidthBase]] — the adaptive simhash oracle's extension-bit
+    * count (winnowing no longer widens, round 18). */
   private def adaptWidthLadderSql: String =
     (0 until AdaptWidthSteps).map { j =>
       s"(CASE WHEN count(*) > ${AdaptWidthBase * (1L << j)} THEN 1 ELSE 0 END)"
     }.mkString(" + ")
 
   /** [[adaptDfCapFor]] as SQL: the base cap integer-divided by the same
-    * ladder as a ×2 product (1000 >> steps == 1000 // 2^steps for
-    * non-negative operands), floored at [[WinnowDfCapFloor]]. */
+    * ladder as a ×2 product. The Scala side's `>>` equals this floor
+    * division exactly for EVERY ladder depth (logical right shift of a
+    * non-negative int IS floor division by 2^steps, and steps <=
+    * [[AdaptWidthSteps]] = 12 keeps the SQL product far from overflow);
+    * past step 6 both sides sit on the [[WinnowDfCapFloor]] anyway. */
   private def adaptDfCapLadderSql: String = {
     val pow2 = (0 until AdaptWidthSteps).map { j =>
       s"(CASE WHEN count(*) > ${AdaptWidthBase * (1L << j)} THEN 2 ELSE 1 END)"
@@ -486,16 +490,16 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
     s"GREATEST($WinnowDfCapBase // ($pow2), $WinnowDfCapFloor)"
   }
 
-  /** One winnowing-pair oracle chain for the fixed and adaptive arms,
-    * parameterized on the scalar CTE body (`kSelect` must yield one
-    * row with columns `k` — gram length — and `dfcap` — the hot-
-    * fingerprint document-frequency cap). */
-  private def winnowPairsOracleSql(kSelect: String): String =
+  /** Shared winnowing-fingerprint CTE head: codepoint k-gram poly
+    * hashes, window-16 mins, distinct — `kvSelect` must yield one row
+    * whose `k` column is the gram length (plus any arm-specific scalar
+    * the tail reads from `kv`). Ends at the `fp` (doc_id, f) relation. */
+  private def winnowFpCtes(kvSelect: String): String =
     s"""WITH cps AS (
       |  SELECT doc_id,
       |         list_transform(string_split(text, ''), c -> unicode(c)::BIGINT) AS cp
       |  FROM documents),
-      |kv AS ($kSelect),
+      |kv AS ($kvSelect),
       |grams AS (
       |  SELECT doc_id,
       |         [list_reduce(list_prepend(0::BIGINT, list_slice(cp, i, i + k - 1)),
@@ -508,7 +512,13 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
       |              ELSE [list_min(list_slice(hs, i, i + 15))
       |                    for i in range(1, len(hs) - 14)] END AS ms
       |  FROM grams),
-      |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins),
+      |fp AS (SELECT doc_id, unnest(list_distinct(ms)) AS f FROM mins)""".stripMargin
+
+  /** The FIXED winnowing-pair oracle chain (`kSelect` must yield one
+    * row with columns `k` — gram length — and `dfcap` — the hot-
+    * fingerprint document-frequency cap). */
+  private def winnowPairsOracleSql(kSelect: String): String =
+    s"""${winnowFpCtes(kSelect)},
       |hot AS (SELECT f FROM fp GROUP BY f
       |        HAVING count(*) > (SELECT dfcap FROM kv)),
       |idx AS (SELECT fp.doc_id, fp.f FROM fp LEFT JOIN hot ON fp.f = hot.f
@@ -518,6 +528,56 @@ object Dedup extends DedupShingleOps with DedupSignatureOps
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
       |  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
+      |FROM inter
+      |JOIN sz na ON na.doc_id = doc_a
+      |JOIN sz nb ON nb.doc_id = doc_b
+      |WHERE CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+      |      >= 0.5::DOUBLE""".stripMargin
+
+  /** The ADAPTIVE winnowing-pair oracle chain — the round-18 candidate-
+    * bounded twin, replaying [[DedupSignatureOps.winnowPairsAdaptiveOf]]
+    * clause for clause: same k-12 grams, score index capped at
+    * [[WinnowDfCapBase]], candidates = rare-fingerprint join under the
+    * halving ladder (`capgen` from `kv`) UNION the prefix rescue
+    * ((u + R) globally-rarest per doc by (df, f) order vs the full
+    * capped index, >= min(R, n) matches — lossless for overlap >=
+    * [[WinnowPrefixThetaPct]]%), then the fixed arm's exact overlap on
+    * the candidate set only. */
+  private def winnowPairsAdaptiveOracleSql: String =
+    s"""${winnowFpCtes(
+        s"SELECT CAST(12 AS BIGINT) AS k," +
+          s" CAST($adaptDfCapLadderSql AS BIGINT) AS capgen" +
+          " FROM documents")},
+      |dfr AS (SELECT f, count(*) AS df FROM fp GROUP BY f),
+      |idx AS (SELECT fp.doc_id, fp.f, dfr.df FROM fp
+      |        JOIN dfr ON fp.f = dfr.f
+      |        WHERE dfr.df <= $WinnowDfCapBase),
+      |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+      |rk AS (SELECT doc_id, f, df,
+      |              row_number() OVER (PARTITION BY doc_id ORDER BY df, f) AS rk,
+      |              count(*) OVER (PARTITION BY doc_id) AS n
+      |       FROM idx),
+      |pref AS (SELECT doc_id, f, n FROM rk
+      |         WHERE rk <= (n * ${100 - WinnowPrefixThetaPct}) // 100
+      |                     + $WinnowPrefixSlack),
+      |cp AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |              greatest(a.doc_id, b.doc_id) AS doc_b
+      |       FROM pref a JOIN idx b ON a.f = b.f AND a.doc_id <> b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id, a.n
+      |       HAVING count(*) >= least($WinnowPrefixSlack, a.n)),
+      |cr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |       FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id, kv
+      |       WHERE a.df <= kv.capgen AND b.df <= kv.capgen),
+      |cand AS (SELECT DISTINCT doc_a, doc_b
+      |         FROM (SELECT doc_a, doc_b FROM cp
+      |               UNION ALL SELECT doc_a, doc_b FROM cr) u),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ninter
+      |          FROM cand c
+      |          JOIN idx a ON a.doc_id = c.doc_a
+      |          JOIN idx b ON b.doc_id = c.doc_b AND b.f = a.f
+      |          GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |       CAST(ninter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
       |FROM inter

@@ -362,6 +362,27 @@ object Multimodal {
   val CrossModalQueryStride = 60
   val CrossModalK = 5
 
+  /** Query-side sample gate for the registered exhaustive parent: the
+    * stride panel co-scales with the corpus, so the exact serve is
+    * queries × corpus = Θ(n²) — 1,326.8 s at the 100× sweep, 27% of the
+    * whole sweep on its own (VERDICT r17 #3). The
+    * [[Dedup.sampleModFor]] ladder (the `dedup_embedding_pairs`
+    * precedent, same constants) holds the sampled panel ~constant
+    * instead: the modulus doubles per CORPUS doubling past the base, so
+    * sampled-queries × corpus stays ~linear in the corpus. Membership is
+    * the same pure integer hash threshold on doc_id
+    * ([[Dedup.sampleGate]]) — portable verbatim to the oracle, stable
+    * across runs, and NESTED across decades (a 100× sampled query doc
+    * that exists at 10× is in the 10× sample too). Below the base the
+    * modulus is 1: sf0.01 (500 vectors) and sf0.1 (2,000) run the
+    * COMPLETE stride panel, so the correctness gate still checks the
+    * unsampled serve, and each sampled query remains an EXACT full-
+    * corpus top-k (sampling thins the panel, never a query's answer) —
+    * the complete-gate role is intact where it is checkable. The
+    * production serving shape stays [[crossModalTopKFixedQ]]. */
+  private def crossModalSampleMod(corpus: DataFrame): Long =
+    Dedup.sampleModFor(corpus.select("vec_id").count())
+
   /** Deterministic projection constant for (histogram bin j, embedding
     * dim d) — the "CLIP image tower" stub: a fixed pseudo-random
     * integer matrix in the same constant family as
@@ -420,12 +441,18 @@ object Multimodal {
   }
 
   def crossModalTopK(spark: SparkSession, dir: String,
-      k: Int = CrossModalK): DataFrame =
+      k: Int = CrossModalK): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+    // one bounded driver control fold (pruned vec_id count) feeds the
+    // ladder; inlined as a literal so the gate is a plain codegen Filter
+    val smod = crossModalSampleMod(corpus)
     crossModalTopKOf(
       Tables.documents(spark, dir)
         .filter(col("doc_id") % 3 === 0 &&
-          col("doc_id") % CrossModalQueryStride === 0),
-      Tables.embeddings(spark, dir), k)
+          col("doc_id") % CrossModalQueryStride === 0 &&
+          Dedup.sampleGate(col("doc_id"), smod)),
+      corpus, k)
+  }
 
   /** Fixed-panel production twin of [[crossModalTopK]]: the first
     * [[graft.ml.Retrieval.FixedPanelSize]] query images only — constant
@@ -447,8 +474,14 @@ object Multimodal {
   /** Generated oracle for [[crossModalTopK]]: histogram, the inlined
     * projection matrix, the quantize_vec replay (sequential double sum,
     * round-half-away, zero-norm guard — the trainedCentroids oracle
-    * convention), and the windowed top-k. */
-  private def crossModalOracle: String = crossModalOracleFor("")
+    * convention), the windowed top-k, and the query-side sample ladder
+    * (the `dedup_embedding_pairs` oracle's smod CTE + hash-threshold
+    * gate, verbatim over the embeddings count). */
+  private def crossModalOracle: String = crossModalOracleFor(
+    s" AND (((doc_id % ${Dedup.EmbPairsSamplePrime})" +
+      s" * ${Dedup.EmbPairsSampleMul} + ${Dedup.EmbPairsSampleAdd})" +
+      s" % ${Dedup.EmbPairsSamplePrime}) * (SELECT m FROM smod)" +
+      s" < ${Dedup.EmbPairsSamplePrime}")
 
   private def crossModalOracleFixedQ: String = crossModalOracleFor(
     s" AND doc_id < ${Retrieval.FixedPanelSize.toLong * CrossModalQueryStride}")
@@ -458,7 +491,10 @@ object Multimodal {
       (0 until 16).map(j => s"hist[${j + 1}] * (${crossProj(j, d)})")
         .mkString(" + ")
     }.mkString("[", ",\n         ", "]")
-    s"""WITH img AS (
+    s"""WITH smod AS (
+       |  SELECT CAST(${Dedup.embSampleLadderSql} AS BIGINT) AS m
+       |  FROM embeddings),
+       |img AS (
        |  SELECT doc_id,
        |         CASE WHEN text = '' THEN CAST([] AS BIGINT[])
        |              ELSE list_transform(string_split(text, ''),

@@ -206,10 +206,17 @@ object RagFlagship {
     * (tokenized corpus, keywords, candidates — their plans embed the
     * batch's id list, so they are NOT shared across batches); they are
     * released after the sink's action returns, so a long-running feed
-    * holds at most one batch's cache at a time. */
+    * holds at most one batch's cache at a time.
+    *
+    * `checkpoint`: durable checkpoint location for the query's offsets
+    * and (for the exactly-once twin) its dedup state store. None = a
+    * session-temp checkpoint — fine for a single healthy run (the spec
+    * fixture), but state does not survive a restart; a deployment
+    * passes a real path (the WorkerLoopStreamSpec restart convention). */
   def ragServeStreamOf(queryIds: Dataset[Long], docs: DataFrame,
-      embs: DataFrame)(sink: DataFrame => Unit): StreamingQuery =
-    queryIds.writeStream
+      embs: DataFrame, checkpoint: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val writer = queryIds.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Long], _: Long) =>
         val ids = batch.distinct().collect()
@@ -220,22 +227,35 @@ object RagFlagship {
           finally handles.foreach(_.unpersist(blocking = false))
         }
       }
-      .start()
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 
-  /** [[ragServeStreamOf]] with EXACTLY-ONCE union semantics per query
-    * id: a stateful `dropDuplicates` on the id ahead of the serving
-    * sink, so an id re-sent in a later micro-batch (an impatient
-    * client, an at-least-once upstream topic) is served exactly once
-    * and union-equals-batch holds for OVERLAPPING feeds too
-    * (RagStreamSpec proves it on overlapping panel splits). State is
-    * one state-store entry per distinct id ever served — bounded by
-    * the id universe, not the feed length; a deployment with an
-    * unbounded id space and an event-time column would add
-    * `withWatermark` so expired ids age out of the store (and accepts
-    * a re-serve past the watermark — the standard trade). */
+  /** [[ragServeStreamOf]] with exactly-once UNION semantics per query
+    * id within a query run: a stateful `dropDuplicates` on the id
+    * ahead of the serving sink, so an id re-sent in a later
+    * micro-batch (an impatient client, an at-least-once upstream
+    * topic) is served once and union-equals-batch holds for
+    * OVERLAPPING feeds too (RagStreamSpec proves it on overlapping
+    * panel splits). Scope of the claim: the dedup state lives in the
+    * query's checkpoint — pass a durable `checkpoint` for it to
+    * survive a restart (None = single healthy run only) — and the
+    * SINK boundary stays foreachBatch's standard at-least-once: a
+    * micro-batch retried after a partial sink failure re-invokes the
+    * sink with the same rows (idempotent/transactional sinks absorb
+    * this; the serve itself is deterministic against the static
+    * state, so any such replay is an identical row set). State is one
+    * state-store entry per distinct id ever served — bounded by the
+    * id universe, not the feed length; a deployment with an unbounded
+    * id space and an event-time column would add `withWatermark` so
+    * expired ids age out of the store (and accepts a re-serve past
+    * the watermark — the standard trade). */
   def ragServeExactlyOnceStreamOf(queryIds: Dataset[Long], docs: DataFrame,
-      embs: DataFrame)(sink: DataFrame => Unit): StreamingQuery =
-    ragServeStreamOf(queryIds.dropDuplicates("value"), docs, embs)(sink)
+      embs: DataFrame, checkpoint: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery =
+    // dropDuplicates() over all columns — the single id column for a
+    // Dataset[Long], without assuming the column is still named `value`
+    // (a renamed-then-.as[Long] input keeps its caller-given name)
+    ragServeStreamOf(queryIds.dropDuplicates(), docs, embs, checkpoint)(sink)
 
   type Q = (SparkSession, String) => DataFrame
 

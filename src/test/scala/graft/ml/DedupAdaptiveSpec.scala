@@ -3,19 +3,23 @@ package graft.ml
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** The adaptive-width blocking knobs (round-16: the corpus-doubling
-  * key-width ladder for simhash chunks and winnowing grams). Three
-  * contracts:
+/** The adaptive blocking knobs: the corpus-doubling key-width ladder
+  * for simhash chunks (round 16) and the candidate-bounding ladder +
+  * prefix rescue for winnowing (round 18 — the gram stays k = 12).
+  * Four contracts:
   *
   *  1. the ladder is the pinned integer formula of the corpus size
   *     (a revert to fixed width would pass every sf0.01 oracle — only
   *     at 10-100x does bucket occupancy explode);
   *  2. below the base corpus the adaptive forms are BIT-IDENTICAL to
-  *     the fixed, pigeonhole-guaranteed forms (so the correctness gate
-  *     checks the same pair sets);
-  *  3. above the base, widening trades the proven pigeonhole radius
-  *     for measured recall — planted true near-dups must still
-  *     surface through the widened keys.
+  *     the fixed, complete forms (so the correctness gate checks the
+  *     same pair sets);
+  *  3. above the base, planted true near-dups must still surface
+  *     (simhash: through the widened keys; winnow: through the rare
+  *     join or the prefix rescue);
+  *  4. the winnow prefix rescue is LOSSLESS for the >= 0.95 band even
+  *     when every shared fingerprint is template-common — the exact
+  *     failure mode the r16/r17 gram-widening arm had at 100x.
   */
 class DedupAdaptiveSpec extends SparkSpec {
 
@@ -88,6 +92,38 @@ class DedupAdaptiveSpec extends SparkSpec {
       .filter(col("doc_a") === 99L || col("doc_b") === 99L).count()
     assert(found === 64L,
       s"a 1-flip near-dup failed to surface through widened keys: $found/64")
+  }
+
+  test("winnow prefix rescue: a template-contained doc whose EVERY " +
+    "fingerprint is hotter than the rare-join cap still surfaces in " +
+    "the duplicate band above the base corpus") {
+    import spark.implicits._
+    // 4,200 distinct filler docs push the corpus past the base
+    // (capgen = 500); a 600-doc template family makes every template
+    // fingerprint's df ~600 — above capgen, below the 1000 score cap —
+    // so the rare join is BLIND to pairs inside the family. The
+    // contained doc is a pure template substring: its overlap with any
+    // family member is ~1.0 (dup band), and only the prefix rescue
+    // ((u+R) rarest fingerprints vs the full capped index) can surface
+    // it. The r16/r17 gram-widening arm missed exactly this shape.
+    val filler = (0L until 4200L).map { i =>
+      (i, (0 until 30).map(t => s"w${(i * 31 + t * 7) % 9973}").mkString(" "))
+    }
+    val template = (0 until 60).map(t => s"boilerplate$t").mkString(" ")
+    val family = (0 until 600).map { m =>
+      (20000L + m, s"$template familytail$m")
+    }
+    val contained = (30000L, template)
+    val docs = (filler ++ family :+ contained).toDF("doc_id", "text")
+    val out = Dedup.winnowPairsAdaptiveOf(docs)
+      .filter(col("doc_a") === 30000L || col("doc_b") === 30000L)
+      .collect()
+    // the contained doc must pair with family members at overlap ~1.0
+    assert(out.length >= 550,
+      s"prefix rescue surfaced only ${out.length}/600 containment pairs")
+    assert(out.forall(_.getAs[Double]("overlap") >= 0.95),
+      "a containment pair scored below the duplicate band")
+    spark.catalog.clearCache()
   }
 
   test("above the base corpus: planted near-dup documents surface " +
