@@ -333,9 +333,17 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
       .select(col("doc_id"),
         explode(graft.functions.Winnow.winnow_poly_fingerprints(
           col("text"), k = k)).as("f"))
-    val hot = fp.groupBy("f").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("f")
-    val idx = fp.join(broadcast(hot), Seq("f"), "left_anti").persist()
+    // df-cap via ONE count window over the fingerprint exchange: the
+    // prior hot-list groupBy + broadcast anti-join evaluated the
+    // fingerprint kernel twice (build + probe) — the kernel is the
+    // dominant per-row cost, and the (doc_id, f) shuffle the window
+    // adds is a few bytes per row (guide §2.4 / §1.2: fix the pass
+    // count before the constants). Row set is identical: rows whose
+    // fingerprint df exceeds the cap are dropped either way.
+    val idx = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("f")))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "f").persist()
     val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     idx.as("a")
       .join(idx.as("b"),
@@ -398,15 +406,23 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     * the SMALL side's fingerprints are unshared, which is what
     * overlap >= 0.95 means.
     *
-    * Scale shape: fingerprint kernel + df count as the fixed arm; the
-    * rarity ranking is one per-doc window (partitioned by doc_id,
+    * Scale shape (round-18 optimization pass, guide §2.3/§2.4): the
+    * fingerprint kernel runs ONCE — df comes from a count window over
+    * the fingerprint exchange instead of a groupBy + self-join back
+    * (the join form evaluated the kernel twice and shuffled twice);
+    * the rarity ranking is one per-doc window (partitioned by doc_id,
     * bounded by doc size); the prefix probe is ~(u+R) rows per doc
-    * (1.76M at 100x) hash-joined against the capped index; scoring is
-    * pair-anchored — candidates join the capped postings of one side
-    * (174M rows at 100x) and count matches on (doc, fingerprint) —
-    * linear in candidates, never Σdf² over hot postings. All knobs
-    * replay verbatim in the DuckDB oracle
-    * (Dedup."dedup_winnow_pairs_adaptive").
+    * (1.76M at 100x) hash-joined against the capped index. Scoring
+    * attaches each side's per-doc capped fingerprint ARRAY (bounded by
+    * doc length) with two hash joins and computes |F_a ∩ F_b| as one
+    * codegen `array_intersect` per candidate — the pair-anchored
+    * posting re-join this replaces exploded candidates × |F_a| (143M
+    * rows at sf0.1, 158M at 10x) into a second huge aggregation
+    * (guide §2.3: move the decision bytes, not the postings). Values
+    * are bit-identical (fingerprints are distinct per doc, so the
+    * array intersection size IS the fixed arm's intersection count),
+    * so the DuckDB oracle (Dedup."dedup_winnow_pairs_adaptive") is
+    * unchanged and still replays every knob.
     *
     * Ladder history: r16 widened the gram (+1 codepoint per doubling)
     * — selective, but re-hashed grams silently eroded the 100x dup
@@ -427,10 +443,20 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
       .select(col("doc_id"),
         explode(graft.functions.Winnow.winnow_poly_fingerprints(
           col("text"), k = 12)).as("f"))
-    val dfr = fp.groupBy("f").agg(count(lit(1)).as("df"))
-    // the fixed arm's score index, df carried for the rarity order
-    val idx = fp.join(dfr, "f").filter(col("df") <= WinnowDfCapBase).persist()
-    val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the fixed arm's score index, df carried for the rarity order.
+    // df via ONE count window over the fingerprint exchange: the
+    // groupBy+re-join form evaluates the fingerprint kernel twice
+    // (build + probe) and shuffles fp twice; the window form hashes fp
+    // on f once (guide §2.4 — share one exchange). Same value: fp rows
+    // are distinct per (doc_id, f) by winnowing's list_distinct.
+    val idx = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("f")))
+      .filter(col("df") <= WinnowDfCapBase).persist()
+    // per-doc capped fingerprint set as an ARRAY (bounded by doc length
+    // — winnowing emits ≤ len/1 fingerprints, ~40 here), the scoring
+    // side below
+    val docArr = idx.groupBy("doc_id")
+      .agg(collect_list(col("f")).as("fs"), count(lit(1)).as("n"))
     // arm 1: rare-fingerprint join under the halving ladder
     val rare = idx.filter(col("df") <= capGen).select("doc_id", "f")
     val candRare = rare.as("a")
@@ -456,17 +482,24 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
       .filter(col("cnt") >= least(lit(WinnowPrefixSlack), col("np")))
       .select(least(col("pa"), col("pb")).as("doc_a"),
         greatest(col("pa"), col("pb")).as("doc_b"))
+    // candidate set = rare-join support ∪ prefix rescues (a pair can be
+    // rescued from both sides — distinct folds all sources)
     val cand = candRare.unionByName(candPref).distinct()
-    // pair-anchored exact scoring over the capped index: identical
-    // arithmetic to the fixed arm, evaluated only on candidates
+    // exact scoring by per-doc ARRAY intersection: two hash joins attach
+    // each side's capped fingerprint array, one codegen array_intersect
+    // computes |F_a ∩ F_b| — no posting re-join, no per-pair explosion,
+    // no second aggregation (the prior pair-anchored form exploded
+    // candidates × |F_a| to 143M rows at sf0.1 / 158M at 10x and paid a
+    // huge groupBy on top). Arrays carry n, so the sz joins fold in too.
+    // Values identical: fingerprints are distinct per doc, so
+    // size(array_intersect) IS the fixed arm's intersection count.
     cand
-      .join(idx.select(col("doc_id").as("doc_a"), col("f")), "doc_a")
-      .join(idx.select(col("doc_id").as("doc_b"), col("f")), Seq("doc_b", "f"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(docArr.select(col("doc_id").as("doc_a"),
+        col("fs").as("fa"), col("n").as("na")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"),
+        col("fs").as("fb"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
+        (size(array_intersect(col("fa"), col("fb"))).cast("double") /
           least(col("na"), col("nb")).cast("double")).as("overlap"))
       .filter(col("overlap") >= threshold)
   }
