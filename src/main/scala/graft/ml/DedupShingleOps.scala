@@ -37,9 +37,15 @@ private[graft] trait DedupShingleOps {
   private def shingleIndex(docs: DataFrame, dfCap: Int): DataFrame = {
     val sh = graft.scale.Scale.spread(docs) // few-split input: spread the shingle kernel
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("hs"))
-    val hot = sh.groupBy("hs").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("hs")
-    sh.join(broadcast(hot), Seq("hs"), "left_anti").persist()
+    // df-cap via ONE count window over the shingle exchange: the prior
+    // hot-list groupBy + broadcast anti-join evaluated the shingle
+    // kernel twice (build + probe) while materializing this cache —
+    // the kernel dominates per-row cost, the (doc_id, hs) shuffle the
+    // window adds is 16 bytes/row (guide §2.4; same rewrite as the
+    // winnow arms). Row set identical: df > cap dropped either way.
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("hs")))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "hs").persist()
   }
 
   /** Benchmark decontamination: flag eval-side documents (odd doc_id)
