@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,19 +124,41 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
     * Value-identical, so the brute-force oracle is unchanged. */
   private def minDists(tdocs: DataFrame, terms: Seq[String],
       ids: DataFrame, bounded: Boolean): DataFrame = {
-    val idsOnly = ids.select("doc_id")
-    val pos = tdocs
-      .join(if (bounded) broadcast(idsOnly) else idsOnly, "doc_id")
-      .select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("pos", "token")))
-      .filter(col("token").isin(terms: _*))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    pos
-      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
-      .withColumn("prev_tok", lag(col("token"), 1).over(w))
-      .filter(col("prev_tok").isNotNull && col("token") =!= col("prev_tok"))
-      .groupBy("doc_id")
-      .agg(min(col("pos") - col("prev_pos")).as("mindist"))
+    val idsOnly = ids.select("doc_id").distinct()
+    val withToks =
+      if (bounded)
+        tdocs.select(col("doc_id"), col("toks"))
+          .join(broadcast(idsOnly), "doc_id")
+      else idsOnly.join(tdocs.select(col("doc_id"), col("toks")), "doc_id")
+    val termArr = array(terms.map(lit): _*)
+    withToks
+      .withColumn("mindist", adjacentMinDist(col("toks"), termArr))
+      .filter(col("mindist").isNotNull)
+      .select("doc_id", "mindist")
+  }
+
+  /** The linear adjacent-pair proximity kernel as ONE codegen array
+    * expression (round-18 optimization; the prior form was posexplode →
+    * membership join → lag window → groupBy — four operators, two of
+    * them shuffles, for a value each row can compute from its own token
+    * array): keep the query-term occurrences as (pos, tok) structs in
+    * array order (= position order), difference ADJACENT entries whose
+    * tokens differ, take the array min (nulls — same-token steps and
+    * the unpaired tail — are skipped; all-null/empty → NULL, i.e. "no
+    * pair", exactly the rows the windowed form never emitted). Same
+    * linearity theorem as before: between any different-token
+    * occurrence pair the token must change at some consecutive step
+    * whose distance is ≤ the pair's, so the adjacent min IS the
+    * pairwise min. ProxKernelPropSpec pins both facts against the
+    * quadratic definition on random corpora. */
+  private def adjacentMinDist(toks: Column, termSet: Column): Column = {
+    val ps = filter(
+      transform(toks, (t, i) => struct(i.as("pos"), t.as("tok"))),
+      s => array_contains(termSet, s.getField("tok")))
+    array_min(zip_with(
+      ps, slice(ps, lit(2), greatest(size(ps) - 1, lit(0))),
+      (a, b) => when(a.getField("tok") =!= b.getField("tok"),
+        b.getField("pos") - a.getField("pos"))))
   }
 
   private def fullScores(tdocs: DataFrame, terms: Seq[String],
@@ -207,43 +229,37 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
     * the literal-panel form below and [[RagFlagship]]'s data-derived
     * lexical arm call (a second copy of this kernel is how a tie-order
     * or hinting fix forks one arm's semantics from the other's).
-    * Positions for a (query_id, doc_id) id set: explode positions once
-    * over the DISTINCT doc side, prune to `termPrune` when the caller
-    * has a literal term list (skips the membership join for non-terms),
-    * re-attach query membership through `qterms` (query_id, token),
-    * then the LINEAR adjacent-pair kernel: min distance over
-    * different-token occurrence pairs is always achieved by a pair
-    * adjacent in position-sorted order (between any different-token
-    * pair the token must change at some consecutive step, whose
-    * distance is ≤ the pair's), so one lag window per (query, doc)
-    * computes the pairwise min in O(p log p) — positions are unique per
-    * (query_id, doc_id, pos) since one token row joins ≤ 1 term of a
-    * query, so the lag order is total. `bounded` marks a ≤ k·|panel|
-    * θ-seed set (broadcast-hinted); a data-dependent survivor set is
-    * left to AQE. */
+    *
+    * Round-18 form ([[adjacentMinDist]]): attach each pair's query-term
+    * array (a ≤ |panel|·[[Retrieval.QueryTerms]]-row broadcast) and the
+    * doc's token array, and evaluate the linear adjacent-pair kernel as
+    * one codegen expression per (query, doc) row. The prior form
+    * posexploded the positions of every candidate doc, re-attached
+    * query membership and the pair list with two joins, and ran a lag
+    * window + groupBy per pair — two shuffles and a per-pair sort whose
+    * input mass equals exactly the positions the expression now scans
+    * in place (measured 3.3 s of e2e_rag_serving's 11.2 at sf0.1).
+    * `termPrune` (the literal-panel prune) is obsolete in this form —
+    * the membership test IS the per-row array filter — and is kept in
+    * the signature so the two callers and the property spec stay
+    * uniform. `bounded` marks a ≤ k·|panel| θ-seed set whose pair side
+    * is broadcast-hinted against the corpus (the corpus is never
+    * shuffled for it); a data-dependent survivor set is left to AQE. */
   private[ml] def panelMinDists(tdocs: DataFrame, qterms: DataFrame,
       termPrune: Seq[String], ids: DataFrame, bounded: Boolean): DataFrame = {
-    val docIds = ids.select("doc_id").distinct()
     val pairIds = ids.select("query_id", "doc_id").distinct()
-    val exploded = tdocs
-      .join(if (bounded) broadcast(docIds) else docIds, "doc_id")
-      .select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("pos", "token")))
-    val pos = (if (termPrune.nonEmpty)
-        exploded.filter(col("token").isin(termPrune: _*))
-      else exploded)
-      .join(broadcast(qterms), "token")
-      .join(if (bounded) broadcast(pairIds) else pairIds,
-        Seq("query_id", "doc_id"))
-    val w = Window.partitionBy(col("query_id"), col("doc_id"))
-      .orderBy(col("pos"))
-    pos
-      .withColumn("prev_pos", lag(col("pos"), 1).over(w))
-      .withColumn("prev_tok", lag(col("token"), 1).over(w))
-      .filter(col("prev_tok").isNotNull &&
-        col("token") =!= col("prev_tok"))
-      .groupBy("query_id", "doc_id")
-      .agg(min(col("pos") - col("prev_pos")).as("mindist"))
+    val qArr = qterms.groupBy("query_id")
+      .agg(collect_list(col("token")).as("qts"))
+    val pairsQ = pairIds.join(broadcast(qArr), "query_id")
+    val withToks =
+      if (bounded)
+        tdocs.select(col("doc_id"), col("toks"))
+          .join(broadcast(pairsQ), "doc_id")
+      else pairsQ.join(tdocs.select(col("doc_id"), col("toks")), "doc_id")
+    withToks
+      .withColumn("mindist", adjacentMinDist(col("toks"), col("qts")))
+      .filter(col("mindist").isNotNull)
+      .select("query_id", "doc_id", "mindist")
   }
 
   /** Batch two-phase retrieval for a PANEL of queries — the shape a
