@@ -452,6 +452,13 @@ object Similarity {
   val IvfCentroidStride = 97
   val IvfProbes = 3
   val IvfIters = 1
+
+  /** Embedding width of the corpus (TESTDATA.md: 64-dim integer-quantized
+    * vectors at every scale factor). Lets per-dimension sums run as ONE
+    * wide aggregation instead of a posexplode row multiplication; if the
+    * width ever changed, every oracle comparison over the vector family
+    * would fail loudly on the first run. */
+  val EmbDims = 64
   val IvfTrainStride = 3
 
   // private[ml]: AdaptiveIndexSpec pins the sqrt(n) stride at two corpus
@@ -486,6 +493,12 @@ object Similarity {
   private def trainedCentroids(v: DataFrame, iters: Int = IvfIters): DataFrame = {
     var cents = seedCentroids(v)
     val sample = v.filter(col("vec_id") % IvfTrainStride === 0)
+    // vector width for the wide refinement aggregation below — one
+    // bounded driver fold (the [[topDirection]] dim-probe convention;
+    // library callers train on arbitrary-width vectors, e.g. the 4-dim
+    // spec fixtures). Empty corpus: any width yields empty refinements.
+    val dims = v.select(size(col("q")).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(EmbDims)
     for (_ <- 0 until iters) {
       val members = assignTo(sample, cents, probes = 1)
         .select(col("centroid_id"), col("q"))
@@ -493,16 +506,22 @@ object Similarity {
       // fell outside the training sample KEEPS its previous vector
       // instead of silently vanishing — the centroid count must stay
       // independent of the training stride
-      val dimSums = members
-        .select(col("centroid_id"), posexplode(col("q")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim")
-        .agg(sum(col("x")).as("s"))
-      val refined = dimSums
+      // one aggregation instead of posexplode -> per-(centroid,dim)
+      // groupBy -> collect_list/sort -> re-assemble (round-18, guide
+      // §1.2): the embedding width is the fixed EmbDims, so the
+      // element-wise sums are EmbDims ordinary map-side-combinable
+      // columns and the sum vector reassembles as an array literal —
+      // same exact longs into the same quantization, two fewer
+      // exchanges and no row multiplication.
+      val refined = members
         .groupBy("centroid_id")
-        .agg(sort_array(collect_list(struct(col("dim"), col("s")))).as("dm"))
+        .agg(sum(element_at(col("q"), 1)).as("s0"),
+          (1 until dims).map(d =>
+            sum(element_at(col("q"), d + 1)).as(s"s$d")): _*)
         .select(col("centroid_id"),
           ArrayOps.quantize_vec(
-            transform(col("dm"), e => e.getField("s").cast("double")), 10000).as("rcv"))
+            array((0 until dims).map(d => col(s"s$d").cast("double")): _*),
+            10000).as("rcv"))
       cents = cents
         .join(refined, Seq("centroid_id"), "left_outer")
         .select(col("centroid_id"), coalesce(col("rcv"), col("cv")).as("cv"))
@@ -917,14 +936,15 @@ object Similarity {
       .select(col("vec_id"), col("label"), Dedup.quantized(col("embedding")).as("q"))
       .transform(graft.scale.Scale.spread)
       .persist()
-    val svecs = v
-      .select(col("label"), posexplode(col("q")).as(Seq("dim", "x")))
-      .groupBy("label", "dim").agg(sum(col("x")).as("s"))
-      .groupBy("label")
-      .agg(sort_array(collect_list(struct(col("dim"), col("s")))).as("ds"))
-      .select(col("label"), transform(col("ds"), e => e.getField("s")).as("svec"))
-    val cents = v.groupBy("label").agg(count(lit(1)).as("n"))
-      .join(svecs, "label")
+    // count + element-wise sums in ONE wide aggregation (round-18, guide
+    // §1.2): replaces posexplode -> per-(label,dim) groupBy ->
+    // collect_list -> re-join with the count aggregate — same exact sums
+    val cents = v.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (0 until EmbDims).map(d =>
+          sum(element_at(col("q"), d + 1)).as(s"s$d")): _*)
+      .select(col("label"), col("n"),
+        array((0 until EmbDims).map(d => col(s"s$d")): _*).as("svec"))
     val scored = v.join(broadcast(cents), "label")
       .select(col("label"), col("vec_id"),
         (col("n") * col("n") * ArrayOps.dot_long(col("q"), col("q"))
@@ -1393,16 +1413,21 @@ object Similarity {
     val sample = subs.filter(col("vec_id") % PqTrainStride === 0)
     for (_ <- 0 until iters) {
       val members = pqAssign(sample, cents)
-      val dimSums = members
-        .select(col("sub"), col("code"), posexplode(col("sq")).as(Seq("dim", "x")))
-        .groupBy("sub", "code", "dim")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      val refined = dimSums
+      // one aggregation instead of posexplode -> per-(sub,code,dim)
+      // groupBy -> collect_list/sort -> re-assemble (round-18, guide
+      // §1.2 per-task work): PqSubDim is a compile-time constant, so the
+      // per-dim sums are PqSubDim ordinary map-side-combinable columns
+      // and the rounded mean vector reassembles as an array literal —
+      // same sums, same count, same rounding, two fewer exchanges.
+      val refined = members
         .groupBy("sub", "code")
-        .agg(sort_array(collect_list(struct(col("dim"),
-          round(col("s").cast("double") / col("n")).cast("long").as("m")))).as("dm"))
+        .agg(count(lit(1)).as("n"),
+          (0 until PqSubDim).map(d =>
+            sum(element_at(col("sq"), d + 1)).as(s"s$d")): _*)
         .select(col("sub"), col("code"),
-          transform(col("dm"), e => e.getField("m")).as("rcv"))
+          array((0 until PqSubDim).map(d =>
+            round(col(s"s$d").cast("double") / col("n")).cast("long")): _*)
+            .as("rcv"))
       cents = cents
         .join(refined, Seq("sub", "code"), "left_outer")
         .select(col("sub"), col("code"), coalesce(col("rcv"), col("cv")).as("cv"))
