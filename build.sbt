@@ -31,4 +31,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Host qualification (round 19, BASELINE.md "Shuffle-write mmap
+  // pathology"): on this kernel (6.18.5-fc-v20) mmap/munmap are slow and
+  // serialize on the process mmap lock. BypassMergeSortShuffleWriter's
+  // per-partition temp-file merge goes through FileChannel.transferTo,
+  // which maps+unmaps every segment — jstack sampling showed executor
+  // workers pinned in FileChannelImpl.map0/unmap0 during shuffle writes
+  // (~0.5-4 s of write time per small exchange; 8 cores beat 32 on
+  // shuffle-heavy queries because of the lock). transferTo=false streams
+  // the copy instead of mapping it; local.dir on tmpfs takes the disk
+  // out of the (tiny, re-created-per-exchange) shuffle files. At cluster
+  // scale both are deployment-neutral: reduce partition counts there are
+  // >> the bypass threshold so the merge path differs anyway, and fast
+  // local shuffle storage is the standing provisioning assumption
+  // (optimization guide §9). Measured: full registry 297.8 -> 257.1 s at
+  // sf0.1 with no query slower by > 0.26 s.
+  "-Dspark.file.transferTo=false",
+  "-Dspark.local.dir=/dev/shm/spark-scratch",
 )

@@ -653,6 +653,119 @@ case class SortedOverlapCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The linear adjacent-pair proximity kernel as ONE generated loop:
+  * minimum |pos_a - pos_b| over occurrences of two DIFFERENT query
+  * terms in a token array, or NULL when no such pair exists. The
+  * round-18 form composed transform → filter → slice → zip_with →
+  * array_min — five higher-order functions evaluated INTERPRETED per
+  * row, allocating |toks| structs and re-scanning the term array per
+  * element (measured 43 s CPU inside text_prox_rerank_panel_wide's
+  * survivor stage at sf0.1, ~175 µs per candidate pair). Same
+  * adjacency theorem (between any different-token occurrence pair the
+  * token must change at some consecutive matched step whose distance
+  * is ≤ the pair's, so the adjacent min IS the pairwise min — pinned
+  * by ProxKernelPropSpec), now as a single pass tracking the previous
+  * matched term: no allocation, no interpreted lambda. NULL tokens
+  * never match (the HOF form's array_contains(termSet, null) filter
+  * dropped them); a NULL toks or terms input yields NULL. Result is
+  * long; distances are 0-based-index differences, identical to the
+  * HOF form's transform-index arithmetic (the registered consumers
+  * only read mindist through `div`, which is width-invariant). */
+case class AdjacentMinDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"adjacent_min_dist expects (array<string>, array<string>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = LongType
+  // the result is null when the doc holds < 2 distinct matched terms,
+  // independent of input nullability
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val terms = b.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val nt = terms.numElements()
+    var best = Long.MaxValue
+    var prevTid = -1
+    var prevPos = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var tid = -1
+        var j = 0
+        while (tid < 0 && j < nt) {
+          if (!terms.isNullAt(j) && t.equals(terms.getUTF8String(j))) tid = j
+          j += 1
+        }
+        if (tid >= 0) {
+          if (prevTid >= 0 && tid != prevTid) {
+            val d = (i - prevPos).toLong
+            if (d < best) best = d
+          }
+          prevTid = tid
+          prevPos = i
+        }
+      }
+      i += 1
+    }
+    if (best == Long.MaxValue) null else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val nt = ctx.freshName("nt")
+      val best = ctx.freshName("best")
+      val prevTid = ctx.freshName("prevTid")
+      val prevPos = ctx.freshName("prevPos")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val tid = ctx.freshName("tid")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |int $nt = $b.numElements();
+         |long $best = Long.MAX_VALUE;
+         |int $prevTid = -1;
+         |int $prevPos = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($i);
+         |  int $tid = -1;
+         |  for (int $j = 0; $tid < 0 && $j < $nt; $j++) {
+         |    if (!$b.isNullAt($j) && $t.equals($b.getUTF8String($j))) $tid = $j;
+         |  }
+         |  if ($tid >= 0) {
+         |    if ($prevTid >= 0 && $tid != $prevTid) {
+         |      long $d = (long) ($i - $prevPos);
+         |      if ($d < $best) $best = $d;
+         |    }
+         |    $prevTid = $tid;
+         |    $prevPos = $i;
+         |  }
+         |}
+         |if ($best == Long.MAX_VALUE) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdjacentMinDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-bit LSH bucket of a quantized vector against a CONSTANT plane
   * matrix: bit k (k < `pl`, the data-adaptive plane count) is set iff
   * dot(q, planes(k)) >= 0. One generated double loop replaces
@@ -757,6 +870,11 @@ object ArrayOps {
   /** Column wrapper: one-pass PORTABLE-hash 64-bit SimHash (codegen'd). */
   def simhash_poly_sig(tokens: Column): Column =
     ColumnBridge.column(SimhashPolySig(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: adjacent-pair min proximity distance (codegen'd). */
+  def adjacent_min_dist(toks: Column, terms: Column): Column =
+    ColumnBridge.column(AdjacentMinDist(
+      ColumnBridge.expression(toks), ColumnBridge.expression(terms)))
 
   /** Column wrapper: adaptive-count sign-bit LSH bucket (codegen'd). */
   def lsh_sign_bits(q: Column, pl: Column, planes: Array[Array[Long]]): Column =

@@ -137,29 +137,27 @@ private[graft] trait TextRetrievalOps extends TextTokenOps {
       .select("doc_id", "mindist")
   }
 
-  /** The linear adjacent-pair proximity kernel as ONE codegen array
-    * expression (round-18 optimization; the prior form was posexplode →
-    * membership join → lag window → groupBy — four operators, two of
-    * them shuffles, for a value each row can compute from its own token
-    * array): keep the query-term occurrences as (pos, tok) structs in
-    * array order (= position order), difference ADJACENT entries whose
-    * tokens differ, take the array min (nulls — same-token steps and
-    * the unpaired tail — are skipped; all-null/empty → NULL, i.e. "no
-    * pair", exactly the rows the windowed form never emitted). Same
-    * linearity theorem as before: between any different-token
-    * occurrence pair the token must change at some consecutive step
-    * whose distance is ≤ the pair's, so the adjacent min IS the
-    * pairwise min. ProxKernelPropSpec pins both facts against the
-    * quadratic definition on random corpora. */
-  private def adjacentMinDist(toks: Column, termSet: Column): Column = {
-    val ps = filter(
-      transform(toks, (t, i) => struct(i.as("pos"), t.as("tok"))),
-      s => array_contains(termSet, s.getField("tok")))
-    array_min(zip_with(
-      ps, slice(ps, lit(2), greatest(size(ps) - 1, lit(0))),
-      (a, b) => when(a.getField("tok") =!= b.getField("tok"),
-        b.getField("pos") - a.getField("pos"))))
-  }
+  /** The linear adjacent-pair proximity kernel as ONE GENERATED loop
+    * ([[graft.functions.AdjacentMinDist]], round 19). The round-18 form
+    * was already a single expression per row (replacing the posexplode →
+    * membership join → lag window → groupBy operator chain), but it
+    * composed five higher-order functions (transform → filter → slice →
+    * zip_with → array_min), and Spark evaluates HOF lambdas INTERPRETED:
+    * each survivor pair allocated |toks| (pos, tok) structs and re-ran
+    * array_contains per element — measured 43 s of CPU inside
+    * text_prox_rerank_panel_wide's survivor stage at sf0.1 (~175 µs per
+    * pair, the bench's worst single-query cost). The generated loop
+    * tracks the previous matched term through one pass — no allocation,
+    * no interpreted lambda. Same linearity theorem as before: between
+    * any different-token occurrence pair the token must change at some
+    * consecutive step whose distance is ≤ the pair's, so the adjacent
+    * min IS the pairwise min. ProxKernelPropSpec pins the kernel
+    * against the quadratic definition on random corpora; the value is
+    * identical (empty/no-pair rows stay NULL), only wider — long where
+    * the HOF form's transform-index arithmetic yielded int, invisible
+    * to every consumer because mindist is only read through `div`. */
+  private def adjacentMinDist(toks: Column, termSet: Column): Column =
+    graft.functions.ArrayOps.adjacent_min_dist(toks, termSet)
 
   private def fullScores(tdocs: DataFrame, terms: Seq[String],
       cand: DataFrame, bounded: Boolean): DataFrame =

@@ -21,6 +21,13 @@ if ps -C java -o pid= | grep -q .; then
   echo "refusing: another java process is running" >&2; exit 2
 fi
 only="${3:-}"
+# -Dspark.file.transferTo=false -Dspark.local.dir=/dev/shm/spark-scratch:
+# round-19 host qualification (same pair as build.sbt javaOptions — see
+# the comment there and BASELINE.md "Shuffle-write mmap pathology"): this
+# kernel's slow mmap/munmap made every BypassMergeSortShuffleWriter merge
+# a map0/unmap0 storm. Streamed copies + tmpfs shuffle dirs measured
+# 297.8 -> 257.1 s on the full registry with no per-query regression.
 env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 ${only:+SPARK_GRAFT_ONLY="$only"} \
   java $ADDOPENS -Dspark.sql.session.timeZone=UTC -Dspark.buffer.pageSize=4m \
+  -Dspark.file.transferTo=false -Dspark.local.dir=/dev/shm/spark-scratch \
   -cp target/scala-2.13/classes:/opt/spark/jars/'*' -Xmx"$2" graft.Bench
