@@ -766,6 +766,139 @@ case class AdjacentMinDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmin/argmax assignment of a vector against a BROADCAST candidate
+  * array in one generated pass (round 19): `cands` is
+  * array<struct<id: long, cv: array<long>>> SORTED BY id ASCENDING with
+  * unique ids (the caller builds it with sort_array ∘ collect_list over
+  * the codebook/centroid frame — bounded by construction, so the array
+  * is broadcast-sized). Returns struct(id, s) of the winning candidate,
+  * or NULL when `cands` is empty.
+  *
+  *  - maxDot = true  (IVF coarse assignment): s = ⟨x, c⟩, winner is the
+  *    max s; iteration in id order with a STRICT > keeps the smallest id
+  *    on ties — exactly max_by(_, struct(cdot, -centroid_id)).
+  *  - maxDot = false (PQ codeword assignment): s = ⟨c, c⟩ − 2⟨x, c⟩,
+  *    winner is the min s. The true squared distance adds the constant
+  *    ⟨x, x⟩ to every candidate, so dropping it preserves both the
+  *    order and the ties; STRICT < in id order keeps the smallest code
+  *    on ties — exactly max_by(_, struct(-d2, -code)).
+  *
+  * Replaces the join-against-candidate-ROWS shape (corpus × |codebook|
+  * intermediate rows through a max_by hash aggregate — 10M rows for a
+  * 20k-vector corpus against 512 PQ codewords) with |corpus| rows and
+  * zero aggregation; the per-row loop is the same dot-product work the
+  * join paid, minus one redundant ⟨x, x⟩ per candidate. */
+case class NearestVec(left: Expression, right: Expression, maxDot: Boolean)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(LongType, _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"nearest_vec expects (array<bigint>, array<struct<bigint, " +
+          s"array<bigint>>>), got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("s", LongType, nullable = false)))
+  // null iff the candidate array is empty, independent of input nullability
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cands = b.asInstanceOf[ArrayData]
+    val m = cands.numElements()
+    val dims = x.numElements()
+    var found = false
+    var bestId = 0L
+    var bestS = 0L
+    var ci = 0
+    while (ci < m) {
+      val cr = cands.getStruct(ci, 2)
+      val id = cr.getLong(0)
+      val cv = cr.getArray(1)
+      val n = math.min(dims, cv.numElements())
+      var dt = 0L
+      var cc = 0L
+      var i = 0
+      while (i < n) {
+        val c = cv.getLong(i)
+        dt += x.getLong(i) * c
+        if (!maxDot) cc += c * c
+        i += 1
+      }
+      val s = if (maxDot) dt else cc - 2L * dt
+      if (!found || (if (maxDot) s > bestS else s < bestS)) {
+        found = true; bestS = s; bestId = id
+      }
+      ci += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestS))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val dims = ctx.freshName("dims")
+      val found = ctx.freshName("found")
+      val bestId = ctx.freshName("bestId")
+      val bestS = ctx.freshName("bestS")
+      val ci = ctx.freshName("ci")
+      val cr = ctx.freshName("cr")
+      val id = ctx.freshName("id")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dt = ctx.freshName("dt")
+      val cc = ctx.freshName("cc")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val ccLine = if (maxDot) "" else s"$cc += $c * $c;"
+      val sExpr = if (maxDot) dt else s"($cc - 2L * $dt)"
+      val better = if (maxDot) s"$s > $bestS" else s"$s < $bestS"
+      s"""
+         |int $m = $b.numElements();
+         |int $dims = $a.numElements();
+         |boolean $found = false;
+         |long $bestId = 0L;
+         |long $bestS = 0L;
+         |for (int $ci = 0; $ci < $m; $ci++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $cr = $b.getStruct($ci, 2);
+         |  long $id = $cr.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cr.getArray(1);
+         |  int $n = java.lang.Math.min($dims, $cv.numElements());
+         |  long $dt = 0L;
+         |  long $cc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $c = $cv.getLong($i);
+         |    $dt += $a.getLong($i) * $c;
+         |    $ccLine
+         |  }
+         |  long $s = $sExpr;
+         |  if (!$found || $better) {
+         |    $found = true; $bestS = $s; $bestId = $id;
+         |  }
+         |}
+         |if (!$found) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { java.lang.Long.valueOf($bestId), java.lang.Long.valueOf($bestS) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestVec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-bit LSH bucket of a quantized vector against a CONSTANT plane
   * matrix: bit k (k < `pl`, the data-adaptive plane count) is set iff
   * dot(q, planes(k)) >= 0. One generated double loop replaces
@@ -870,6 +1003,13 @@ object ArrayOps {
   /** Column wrapper: one-pass PORTABLE-hash 64-bit SimHash (codegen'd). */
   def simhash_poly_sig(tokens: Column): Column =
     ColumnBridge.column(SimhashPolySig(ColumnBridge.expression(tokens)))
+
+  /** Column wrapper: one-pass argmin/argmax vector assignment against a
+    * broadcast candidate array (codegen'd). `cands` must be sorted by id
+    * ascending with unique ids. */
+  def nearest_vec(x: Column, cands: Column, maxDot: Boolean): Column =
+    ColumnBridge.column(NearestVec(
+      ColumnBridge.expression(x), ColumnBridge.expression(cands), maxDot))
 
   /** Column wrapper: adjacent-pair min proximity distance (codegen'd). */
   def adjacent_min_dist(toks: Column, terms: Column): Column =

@@ -536,18 +536,31 @@ object Similarity {
     * skips the sort a windowed rank would pay; multi-probe (the small
     * query side) keeps the windowed form. */
   private def assignTo(v: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
-    val scored = v.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("q"), col("centroid_id"),
-        dot(col("q"), col("cv")).as("cdot"))
-    if (probes == 1)
-      // argmax with the window's exact tie-break: max dot, then MIN
-      // centroid id — encoded as max_by on (cdot, -centroid_id)
-      scored.groupBy(col("vec_id"))
-        .agg(max_by(struct(col("centroid_id"), col("q"), col("cdot")),
-          struct(col("cdot"), (-col("centroid_id")).as("neg"))).as("best"))
-        .select(col("vec_id"), col("best.q").as("q"),
-          col("best.centroid_id").as("centroid_id"), col("best.cdot").as("cdot"))
-    else {
+    if (probes == 1) {
+      // single-probe bulk pass as ONE generated argmax per vector
+      // ([[graft.functions.NearestVec]], round 19) against the centroid
+      // table packed into a sorted broadcast array: the prior form
+      // cross-joined the corpus against every centroid ROW (~n·√n rows
+      // under the adaptive stride) and argmax'd with a max_by hash
+      // aggregate; the expression visits the same centroids in-place
+      // with zero intermediate rows and no aggregation. Identical
+      // assignment: sorted-by-id iteration with a strict > IS the
+      // (cdot desc, centroid_id asc) tie-break of the old
+      // max_by(_, struct(cdot, -centroid_id)); an empty centroid table
+      // yields an empty pack → the inner filter drops every row, the
+      // same empty output the cross join produced.
+      val pack = cents.agg(sort_array(collect_list(struct(
+        col("centroid_id").as("id"), col("cv")))).as("cands"))
+      val best = ArrayOps.nearest_vec(col("q"), col("cands"), maxDot = true)
+      v.join(broadcast(pack), lit(true))
+        .select(col("vec_id"), col("q"), best.as("best"))
+        .filter(col("best").isNotNull)
+        .select(col("vec_id"), col("q"),
+          col("best.id").as("centroid_id"), col("best.s").as("cdot"))
+    } else {
+      val scored = v.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("q"), col("centroid_id"),
+          dot(col("q"), col("cv")).as("cdot"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cdot").desc, col("centroid_id").asc)
       scored.withColumn("crank", row_number().over(w))
@@ -1383,20 +1396,29 @@ object Similarity {
         slice(col("q"), m * PqSubDim + 1, PqSubDim).as("sq"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sq").as("sq"))
 
-  /** Nearest codeword per (vector, subspace) by scaled squared L2
-    * ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ — three integer dots, no FP — with the
-    * (distance asc, code asc) tie-break. Broadcast join + max_by argmin:
-    * no shuffle of the corpus side. */
-  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
-    subs.join(broadcast(cents), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("sq"), col("code"),
-        (dot(col("sq"), col("sq")) - lit(2L) * dot(col("sq"), col("cv"))
-          + dot(col("cv"), col("cv"))).as("d2"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(struct(col("code"), col("sq")),
-        struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.code").as("code"),
-        col("best.sq").as("sq"))
+  /** Nearest codeword per (vector, subspace) by squared L2 with the
+    * (distance asc, code asc) tie-break — as ONE generated argmin pass
+    * ([[graft.functions.NearestVec]], round 19) against the codebook
+    * packed into a per-subspace sorted array (8 broadcast rows). The
+    * prior form joined every (vector, subspace) slice against all
+    * [[PqCodebook]] codeword ROWS and argmin'd with a max_by hash
+    * aggregate — a corpus × 64 row multiplication (10M rows at 20k
+    * vectors) re-shuffled per training round AND per encode, where the
+    * expression visits the same codewords in-place. Identical codes:
+    * dropping the per-row constant ⟨x,x⟩ from the distance preserves
+    * order and ties (NearestVec doc), and the sorted-by-code iteration
+    * with a strict compare IS the (d2 asc, code asc) tie-break. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val packs = cents.groupBy("sub")
+      .agg(sort_array(collect_list(struct(
+        col("code").as("id"), col("cv")))).as("cands"))
+    subs.join(broadcast(packs), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sq"),
+        ArrayOps.nearest_vec(col("sq"), col("cands"), maxDot = false)
+          .getField("id").as("code"))
+      .filter(col("code").isNotNull)
+      .select(col("vec_id"), col("sub"), col("code"), col("sq"))
+  }
 
   /** Codebooks after `iters` Lloyd rounds: assignment on the sample, then
     * each codeword becomes the rounded integer mean of its members
