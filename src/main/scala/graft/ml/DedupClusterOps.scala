@@ -93,13 +93,34 @@ private[graft] trait DedupClusterOps extends DedupShingleOps {
         .agg(min(col("cand")).as("cluster_id"), min(col("old")).as("old_cid"))
         .select(col("src").as("doc_id"), col("cluster_id"),
           (col("cluster_id") < col("old_cid")).as("_changed"))
-      val nextCkpt = next.localCheckpoint() // eager: materializes and cuts lineage
+      // checkpoint + convergence read in ONE job (round 19): the
+      // eager localCheckpoint's count() action already touches every
+      // row while materializing the blocks, so the changed-label count
+      // rides it as an accumulator tap instead of paying a second
+      // aggregation job over the just-cached blocks per round (2 ->  1
+      // jobs/round across all five CC consumers). Same construction as
+      // Dataset.localCheckpoint (row copy -> localCheckpoint -> count
+      // -> LogicalRDD.fromDataset via CheckpointBridge), so the frame
+      // keeps the aggregate's hash partitioning — the next round's
+      // joins stay exchange-free on the label side. Accumulator
+      // exactness: count() is an action, so each partition's updates
+      // commit exactly once (task retries are deduped).
+      val changedIdx = next.schema.fieldIndex("_changed")
+      val acc = sc.longAccumulator("cc_changed")
+      val rows = org.apache.spark.sql.graftops.CheckpointBridge
+        .internalRows(next)
+        .mapPartitions { it =>
+          it.map { r =>
+            if (!r.isNullAt(changedIdx) && r.getBoolean(changedIdx)) acc.add(1L)
+            r.copy()
+          }
+        }
+      rows.localCheckpoint()
+      rows.count()
+      val nextCkpt = org.apache.spark.sql.graftops.CheckpointBridge
+        .checkpointedFrame(next, rows)
       val nextBlocks = ckptRddIds(nextCkpt)
-      // coalesce: sum over ZERO rows (no pairs at all) is null, and a
-      // legal empty input must return an empty cluster table, not NPE
-      val changed = nextCkpt
-        .agg(coalesce(sum(when(col("_changed"), 1L).otherwise(0L)), lit(0L)))
-        .head().getLong(0)
+      val changed = acc.value
       // nextCkpt is materialized — the previous round's checkpoint blocks
       // are now dead weight; free them instead of waiting on the GC-driven
       // ContextCleaner (which pins iters× label tables in executor memory)

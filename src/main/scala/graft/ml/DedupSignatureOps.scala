@@ -455,8 +455,13 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     // per-doc capped fingerprint set as an ARRAY (bounded by doc length
     // — winnowing emits ≤ len/1 fingerprints, ~40 here), the scoring
     // side below
+    // sorted: the scoring below counts |F_a ∩ F_b| with the zero-alloc
+    // sorted-merge expression instead of array_intersect's per-pair
+    // hash set (round 19 — measured 17-29 s of task CPU in the scoring
+    // stage at sf0.1; fingerprints are distinct per doc, so the merge
+    // count IS the intersection size)
     val docArr = idx.groupBy("doc_id")
-      .agg(collect_list(col("f")).as("fs"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(col("f"))).as("fs"), count(lit(1)).as("n"))
     // arm 1: rare-fingerprint join under the halving ladder
     val rare = idx.filter(col("df") <= capGen).select("doc_id", "f")
     val candRare = rare.as("a")
@@ -486,20 +491,24 @@ private[graft] trait DedupSignatureOps extends DedupShingleOps {
     // rescued from both sides — distinct folds all sources)
     val cand = candRare.unionByName(candPref).distinct()
     // exact scoring by per-doc ARRAY intersection: two hash joins attach
-    // each side's capped fingerprint array, one codegen array_intersect
-    // computes |F_a ∩ F_b| — no posting re-join, no per-pair explosion,
-    // no second aggregation (the prior pair-anchored form exploded
-    // candidates × |F_a| to 143M rows at sf0.1 / 158M at 10x and paid a
-    // huge groupBy on top). Arrays carry n, so the sz joins fold in too.
-    // Values identical: fingerprints are distinct per doc, so
-    // size(array_intersect) IS the fixed arm's intersection count.
+    // each side's capped SORTED fingerprint array, one generated
+    // sorted-merge (sorted_overlap) counts |F_a ∩ F_b| — no posting
+    // re-join, no per-pair explosion, no second aggregation (the prior
+    // pair-anchored form exploded candidates × |F_a| to 143M rows at
+    // sf0.1 / 158M at 10x and paid a huge groupBy on top), and no
+    // per-pair hash set either (round 19: array_intersect built one per
+    // candidate — 17-29 s of task CPU in this stage at sf0.1). Arrays
+    // carry n, so the sz joins fold in too. Values identical:
+    // fingerprints are distinct per doc, so the merge count IS the
+    // fixed arm's intersection count.
     cand
       .join(docArr.select(col("doc_id").as("doc_a"),
         col("fs").as("fa"), col("n").as("na")), "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"),
         col("fs").as("fb"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("fa"), col("fb"))).cast("double") /
+        (graft.functions.ArrayOps.sorted_overlap(col("fa"), col("fb"))
+          .cast("double") /
           least(col("na"), col("nb")).cast("double")).as("overlap"))
       .filter(col("overlap") >= threshold)
   }
